@@ -1,0 +1,311 @@
+"""GraphAr `gar/v1` metadata model: YAML parsing + chunk-file path resolution.
+
+Format knowledge comes from the public Apache GraphAr spec and the
+reference's own test fixtures (`/root/reference/config/test/data/git/*.yaml`)
+and usage (`src/functions/table/read_vertices.cpp:49-59` loads GraphInfo →
+VertexInfo → property groups; `src/functions/table/read_edges.cpp:85-91`
+picks the `ordered_by_source` vs `ordered_by_dest` adjacency layout).
+
+Layout (all paths relative to the graph prefix = directory of the graph
+YAML unless the YAML carries an absolute ``prefix``):
+
+- vertex data:   ``{vertex.prefix}{pg.prefix}chunk{k}`` + ``{vertex.prefix}vertex_count``
+- edge adj list: ``{edge.prefix}{adj.prefix}adj_list/part{i}/chunk{j}``
+- edge offsets:  ``{edge.prefix}{adj.prefix}offset/chunk{i}``
+- edge props:    ``{edge.prefix}{adj.prefix}{pg.prefix}part{i}/chunk{j}``
+- counts:        ``{edge.prefix}{adj.prefix}vertex_count`` / ``edge_count{i}``
+
+Chunking: row ``r`` of a vertex type lives at chunk ``r // chunk_size``,
+offset ``r % chunk_size`` (reference: ``include/utils/func.hpp:68-72``).
+Edge part ``i`` holds the edges whose aligned-side vertex is in vertex
+chunk ``i``; offset chunk ``i`` holds ``src_chunk_size + 1`` cumulative
+counts relative to the start of part ``i``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import yaml
+
+from pyspark.sql import types as T
+
+# GraphAr type -> Spark type (reference map: src/utils/func.cpp:18-40).
+GRAPHAR_TO_SPARK: dict[str, T.DataType] = {
+    "bool": T.BooleanType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "date": T.DateType(),
+}
+
+# Implicit column names injected by the reference (include/utils/func.hpp:20-23).
+VERTEX_INDEX_COL = "_graphArVertexIndex"
+SRC_INDEX_COL = "_graphArSrcIndex"
+DST_INDEX_COL = "_graphArDstIndex"
+DEGREE_ID_COL = "grapharId"
+OFFSET_COL = "_graphArOffset"
+
+_CHUNK_RE = re.compile(r"chunk(\d+)$")
+
+
+def spark_type_for(graphar_type: str) -> T.DataType:
+    try:
+        return GRAPHAR_TO_SPARK[graphar_type]
+    except KeyError:
+        raise NotImplementedError(
+            f"GraphAr data type {graphar_type!r} is not supported "
+            "(reference supports bool/int32/int64/float/double/string/date, "
+            "src/utils/func.cpp:27)"
+        ) from None
+
+
+@dataclass
+class Property:
+    name: str
+    data_type: str
+    is_primary: bool = False
+    is_nullable: bool = True
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return spark_type_for(self.data_type)
+
+
+@dataclass
+class PropertyGroup:
+    prefix: str
+    file_type: str
+    properties: list[Property]
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PropertyGroup":
+        props = [
+            Property(
+                name=p["name"],
+                data_type=p["data_type"],
+                is_primary=bool(p.get("is_primary", False)),
+                is_nullable=bool(p.get("is_nullable", True)),
+            )
+            for p in d.get("properties", [])
+        ]
+        prefix = d.get("prefix") or ("_".join(p.name for p in props) + "/")
+        return cls(prefix=prefix, file_type=d.get("file_type", "parquet"), properties=props)
+
+
+@dataclass
+class AdjList:
+    aligned_by: str  # "src" | "dst"
+    ordered: bool
+    file_type: str
+
+    @property
+    def prefix(self) -> str:
+        return "ordered_by_source/" if self.aligned_by == "src" else "ordered_by_dest/"
+
+
+@dataclass
+class VertexInfo:
+    type: str
+    chunk_size: int
+    prefix: str
+    property_groups: list[PropertyGroup]
+
+    @classmethod
+    def load(cls, path: str) -> "VertexInfo":
+        with open(path) as f:
+            d = yaml.safe_load(f)
+        return cls(
+            type=d["type"],
+            chunk_size=int(d["chunk_size"]),
+            prefix=d.get("prefix", f"vertex/{d['type']}/"),
+            property_groups=[PropertyGroup.from_dict(g) for g in d.get("property_groups", [])],
+        )
+
+    def schema(self) -> T.StructType:
+        """Output schema: implicit int64 index first, then flattened props
+        (reference: read_base.hpp:167-172 + read_vertices.cpp:65-68)."""
+        fields = [T.StructField(VERTEX_INDEX_COL, T.LongType(), False)]
+        for pg in self.property_groups:
+            for p in pg.properties:
+                fields.append(T.StructField(p.name, p.spark_type, p.is_nullable))
+        return T.StructType(fields)
+
+
+@dataclass
+class EdgeInfo:
+    src_type: str
+    edge_type: str
+    dst_type: str
+    chunk_size: int
+    src_chunk_size: int
+    dst_chunk_size: int
+    directed: bool
+    prefix: str
+    adj_lists: list[AdjList]
+    property_groups: list[PropertyGroup] = field(default_factory=list)
+
+    @classmethod
+    def load(cls, path: str) -> "EdgeInfo":
+        with open(path) as f:
+            d = yaml.safe_load(f)
+        adj = [
+            AdjList(
+                aligned_by=a["aligned_by"],
+                ordered=bool(a.get("ordered", True)),
+                file_type=a.get("file_type", "parquet"),
+            )
+            for a in d.get("adj_lists", [])
+        ]
+        return cls(
+            src_type=d["src_type"],
+            edge_type=d["edge_type"],
+            dst_type=d["dst_type"],
+            chunk_size=int(d["chunk_size"]),
+            src_chunk_size=int(d["src_chunk_size"]),
+            dst_chunk_size=int(d["dst_chunk_size"]),
+            directed=bool(d.get("directed", True)),
+            prefix=d.get("prefix", f"edge/{d['src_type']}_{d['edge_type']}_{d['dst_type']}/"),
+            adj_lists=adj,
+            property_groups=[PropertyGroup.from_dict(g) for g in d.get("property_groups", [])],
+        )
+
+    @property
+    def triple_name(self) -> str:
+        return f"{self.src_type}_{self.edge_type}_{self.dst_type}"
+
+    def adj_list(self, aligned_by: str) -> AdjList:
+        for a in self.adj_lists:
+            if a.aligned_by == aligned_by:
+                return a
+        raise ValueError(
+            f"edge {self.triple_name} has no adjacency layout aligned by {aligned_by!r}"
+        )
+
+    def has_layout(self, aligned_by: str) -> bool:
+        return any(a.aligned_by == aligned_by for a in self.adj_lists)
+
+    def schema(self) -> T.StructType:
+        """Implicit src/dst int64 indexes first, then edge props
+        (reference: read_edges.cpp:29 + read_base.hpp:167-172)."""
+        fields = [
+            T.StructField(SRC_INDEX_COL, T.LongType(), False),
+            T.StructField(DST_INDEX_COL, T.LongType(), False),
+        ]
+        for pg in self.property_groups:
+            for p in pg.properties:
+                fields.append(T.StructField(p.name, p.spark_type, p.is_nullable))
+        return T.StructType(fields)
+
+
+@dataclass
+class GraphInfo:
+    name: str
+    prefix: str  # absolute directory containing the graph data
+    vertices: dict[str, VertexInfo]
+    edges: dict[tuple[str, str, str], EdgeInfo]
+
+    @classmethod
+    def load(cls, path: str) -> "GraphInfo":
+        """Load a graph YAML (reference: graphar::GraphInfo::Load used at
+        read_vertices.cpp:49-53, graphar_storage.cpp:23-27)."""
+        path = os.path.abspath(path)
+        with open(path) as f:
+            d = yaml.safe_load(f)
+        base = d.get("prefix") or os.path.dirname(path)
+        if not base.endswith("/"):
+            base += "/"
+        vertices: dict[str, VertexInfo] = {}
+        for vfile in d.get("vertices", []) or []:
+            vi = VertexInfo.load(os.path.join(os.path.dirname(path), vfile))
+            vertices[vi.type] = vi
+        edges: dict[tuple[str, str, str], EdgeInfo] = {}
+        for efile in d.get("edges", []) or []:
+            ei = EdgeInfo.load(os.path.join(os.path.dirname(path), efile))
+            edges[(ei.src_type, ei.edge_type, ei.dst_type)] = ei
+        return cls(name=d.get("name", "graph"), prefix=base, vertices=vertices, edges=edges)
+
+    # ---- path resolution -------------------------------------------------
+
+    def vertex_dir(self, vi: VertexInfo, pg: PropertyGroup) -> str:
+        return os.path.join(self.prefix, vi.prefix, pg.prefix)
+
+    def vertex_count_path(self, vi: VertexInfo) -> str:
+        return os.path.join(self.prefix, vi.prefix, "vertex_count")
+
+    def adj_dir(self, ei: EdgeInfo, aligned_by: str) -> str:
+        return os.path.join(self.prefix, ei.prefix, ei.adj_list(aligned_by).prefix)
+
+    def adj_list_part_dir(self, ei: EdgeInfo, aligned_by: str, part: int) -> str:
+        return os.path.join(self.adj_dir(ei, aligned_by), "adj_list", f"part{part}")
+
+    def offset_chunk_path(self, ei: EdgeInfo, aligned_by: str, chunk: int) -> str:
+        return os.path.join(self.adj_dir(ei, aligned_by), "offset", f"chunk{chunk}")
+
+    def edge_prop_part_dir(self, ei: EdgeInfo, aligned_by: str, pg: PropertyGroup, part: int) -> str:
+        return os.path.join(self.adj_dir(ei, aligned_by), pg.prefix, f"part{part}")
+
+    def edge_vertex_count_path(self, ei: EdgeInfo, aligned_by: str) -> str:
+        return os.path.join(self.adj_dir(ei, aligned_by), "vertex_count")
+
+    def edge_count_path(self, ei: EdgeInfo, aligned_by: str, part: int) -> str:
+        return os.path.join(self.adj_dir(ei, aligned_by), f"edge_count{part}")
+
+    # ---- metadata-answered counts (reference: src/utils/func.cpp:65-72) ---
+
+    def vertex_count(self, vtype: str) -> int:
+        return _read_count(self.vertex_count_path(self.vertices[vtype]))
+
+    def edge_aligned_vertex_count(self, ei: EdgeInfo, aligned_by: str) -> int:
+        return _read_count(self.edge_vertex_count_path(ei, aligned_by))
+
+    def edge_count(self, ei: EdgeInfo, aligned_by: str = "src") -> int:
+        """Total edges = sum of per-part edge_count files (metadata only,
+        no data scan — parity with A7 in SURVEY §2)."""
+        total = 0
+        part = 0
+        while True:
+            p = self.edge_count_path(ei, aligned_by, part)
+            if not os.path.exists(p):
+                break
+            total += _read_count(p)
+            part += 1
+        return total
+
+
+def _read_count(path: str) -> int:
+    with open(path) as f:
+        return int(f.read().strip())
+
+
+def chunk_index_of(path: str) -> int:
+    """Parse the chunk number out of a chunk file path."""
+    m = _CHUNK_RE.search(path)
+    if not m:
+        raise ValueError(f"not a chunk file: {path}")
+    return int(m.group(1))
+
+
+def list_chunks(directory: str) -> list[str]:
+    """Chunk files in a directory, ordered by chunk index."""
+    if not os.path.isdir(directory):
+        return []
+    files = [f for f in os.listdir(directory) if _CHUNK_RE.match(f)]
+    files.sort(key=lambda f: int(_CHUNK_RE.match(f).group(1)))
+    return [os.path.join(directory, f) for f in files]
+
+
+def list_parts(directory: str) -> list[int]:
+    """Part indexes under an adj_list/property directory, ordered."""
+    if not os.path.isdir(directory):
+        return []
+    parts = []
+    for f in os.listdir(directory):
+        m = re.match(r"part(\d+)$", f)
+        if m:
+            parts.append(int(m.group(1)))
+    return sorted(parts)
