@@ -1,0 +1,312 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+
+- Exact dedup is a hash-groupBy — one shuffle on a 16-byte digest,
+  map-side combinable.
+- MinHash/SimHash signatures are computed with JVM-side expressions over
+  the shingle array (`transform` + `aggregate`), no Python in the hot
+  path; LSH banding turns all-pairs comparison into a groupBy on band
+  keys, so cost is O(candidates), not O(n²).
+- Candidate verification (exact Jaccard) happens only on LSH candidate
+  pairs.
+- Connected components over the duplicate-pair graph uses iterative
+  min-label propagation (bounded iterations, localCheckpoint per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 64-bit hashing via xxhash64 with per-permutation seeds: JVM-side,
+# deterministic across runs/engines given the same seed.
+_MERSENNE = (1 << 61) - 1
+
+
+def normalize(text: F.Column) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def shingles(text: F.Column, k: int = 5) -> F.Column:
+    """Word k-shingles (array<string>, distinct)."""
+    toks = F.split(normalize(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array(normalize(text)))
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact content hash; adds `dup_count`."""
+    digest = F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in cols]), 256)
+    return (
+        df.withColumn("__h", digest)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__h")
+    )
+
+
+def _hash_with_seed(i: int):
+    # NB: HOF lambdas must be unary — pyspark derives arity from the
+    # Python signature, so bind the seed via closure, never `i=i`.
+    return lambda s: F.xxhash64(s, F.lit(i))
+
+
+def minhash_signature(sh: F.Column, num_hashes: int = 64) -> F.Column:
+    """MinHash signature (array<bigint>, length num_hashes) over a
+    *materialized* shingle-array column.  Each permutation
+    h_i(x) = xxhash64(x, seed=i); the signature element is the min over
+    the shingle set — `transform` + `array_min`, fully JVM-side.
+
+    Pass a column produced by `shingles()` that is already bound to the
+    plan via withColumn/select: the signature references it num_hashes
+    times, and a raw expression would be re-evaluated per reference
+    (Catalyst only inlines cheap exprs through CollapseProject)."""
+    return F.array(*[F.array_min(F.transform(sh, _hash_with_seed(i))) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding → (id_a, id_b), id_a < id_b.
+
+    Signature is split into `bands` bands of `num_hashes/bands` rows; docs
+    sharing any band hash become candidates.  The all-pairs blowup is
+    bounded per band-bucket (self-join within groupBy buckets).
+    """
+    rows = num_hashes // bands
+    # stage 1: materialize shingles; stage 2: signature over the bound
+    # column; stage 3: band hashes.  Each stage boundary prevents Catalyst
+    # from inlining the expensive array exprs into every downstream use.
+    staged = (
+        df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+        .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("__sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = staged.select(
+        "__id", F.posexplode(band_hashes).alias("__band", "__bh")
+    )
+    other = banded.select(
+        F.col("__id").alias("__id2"), F.col("__band"), F.col("__bh")
+    )
+    pairs = (
+        banded.join(other, ["__band", "__bh"])
+        .filter(F.col("__id") < F.col("__id2"))
+        .select(F.col("__id").alias("id_a"), F.col("__id2").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard →
+    (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.7,
+    max_cc_iters: int = 20,
+) -> DataFrame:
+    """Full near-dup pipeline → (doc_id, cluster_id): LSH candidates →
+    Jaccard verify → connected components (min-label propagation)."""
+    pairs = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, bands=bands, k=k
+    )
+    verified = ngram_jaccard_pairs(
+        df, pairs, id_col=id_col, text_col=text_col, k=k, threshold=threshold
+    ).select("id_a", "id_b")
+    labels = connected_components(
+        verified, df.select(F.col(id_col).alias("v")), max_iters=max_cc_iters
+    )
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, *, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    edges: (id_a, id_b) undirected; vertices: (v).  Returns (v, label)
+    where label = min vertex id in the component.  Converges in
+    O(diameter) rounds; each round is one join + groupBy, with
+    localCheckpoint to cut lineage.  (GraphFrames-style; bounded driver
+    state.)
+    """
+    sym = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("w")).unionAll(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("w"))
+    )
+    labels = vertices.select("v", F.col("v").alias("label")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["w"] == labels["v"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["v"] == neighbor_min["u"], "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def simhash(hashes: F.Column, bits: int = 64) -> F.Column:
+    """SimHash (bigint) from a *materialized* array<long> of per-shingle
+    hashes: for each bit b, sum ±1 over shingles by bit b; the
+    fingerprint bit is 1 where the sum is positive.  One `aggregate` per
+    bit over the bound hash column — cheap long ops, JVM-side.
+    """
+
+    def bit_term(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    result = F.lit(0).cast("long")
+    for b in range(bits):
+        cnt = F.aggregate(hashes, F.lit(0), bit_term(b))
+        result = result.bitwiseOR(
+            F.when(cnt > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return result
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    k: int = 2,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with block-permutation candidate search:
+    split the fingerprint into `blocks` blocks; by pigeonhole, any pair
+    within `max_hamming ≤ blocks-1` shares one exact block → equi-join per
+    block, then verify Hamming distance."""
+    width = bits // blocks
+    sh = (
+        df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+        .withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+        .withColumn("__f", simhash(F.col("__hashes"), bits))
+        .select("__id", "__f")
+    )
+    block_vals = F.array(
+        *[
+            F.shiftright(F.col("__f"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+            for b in range(blocks)
+        ]
+    )
+    blocked = sh.select(
+        "__id", "__f", F.posexplode(block_vals).alias("__blk", "__bv")
+    )
+    other = blocked.select(
+        F.col("__id").alias("__id2"), F.col("__f").alias("__f2"), "__blk", "__bv"
+    )
+    ham = F.bit_count(F.col("__f").bitwiseXOR(F.col("__f2")))
+    return (
+        blocked.join(other, ["__blk", "__bv"])
+        .filter(F.col("__id") < F.col("__id2"))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__id2").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by
+    random-hyperplane LSH so only same-bucket pairs are compared."""
+    from duckdb_graphar_spark.operators.similarity import cosine, hyperplane_bucket
+
+    b = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        hyperplane_bucket(F.col(vec_col), n_planes=n_planes, seed=seed).alias("__bkt"),
+    )
+    o = b.select(F.col("__id").alias("__id2"), F.col("__v").alias("__v2"), "__bkt")
+    sim = cosine(F.col("__v"), F.col("__v2"))
+    return (
+        b.join(o, "__bkt")
+        .filter(F.col("__id") < F.col("__id2"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("__id").alias("id_a"), F.col("__id2").alias("id_b"), "cosine")
+        .distinct()
+    )

@@ -1,0 +1,215 @@
+"""Graph-traversal operators as Spark DataFrame pipelines.
+
+Parity targets (SURVEY §2.C):
+
+- ``degrees`` / ``degrees_from_offsets`` ↔ reference ``edges_vertex``
+  (`src/functions/table/edges_vertex.cpp:21-240`): out-degree of every
+  source vertex, cheaply from the CSR offset arrays, schema
+  ``(degree BIGINT, grapharId BIGINT)``.
+- ``two_hop`` ↔ `src/functions/table/hop.cpp:76-135`: 1-hop edges of a
+  vertex plus **all** out-edges of each neighbor occurrence (the
+  reference does not dedup the neighbor set — multiplicity preserved).
+- ``one_more_hop`` ↔ `src/functions/table/hop.cpp:137-225`: 1-hop edges
+  plus the edges internal to the 1-hop neighborhood (triangle-closing
+  edges; set semantics per SURVEY §7 "pin the intended semantics").
+- ``bfs_length`` / ``bfs_exist`` ↔ `src/functions/scalar/bfs.cpp:19-163`:
+  unweighted shortest-path length, -1 if unreachable, 0 if src == dst.
+
+Scale design: the reference's BFS is a single-threaded dense-array scan
+(O(|V|) driver memory — `bfs.cpp:94-134`); here every expansion is a
+distributed join.  Frontiers are assumed small relative to the graph and
+broadcast; `visited` stays distributed and is anti-joined.  Lineage is
+cut every iteration with ``localCheckpoint`` so 100-level BFS doesn't
+build a 100-stage plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from duckdb_graphar_spark.graphar.metadata import (
+    DEGREE_ID_COL,
+    DST_INDEX_COL,
+    GraphInfo,
+    OFFSET_COL,
+    SRC_INDEX_COL,
+    list_chunks,
+)
+
+import os
+
+
+def degrees(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    vid_col: str = "_graphArVertexIndex",
+) -> DataFrame:
+    """Out-degree per source vertex → DataFrame(degree long, grapharId long).
+
+    General path (works on any edge DataFrame): map-side-combinable
+    ``groupBy(src).count()``; if ``vertices`` is given, zero-degree
+    vertices are kept via a right join (the reference emits every vertex,
+    `edges_vertex.cpp:198-240`).
+    """
+    deg = edges.groupBy(F.col(src_col).alias(DEGREE_ID_COL)).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    if vertices is not None:
+        ids = vertices.select(F.col(vid_col).alias(DEGREE_ID_COL))
+        deg = (
+            ids.join(deg, DEGREE_ID_COL, "left")
+            .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"), DEGREE_ID_COL)
+        )
+    return deg.select("degree", DEGREE_ID_COL)
+
+
+def degrees_from_offsets(
+    spark: SparkSession,
+    graph: GraphInfo | str,
+    src: str,
+    edge_type: str,
+    dst: str,
+    *,
+    aligned_by: str = "src",
+) -> DataFrame:
+    """Degree WITHOUT scanning edges: read the CSR/CSC offset chunks and
+    diff consecutive offsets (reference fast path,
+    `edges_vertex.cpp:132-194`: degree[v] = offset[v+1] - offset[v]).
+
+    Each offset chunk is self-contained (chunk_size+1 rows, part-relative
+    offsets), so the lead() window partitions by file — no cross-file
+    shuffle dependency; scales linearly in #chunks.
+    """
+    g = graph if isinstance(graph, GraphInfo) else GraphInfo.load(graph)
+    ei = g.edges[(src, edge_type, dst)]
+    chunk_size = ei.src_chunk_size if aligned_by == "src" else ei.dst_chunk_size
+    files = list_chunks(os.path.join(g.adj_dir(ei, aligned_by), "offset"))
+    df = spark.read.parquet(*files).select(
+        F.regexp_extract(F.col("_metadata.file_path"), r"chunk(\d+)$", 1)
+        .cast("long")
+        .alias("__chunk"),
+        F.col("_metadata.row_index").alias("__row"),
+        F.col(OFFSET_COL),
+    )
+    w = Window.partitionBy("__chunk").orderBy("__row")
+    return (
+        df.withColumn("__next", F.lead(OFFSET_COL).over(w))
+        .filter(F.col("__next").isNotNull())
+        .select(
+            (F.col("__next") - F.col(OFFSET_COL)).alias("degree"),
+            (F.col("__chunk") * F.lit(chunk_size) + F.col("__row")).alias(DEGREE_ID_COL),
+        )
+    )
+
+
+def one_hop(
+    edges: DataFrame,
+    vid: int,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Out-edges of one vertex (benchmark "1-hop", docs/benchmarks.md:23-27)."""
+    return edges.filter(F.col(src_col) == vid).select(src_col, dst_col)
+
+
+def two_hop(
+    edges: DataFrame,
+    vid: int,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """1-hop edges of ``vid`` ∪ all out-edges of every neighbor occurrence.
+
+    The reference collects the neighbor list H WITHOUT dedup
+    (`hop.cpp:86-102`) and re-emits each neighbor's out-edges once per
+    occurrence (`:104-135`) — an inner join on the non-distinct H
+    reproduces that multiplicity exactly.
+    """
+    e1 = edges.filter(F.col(src_col) == vid).select(src_col, dst_col)
+    h = e1.select(F.col(dst_col).alias("__h"))  # NOT distinct, by design
+    hop2 = (
+        edges.join(F.broadcast(h), edges[src_col] == F.col("__h"))
+        .select(src_col, dst_col)
+    )
+    return e1.unionAll(hop2)
+
+
+def one_more_hop(
+    edges: DataFrame,
+    vid: int,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """1-hop edges of ``vid`` ∪ edges internal to its 1-hop neighborhood
+    (src ∈ H and dst ∈ H — the triangle-closing edges,
+    `hop.cpp:137-225`, set semantics)."""
+    e1 = edges.filter(F.col(src_col) == vid).select(src_col, dst_col)
+    h = e1.select(F.col(dst_col).alias("__h")).distinct()
+    closing = (
+        edges.join(F.broadcast(h), edges[src_col] == F.col("__h"), "leftsemi")
+        .join(F.broadcast(h), edges[dst_col] == F.col("__h"), "leftsemi")
+        .select(src_col, dst_col)
+    )
+    return e1.unionAll(closing)
+
+
+def bfs_length(
+    edges: DataFrame,
+    src_vid: int,
+    dst_vid: int,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+    max_depth: int = 30,
+) -> int:
+    """Unweighted shortest-path length src→dst; -1 unreachable, 0 if equal.
+
+    Level-synchronous BFS (`bfs.cpp:94-134` re-expressed): the frontier
+    is expanded by an edge join per level, deduped, and anti-joined
+    against the visited set.  Driver state is O(1) (loop counter only);
+    per-level results are localCheckpoint'ed to cut lineage.
+    """
+    if src_vid == dst_vid:
+        return 0
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(src_vid,)], f"__v long")
+    visited = frontier.localCheckpoint(eager=True)
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(F.broadcast(frontier), edges[src_col] == F.col("__v"))
+            .select(F.col(dst_col).alias("__v"))
+            .distinct()
+            .join(visited, "__v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.filter(F.col("__v") == dst_vid).take(1):
+            return depth
+        if not nxt.take(1):
+            return -1
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return -1
+
+
+def bfs_exist(
+    edges: DataFrame,
+    src_vid: int,
+    dst_vid: int,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+    max_depth: int = 30,
+) -> bool:
+    """Reachability: `bfs_length(...) != -1` (reference delegates the same
+    way, `bfs.cpp:140-163`)."""
+    return (
+        bfs_length(
+            edges, src_vid, dst_vid, src_col=src_col, dst_col=dst_col, max_depth=max_depth
+        )
+        != -1
+    )

@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths (SURVEY §2.F):
+
+- **Brute-force top-k** — exact baseline: broadcast the (small) query
+  set, score every corpus row with a JVM-side dot product
+  (`zip_with` + `aggregate`, no Python), take top-k per query with a
+  window.  At 100 TB this is one full scan per query batch — correct,
+  embarrassingly parallel, no shuffle except the final top-k.
+- **LSH-bucketed top-k** — scale path: random-hyperplane signatures
+  bucket the corpus (one shuffle to write, reusable across queries);
+  each query probes only its bucket(s), trading recall for a ~2^planes
+  reduction in scored candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array columns (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector is all-zero."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query →
+    (query_id, neighbor_id, cosine_sim, rank).
+
+    Queries are broadcast (they're the small side); scoring is a
+    shuffle-free map over corpus partitions; only the per-query top-k
+    shuffles (TakeOrderedAndProject-style via window + filter).
+    Excludes the query row itself when ids collide.
+    Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def hyperplane_bucket(
+    vec: Column, *, dim: int = 64, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket id (long): bit b = sign(vec · plane_b).
+    Planes are a deterministic literal array (broadcast in the plan)."""
+    planes = _planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's hyperplane
+    bucket(s).  With `multiprobe`, each query also probes the n_planes
+    Hamming-1 neighbor buckets (the standard recall boost — the nearest
+    misses are the vectors that fell on the other side of one plane).
+    Same output schema as brute_force_topk."""
+    cb = corpus.withColumn(
+        "__bkt", hyperplane_bucket(F.col(vec_col), dim=dim, n_planes=n_planes, seed=seed)
+    )
+    qbucket = hyperplane_bucket(F.col(query_vec_col), dim=dim, n_planes=n_planes, seed=seed)
+    probes = [qbucket] + (
+        [qbucket.bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(n_planes)]
+        if multiprobe
+        else []
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        F.explode(F.array(*probes)).alias("__bkt"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "__bkt")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: list[list[float]] | None = None,
+    dim: int = 64,
+    n_cells: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style ANN: assign corpus rows to their nearest centroid cell
+    (one pass), probe the `n_probe` nearest cells per query.
+
+    Centroids default to a deterministic random set; production would
+    k-means them offline.  The cell assignment is a JVM-side argmax over
+    literal centroid arrays, so the partitioned index is a plain
+    DataFrame that can be written out partitioned by cell.
+    """
+    if centroids is None:
+        rng = np.random.default_rng(seed)
+        centroids = rng.standard_normal((n_cells, dim)).tolist()
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        dists = F.array(
+            *[
+                dot(vec, F.array(*[F.lit(float(x)) for x in c]))
+                for c in centroids
+            ]
+        )
+        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
+        best = F.slice(F.reverse(F.array_sort(pairs)), 1, n)
+        return F.transform(best, lambda p: p.getField("i"))
+
+    cb = corpus.withColumn("__cell", nearest_cells(F.col(vec_col), 1)[0])
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        F.explode(nearest_cells(F.col(query_vec_col), n_probe)).alias("__cell"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "__cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

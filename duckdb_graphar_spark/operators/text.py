@@ -1,0 +1,108 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side `pyspark.sql.functions` (codegen'd,
+no Python UDFs), so they run inside WholeStageCodegen and scale linearly
+with input splits.  Every operator is also expressible in ANSI SQL for
+DuckDB-oracle verification (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic.  Deterministic and SQL-expressible (regexp counts).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "una"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (long)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation runs
+    via a tokenizer-style regex (a cheap proxy for a real BPE vocab)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are (lowercase) stopwords."""
+    words = stopwords or _LANG_MARKERS["en"]
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    total = F.size(toks)
+    return F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + low punctuation +
+    reasonable mean word length.  Deterministic; tune weights freely."""
+    n_tok = token_count(text)
+    mean_word = F.when(n_tok > 0, F.length(text).cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    word_ok = F.when((mean_word >= 3.0) & (mean_word <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + word_ok).cast("double")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language heuristic → 'en'/'de'/'fr'/'es'/'und'.
+
+    Counts per-language marker words (token-boundary regex) and picks the
+    argmax; ties / zero hits → 'und'.  Pure JVM expressions (greatest +
+    chained when), so it codegens; SQL-expressible for the oracle.
+    """
+    lower = F.lower(text)
+
+    def hits(words: list[str]) -> Column:
+        pat = r"\b(" + "|".join(words) + r")\b"
+        return F.size(F.regexp_extract_all(lower, F.lit(pat), F.lit(0)))
+
+    counts = {lang: hits(words) for lang, words in _LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    # deterministic priority order on ties: en, de, fr, es
+    for lang in ["es", "fr", "de", "en"]:
+        out = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Stable across engines (md5 is bit-identical in Spark and DuckDB)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column set."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_tokens_bpe": bpe_ish_token_count(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

@@ -30,6 +30,9 @@ def get_spark(app_name: str = "duckdb_graphar_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        # the events fixture stores TIMESTAMP(NANOS); Spark has no nanos
+        # type, so read as long and convert in the loader (tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,89 @@
+"""Dedup operator tests with planted duplicate clusters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_graphar_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "spark shuffles data between stages when wide dependencies appear in the plan",
+        "minhash signatures approximate jaccard similarity of shingle sets quite well",
+        "completely unrelated text about cooking pasta with tomatoes and fresh basil leaves",
+    ]
+    rows = []
+    did = 0
+    for i, t in enumerate(base):
+        rows.append((did, t)); did += 1
+        # exact duplicate
+        rows.append((did, t)); did += 1
+        # near duplicate: one word changed
+        rows.append((did, t.replace("the", "a", 1) if "the" in t else t + " extra")); did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup(docs, ["text"])
+    # 4 texts duplicated once + 4 near-dups (unique) = 8 distinct hashes
+    assert out.count() == 8
+    assert out.filter(F.col("dup_count") == 2).count() == 4
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=64, bands=32, k=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # exact-dup pairs must always be candidates
+    for a in (0, 3, 6, 9):
+        assert (a, a + 1) in got
+
+
+def test_ngram_jaccard_verifies(docs):
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=64, bands=32, k=2)
+    verified = D.ngram_jaccard_pairs(docs, pairs, k=2, threshold=0.5)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    for a in (0, 3, 6, 9):
+        assert rows[(a, a + 1)] == 1.0  # exact dups
+    # near-dup pair (0,2) should clear 0.5 on 2-shingles
+    assert any(a == 0 and b == 2 for (a, b) in rows)
+
+
+def test_minhash_dedup_clusters(docs):
+    out = D.minhash_dedup(docs, num_hashes=64, bands=32, k=2, threshold=0.5)
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert len(labels) == 12
+    # each triple (base, exact dup, near dup) lands in one cluster keyed by min id
+    for base in (0, 3, 6, 9):
+        assert labels[base] == labels[base + 1] == labels[base + 2] == base
+
+
+def test_simhash_pairs(docs):
+    pairs = D.simhash_pairs(docs, max_hamming=6, k=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for a in (0, 3, 6, 9):
+        assert (a, a + 1) in got  # exact dups at hamming 0
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 9]], "v long")
+    out = {r.v: r.label for r in D.connected_components(edges, verts).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_embedding_near_dup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16).astype("float32")
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 1.001]),  # same direction → cosine ~1
+        (2, [float(x) for x in rng.standard_normal(16)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_near_dup_pairs(df, threshold=0.99, n_planes=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and len(got) == 1

@@ -1,0 +1,93 @@
+"""Graph operator tests against numpy ground truth (SURVEY §2.C)."""
+
+import numpy as np
+import pytest
+
+from duckdb_graphar_spark import graphar
+from duckdb_graphar_spark.operators import graph as G
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark, graph_fixture):
+    return graphar.read_edges(
+        spark, graph_fixture["yaml"], "Person", "knows", "Person"
+    ).cache()
+
+
+def _py_degrees(src, n):
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, src, 1)
+    return deg
+
+
+def test_degrees_groupby(spark, graph_fixture, edges_df):
+    v = graphar.read_vertices(spark, graph_fixture["yaml"], "Person", columns=[])
+    d = G.degrees(edges_df, v).orderBy("grapharId").collect()
+    exp = _py_degrees(graph_fixture["src"], graph_fixture["n"])
+    assert [r.degree for r in d] == exp.tolist()
+    assert d[0].grapharId == 0 and len(d) == graph_fixture["n"]
+
+
+def test_degrees_from_offsets_matches(spark, graph_fixture):
+    d = G.degrees_from_offsets(
+        spark, graph_fixture["yaml"], "Person", "knows", "Person"
+    ).orderBy("grapharId")
+    exp = _py_degrees(graph_fixture["src"], graph_fixture["n"])
+    rows = d.collect()
+    assert len(rows) == graph_fixture["n"]
+    assert [r.degree for r in rows] == exp.tolist()
+
+
+def test_two_hop_multiplicity(graph_fixture, edges_df):
+    """two_hop keeps duplicate neighbors (hop.cpp:86-102: H not deduped)."""
+    src, dst = graph_fixture["src"], graph_fixture["dst"]
+    vid = 42
+    h = dst[src == vid]  # with multiplicity
+    exp = [(int(vid), int(d)) for d in h]
+    for x in h:
+        exp += [(int(x), int(d)) for d in dst[src == x]]
+    got = [(r._graphArSrcIndex, r._graphArDstIndex) for r in G.two_hop(edges_df, vid).collect()]
+    assert sorted(got) == sorted(exp)
+
+
+def test_one_more_hop_closure(graph_fixture, edges_df):
+    src, dst = graph_fixture["src"], graph_fixture["dst"]
+    vid = 42
+    H = set(dst[src == vid].tolist())
+    e1 = [(vid, int(d)) for d in dst[src == vid]]
+    closing = [
+        (int(s), int(d)) for s, d in zip(src, dst) if s in H and d in H
+    ]
+    got = [(r._graphArSrcIndex, r._graphArDstIndex) for r in G.one_more_hop(edges_df, vid).collect()]
+    assert sorted(got) == sorted(e1 + closing)
+
+
+def _py_bfs(src, dst, n, s, t, max_depth=30):
+    if s == t:
+        return 0
+    adj = {}
+    for a, b in zip(src, dst):
+        adj.setdefault(int(a), []).append(int(b))
+    frontier, seen, depth = {s}, {s}, 0
+    while frontier and depth < max_depth:
+        depth += 1
+        nxt = set()
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w == t:
+                    return depth
+                if w not in seen:
+                    seen.add(w)
+                    nxt.add(w)
+        frontier = nxt
+    return -1
+
+
+@pytest.mark.parametrize("s,t", [(0, 7), (42, 42), (1, 1500), (3, 999)])
+def test_bfs_length(graph_fixture, edges_df, s, t):
+    exp = _py_bfs(graph_fixture["src"], graph_fixture["dst"], graph_fixture["n"], s, t)
+    assert G.bfs_length(edges_df, s, t) == exp
+
+
+def test_bfs_exist(graph_fixture, edges_df):
+    assert G.bfs_exist(edges_df, 0, 7) is True

@@ -1,0 +1,64 @@
+"""Similarity-search tests against numpy exact ground truth."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_graphar_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _np_topk(vecs, ids, qv, qid, k):
+    sims = vecs @ qv / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(qv))
+    mask = ids != qid
+    order = np.lexsort((ids[mask], -np.round(sims[mask], 6)))
+    return [(int(ids[mask][i]), round(float(sims[mask][i]), 6)) for i in order[:k]]
+
+
+def test_brute_force_topk_exact(spark, emb):
+    pdf = emb.toPandas()
+    vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].values
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.brute_force_topk(emb, queries, k=5)
+    got = {
+        qid: [(r.neighbor_id, r.cosine_sim) for r in rows]
+        for qid, rows in _group(out.orderBy("query_id", "rank").collect())
+    }
+    for qid in range(3):
+        exp = _np_topk(vecs, ids, vecs[ids == qid][0], qid, 5)
+        assert got[qid] == exp, qid
+
+
+def _group(rows):
+    from itertools import groupby
+
+    return [(k, list(g)) for k, g in groupby(rows, key=lambda r: r.query_id)]
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.brute_force_topk(emb, queries, k=10)
+    approx = S.lsh_topk(emb, queries, k=10, n_planes=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # 4 planes → 16 buckets over small corpus
+
+
+def test_ivf_topk_runs(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.ivf_topk(emb, queries, k=5, n_probe=4, n_cells=8)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r.query_id for r in rows} <= {0, 1}

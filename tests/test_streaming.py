@@ -1,0 +1,46 @@
+"""Structured Streaming tests: streaming result == batch result on the
+same (finite) events table, driven through a memory sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_graphar_spark.streaming import ops as S
+from duckdb_graphar_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def _canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_batch):
+    stream = S.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = S.tumbling_window_agg(stream, watermark="100 days")
+    got = S.run_to_memory(agg, "tumbling_out")
+    exp = S.tumbling_window_agg(events_batch)
+    cols = ["window_start", "window_end", "event_type", "n", "sum_value"]
+    assert _canon(got, cols) == _canon(exp, cols)
+
+
+def test_session_window_batch(events_batch):
+    out = S.session_window_agg(events_batch)
+    assert out.count() > 0
+    r = out.agg(F.sum("n_events").alias("s")).collect()[0].s
+    assert r == events_batch.count()
+
+
+def test_stateful_dedup_stream(spark, sf_dir, events_batch):
+    stream = S.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dd = S.stateful_dedup(stream, keys=["event_id"], watermark="100 days")
+    q = dd.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("dedup_out").count()
+    exp = events_batch.dropDuplicates(["event_id"]).count()
+    assert got == exp
