@@ -1,38 +1,1188 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps every implemented operator from SURVEY.md §2 to a
+callable `(spark, sf_dir) -> DataFrame`; `oracle_sql()` gives the
+DuckDB-equivalent SQL over the same parquet tables for the driver's
+side-by-side correctness check.
+
+Float determinism strategy: aggregates over doubles are summed through
+DECIMAL casts (exact, order-independent), converted back to double, and
+rounded — identical on both engines regardless of partial-aggregation
+order.  Timestamp outputs are cast to µs precision on the DuckDB side
+(its `events.ts` is TIMESTAMP_NS).
 """
 
 from __future__ import annotations
 
+import os
+import re
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from duckdb_graphar_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec_sum(col: F.Column, digits: int = 4, prec: str = "26,8") -> F.Column:
+    """Order-independent double aggregate: sum exact decimals, then back
+    to double, then round — matches `ROUND(CAST(SUM(CAST(x AS
+    DECIMAL(26,8))) AS DOUBLE), d)` in DuckDB bit-for-bit."""
+    return F.round(F.sum(col.cast(f"decimal({prec})")).cast("double"), digits)
+
+
+# edge derivation shared by all graph queries: src = o_custkey,
+# dst = o_orderkey mod |customer|  (deterministic, SQL-expressible)
+_E_SQL = (
+    "SELECT o_custkey AS src, o_orderkey % (SELECT count(*) FROM customer) AS dst FROM orders"
+)
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ncust = _t(spark, sf_dir, "customer").count()
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("src"), (F.col("o_orderkey") % ncust).alias("dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.A scans
+# ---------------------------------------------------------------------------
+
+
+@_q("q00_scan_region", "SELECT r_regionkey, r_name FROM region")
+def q00(spark, sf):
+    return _t(spark, sf, "region").select("r_regionkey", "r_name")
+
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(26,8))) AS DOUBLE), 4) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(26,8))) AS DOUBLE), 4) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,8))) AS DOUBLE), 4) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(26,8))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(26,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q(
+    "q02_filter_between",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q02(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@_q(
+    "q03_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q03(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@_q(
+    "q04_join_agg_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(26,8))) AS DOUBLE), 4) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q04(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "q05_revenue_by_nation",
+    """
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,8))) AS DOUBLE), 4) AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY n_name
+    """,
+)
+def q05(spark, sf):
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        F.broadcast(r)
+        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_q(
+    "q06_left_join_zero_fill",
+    """
+    SELECT c_custkey, COALESCE(cnt, 0) AS n_orders
+    FROM customer LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ) o ON o_custkey = c_custkey
+    """,
+)
+def q06(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("n_orders")
+    )
+
+
+@_q(
+    "q07_semi_join",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey
+    """,
+)
+def q07(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_q(
+    "q08_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q08(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_q(
+    "q09_cross_join",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q09(spark, sf):
+    return _t(spark, sf, "region").crossJoin(_t(spark, sf, "nation")).select("r_name", "n_name")
+
+
+@_q(
+    "q10_distinct_agg",
+    """
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q10(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "q11_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q11(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "q12_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q12(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "q13_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q13(spark, sf):
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    )
+
+
+@_q(
+    "q14_window_rownum",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q14(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@_q(
+    "q15_window_running_sum",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(26,8)))
+                 OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+           AS running_qty
+    FROM lineitem
+    """,
+)
+def q15(spark, sf):
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(F.col("l_quantity").cast("decimal(26,8)")).over(w).cast("double"), 4).alias(
+            "running_qty"
+        ),
+    )
+
+
+@_q(
+    "q16_window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w AS prev_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q16(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@_q(
+    "q17_rank_ntile",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q17(spark, sf):
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_q(
+    "q18_set_ops",
+    """
+    SELECT c FROM (
+      SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def q18(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c"))
+    return a.subtract(b)  # EXCEPT (distinct) semantics, not exceptAll
+
+
+@_q(
+    "q18b_intersect",
+    """
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q18b(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c"))
+    return a.intersect(b)
+
+
+@_q(
+    "q19_string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           (p_type LIKE '%BRASS%') AS is_brass,
+           REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word
+    FROM part
+    """,
+)
+def q19(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+    )
+
+
+@_q(
+    "q20_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           DATEDIFF('day', CAST('1995-01-01' AS DATE), CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders
+    """,
+)
+def q20(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+
+
+@_q(
+    "q21_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r,
+           ABS(l_discount - 0.05) AS disc_dev,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bucket
+    FROM lineitem
+    """,
+)
+def q21(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_bucket"),
+    )
+
+
+@_q(
+    "q22_case_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q22(spark, sf):
+    o = _t(spark, sf, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "q23_array_ops",
+    """
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(list_aggregate(embedding, 'sum') AS DOUBLE), 4) AS vec_sum
+    FROM embeddings
+    """,
+)
+def q23(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0).cast("float"), lambda acc, x: acc + x
+            ).cast("double"),
+            4,
+        ).alias("vec_sum"),
+    )
+
+
+@_q(
+    "q24_json_funcs",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def q24(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@_q(
+    "q25_events_tumbling",
+    """
+    SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(26,8))) AS DOUBLE), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q25(spark, sf):
+    e = _t(spark, sf, "events")
+    bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 300) * 300)
+    return e.groupBy(bucket.alias("window_start"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+@_q(
+    "q26_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q26(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_q(
+    "q27_exact_distinct",
+    "SELECT COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem",
+)
+def q27(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@_q(
+    "q28_pivot",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS status_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q28(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("status_o"),
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("status_f"),
+    )
+
+
+@_q(
+    "q29_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+def q29(spark, sf):
+    o = _t(spark, sf, "orders")
+    threshold = o.agg((F.avg("o_totalprice") * 1.5).alias("t"))
+    return o.join(F.broadcast(threshold)).filter(F.col("o_totalprice") > F.col("t")).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@_q(
+    "q30_exists_correlated",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+    """,
+)
+def q30(spark, sf):
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.C graph operators (edges derived from orders — SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@_q("g01_one_hop", f"WITH e AS ({_E_SQL}) SELECT src, dst FROM e WHERE src = 42")
+def g01(spark, sf):
+    from duckdb_graphar_spark.operators.graph import one_hop
+
+    return one_hop(_edges(spark, sf), 42, src_col="src", dst_col="dst")
+
+
+@_q(
+    "g02_degrees",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT COALESCE(cnt, 0) AS degree, c_custkey AS grapharId
+    FROM customer LEFT JOIN (SELECT src, COUNT(*) AS cnt FROM e GROUP BY src) d
+      ON d.src = c_custkey
+    """,
+)
+def g02(spark, sf):
+    from duckdb_graphar_spark.operators.graph import degrees
+
+    verts = _t(spark, sf, "customer").select(F.col("c_custkey").alias("v"))
+    return degrees(_edges(spark, sf), verts, src_col="src", vid_col="v")
+
+
+@_q(
+    "g03_max_degree",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT MAX(cnt) AS max_degree FROM (SELECT COUNT(*) AS cnt FROM e GROUP BY src)
+    """,
+)
+def g03(spark, sf):
+    from duckdb_graphar_spark.operators.graph import degrees
+
+    return degrees(_edges(spark, sf), src_col="src").agg(
+        F.max("degree").alias("max_degree")
+    )
+
+
+@_q(
+    "g04_degree_distribution",
+    f"""
+    WITH e AS ({_E_SQL}),
+    d AS (SELECT COALESCE(cnt, 0) AS degree
+          FROM customer LEFT JOIN (SELECT src, COUNT(*) AS cnt FROM e GROUP BY src) x
+            ON x.src = c_custkey)
+    SELECT degree, COUNT(*) AS n_vertices FROM d GROUP BY degree
+    """,
+)
+def g04(spark, sf):
+    from duckdb_graphar_spark.operators.graph import degrees
+
+    verts = _t(spark, sf, "customer").select(F.col("c_custkey").alias("v"))
+    return (
+        degrees(_edges(spark, sf), verts, src_col="src", vid_col="v")
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+@_q(
+    "g05_two_hop",
+    f"""
+    WITH e AS ({_E_SQL}), h AS (SELECT dst FROM e WHERE src = 42)
+    SELECT src, dst FROM e WHERE src = 42
+    UNION ALL
+    SELECT e2.src, e2.dst FROM h JOIN e e2 ON e2.src = h.dst
+    """,
+)
+def g05(spark, sf):
+    from duckdb_graphar_spark.operators.graph import two_hop
+
+    return two_hop(_edges(spark, sf), 42, src_col="src", dst_col="dst")
+
+
+@_q(
+    "g06_one_more_hop",
+    f"""
+    WITH e AS ({_E_SQL}), h AS (SELECT DISTINCT dst FROM e WHERE src = 42)
+    SELECT src, dst FROM e WHERE src = 42
+    UNION ALL
+    SELECT e2.src, e2.dst FROM e e2
+    WHERE e2.src IN (SELECT dst FROM h) AND e2.dst IN (SELECT dst FROM h)
+    """,
+)
+def g06(spark, sf):
+    from duckdb_graphar_spark.operators.graph import one_more_hop
+
+    return one_more_hop(_edges(spark, sf), 42, src_col="src", dst_col="dst")
+
+
+@_q(
+    "g07_bfs_length",
+    f"""
+    WITH RECURSIVE e AS ({_E_SQL}),
+    walk(v, d) AS (
+      SELECT CAST(0 AS BIGINT) AS v, 0 AS d
+      UNION
+      SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.v WHERE walk.d < 8
+    )
+    SELECT CAST(0 AS BIGINT) AS src_vid, CAST(777 AS BIGINT) AS dst_vid,
+           CAST(COALESCE((SELECT MIN(d) FROM walk WHERE v = 777), -1) AS INT) AS length
+    """,
+)
+def g07(spark, sf):
+    from duckdb_graphar_spark.operators.graph import bfs_length
+
+    n = bfs_length(_edges(spark, sf), 0, 777, src_col="src", dst_col="dst", max_depth=8)
+    return spark.createDataFrame([(0, 777, n)], "src_vid long, dst_vid long, length int")
+
+
+@_q(
+    "g08_bfs_exist",
+    f"""
+    WITH RECURSIVE e AS ({_E_SQL}),
+    walk(v, d) AS (
+      SELECT CAST(0 AS BIGINT) AS v, 0 AS d
+      UNION
+      SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.v WHERE walk.d < 8
+    )
+    SELECT CAST(0 AS BIGINT) AS src_vid, CAST(777 AS BIGINT) AS dst_vid,
+           EXISTS (SELECT 1 FROM walk WHERE v = 777) AS reachable
+    """,
+)
+def g08(spark, sf):
+    from duckdb_graphar_spark.operators.graph import bfs_exist
+
+    ok = bfs_exist(_edges(spark, sf), 0, 777, src_col="src", dst_col="dst", max_depth=8)
+    return spark.createDataFrame([(0, 777, ok)], "src_vid long, dst_vid long, reachable boolean")
+
+
+# ---------------------------------------------------------------------------
+# GraphAr round-trip queries: write the orders-derived graph in GraphAr
+# layout, read it back through the real reader, verify against SQL.
+# ---------------------------------------------------------------------------
+
+_GRAPHAR_CACHE: dict[str, str] = {}
+
+
+def _orders_graphar(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) a GraphAr graph whose content is exactly
+    derivable from the customer/orders tables, so reader output is
+    DuckDB-oracle-checkable."""
+    if sf_dir in _GRAPHAR_CACHE:
+        return _GRAPHAR_CACHE[sf_dir]
+    import numpy as np
+    import pyarrow as pa
+
+    from duckdb_graphar_spark.graphar import EdgeSpec, VertexSpec, write_graph
+
+    out = os.path.join(
+        tempfile.gettempdir(), "graphar_orders_" + re.sub(r"\W", "_", sf_dir)
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .orderBy("c_custkey")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .toPandas()
+    )
+    n = len(cust)
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey").toPandas()
+    src = orders["o_custkey"].to_numpy(dtype=np.int64)
+    dst = (orders["o_orderkey"].to_numpy(dtype=np.int64)) % n
+    signup = np.array("2020-01-01", dtype="datetime64[D]") + (
+        cust["c_custkey"].to_numpy() % 1460
+    )
+    vt = pa.table(
+        {
+            "name": pa.array(cust["c_name"], pa.string()),
+            "nationkey": pa.array(cust["c_nationkey"], pa.int32()),
+            "acctbal": pa.array(cust["c_acctbal"], pa.float64()),
+            "mktsegment": pa.array(cust["c_mktsegment"], pa.string()),
+            "signup_date": pa.array(signup, pa.date32()),
+        }
+    )
+    gy = write_graph(
+        out,
+        "OrdersGraph",
+        {
+            "Customer": VertexSpec(
+                vt,
+                chunk_size=512,
+                property_groups=[["name", "nationkey"], ["acctbal", "mktsegment", "signup_date"]],
+            )
+        },
+        {
+            ("Customer", "ordered", "Customer"): EdgeSpec(
+                src, dst, chunk_size=2048, src_chunk_size=512, dst_chunk_size=512
+            )
+        },
+    )
+    _GRAPHAR_CACHE[sf_dir] = gy
+    return gy
+
+
+@_q(
+    "ga01_read_vertices",
+    """
+    SELECT c_custkey AS _graphArVertexIndex, c_name AS name,
+           c_nationkey AS nationkey, c_acctbal AS acctbal,
+           c_mktsegment AS mktsegment,
+           (DATE '2020-01-01' + CAST(c_custkey % 1460 AS INT)) AS signup_date
+    FROM customer
+    """,
+)
+def ga01(spark, sf):
+    from duckdb_graphar_spark.graphar import read_vertices
+
+    return read_vertices(spark, _orders_graphar(spark, sf), "Customer")
+
+
+@_q(
+    "ga02_read_edges",
+    f"WITH e AS ({_E_SQL}) SELECT src AS _graphArSrcIndex, dst AS _graphArDstIndex FROM e",
+)
+def ga02(spark, sf):
+    from duckdb_graphar_spark.graphar import read_edges
+
+    return read_edges(spark, _orders_graphar(spark, sf), "Customer", "ordered", "Customer")
+
+
+@_q(
+    "ga03_edges_point_lookup",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT src AS _graphArSrcIndex, dst AS _graphArDstIndex FROM e WHERE src = 42
+    """,
+)
+def ga03(spark, sf):
+    from duckdb_graphar_spark.graphar import read_edges
+
+    return read_edges(
+        spark, _orders_graphar(spark, sf), "Customer", "ordered", "Customer", src_vid=42
+    )
+
+
+@_q(
+    "ga04_vertex_point_lookup",
+    """
+    SELECT c_custkey AS _graphArVertexIndex, c_name AS name, c_nationkey AS nationkey,
+           c_acctbal AS acctbal, c_mktsegment AS mktsegment,
+           (DATE '2020-01-01' + CAST(c_custkey % 1460 AS INT)) AS signup_date
+    FROM customer WHERE c_custkey = 77
+    """,
+)
+def ga04(spark, sf):
+    from duckdb_graphar_spark.graphar import read_vertices
+
+    return read_vertices(spark, _orders_graphar(spark, sf), "Customer", vid=77)
+
+
+@_q(
+    "ga05_degrees_from_offsets",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT COALESCE(cnt, 0) AS degree, c_custkey AS grapharId
+    FROM customer LEFT JOIN (SELECT src, COUNT(*) AS cnt FROM e GROUP BY src) d
+      ON d.src = c_custkey
+    """,
+)
+def ga05(spark, sf):
+    from duckdb_graphar_spark.operators.graph import degrees_from_offsets
+
+    return degrees_from_offsets(
+        spark, _orders_graphar(spark, sf), "Customer", "ordered", "Customer"
+    )
+
+
+@_q(
+    "ga06_counts_from_metadata",
+    "SELECT (SELECT COUNT(*) FROM customer) AS n_vertices, (SELECT COUNT(*) FROM orders) AS n_edges",
+)
+def ga06(spark, sf):
+    from duckdb_graphar_spark.graphar import GraphInfo
+
+    g = GraphInfo.load(_orders_graphar(spark, sf))
+    nv = g.vertex_count("Customer")
+    ne = g.edge_count(g.edges[("Customer", "ordered", "Customer")])
+    return spark.createDataFrame([(nv, ne)], "n_vertices long, n_edges long")
+
+
+# ---------------------------------------------------------------------------
+# §2.F text analysis / dedup
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "t01_token_counts",
+    """
+    SELECT doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) END AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def t01(spark, sf):
+    from duckdb_graphar_spark.operators.text import token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"), "n_chars")
+
+
+@_q(
+    "t02_punct_ratio",
+    """
+    SELECT doc_id,
+           ROUND(CASE WHEN LENGTH(text) > 0
+                 THEN CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                      / LENGTH(text)
+                 ELSE 0.0 END, 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def t02(spark, sf):
+    from duckdb_graphar_spark.operators.text import punct_ratio
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"))
+
+
+@_q(
+    "t03_fingerprint",
+    """
+    SELECT doc_id, md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def t03(spark, sf):
+    from duckdb_graphar_spark.operators.text import fingerprint
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@_q(
+    "t04_exact_dedup",
+    """
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def t04(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+@_q(
+    "t05_lang_id",
+    None,  # heuristic internals pinned by pytest; rows-only for the driver
+)
+def t05(spark, sf):
+    from duckdb_graphar_spark.operators.text import lang_id
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"), "lang")
+
+
+@_q("t06_minhash_clusters", None)  # iterative CC — not single-query SQL
+def t06(spark, sf):
+    from duckdb_graphar_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf, "documents")
+    return minhash_dedup(d, num_hashes=64, bands=16, k=5, threshold=0.5)
+
+
+@_q(
+    "t07_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS s
+      FROM toks WHERE len(w) >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    """,
+)
+def t07(spark, sf):
+    """Exact word-bigram Jaccard ≥ 0.5 over all doc pairs (the
+    verification stage of near-dup dedup, run exhaustively so the DuckDB
+    oracle can mirror it; the scalable candidate-pruned path is
+    t06/minhash)."""
+    from duckdb_graphar_spark.operators.dedup import shingles
+
+    d = _t(spark, sf, "documents")
+    from duckdb_graphar_spark.operators.text import token_count
+
+    sh = d.filter(token_count(F.col("text")) >= 2).select(
+        F.col("doc_id"), shingles(F.col("text"), 2).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.F similarity search
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "s01_topk_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT q.query_id,
+             e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) DESC,
+                                         e.vec_id) AS rank
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    ) WHERE rank <= 5
+    """,
+)
+def s01(spark, sf):
+    from duckdb_graphar_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(e, q, k=5)
+
+
+@_q("s02_lsh_topk", None)  # approximate by construction — rows-only
+def s02(spark, sf):
+    from duckdb_graphar_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(e, q, k=5, n_planes=6)
+
+
+@_q("m01_image_features", None)  # stubbed decoder — rows-only
+def m01(spark, sf):
+    from duckdb_graphar_spark.operators.multimodal import extract_image_features
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_image_features(d, fake=True)
+
+
+@_q("st01_stream_tumbling", None)  # structured streaming — rows-only
+def st01(spark, sf):
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_window_agg,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    return run_to_memory(tumbling_window_agg(stream, watermark="365 days"), "st01_out")
+
+
+@_q("st02_stream_dedup", None)
+def st02(spark, sf):
+    from duckdb_graphar_spark.streaming.ops import read_events_stream, stateful_dedup
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    dd = stateful_dedup(stream, keys=["event_id"], watermark="365 days")
+    q = dd.writeStream.outputMode("append").format("memory").queryName("st02_out").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st02_out")
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: revenue by nation
+    (6-way join through the star schema)."""
+    return q05(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query seconds.
+
+Execution is forced with the `noop` sink (full plan materialization, no
+count() shortcuts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    # relational surface
+    "q01_pricing_summary",
+    "q05_revenue_by_nation",
+    "q14_window_rownum",
+    "q25_events_tumbling",
+    "q26_sessionize",
+    # graph operators
+    "g02_degrees",
+    "g04_degree_distribution",
+    "g05_two_hop",
+    "g07_bfs_length",
+    # GraphAr reader (build cost excluded via warm cache)
+    "ga02_read_edges",
+    "ga03_edges_point_lookup",
+    "ga05_degrees_from_offsets",
+    # LLM-pipeline operators
+    "t04_exact_dedup",
+    "t06_minhash_clusters",
+    "s01_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+    from duckdb_graphar_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = E.queries()
+
+    # warm the file cache + JVM before timing (baseline numbers are
+    # steady-state averages, docs/benchmarks.md)
+    qs["q00_scan_region"](spark, sf_dir).count()
+    # pre-build the GraphAr layout so ga* timings measure reads, not writes
+    E._orders_graphar(spark, sf_dir)
+
+    results: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        results[name] = round(time.time() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
