@@ -54,17 +54,74 @@ def _hash_with_seed(i: int):
     return lambda s: F.xxhash64(s, F.lit(i))
 
 
-def minhash_signature(sh: F.Column, num_hashes: int = 64) -> F.Column:
+def minhash_signature(base_hashes: F.Column, num_hashes: int = 64) -> F.Column:
     """MinHash signature (array<bigint>, length num_hashes) over a
-    *materialized* shingle-array column.  Each permutation
-    h_i(x) = xxhash64(x, seed=i); the signature element is the min over
-    the shingle set — `transform` + `array_min`, fully JVM-side.
+    *materialized* array<long> of per-shingle base hashes.  Permutation
+    h_i(x) = xxhash64(base_hash(x), seed=i) — the variable-length string
+    is hashed ONCE (by the caller), and each of the num_hashes
+    permutations re-hashes the 8-byte long, which is ~an order of
+    magnitude cheaper than re-hashing strings per permutation.
 
-    Pass a column produced by `shingles()` that is already bound to the
-    plan via withColumn/select: the signature references it num_hashes
-    times, and a raw expression would be re-evaluated per reference
-    (Catalyst only inlines cheap exprs through CollapseProject)."""
-    return F.array(*[F.array_min(F.transform(sh, _hash_with_seed(i))) for i in range(num_hashes)])
+    Pass a column bound to the plan via withColumn/select: the signature
+    references it num_hashes times, and a raw expression would be
+    re-evaluated per reference (CollapseProject only inlines cheap,
+    single-reference exprs)."""
+    return F.array(
+        *[F.array_min(F.transform(base_hashes, _hash_with_seed(i))) for i in range(num_hashes)]
+    )
+
+
+def _shingle_df(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, shingle-array) stage shared by the dedup pipelines,
+    repartitioned to full parallelism first: shingling + hashing is
+    CPU-bound per row, and fixture-sized inputs often arrive as a single
+    parquet split — one small shuffle of raw text buys cluster-wide
+    balance for the expensive expressions downstream (also true at scale:
+    text corpora skew by document length)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).repartition(
+        parallelism, "__id"
+    ).select("__id", shingles(F.col("__t"), k).alias("__sh"))
+
+
+def _lsh_pairs_from_shingles(
+    sh: DataFrame, *, num_hashes: int, bands: int
+) -> DataFrame:
+    """LSH banding over a (id, shingle-array) DataFrame → candidate pairs."""
+    rows = num_hashes // bands
+    staged = (
+        sh.withColumn("__bh", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+        .withColumn("__sig", minhash_signature(F.col("__bh"), num_hashes))
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("__sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = staged.select(
+        "__id", F.posexplode(band_hashes).alias("__band", "__bandhash")
+    )
+    other = banded.select(
+        F.col("__id").alias("__id2"), F.col("__band"), F.col("__bandhash")
+    )
+    pairs = (
+        banded.join(other, ["__band", "__bandhash"])
+        .filter(F.col("__id") < F.col("__id2"))
+        .select(F.col("__id").alias("id_a"), F.col("__id2").alias("id_b"))
+        .distinct()
+    )
+    return pairs
 
 
 def minhash_lsh_pairs(
@@ -82,41 +139,9 @@ def minhash_lsh_pairs(
     sharing any band hash become candidates.  The all-pairs blowup is
     bounded per band-bucket (self-join within groupBy buckets).
     """
-    rows = num_hashes // bands
-    # stage 1: materialize shingles; stage 2: signature over the bound
-    # column; stage 3: band hashes.  Each stage boundary prevents Catalyst
-    # from inlining the expensive array exprs into every downstream use.
-    staged = (
-        df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
-        .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    return _lsh_pairs_from_shingles(
+        _shingle_df(df, id_col, text_col, k), num_hashes=num_hashes, bands=bands
     )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("__sig"), b * rows + 1, rows),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = staged.select(
-        "__id", F.posexplode(band_hashes).alias("__band", "__bh")
-    )
-    other = banded.select(
-        F.col("__id").alias("__id2"), F.col("__band"), F.col("__bh")
-    )
-    pairs = (
-        banded.join(other, ["__band", "__bh"])
-        .filter(F.col("__id") < F.col("__id2"))
-        .select(F.col("__id").alias("id_a"), F.col("__id2").alias("id_b"))
-        .distinct()
-    )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -127,10 +152,14 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.7,
+    _shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard →
-    (id_a, id_b, jaccard) for pairs ≥ threshold."""
-    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+    (id_a, id_b, jaccard) for pairs ≥ threshold.
+
+    `_shingled` lets the full pipeline pass an already-persisted
+    (id, shingle) stage so shingling isn't recomputed per join side."""
+    sh = _shingled if _shingled is not None else _shingle_df(df, id_col, text_col, k)
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
@@ -156,17 +185,28 @@ def minhash_dedup(
     max_cc_iters: int = 20,
 ) -> DataFrame:
     """Full near-dup pipeline → (doc_id, cluster_id): LSH candidates →
-    Jaccard verify → connected components (min-label propagation)."""
-    pairs = minhash_lsh_pairs(
-        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, bands=bands, k=k
-    )
-    verified = ngram_jaccard_pairs(
-        df, pairs, id_col=id_col, text_col=text_col, k=k, threshold=threshold
-    ).select("id_a", "id_b")
-    labels = connected_components(
-        verified, df.select(F.col(id_col).alias("v")), max_iters=max_cc_iters
-    )
-    return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
+    Jaccard verify → connected components (min-label propagation).
+
+    The (id, shingle) stage is computed once and persisted — it feeds the
+    signature/banding pass and both sides of the verification join."""
+    sh = _shingle_df(df, id_col, text_col, k).persist()
+    try:
+        pairs = _lsh_pairs_from_shingles(sh, num_hashes=num_hashes, bands=bands)
+        # CC re-references the pair set every iteration — pin it once
+        verified = (
+            ngram_jaccard_pairs(
+                df, pairs, id_col=id_col, text_col=text_col, k=k, threshold=threshold,
+                _shingled=sh,
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        labels = connected_components(
+            verified, df.select(F.col(id_col).alias("v")), max_iters=max_cc_iters
+        )
+        return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
+    finally:
+        sh.unpersist(blocking=False)
 
 
 def connected_components(
@@ -182,8 +222,16 @@ def connected_components(
     """
     sym = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("w")).unionAll(
         edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("w"))
+    ).localCheckpoint(eager=True)
+    # only edge-incident vertices can ever change label; isolated vertices
+    # (the vast majority in a dedup pair-graph) are label=self, no iteration
+    incident = (
+        sym.select(F.col("u").alias("v")).distinct().join(vertices.select("v"), "v", "left_semi")
     )
-    labels = vertices.select("v", F.col("v").alias("label")).localCheckpoint(eager=True)
+    isolated = vertices.select("v").join(incident, "v", "left_anti").select(
+        "v", F.col("v").alias("label")
+    )
+    labels = incident.select("v", F.col("v").alias("label")).localCheckpoint(eager=True)
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["w"] == labels["v"])
@@ -209,7 +257,7 @@ def connected_components(
         labels = new_labels
         if not changed:
             break
-    return labels
+    return labels.unionAll(isolated)
 
 
 def simhash(hashes: F.Column, bits: int = 64) -> F.Column:
@@ -251,7 +299,7 @@ def simhash_pairs(
     block, then verify Hamming distance."""
     width = bits // blocks
     sh = (
-        df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+        _shingle_df(df, id_col, text_col, k)
         .withColumn("__hashes", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
         .withColumn("__f", simhash(F.col("__hashes"), bits))
         .select("__id", "__f")

@@ -177,23 +177,34 @@ def bfs_length(
     if src_vid == dst_vid:
         return 0
     spark = edges.sparkSession
-    frontier = spark.createDataFrame([(src_vid,)], f"__v long")
-    visited = frontier.localCheckpoint(eager=True)
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            edges.join(F.broadcast(frontier), edges[src_col] == F.col("__v"))
-            .select(F.col(dst_col).alias("__v"))
-            .distinct()
-            .join(visited, "__v", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.filter(F.col("__v") == dst_vid).take(1):
-            return depth
-        if not nxt.take(1):
-            return -1
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    return -1
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")).persist()
+    try:
+        frontier = spark.createDataFrame([(src_vid,)], "__v long")
+        visited = frontier.localCheckpoint(eager=True)
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                e.join(F.broadcast(frontier), e["__s"] == F.col("__v"))
+                .select(F.col("__d").alias("__v"))
+                .distinct()
+                .join(visited, "__v", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            # one action per level: frontier size + dst membership together
+            stat = nxt.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max((F.col("__v") == dst_vid).cast("int")).alias("hit"),
+            ).first()
+            if stat["hit"]:
+                return depth
+            if stat["n"] == 0:
+                return -1
+            # every level is individually checkpointed, so the growing
+            # union stays a flat scan of materialized blocks — no lineage
+            visited = visited.unionAll(nxt)
+            frontier = nxt
+        return -1
+    finally:
+        e.unpersist(blocking=False)
 
 
 def bfs_exist(
