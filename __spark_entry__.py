@@ -671,6 +671,46 @@ def q30(spark, sf):
     return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
 
 
+@_q(
+    "q31_approx_distinct",
+    None,  # HLL sketches differ across engines — rows-only
+)
+def q31(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders")
+    )
+
+
+@_q(
+    "q32_except_all",
+    """
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q32(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c"))
+    return a.exceptAll(b)
+
+
+@_q(
+    "c01_demo_function",
+    "SELECT c_custkey, 'DuckDB_Graphar ' || c_name || ' \U0001F425' AS greeting FROM customer",
+)
+def c01(spark, sf):
+    """Reference demo scalar `duckdb_graphar(name)`
+    (`src/duckdb_graphar_extension.cpp:23-34`)."""
+    from duckdb_graphar_spark.functions import duckdb_graphar
+
+    return _t(spark, sf, "customer").select(
+        "c_custkey", duckdb_graphar(F.col("c_name")).alias("greeting")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.C graph operators (edges derived from orders — SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -956,6 +996,60 @@ def ga06(spark, sf):
     return spark.createDataFrame([(nv, ne)], "n_vertices long, n_edges long")
 
 
+@_q(
+    "ga07_edges_csc_lookup",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT src AS _graphArSrcIndex, dst AS _graphArDstIndex FROM e WHERE dst = 17
+    """,
+)
+def ga07(spark, sf):
+    """Point lookup on dst → reader picks the CSC (`ordered_by_dest`)
+    layout and prunes to the covering adj_list chunks
+    (`read_edges.cpp:85-91,114-153`)."""
+    from duckdb_graphar_spark.graphar import read_edges
+
+    return read_edges(
+        spark, _orders_graphar(spark, sf), "Customer", "ordered", "Customer", dst_vid=17
+    )
+
+
+@_q(
+    "ga08_vertices_projection",
+    "SELECT c_custkey AS _graphArVertexIndex, c_name AS name, c_acctbal AS acctbal FROM customer",
+)
+def ga08(spark, sf):
+    """Projection pushdown: only the property groups containing the
+    requested columns are read (beyond reference B1, which opens every
+    group reader)."""
+    from duckdb_graphar_spark.graphar import read_vertices
+
+    return read_vertices(
+        spark, _orders_graphar(spark, sf), "Customer", columns=["name", "acctbal"]
+    )
+
+
+@_q(
+    "ga09_vertices_prop_filter",
+    """
+    SELECT c_custkey AS _graphArVertexIndex, c_name AS name,
+           c_nationkey AS nationkey, c_acctbal AS acctbal,
+           c_mktsegment AS mktsegment,
+           (DATE '2020-01-01' + CAST(c_custkey % 1460 AS INT)) AS signup_date
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def ga09(spark, sf):
+    """Property-equality predicate (reference B4) — expressed as a plain
+    `.filter` on the reader output; Catalyst pushes it into the parquet
+    scans of the property-group files."""
+    from duckdb_graphar_spark.graphar import read_vertices
+
+    return read_vertices(spark, _orders_graphar(spark, sf), "Customer").filter(
+        F.col("mktsegment") == "BUILDING"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.F text analysis / dedup
 # ---------------------------------------------------------------------------
@@ -1091,6 +1185,90 @@ def t07(spark, sf):
     )
 
 
+@_q(
+    "t08_quality_score",
+    """
+    WITH x AS (
+      SELECT doc_id, text,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tok,
+             CASE WHEN LENGTH(text) > 0
+                  THEN CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / LENGTH(text)
+                  ELSE 0.0 END AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+           + (CASE WHEN punct < 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_tok > 0
+                    AND CAST(LENGTH(text) AS DOUBLE) / n_tok BETWEEN 3.0 AND 12.0
+                   THEN 0.25 ELSE 0.0 END) AS quality
+    FROM x
+    """,
+)
+def t08(spark, sf):
+    from duckdb_graphar_spark.operators.text import quality_score
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@_q(
+    "t09_text_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+           ROUND(CASE WHEN len(string_split_regex(LOWER(TRIM(text)), '\\s+')) > 0
+                 THEN CAST(len(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                                           t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+                      / len(string_split_regex(LOWER(TRIM(text)), '\\s+'))
+                 ELSE 0.0 END, 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def t09(spark, sf):
+    from duckdb_graphar_spark.operators.text import bpe_ish_token_count, stopword_ratio
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+    )
+
+
+@_q(
+    "d01_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+    """,
+)
+def d01(spark, sf):
+    from duckdb_graphar_spark.operators.dedup import embedding_exact_pairs
+
+    return embedding_exact_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
+
+
+@_q("d02_simhash_pairs", None)  # 64-bit signed bit-twiddling — pinned by pytest, rows-only here
+def d02(spark, sf):
+    from duckdb_graphar_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=6, k=2)
+
+
+@_q("d03_embedding_lsh_neardup", None)  # LSH-pruned ≈ recall<1 — rows-only
+def d03(spark, sf):
+    from duckdb_graphar_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.9, n_planes=8)
+
+
 # ---------------------------------------------------------------------------
 # §2.F similarity search
 # ---------------------------------------------------------------------------
@@ -1153,6 +1331,96 @@ def st01(spark, sf):
 
     stream = read_events_stream(spark, f"{sf}/events.parquet")
     return run_to_memory(tumbling_window_agg(stream, watermark="365 days"), "st01_out")
+
+
+@_q("s03_ivf_topk", None)  # approximate by construction — rows-only
+def s03(spark, sf):
+    from duckdb_graphar_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(e, q, k=5, n_probe=2)
+
+
+@_q("m02_frame_sample", None)  # stubbed decoder — rows-only
+def m02(spark, sf):
+    from duckdb_graphar_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return sample_frames(d, fake=True)
+
+
+@_q(
+    "st03_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+           user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(26,8))) AS DOUBLE), 6) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def st03(spark, sf):
+    """Batch-mode `session_window` (same transformation serves
+    readStream — SURVEY §2.E); oracle = gaps-and-islands SQL."""
+    from duckdb_graphar_spark.streaming.ops import session_window_agg
+
+    return session_window_agg(_t(spark, sf, "events"), gap="30 minutes")
+
+
+@_q(
+    "st04_sliding_window",
+    """
+    SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(s + 600) AS TIMESTAMP) AS window_end,
+           event_type, COUNT(*) AS n
+    FROM events,
+         UNNEST(generate_series(
+             CAST(FLOOR(epoch_us(ts) / 1e6 / 300) * 300 - 300 AS BIGINT),
+             CAST(FLOOR(epoch_us(ts) / 1e6 / 300) * 300 AS BIGINT),
+             CAST(300 AS BIGINT))) AS t(s)
+    GROUP BY 1, 2, 3
+    """,
+)
+def st04(spark, sf):
+    """Batch-mode sliding window (10 min window / 5 min slide): every
+    event lands in exactly 2 windows; oracle enumerates them with
+    generate_series."""
+    from duckdb_graphar_spark.streaming.ops import sliding_window_agg
+
+    return sliding_window_agg(
+        _t(spark, sf, "events"), window="10 minutes", slide="5 minutes"
+    )
+
+
+@_q("st05_stateful_totals", None)  # applyInPandasWithState — rows-only
+def st05(spark, sf):
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stateful_user_totals,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    return run_to_memory(
+        stateful_user_totals(stream, watermark="365 days"), "st05_out", mode="update"
+    )
 
 
 @_q("st02_stream_dedup", None)

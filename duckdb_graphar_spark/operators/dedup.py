@@ -330,6 +330,32 @@ def simhash_pairs(
     )
 
 
+def embedding_exact_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT embedding near-dup pairs: all (id_a < id_b) pairs with
+    cosine ≥ threshold → (id_a, id_b, cosine).
+
+    O(n²) scoring — the oracle-checkable baseline for
+    `embedding_near_dup_pairs` (which prunes candidates with
+    hyperplane-LSH buckets and trades recall for scale)."""
+    from duckdb_graphar_spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

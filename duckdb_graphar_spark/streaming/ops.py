@@ -35,7 +35,7 @@ def read_events_stream(spark: SparkSession, path: str, *, max_files: int = 4) ->
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def tumbling_window_agg(
@@ -84,7 +84,15 @@ def session_window_agg(
     e = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal-sum → double → round: order-independent, so the
+            # result is bit-identical across partial-agg orders (and
+            # matches the DuckDB oracle)
+            F.round(F.sum(F.col("value").cast("decimal(26,8)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
@@ -104,11 +112,69 @@ def stateful_dedup(events: DataFrame, *, keys: list[str] | None = None, watermar
     return events.dropDuplicates(keys)
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def stateful_user_totals(
+    events: DataFrame, *, watermark: str = "10 minutes", timeout_minutes: int | None = None
+) -> DataFrame:
+    """Arbitrary-state example (§2.E `applyInPandasWithState`): per-user
+    running event count + value total maintained in explicit state,
+    emitted once per micro-batch per updated user.
+
+    State is one (count, total) pair per user — O(active users), evicted
+    by processing-time timeout; the pattern for custom accumulators that
+    windowed aggs can't express.  In batch mode falls back to the
+    equivalent groupBy (same output, no state)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("total_value", T.DoubleType(), True),
+        ]
+    )
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(26,8)")).cast("double"), 6).alias(
+                "total_value"
+            ),
+        )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("total", T.DoubleType(), False),
+        ]
+    )
+
+    timeout_mode = "ProcessingTimeTimeout" if timeout_minutes else "NoTimeout"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout_mode)
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, *, mode: str | None = None) -> DataFrame:
     """Drive a streaming DataFrame to completion against a memory sink
     (test harness: processAllAvailable → stop → return the batch view)."""
     q = (
-        stream_df.writeStream.outputMode("complete" if _has_agg(stream_df) else "append")
+        stream_df.writeStream.outputMode(
+            mode or ("complete" if _has_agg(stream_df) else "append")
+        )
         .format("memory")
         .queryName(name)
         .start()
