@@ -64,6 +64,26 @@ def spark_type_for(graphar_type: str) -> T.DataType:
         ) from None
 
 
+def arrow_type_for(graphar_type: str):
+    """GraphAr type → Arrow type (reference twin map `graphArT2arrowT`,
+    src/utils/func.cpp:30-40).  Used by the non-parquet chunk readers."""
+    import pyarrow as pa
+
+    m = {
+        "bool": pa.bool_(),
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "date": pa.date32(),
+    }
+    try:
+        return m[graphar_type]
+    except KeyError:
+        raise NotImplementedError(f"GraphAr data type {graphar_type!r} is not supported") from None
+
+
 @dataclass
 class Property:
     name: str

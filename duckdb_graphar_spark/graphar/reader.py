@@ -43,13 +43,21 @@ from duckdb_graphar_spark.graphar.metadata import (
     SRC_INDEX_COL,
     VERTEX_INDEX_COL,
     EdgeInfo,
+    Property,
     VertexInfo,
+    arrow_type_for,
+    chunk_index_of,
     list_chunks,
     list_parts,
 )
 
+from pyspark.sql import types as T
+
 _CHUNK_NO = r"chunk(\d+)$"
 _PART_NO = r"part(\d+)/[^/]*$"
+
+_ADJ_FIELDS = [Property(SRC_INDEX_COL, "int64"), Property(DST_INDEX_COL, "int64")]
+_OFFSET_FIELDS = [Property(OFFSET_COL, "int64")]
 
 
 def _as_graph(graph: GraphInfo | str) -> GraphInfo:
@@ -64,6 +72,83 @@ def _with_chunk_cols(df: DataFrame) -> DataFrame:
             "__row": F.col("_metadata.row_index"),
         }
     )
+
+
+def _arrow_read_table(path: str, file_type: str, fields: list[Property]):
+    """Read one non-parquet chunk file through Arrow with the declared
+    schema — parity with the reference's `fs->ReadFileToTable(path,
+    file_type)` (`src/functions/table/edges_vertex.cpp:162-165`)."""
+    import pyarrow as pa
+
+    target = pa.schema([(p.name, arrow_type_for(p.data_type)) for p in fields])
+    if file_type == "orc":
+        from pyarrow import orc
+
+        tbl = orc.read_table(path)
+    elif file_type == "csv":
+        from pyarrow import csv as pacsv
+
+        tbl = pacsv.read_csv(
+            path,
+            convert_options=pacsv.ConvertOptions(
+                column_types={p.name: arrow_type_for(p.data_type) for p in fields}
+            ),
+        )
+    elif file_type == "json":
+        from pyarrow import json as pajson
+
+        tbl = pajson.read_json(path)
+    else:
+        raise NotImplementedError(f"chunk file_type {file_type!r}")
+    return tbl.select([p.name for p in fields]).cast(target)
+
+
+def _chunked_df(
+    spark, files: list[str], file_type: str, fields: list[Property], *, with_part: bool = False
+) -> DataFrame:
+    """Chunk files → DataFrame(props..., __chunk long, __row long).
+
+    Parquet goes through Spark's vectorized reader with the hidden
+    `_metadata` columns providing the deterministic (chunk, row) address.
+    ORC/CSV/JSON file sources don't expose `_metadata.row_index`, so those
+    formats distribute the *file list* and read whole chunk files through
+    Arrow inside `mapInPandas` — the row position is the enumeration
+    order within one file, deterministic under any task scheduling, and
+    memory is bounded by chunk_size rows per file."""
+    extra = ["__chunk", "__row"] + (["__part"] if with_part else [])
+    if file_type == "parquet":
+        df = _with_chunk_cols(spark.read.parquet(*files))
+        if with_part:
+            df = df.withColumn(
+                "__part",
+                F.regexp_extract(F.col("_metadata.file_path"), _PART_NO, 1).cast("long"),
+            )
+        return df.select(*[p.name for p in fields], *extra)
+
+    import re as _re
+
+    out_schema = T.StructType(
+        [T.StructField(p.name, p.spark_type, True) for p in fields]
+        + [T.StructField(c, T.LongType(), False) for c in extra]
+    )
+    pairs = [(f, chunk_index_of(f)) for f in files]
+    parallelism = spark.sparkContext.defaultParallelism
+    paths = spark.createDataFrame(pairs, "__path string, __chunkno long").repartition(
+        min(len(pairs), parallelism), "__path"
+    )
+
+    def read_files(batches):
+        for b in batches:
+            for path, chunkno in zip(b["__path"], b["__chunkno"]):
+                out = _arrow_read_table(path, file_type, fields).to_pandas()
+                out["__chunk"] = int(chunkno)
+                out["__row"] = range(len(out))
+                if with_part:
+                    m = _re.search(_PART_NO, path)
+                    out["__part"] = int(m.group(1)) if m else 0
+                yield out
+
+    return paths.mapInPandas(read_files, out_schema)
 
 
 def read_vertices(
@@ -103,8 +188,7 @@ def read_vertices(
         if vid is not None:
             target = vid // vi.chunk_size
             files = [f for f in files if f.endswith(f"chunk{target}")]
-        pdf = spark.read.parquet(*files)
-        pdf = _with_chunk_cols(pdf)
+        pdf = _chunked_df(spark, files, pg.file_type, pg.properties)
         pdf = pdf.select(
             (F.col("__chunk") * F.lit(vi.chunk_size) + F.col("__row")).alias(VERTEX_INDEX_COL),
             *[p.name for p in pg.properties],
@@ -133,7 +217,11 @@ def _offset_range(g: GraphInfo, ei: EdgeInfo, aligned_by: str, vid: int) -> tupl
     part = vid // chunk_size
     pos = vid % chunk_size
     path = g.offset_chunk_path(ei, aligned_by, part)
-    tbl = pq.read_table(path)
+    ftype = ei.adj_list(aligned_by).file_type
+    if ftype == "parquet":
+        tbl = pq.read_table(path)
+    else:
+        tbl = _arrow_read_table(path, ftype, _OFFSET_FIELDS)
     offs = tbl.column(OFFSET_COL).to_pylist()
     return part, offs[pos], offs[pos + 1]
 
@@ -171,6 +259,7 @@ def read_edges(
         point = None
 
     adj_root = os.path.join(g.adj_dir(ei, aligned_by), "adj_list")
+    adj_ftype = ei.adj_list(aligned_by).file_type
 
     if point is not None:
         n = g.edge_aligned_vertex_count(ei, aligned_by)
@@ -185,19 +274,16 @@ def read_edges(
             f for f in list_chunks(part_dir)
             if first <= int(f.rsplit("chunk", 1)[1]) <= last
         ]
-        df = _with_chunk_cols(spark.read.parquet(*files))
+        df = _chunked_df(spark, files, adj_ftype, _ADJ_FIELDS)
         df = df.withColumn("__erow", F.col("__chunk") * F.lit(ei.chunk_size) + F.col("__row"))
         df = df.filter((F.col("__erow") >= lo) & (F.col("__erow") < hi))
         df = df.withColumn("__part", F.lit(part))
     else:
         parts = list_parts(adj_root)
         files = [f for p in parts for f in list_chunks(os.path.join(adj_root, f"part{p}"))]
-        df = _with_chunk_cols(spark.read.parquet(*files))
-        df = df.withColumns(
-            {
-                "__erow": F.col("__chunk") * F.lit(ei.chunk_size) + F.col("__row"),
-                "__part": F.regexp_extract(F.col("_metadata.file_path"), _PART_NO, 1).cast("long"),
-            }
+        df = _chunked_df(spark, files, adj_ftype, _ADJ_FIELDS, with_part=True)
+        df = df.withColumn(
+            "__erow", F.col("__chunk") * F.lit(ei.chunk_size) + F.col("__row")
         )
 
     groups = ei.property_groups
@@ -212,7 +298,7 @@ def read_edges(
                 f for f in list_chunks(os.path.join(pg_root, f"part{part}"))
                 if first <= int(f.rsplit("chunk", 1)[1]) <= last
             ]
-            pdf = _with_chunk_cols(spark.read.parquet(*pfiles)).withColumns(
+            pdf = _chunked_df(spark, pfiles, pg.file_type, pg.properties).withColumns(
                 {
                     "__erow": F.col("__chunk") * F.lit(ei.chunk_size) + F.col("__row"),
                     "__part": F.lit(part),
@@ -221,12 +307,9 @@ def read_edges(
         else:
             pparts = list_parts(pg_root)
             pfiles = [f for p in pparts for f in list_chunks(os.path.join(pg_root, f"part{p}"))]
-            pdf = _with_chunk_cols(spark.read.parquet(*pfiles)).withColumns(
-                {
-                    "__erow": F.col("__chunk") * F.lit(ei.chunk_size) + F.col("__row"),
-                    "__part": F.regexp_extract(F.col("_metadata.file_path"), _PART_NO, 1).cast("long"),
-                }
-            )
+            pdf = _chunked_df(
+                spark, pfiles, pg.file_type, pg.properties, with_part=True
+            ).withColumn("__erow", F.col("__chunk") * F.lit(ei.chunk_size) + F.col("__row"))
         pdf = pdf.select("__part", "__erow", *[p.name for p in pg.properties])
         df = df.join(pdf, ["__part", "__erow"])
 

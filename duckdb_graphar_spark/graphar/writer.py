@@ -53,11 +53,14 @@ class VertexSpec:
     """One vertex type: `table` holds property columns in vertex-index order
     (row r == vertex index r). `property_groups` optionally splits columns
     into groups (list of column-name lists); default = one group per column,
-    mirroring the reference fixture (one group `hash_phone_no/`)."""
+    mirroring the reference fixture (one group `hash_phone_no/`).
+    `file_type` ∈ parquet|orc|csv|json (reference A4: any Arrow-readable
+    chunk format, `edges_vertex.cpp:162-165`)."""
 
     table: pa.Table
     chunk_size: int = 1024
     property_groups: list[list[str]] | None = None
+    file_type: str = "parquet"
 
 
 @dataclass
@@ -74,6 +77,30 @@ class EdgeSpec:
     layouts: tuple[str, ...] = ("src", "dst")  # ordered_by_source / ordered_by_dest
     properties: pa.Table | None = None
     directed: bool = True
+    file_type: str = "parquet"
+
+
+def _write_chunk_file(table: pa.Table, path: str, file_type: str) -> None:
+    """Write one chunk in any of the reference-supported formats (A4)."""
+    if file_type == "parquet":
+        pq.write_table(table, path)
+    elif file_type == "orc":
+        from pyarrow import orc
+
+        orc.write_table(table, path)
+    elif file_type == "csv":
+        from pyarrow import csv as pacsv
+
+        pacsv.write_csv(table, path)
+    elif file_type == "json":
+        # GraphAr json = line-delimited records; dates serialized ISO
+        cols = {}
+        for name in table.column_names:
+            col = table.column(name)
+            cols[name] = col.cast(pa.string()) if pa.types.is_date(col.type) else col
+        pa.table(cols).to_pandas().to_json(path, orient="records", lines=True)
+    else:
+        raise NotImplementedError(f"chunk file_type {file_type!r}")
 
 
 def write_graph(
@@ -107,13 +134,15 @@ def write_graph(
     return graph_yaml
 
 
-def _write_chunks(table: pa.Table, directory: str, chunk_size: int) -> None:
+def _write_chunks(
+    table: pa.Table, directory: str, chunk_size: int, file_type: str = "parquet"
+) -> None:
     os.makedirs(directory, exist_ok=True)
     n = table.num_rows
     nchunks = max(1, -(-n // chunk_size))
     for i in range(nchunks):
         chunk = table.slice(i * chunk_size, chunk_size)
-        pq.write_table(chunk, os.path.join(directory, f"chunk{i}"))
+        _write_chunk_file(chunk, os.path.join(directory, f"chunk{i}"), file_type)
 
 
 def _write_count(path: str, value: int) -> None:
@@ -130,11 +159,11 @@ def _write_vertex(out_dir: str, vtype: str, spec: VertexSpec) -> str:
     for cols in groups:
         pg_prefix = "_".join(cols) + "/"
         sub = spec.table.select(cols)
-        _write_chunks(sub, os.path.join(vdir, pg_prefix), spec.chunk_size)
+        _write_chunks(sub, os.path.join(vdir, pg_prefix), spec.chunk_size, spec.file_type)
         pg_meta.append(
             {
                 "prefix": pg_prefix,
-                "file_type": "parquet",
+                "file_type": spec.file_type,
                 "properties": [
                     {
                         "name": c,
@@ -197,7 +226,7 @@ def _write_edge(
                     DST_INDEX_COL: pa.array(d_sorted[lo:hi], pa.int64()),
                 }
             )
-            _write_chunks(part_tbl, os.path.join(adir, "adj_list", f"part{part}"), spec.chunk_size)
+            _write_chunks(part_tbl, os.path.join(adir, "adj_list", f"part{part}"), spec.chunk_size, spec.file_type)
             _write_count(os.path.join(adir, f"edge_count{part}"), hi - lo)
             if props_sorted is not None:
                 for col in props_sorted.column_names:
@@ -205,6 +234,7 @@ def _write_edge(
                         props_sorted.select([col]).slice(lo, hi - lo),
                         os.path.join(adir, f"{col}/", f"part{part}"),
                         spec.chunk_size,
+                        spec.file_type,
                     )
             # offset chunk: aligned_chunk+1 cumulative counts relative to part start
             vlo = part * aligned_chunk
@@ -213,7 +243,7 @@ def _write_edge(
             off_tbl = pa.table({OFFSET_COL: pa.array(offs, pa.int64())})
             odir = os.path.join(adir, "offset")
             os.makedirs(odir, exist_ok=True)
-            pq.write_table(off_tbl, os.path.join(odir, f"chunk{part}"))
+            _write_chunk_file(off_tbl, os.path.join(odir, f"chunk{part}"), spec.file_type)
         _write_count(os.path.join(adir, "vertex_count"), n_aligned_vertices)
 
     pg_meta = []
@@ -222,7 +252,7 @@ def _write_edge(
             pg_meta.append(
                 {
                     "prefix": f"{col}/",
-                    "file_type": "parquet",
+                    "file_type": spec.file_type,
                     "properties": [
                         {
                             "name": col,
@@ -251,7 +281,7 @@ def _write_edge(
                     {
                         "aligned_by": ab,
                         "ordered": True,
-                        "file_type": "parquet",
+                        "file_type": spec.file_type,
                         "prefix": "ordered_by_source/" if ab == "src" else "ordered_by_dest/",
                     }
                     for ab in spec.layouts

@@ -82,17 +82,13 @@ def degrees_from_offsets(
     offsets), so the lead() window partitions by file — no cross-file
     shuffle dependency; scales linearly in #chunks.
     """
+    from duckdb_graphar_spark.graphar.reader import _OFFSET_FIELDS, _chunked_df
+
     g = graph if isinstance(graph, GraphInfo) else GraphInfo.load(graph)
     ei = g.edges[(src, edge_type, dst)]
     chunk_size = ei.src_chunk_size if aligned_by == "src" else ei.dst_chunk_size
     files = list_chunks(os.path.join(g.adj_dir(ei, aligned_by), "offset"))
-    df = spark.read.parquet(*files).select(
-        F.regexp_extract(F.col("_metadata.file_path"), r"chunk(\d+)$", 1)
-        .cast("long")
-        .alias("__chunk"),
-        F.col("_metadata.row_index").alias("__row"),
-        F.col(OFFSET_COL),
-    )
+    df = _chunked_df(spark, files, ei.adj_list(aligned_by).file_type, _OFFSET_FIELDS)
     w = Window.partitionBy("__chunk").orderBy("__row")
     return (
         df.withColumn("__next", F.lead(OFFSET_COL).over(w))

@@ -87,3 +87,30 @@ def test_embedding_near_dup(spark):
     pairs = D.embedding_near_dup_pairs(df, threshold=0.99, n_planes=4)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 1) in got and len(got) == 1
+
+
+def test_embedding_exact_pairs_superset_of_lsh(spark):
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + rng.standard_normal(8) * 0.01]),  # near-dup of 0
+        (2, [float(x) for x in rng.standard_normal(8)]),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    exact = {(r.id_a, r.id_b) for r in D.embedding_exact_pairs(df, threshold=0.95).collect()}
+    assert (0, 1) in exact and (0, 2) not in exact
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dup_pairs(df, threshold=0.95, n_planes=4).collect()
+    }
+    assert lsh <= exact  # LSH pruning may lose pairs, never invent them

@@ -2,6 +2,7 @@
 config/test/sql/graphar/{read_vertices,read_edges,attach}.test)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from duckdb_graphar_spark import graphar
@@ -84,3 +85,59 @@ def test_attach_views(spark, graph_fixture):
         "SELECT _graphArVertexIndex FROM Person_vertex WHERE hash_phone_no = 42"
     ).collect()
     assert [x._graphArVertexIndex for x in r] == [42]
+
+
+@pytest.mark.parametrize("file_type", ["orc", "csv", "json"])
+def test_multiformat_roundtrip(spark, graph_fixture, tmp_path, file_type):
+    """A4: orc/csv/json chunk files read through the Arrow path must match
+    the parquet read bit-for-bit (vertices incl. date column, edges incl.
+    point lookups against ground truth)."""
+    from duckdb_graphar_spark.graphar import EdgeSpec, VertexSpec, write_graph, read_vertices, read_edges
+
+    n = 300
+    src, dst = make_graph_arrays_small(n)
+    import datetime
+
+    vt = pa.table(
+        {
+            "hash_phone_no": pa.array(np.arange(n), pa.int64()),
+            "name": pa.array([f"p{i}" for i in range(n)], pa.string()),
+            "score": pa.array(np.round(np.arange(n) * 0.5, 2), pa.float64()),
+            "signup_date": pa.array(
+                [datetime.date(2020, 1, 1) + datetime.timedelta(days=i % 400) for i in range(n)],
+                pa.date32(),
+            ),
+        }
+    )
+    gys = {}
+    for ft in ["parquet", file_type]:
+        gys[ft] = write_graph(
+            str(tmp_path / ft),
+            "G",
+            {"Person": VertexSpec(vt, chunk_size=64, file_type=ft)},
+            {
+                ("Person", "knows", "Person"): EdgeSpec(
+                    src, dst, chunk_size=128, src_chunk_size=64, dst_chunk_size=64, file_type=ft
+                )
+            },
+        )
+    ref_v = sorted(map(tuple, read_vertices(spark, gys["parquet"], "Person").collect()))
+    got_v = sorted(map(tuple, read_vertices(spark, gys[file_type], "Person").collect()))
+    assert got_v == ref_v
+
+    ref_e = sorted(map(tuple, read_edges(spark, gys["parquet"], "Person", "knows", "Person").collect()))
+    got_e = sorted(map(tuple, read_edges(spark, gys[file_type], "Person", "knows", "Person").collect()))
+    assert got_e == ref_e
+
+    vid = int(src[0])
+    lookup = read_edges(spark, gys[file_type], "Person", "knows", "Person", src_vid=vid)
+    expect = sorted(int(d) for s, d in zip(src, dst) if s == vid)
+    assert sorted(r._graphArDstIndex for r in lookup.collect()) == expect
+
+
+def make_graph_arrays_small(n):
+    deg = 1 + (np.arange(n) % 5)
+    src = np.repeat(np.arange(n), deg)
+    k = np.concatenate([np.arange(d) for d in deg])
+    dst = (src * 13 + k * 7 + 3) % n
+    return src.astype(np.int64), dst.astype(np.int64)

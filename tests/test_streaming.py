@@ -44,3 +44,23 @@ def test_stateful_dedup_stream(spark, sf_dir, events_batch):
     got = spark.table("dedup_out").count()
     exp = events_batch.dropDuplicates(["event_id"]).count()
     assert got == exp
+
+
+def test_stateful_user_totals_stream_matches_batch(spark, sf_dir):
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stateful_user_totals,
+    )
+    from duckdb_graphar_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_to_memory(
+        stateful_user_totals(stream, watermark="365 days"), "sut_test", mode="update"
+    )
+    # keep the last update per user (memory sink appends per-batch updates)
+    final = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in out.collect()}
+    batch = stateful_user_totals(load_table(spark, sf_dir, "events"))
+    expect = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in batch.collect()}
+    assert final == expect
