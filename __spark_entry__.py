@@ -984,6 +984,30 @@ def ga05(spark, sf):
 
 
 @_q(
+    "ga10_datasource_scan",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT src AS _graphArSrcIndex, dst AS _graphArDstIndex FROM e WHERE src = 42
+    """,
+)
+def ga10(spark, sf):
+    """`format("graphar")` Python Data Source: the pushed src-equality
+    filter prunes input partitions at planning time (datasource.py)."""
+    from duckdb_graphar_spark.graphar.datasource import register
+
+    register(spark)
+    return (
+        spark.read.format("graphar")
+        .option("path", _orders_graphar(spark, sf))
+        .option("src", "Customer")
+        .option("edge", "ordered")
+        .option("dst", "Customer")
+        .load()
+        .filter(F.col("_graphArSrcIndex") == 42)
+    )
+
+
+@_q(
     "ga06_counts_from_metadata",
     "SELECT (SELECT COUNT(*) FROM customer) AS n_vertices, (SELECT COUNT(*) FROM orders) AS n_edges",
 )

@@ -18,8 +18,11 @@ from duckdb_graphar_spark.graphar.metadata import (
 from duckdb_graphar_spark.graphar.reader import read_edges, read_vertices
 from duckdb_graphar_spark.graphar.catalog import attach
 from duckdb_graphar_spark.graphar.writer import EdgeSpec, VertexSpec, write_graph
+from duckdb_graphar_spark.graphar.datasource import GraphArDataSource, register
 
 __all__ = [
+    "GraphArDataSource",
+    "register",
     "GraphInfo",
     "VertexInfo",
     "EdgeInfo",

@@ -26,6 +26,9 @@ def get_spark(app_name: str = "duckdb_graphar_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the graphar Python Data Source prunes chunk partitions from
+        # pushed index-equality filters (datasource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")

@@ -141,3 +141,60 @@ def make_graph_arrays_small(n):
     k = np.concatenate([np.arange(d) for d in deg])
     dst = (src * 13 + k * 7 + 3) % n
     return src.astype(np.int64), dst.astype(np.int64)
+
+
+def test_python_datasource_vertices(spark, graph_fixture):
+    from duckdb_graphar_spark.graphar.datasource import register
+    from duckdb_graphar_spark.graphar import read_vertices
+
+    register(spark)
+    ds = (
+        spark.read.format("graphar")
+        .option("path", graph_fixture["yaml"])
+        .option("type", "Person")
+        .load()
+    )
+    assert ds.count() == graph_fixture["n"]
+    ref = sorted(map(tuple, read_vertices(spark, graph_fixture["yaml"], "Person").collect()))
+    got = sorted(map(tuple, ds.collect()))
+    assert got == ref
+
+
+def test_python_datasource_edge_pushdown(spark, graph_fixture):
+    from duckdb_graphar_spark.graphar.datasource import register
+    import pyspark.sql.functions as F
+
+    register(spark)
+    e = (
+        spark.read.format("graphar")
+        .option("path", graph_fixture["yaml"])
+        .option("src", "Person").option("edge", "knows").option("dst", "Person")
+        .load()
+    )
+    src, dst = graph_fixture["src"], graph_fixture["dst"]
+    assert e.count() == len(src)
+    vid = 997  # hub vertex, degree 500
+    got = sorted(r._graphArDstIndex for r in e.filter(F.col("_graphArSrcIndex") == vid).collect())
+    expect = sorted(int(d) for s, d in zip(src, dst) if s == vid)
+    assert got == expect
+    # dst-side lookup exercises the CSC layout choice
+    dvid = int(dst[5])
+    got_d = sorted(r._graphArSrcIndex for r in e.filter(F.col("_graphArDstIndex") == dvid).collect())
+    expect_d = sorted(int(s) for s, d in zip(src, dst) if d == dvid)
+    assert got_d == expect_d
+
+
+def test_python_datasource_vertex_point_lookup(spark, graph_fixture):
+    from duckdb_graphar_spark.graphar.datasource import register
+    import pyspark.sql.functions as F
+
+    register(spark)
+    v = (
+        spark.read.format("graphar")
+        .option("path", graph_fixture["yaml"])
+        .option("type", "Person")
+        .load()
+        .filter(F.col("_graphArVertexIndex") == 1234)
+    )
+    rows = v.collect()
+    assert len(rows) == 1 and rows[0].name == "p1234" and rows[0].hash_phone_no == 1234
