@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "ga02_read_edges",
     "ga03_edges_point_lookup",
     "ga05_degrees_from_offsets",
+    # streaming semantics in batch mode
+    "st03_session_window",
+    "st04_sliding_window",
     # LLM-pipeline operators
     "t04_exact_dedup",
     "t06_minhash_clusters",

@@ -238,24 +238,21 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # carry a per-row changed flag so convergence is read off the
+        # checkpointed result — no extra join-job per iteration
+        stepped = (
             labels.join(neighbor_min, labels["v"] == neighbor_min["u"], "left")
             .select(
                 "v",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
+                    "__new"
                 ),
+                F.col("label").alias("__old"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .take(1)
-        )
-        labels = new_labels
-        if not changed:
+        labels = stepped.select("v", F.col("__new").alias("label"))
+        if not stepped.filter(F.col("__new") != F.col("__old")).take(1):
             break
     return labels.unionAll(isolated)
 
@@ -343,11 +340,23 @@ def embedding_exact_pairs(
     O(n²) scoring — the oracle-checkable baseline for
     `embedding_near_dup_pairs` (which prunes candidates with
     hyperplane-LSH buckets and trades recall for scale)."""
-    from duckdb_graphar_spark.operators.similarity import cosine
+    from duckdb_graphar_spark.operators.similarity import dot, norm
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = cosine(F.col("__va"), F.col("__vb"))
+    # spread the O(n²) scoring across the cluster: the left side is
+    # repartitioned so the nested-loop join runs one task per split
+    # (single-file inputs otherwise score every pair in one task);
+    # norms are computed once per row, not once per pair
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a = (
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        .repartition(parallelism, "id_a")
+        .withColumn("__na", norm(F.col("__va")))
+    )
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")).withColumn(
+        "__nb", norm(F.col("__vb"))
+    )
+    denom = F.col("__na") * F.col("__nb")
+    sim = F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(sim, 6))

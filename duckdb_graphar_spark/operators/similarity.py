@@ -60,14 +60,18 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
+    # norms once per corpus row / per query — not once per (row, query) pair
+    c = corpus.withColumn("__cn", norm(F.col(vec_col)))
+    denom = F.col("__cn") * F.col("__qn")
+    sim = F.when(denom > 0, dot(F.col(vec_col), F.col("__qv")) / denom).otherwise(F.lit(0.0))
     scored = (
-        corpus.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine_sim"),
+            F.round(sim, 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -121,7 +125,7 @@ def lsh_topk(
     Same output schema as brute_force_topk."""
     cb = corpus.withColumn(
         "__bkt", hyperplane_bucket(F.col(vec_col), dim=dim, n_planes=n_planes, seed=seed)
-    )
+    ).withColumn("__cn", norm(F.col(vec_col)))
     qbucket = hyperplane_bucket(F.col(query_vec_col), dim=dim, n_planes=n_planes, seed=seed)
     probes = [qbucket] + (
         [qbucket.bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(n_planes)]
@@ -132,14 +136,16 @@ def lsh_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qv"),
         F.explode(F.array(*probes)).alias("__bkt"),
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
+    denom = F.col("__cn") * F.col("__qn")
+    sim = F.when(denom > 0, dot(F.col(vec_col), F.col("__qv")) / denom).otherwise(F.lit(0.0))
     scored = (
         cb.join(F.broadcast(qb), "__bkt")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine_sim"),
+            F.round(sim, 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -191,19 +197,23 @@ def ivf_topk(
         best = F.slice(F.reverse(F.array_sort(pairs)), 1, n)
         return F.transform(best, lambda p: p.getField("i"))
 
-    cb = corpus.withColumn("__cell", nearest_cells(F.col(vec_col), 1)[0])
+    cb = corpus.withColumn("__cell", nearest_cells(F.col(vec_col), 1)[0]).withColumn(
+        "__cn", norm(F.col(vec_col))
+    )
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qv"),
         F.explode(nearest_cells(F.col(query_vec_col), n_probe)).alias("__cell"),
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
+    denom = F.col("__cn") * F.col("__qn")
+    sim = F.when(denom > 0, dot(F.col(vec_col), F.col("__qv")) / denom).otherwise(F.lit(0.0))
     scored = (
         cb.join(F.broadcast(qb), "__cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine_sim"),
+            F.round(sim, 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
