@@ -4,7 +4,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line with per-query seconds.
 
 Execution is forced with the `noop` sink (full plan materialization, no
-count() shortcuts).
+count() shortcuts).  Each query runs REPS times and the median is
+reported — the reference baseline is likewise a steady-state average /
+median over repeated runs (`docs/benchmarks.md`, BASELINE.md), so a
+single cold run (Janino codegen compile + first file read) would not be
+comparable.
 """
 
 from __future__ import annotations
@@ -57,12 +61,17 @@ def main() -> None:
     # pre-build the GraphAr layout so ga* timings measure reads, not writes
     E._orders_graphar(spark, sf_dir)
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     results: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        results[name] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            times.append(time.time() - t0)
+        times.sort()
+        results[name] = round(times[len(times) // 2], 3)
 
     total = round(sum(results.values()), 3)
     print(
