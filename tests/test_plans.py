@@ -1,0 +1,143 @@
+"""Physical-plan assertions: the 100 TB scale contract.
+
+Correctness tests (test_oracle.py) prove the answers are right at small
+SF; these tests prove the *plans* are the ones that survive a 1000×
+scale-up — filters and projections reach the parquet scan, small
+dimensions broadcast instead of shuffling the fact side, aggregates
+combine map-side, top-k never global-sorts, GraphAr point lookups prune
+chunk partitions at planning time, and no row-at-a-time Python sneaks
+into a hot path (reference parity: projection/filter pushdown flags at
+`src/functions/table/read_vertices.cpp:124-125`, CSR seek
+`src/functions/table/read_edges.cpp:114-153`).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    """Executed (pre-adaptive) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    """q02-style scan: predicate in PushedFilters, pruned ReadSchema."""
+    from duckdb_graphar_spark.tables import load_table
+
+    df = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter("l_quantity < 24")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity" in plan
+    # ReadSchema must include the filter+projection columns and nothing more
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_small_dim_joins_broadcast(spark, qs):
+    """q05 joins lineitem→orders→customer→nation→region: every dim side
+    must broadcast (no shuffle of the fact table for dim joins)."""
+    plan = _plan(qs["q05_revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # nation/region are tiny: they must never drive a SortMergeJoin
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "nation" not in line and "region" not in line
+
+
+def test_aggregation_is_partial(spark, qs):
+    """groupBy aggregates must map-side combine (partial_ before the
+    exchange) — at 100 TB the shuffle carries group summaries, not rows."""
+    plan = _plan(qs["q01_pricing_summary"](spark, SF_DIR))
+    assert "partial_" in plan and "Exchange" in plan
+    # the partial aggregate must sit BELOW the exchange (plan prints
+    # top-down: final agg, exchange, partial agg, scan)
+    assert plan.index("partial_") > plan.index("Exchange")
+
+
+def test_topk_avoids_global_sort(spark, qs):
+    """ORDER BY … LIMIT k plans as TakeOrderedAndProject: per-partition
+    top-k then driver merge of k·P rows — never a full global sort."""
+    plan = _plan(qs["q03_topk_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_graphar_point_lookup_prunes_partitions(spark, tmp_path, graph_fixture):
+    """Equality on _graphArSrcIndex must prune chunk partitions at
+    planning time (CSR-offset seek parity) — the pruned scan reads a
+    bounded number of input partitions regardless of graph size."""
+    yaml_path = graph_fixture["yaml"]
+    from duckdb_graphar_spark.graphar.datasource import register
+
+    register(spark)
+    full = (
+        spark.read.format("graphar")
+        .option("path", yaml_path)
+        .option("src", "Person")
+        .option("edge", "knows")
+        .option("dst", "Person")
+        .load()
+    )
+    pruned = full.filter("_graphArSrcIndex = 42")
+    n_full = full.rdd.getNumPartitions()
+    n_pruned = pruned.rdd.getNumPartitions()
+    assert n_full > 2, "fixture too small to demonstrate pruning"
+    assert n_pruned <= 2, f"point lookup scanned {n_pruned}/{n_full} partitions"
+
+
+def test_hot_paths_have_no_row_at_a_time_python(spark, qs):
+    """Dedup / text / similarity pipelines stay JVM-side (or Arrow-batched
+    for the declared UDF-surface ops): BatchEvalPython (pickled row loop)
+    must not appear anywhere."""
+    for name in [
+        "t01_token_counts",
+        "t04_exact_dedup",
+        "t08_quality_score",
+        "s01_topk_cosine",
+        "d01_embedding_neardup",
+        "g02_degrees",
+    ]:
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_exact_dedup_single_shuffle(spark, qs):
+    """Exact dedup = one shuffle on the digest; a second exchange would
+    mean the plan re-partitions needlessly."""
+    plan = _plan(qs["t04_exact_dedup"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semi_join_for_membership(spark, qs):
+    """q07 EXISTS-membership must plan as a (broadcast) semi join, never
+    materializing the inner side per row."""
+    plan = _plan(qs["q07_semi_join"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_covers_expressions(spark, qs):
+    """Expression-heavy relational queries must run inside
+    WholeStageCodegen spans."""
+    plan = _plan(qs["q19_string_funcs"](spark, SF_DIR))
+    # `*(n)` node prefixes mark WholeStageCodegen spans in toString()
+    assert "*(1)" in plan
