@@ -87,9 +87,19 @@ def _shingle_df(
 
 
 def _lsh_pairs_from_shingles(
-    sh: DataFrame, *, num_hashes: int, bands: int
+    sh: DataFrame, *, num_hashes: int, bands: int, max_bucket: int = 256
 ) -> DataFrame:
-    """LSH banding over a (id, shingle-array) DataFrame → candidate pairs."""
+    """LSH banding over a (id, shingle-array) DataFrame → candidate pairs.
+
+    Single-shuffle shape: explode band hashes, groupBy bucket, emit the
+    within-bucket pair combinations from the grouped id array.  (A
+    self-join on the band key would shuffle the banded rows twice AND
+    evaluate the num_hashes-permutation signature once per join side.)
+
+    Skew guard: a degenerate bucket of B near-identical docs would emit
+    B² pairs; above ``max_bucket`` ids we emit the sorted-adjacent chain
+    instead (B-1 pairs) — connected components still merges the cluster,
+    it just relies on consecutive pairs passing verification."""
     rows = num_hashes // bands
     staged = (
         sh.withColumn("__bh", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
@@ -112,16 +122,31 @@ def _lsh_pairs_from_shingles(
     banded = staged.select(
         "__id", F.posexplode(band_hashes).alias("__band", "__bandhash")
     )
-    other = banded.select(
-        F.col("__id").alias("__id2"), F.col("__band"), F.col("__bandhash")
+    buckets = (
+        banded.groupBy("__band", "__bandhash")
+        .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+        .filter(F.size("__ids") > 1)
     )
-    pairs = (
-        banded.join(other, ["__band", "__bandhash"])
-        .filter(F.col("__id") < F.col("__id2"))
-        .select(F.col("__id").alias("id_a"), F.col("__id2").alias("id_b"))
+    ids = F.col("__ids")
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    chain_pairs = F.transform(
+        F.slice(ids, 1, F.size(ids) - 1),
+        lambda x, i: F.struct(x.alias("a"), F.element_at(ids, i + 2).alias("b")),
+    )
+    pair_col = F.when(F.size(ids) <= max_bucket, all_pairs).otherwise(chain_pairs)
+    return (
+        buckets.select(F.explode(pair_col).alias("__p"))
+        .select(F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def minhash_lsh_pairs(
@@ -310,18 +335,39 @@ def simhash_pairs(
     blocked = sh.select(
         "__id", "__f", F.posexplode(block_vals).alias("__blk", "__bv")
     )
-    other = blocked.select(
-        F.col("__id").alias("__id2"), F.col("__f").alias("__f2"), "__blk", "__bv"
+    # single-shuffle bucket grouping (a self-join would evaluate the
+    # 64-aggregate fingerprint once per side and shuffle twice); pairs are
+    # generated from the grouped (id, fingerprint) array per bucket
+    buckets = (
+        blocked.groupBy("__blk", "__bv")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__id").alias("i"), F.col("__f").alias("f")))
+            ).alias("__m")
+        )
+        .filter(F.size("__m") > 1)
     )
-    ham = F.bit_count(F.col("__f").bitwiseXOR(F.col("__f2")))
+    m = F.col("__m")
+    pair_col = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(
+                    x.getField("i").alias("a"),
+                    y.getField("i").alias("b"),
+                    F.bit_count(x.getField("f").bitwiseXOR(y.getField("f"))).alias("h"),
+                ),
+            ),
+        )
+    )
     return (
-        blocked.join(other, ["__blk", "__bv"])
-        .filter(F.col("__id") < F.col("__id2"))
-        .filter(ham <= max_hamming)
+        buckets.select(F.explode(pair_col).alias("__p"))
+        .filter(F.col("__p.h") <= max_hamming)
         .select(
-            F.col("__id").alias("id_a"),
-            F.col("__id2").alias("id_b"),
-            ham.alias("hamming"),
+            F.col("__p.a").alias("id_a"),
+            F.col("__p.b").alias("id_b"),
+            F.col("__p.h").alias("hamming"),
         )
         .distinct()
     )
