@@ -18,6 +18,12 @@ from duckdb_graphar_spark.graphar.metadata import (
 from duckdb_graphar_spark.graphar.reader import read_edges, read_vertices
 from duckdb_graphar_spark.graphar.catalog import attach
 from duckdb_graphar_spark.graphar.writer import EdgeSpec, VertexSpec, write_graph
+from duckdb_graphar_spark.graphar.spark_writer import (
+    with_dense_index,
+    write_edges_dist,
+    write_graph_dist,
+    write_vertices_dist,
+)
 from duckdb_graphar_spark.graphar.datasource import GraphArDataSource, register
 
 __all__ = [
@@ -31,6 +37,10 @@ __all__ = [
     "read_edges",
     "attach",
     "write_graph",
+    "write_graph_dist",
+    "write_vertices_dist",
+    "write_edges_dist",
+    "with_dense_index",
     "VertexSpec",
     "EdgeSpec",
 ]
