@@ -1144,6 +1144,25 @@ def ga10(spark, sf):
 
 
 @_q(
+    "ga11_catalog_tables",
+    """
+    SELECT * FROM (VALUES ('Customer_ordered_Customer_edge', 'edge'),
+                          ('Customer_vertex', 'vertex')) AS t(view_name, kind)
+    """,
+)
+def ga11(spark, sf):
+    """Catalog introspection (D7 / reference `SHOW TABLES` golden test,
+    `config/test/sql/graphar/attach.test:4-16`): attach registers one view
+    per vertex/edge info; the registry listing is the golden output."""
+    from duckdb_graphar_spark.graphar.catalog import attach
+
+    registered = attach(spark, _orders_graphar(spark, sf))
+    return spark.createDataFrame(
+        sorted(registered.items()), "view_name string, kind string"
+    )
+
+
+@_q(
     "ga06_counts_from_metadata",
     "SELECT (SELECT COUNT(*) FROM customer) AS n_vertices, (SELECT COUNT(*) FROM orders) AS n_edges",
 )

@@ -188,3 +188,83 @@ def run_to_memory(stream_df: DataFrame, name: str, *, mode: str | None = None) -
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def stateful_user_totals_tws(
+    events: DataFrame, *, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Same per-user running totals as :func:`stateful_user_totals`, on the
+    Spark 4 `transformWithStateInPandas` API (§2.E arbitrary state):
+    typed ValueState in a StatefulProcessor instead of the untyped
+    GroupState tuple — the forward-looking API for custom stateful
+    operators (per-key timers, multiple state variables, TTL).
+    Requires the RocksDB state store provider (set by the caller or
+    session factory) and the `protobuf` package (the TWS state-server
+    protocol is protobuf-encoded; raises ImportError with guidance when
+    absent).  Batch input falls back to the equivalent groupBy."""
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("n_events", T.LongType(), True),
+            T.StructField("total_value", T.DoubleType(), True),
+        ]
+    )
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(26,8)")).cast("double"), 6).alias(
+                "total_value"
+            ),
+        )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the `protobuf` package "
+            "(pyspark's TWS state protocol); use stateful_user_totals "
+            "(applyInPandasWithState) where protobuf is unavailable"
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), True),
+            T.StructField("total", T.DoubleType(), True),
+        ]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prev = self._state.get() if self._state.exists() else (0, 0.0)
+            n, total = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -64,3 +64,39 @@ def test_stateful_user_totals_stream_matches_batch(spark, sf_dir):
     batch = stateful_user_totals(load_table(spark, sf_dir, "events"))
     expect = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in batch.collect()}
     assert final == expect
+
+
+def test_stateful_user_totals_tws_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) agrees with
+    the batch groupBy equivalent."""
+    pytest.importorskip(
+        "google.protobuf", reason="pyspark TWS state protocol needs protobuf"
+    )
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stateful_user_totals_tws,
+    )
+    from duckdb_graphar_spark.tables import load_table
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+        out = run_to_memory(
+            stateful_user_totals_tws(stream, watermark="365 days"),
+            "tws_test",
+            mode="update",
+        )
+        final = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in out.collect()}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    batch = stateful_user_totals_tws(load_table(spark, sf_dir, "events"))
+    expect = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in batch.collect()}
+    assert final == expect
