@@ -32,6 +32,61 @@ import yaml
 
 from pyspark.sql import types as T
 
+# ---------------------------------------------------------------------------
+# filesystem abstraction (reference parity A5: paths resolved by
+# `FileSystemFromUriOrPath` incl. s3://, src/utils/func.cpp:124-148).
+# URI-schemed paths (file://, s3://, gs://, hdfs://) go through pyarrow.fs;
+# bare paths use the local filesystem directly.
+# ---------------------------------------------------------------------------
+
+
+def _fs_for(path: str):
+    """(pyarrow FileSystem, fs-local path) for a URI, or (None, path)."""
+    if "://" not in path:
+        return None, path
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
+def _read_text(path: str) -> str:
+    f, p = _fs_for(path)
+    if f is None:
+        with open(path) as fh:
+            return fh.read()
+    with f.open_input_stream(p) as fh:
+        return fh.read().decode()
+
+
+def _path_exists(path: str) -> bool:
+    f, p = _fs_for(path)
+    if f is None:
+        return os.path.exists(path)
+    from pyarrow import fs as pafs
+
+    return f.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def _list_names(directory: str) -> list[str]:
+    """Base names of entries in a directory ([] if absent)."""
+    f, p = _fs_for(directory)
+    if f is None:
+        return os.listdir(directory) if os.path.isdir(directory) else []
+    from pyarrow import fs as pafs
+
+    info = f.get_file_info(p)
+    if info.type != pafs.FileType.Directory:
+        return []
+    return [os.path.basename(i.path) for i in f.get_file_info(pafs.FileSelector(p))]
+
+
+def spark_url(path: str) -> str:
+    """Translate a GraphAr URI into the scheme Spark's Hadoop readers
+    expect (`s3://` → `s3a://`); local and file:// paths pass through."""
+    if path.startswith("s3://"):
+        return "s3a://" + path[len("s3://"):]
+    return path
+
 # GraphAr type -> Spark type (reference map: src/utils/func.cpp:18-40).
 GRAPHAR_TO_SPARK: dict[str, T.DataType] = {
     "bool": T.BooleanType(),
@@ -137,8 +192,7 @@ class VertexInfo:
 
     @classmethod
     def load(cls, path: str) -> "VertexInfo":
-        with open(path) as f:
-            d = yaml.safe_load(f)
+        d = yaml.safe_load(_read_text(path))
         return cls(
             type=d["type"],
             chunk_size=int(d["chunk_size"]),
@@ -171,8 +225,7 @@ class EdgeInfo:
 
     @classmethod
     def load(cls, path: str) -> "EdgeInfo":
-        with open(path) as f:
-            d = yaml.safe_load(f)
+        d = yaml.safe_load(_read_text(path))
         adj = [
             AdjList(
                 aligned_by=a["aligned_by"],
@@ -232,10 +285,12 @@ class GraphInfo:
     @classmethod
     def load(cls, path: str) -> "GraphInfo":
         """Load a graph YAML (reference: graphar::GraphInfo::Load used at
-        read_vertices.cpp:49-53, graphar_storage.cpp:23-27)."""
-        path = os.path.abspath(path)
-        with open(path) as f:
-            d = yaml.safe_load(f)
+        read_vertices.cpp:49-53, graphar_storage.cpp:23-27).  Accepts a
+        local path or a URI (file://, s3://, …) — parity with the
+        reference's `FileSystemFromUriOrPath` (src/utils/func.cpp:124-148)."""
+        if "://" not in path:
+            path = os.path.abspath(path)
+        d = yaml.safe_load(_read_text(path))
         base = d.get("prefix") or os.path.dirname(path)
         if not base.endswith("/"):
             base += "/"
@@ -290,7 +345,7 @@ class GraphInfo:
         part = 0
         while True:
             p = self.edge_count_path(ei, aligned_by, part)
-            if not os.path.exists(p):
+            if not _path_exists(p):
                 break
             total += _read_count(p)
             part += 1
@@ -298,8 +353,7 @@ class GraphInfo:
 
 
 def _read_count(path: str) -> int:
-    with open(path) as f:
-        return int(f.read().strip())
+    return int(_read_text(path).strip())
 
 
 def chunk_index_of(path: str) -> int:
@@ -312,19 +366,15 @@ def chunk_index_of(path: str) -> int:
 
 def list_chunks(directory: str) -> list[str]:
     """Chunk files in a directory, ordered by chunk index."""
-    if not os.path.isdir(directory):
-        return []
-    files = [f for f in os.listdir(directory) if _CHUNK_RE.match(f)]
+    files = [f for f in _list_names(directory) if _CHUNK_RE.match(f)]
     files.sort(key=lambda f: int(_CHUNK_RE.match(f).group(1)))
     return [os.path.join(directory, f) for f in files]
 
 
 def list_parts(directory: str) -> list[int]:
     """Part indexes under an adj_list/property directory, ordered."""
-    if not os.path.isdir(directory):
-        return []
     parts = []
-    for f in os.listdir(directory):
+    for f in _list_names(directory):
         m = re.match(r"part(\d+)$", f)
         if m:
             parts.append(int(m.group(1)))

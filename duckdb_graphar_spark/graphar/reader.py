@@ -117,7 +117,9 @@ def _chunked_df(
     memory is bounded by chunk_size rows per file."""
     extra = ["__chunk", "__row"] + (["__part"] if with_part else [])
     if file_type == "parquet":
-        df = _with_chunk_cols(spark.read.parquet(*files))
+        from duckdb_graphar_spark.graphar.metadata import spark_url
+
+        df = _with_chunk_cols(spark.read.parquet(*[spark_url(f) for f in files]))
         if with_part:
             df = df.withColumn(
                 "__part",

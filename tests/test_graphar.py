@@ -198,3 +198,21 @@ def test_python_datasource_vertex_point_lookup(spark, graph_fixture):
     )
     rows = v.collect()
     assert len(rows) == 1 and rows[0].name == "p1234" and rows[0].hash_phone_no == 1234
+
+
+def test_uri_addressed_graph(spark, graph_fixture):
+    """A5 parity: graph metadata + data addressable by URI (file:// here;
+    s3:///gs:// resolve through the same pyarrow.fs path,
+    reference `FileSystemFromUriOrPath` src/utils/func.cpp:124-148)."""
+    uri = "file://" + graph_fixture["yaml"]
+    v = graphar.read_vertices(spark, uri, "Person")
+    assert v.count() == graph_fixture["n"]
+    e = graphar.read_edges(spark, uri, "Person", "knows", "Person", src_vid=42)
+    src, dst = graph_fixture["src"], graph_fixture["dst"]
+    assert sorted(r["_graphArDstIndex"] for r in e.collect()) == sorted(
+        dst[src == 42].tolist()
+    )
+    from duckdb_graphar_spark.graphar import GraphInfo
+
+    g = GraphInfo.load(uri)
+    assert g.vertex_count("Person") == graph_fixture["n"]
