@@ -1163,6 +1163,24 @@ def ga11(spark, sf):
 
 
 @_q(
+    "ga12_degree_point_lookup",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT COUNT(*) AS degree, CAST(42 AS BIGINT) AS grapharId FROM e WHERE src = 42
+    """,
+)
+def ga12(spark, sf):
+    """Single-vertex degree from ONE offset chunk (reference `grapharId`
+    equality pushdown, `edges_vertex.cpp:91-119`) — no edge scan, no
+    full offset scan."""
+    from duckdb_graphar_spark.operators.graph import degrees_from_offsets
+
+    return degrees_from_offsets(
+        spark, _orders_graphar(spark, sf), "Customer", "ordered", "Customer", vid=42
+    )
+
+
+@_q(
     "ga06_counts_from_metadata",
     "SELECT (SELECT COUNT(*) FROM customer) AS n_vertices, (SELECT COUNT(*) FROM orders) AS n_edges",
 )

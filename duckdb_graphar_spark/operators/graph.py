@@ -33,6 +33,7 @@ from duckdb_graphar_spark.graphar.metadata import (
     GraphInfo,
     OFFSET_COL,
     SRC_INDEX_COL,
+    chunk_index_of as _chunk_no,
     list_chunks,
 )
 
@@ -73,6 +74,7 @@ def degrees_from_offsets(
     dst: str,
     *,
     aligned_by: str = "src",
+    vid: int | None = None,
 ) -> DataFrame:
     """Degree WITHOUT scanning edges: read the CSR/CSC offset chunks and
     diff consecutive offsets (reference fast path,
@@ -81,6 +83,10 @@ def degrees_from_offsets(
     Each offset chunk is self-contained (chunk_size+1 rows, part-relative
     offsets), so the lead() window partitions by file — no cross-file
     shuffle dependency; scales linearly in #chunks.
+
+    ``vid`` replays the reference's `grapharId` equality pushdown
+    (`edges_vertex.cpp:91-119`): only the ONE offset chunk covering the
+    vertex is read, regardless of graph size.
     """
     from duckdb_graphar_spark.graphar.reader import _OFFSET_FIELDS, _chunked_df
 
@@ -88,9 +94,17 @@ def degrees_from_offsets(
     ei = g.edges[(src, edge_type, dst)]
     chunk_size = ei.src_chunk_size if aligned_by == "src" else ei.dst_chunk_size
     files = list_chunks(os.path.join(g.adj_dir(ei, aligned_by), "offset"))
+    if vid is not None:
+        n_aligned = g.edge_aligned_vertex_count(ei, aligned_by)
+        if not (0 <= vid < n_aligned):
+            raise ValueError(
+                f"vertex id {vid} out of range [0, {n_aligned}) "
+                "(reference: BinderException on out-of-range vid)"
+            )
+        files = [f for f in files if _chunk_no(f) == vid // chunk_size]
     df = _chunked_df(spark, files, ei.adj_list(aligned_by).file_type, _OFFSET_FIELDS)
     w = Window.partitionBy("__chunk").orderBy("__row")
-    return (
+    out = (
         df.withColumn("__next", F.lead(OFFSET_COL).over(w))
         .filter(F.col("__next").isNotNull())
         .select(
@@ -98,6 +112,9 @@ def degrees_from_offsets(
             (F.col("__chunk") * F.lit(chunk_size) + F.col("__row")).alias(DEGREE_ID_COL),
         )
     )
+    if vid is not None:
+        out = out.filter(F.col(DEGREE_ID_COL) == vid)
+    return out
 
 
 def one_hop(

@@ -91,3 +91,21 @@ def test_bfs_length(graph_fixture, edges_df, s, t):
 
 def test_bfs_exist(graph_fixture, edges_df):
     assert G.bfs_exist(edges_df, 0, 7) is True
+
+
+def test_degrees_from_offsets_point_lookup(spark, graph_fixture):
+    """vid= prunes to one offset chunk and returns that vertex's degree."""
+    from duckdb_graphar_spark.operators.graph import degrees_from_offsets
+
+    src = graph_fixture["src"]
+    for v in [0, 42, 997, 1999]:
+        got = degrees_from_offsets(
+            spark, graph_fixture["yaml"], "Person", "knows", "Person", vid=v
+        ).collect()
+        assert len(got) == 1 and got[0]["degree"] == int((src == v).sum())
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        degrees_from_offsets(
+            spark, graph_fixture["yaml"], "Person", "knows", "Person", vid=10**9
+        )
