@@ -61,7 +61,9 @@ def main() -> None:
     # pre-build the GraphAr layout so ga* timings measure reads, not writes
     E._orders_graphar(spark, sf_dir)
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # median-of-5: this box shows sporadic host-level CPU contention
+    # (identical plans swing 3×) — a wider median absorbs a stalled rep
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     results: dict[str, float] = {}
     for name in BENCH_QUERIES:
         times = []

@@ -191,18 +191,22 @@ def bfs_length(
         return 0
     spark = edges.sparkSession
     e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")).persist()
+    pinned: list[DataFrame] = [e]
     try:
-        frontier = spark.createDataFrame([(src_vid,)], "__v long")
-        visited = frontier.localCheckpoint(eager=True)
+        # single-partition local relation — no shuffle, broadcast feeds the join
+        frontier = spark.range(1).select(F.lit(src_vid).cast("long").alias("__v"))
+        visited = frontier
         for depth in range(1, max_depth + 1):
             nxt = (
                 e.join(F.broadcast(frontier), e["__s"] == F.col("__v"))
                 .select(F.col("__d").alias("__v"))
                 .distinct()
                 .join(visited, "__v", "left_anti")
-                .localCheckpoint(eager=True)
+                .persist()
             )
-            # one action per level: frontier size + dst membership together
+            pinned.append(nxt)
+            # ONE action per level: the stats aggregate materializes the
+            # persisted frontier (size + dst membership read together)
             stat = nxt.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.max((F.col("__v") == dst_vid).cast("int")).alias("hit"),
@@ -211,13 +215,18 @@ def bfs_length(
                 return depth
             if stat["n"] == 0:
                 return -1
-            # every level is individually checkpointed, so the growing
-            # union stays a flat scan of materialized blocks — no lineage
             visited = visited.unionAll(nxt)
             frontier = nxt
+            # lineage grows by one cached-scan union per level; cut it with
+            # a real checkpoint every 4th level so 100-level BFS never
+            # builds a deep plan, without paying an extra job per level
+            if depth % 4 == 0:
+                frontier = frontier.localCheckpoint(eager=False)
+                visited = visited.localCheckpoint(eager=False)
         return -1
     finally:
-        e.unpersist(blocking=False)
+        for df in pinned:
+            df.unpersist(blocking=False)
 
 
 def bfs_exist(
