@@ -17,7 +17,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 # 64-bit hashing via xxhash64 with per-permutation seeds: JVM-side,
 # deterministic across runs/engines given the same seed.
@@ -235,7 +235,11 @@ def minhash_dedup(
 
 
 def connected_components(
-    edges: DataFrame, vertices: DataFrame, *, max_iters: int = 20
+    edges: DataFrame,
+    vertices: DataFrame,
+    *,
+    max_iters: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -244,7 +248,17 @@ def connected_components(
     O(diameter) rounds; each round is one join + groupBy, with
     localCheckpoint to cut lineage.  (GraphFrames-style; bounded driver
     state.)
-    """
+
+    Adaptive fast path (same spirit as AQE's runtime broadcast
+    decision): a near-dup pair graph is tiny relative to the corpus —
+    when the edge count is ≤ ``driver_threshold``, union-find on the
+    collected pairs replaces O(diameter) distributed rounds with one
+    collect + one broadcast join; the iterative path remains for pair
+    graphs that don't fit the driver (set ``driver_threshold=0`` to
+    force it)."""
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        return _connected_components_driver(edges, vertices)
     sym = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("w")).unionAll(
         edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("w"))
     ).localCheckpoint(eager=True)
@@ -280,6 +294,45 @@ def connected_components(
         if not stepped.filter(F.col("__new") != F.col("__old")).take(1):
             break
     return labels.unionAll(isolated)
+
+
+def _connected_components_driver(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Union-find over collected pairs; labels broadcast-joined back onto
+    the (distributed) vertex set.  Driver memory is O(edge-incident
+    vertices), bounded by the caller's threshold."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges.select("id_a", "id_b").toLocalIterator():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root so labels match the distributed algorithm
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(x, find(x)) for x in parent]
+    spark = edges.sparkSession
+    vtype = vertices.schema["v"].dataType
+    if rows:
+        labels = spark.createDataFrame(
+            rows,
+            T.StructType(
+                [T.StructField("v", vtype), T.StructField("__lbl", vtype)]
+            ),
+        )
+        out = vertices.join(F.broadcast(labels), "v", "left")
+    else:
+        out = vertices.withColumn("__lbl", F.lit(None).cast(vtype))
+    return out.select("v", F.coalesce(F.col("__lbl"), F.col("v")).alias("label"))
 
 
 def simhash(hashes: F.Column, bits: int = 64) -> F.Column:

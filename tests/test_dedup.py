@@ -114,3 +114,26 @@ def test_embedding_exact_pairs_superset_of_lsh(spark):
         for r in D.embedding_near_dup_pairs(df, threshold=0.95, n_planes=4).collect()
     }
     assert lsh <= exact  # LSH pruning may lose pairs, never invent them
+
+
+def test_cc_driver_path_matches_distributed(spark):
+    """The adaptive driver union-find fast path and the distributed
+    min-label propagation agree on labels."""
+    from duckdb_graphar_spark.operators.dedup import connected_components
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    v = spark.range(250).select(F.col("id").alias("v"))
+    fast = {r["v"]: r["label"] for r in connected_components(e, v).collect()}
+    # min-label propagation moves labels one hop per round — give the
+    # distributed path enough rounds to fully converge on long chains
+    slow = {
+        r["v"]: r["label"]
+        for r in connected_components(e, v, driver_threshold=0, max_iters=100).collect()
+    }
+    assert fast == slow
+    assert len(fast) == 250
