@@ -255,10 +255,13 @@ def connected_components(
     collected pairs replaces O(diameter) distributed rounds with one
     collect + one broadcast join; the iterative path remains for pair
     graphs that don't fit the driver (set ``driver_threshold=0`` to
-    force it)."""
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        return _connected_components_driver(edges, vertices)
+    force it).  The probe is a single limit(threshold+1) collect — when
+    the limit isn't hit, the probe result IS the edge list, so the fast
+    path costs one job total."""
+    if driver_threshold > 0:
+        probe = edges.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            return _connected_components_driver(probe, edges.sparkSession, vertices)
     sym = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("w")).unionAll(
         edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("w"))
     ).localCheckpoint(eager=True)
@@ -296,10 +299,10 @@ def connected_components(
     return labels.unionAll(isolated)
 
 
-def _connected_components_driver(edges: DataFrame, vertices: DataFrame) -> DataFrame:
-    """Union-find over collected pairs; labels broadcast-joined back onto
-    the (distributed) vertex set.  Driver memory is O(edge-incident
-    vertices), bounded by the caller's threshold."""
+def _connected_components_driver(pairs, spark, vertices: DataFrame) -> DataFrame:
+    """Union-find over already-collected pairs; labels broadcast-joined
+    back onto the (distributed) vertex set.  Driver memory is
+    O(edge-incident vertices), bounded by the caller's threshold."""
     parent: dict = {}
 
     def find(x):
@@ -310,7 +313,7 @@ def _connected_components_driver(edges: DataFrame, vertices: DataFrame) -> DataF
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.select("id_a", "id_b").toLocalIterator():
+    for a, b in pairs:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -320,7 +323,6 @@ def _connected_components_driver(edges: DataFrame, vertices: DataFrame) -> DataF
             parent[hi] = lo
 
     rows = [(x, find(x)) for x in parent]
-    spark = edges.sparkSession
     vtype = vertices.schema["v"].dataType
     if rows:
         labels = spark.createDataFrame(
