@@ -179,6 +179,7 @@ def bfs_length(
     src_col: str = SRC_INDEX_COL,
     dst_col: str = DST_INDEX_COL,
     max_depth: int = 30,
+    driver_threshold: int = 2_000_000,
 ) -> int:
     """Unweighted shortest-path length src→dst; -1 unreachable, 0 if equal.
 
@@ -186,9 +187,23 @@ def bfs_length(
     is expanded by an edge join per level, deduped, and anti-joined
     against the visited set.  Driver state is O(1) (loop counter only);
     per-level results are localCheckpoint'ed to cut lineage.
-    """
+
+    Adaptive fast path: when the edge list fits the driver
+    (≤ ``driver_threshold`` edges, probed with one limit-collect job —
+    the reference's own dense-array BFS is this shape, `bfs.cpp:94-134`),
+    in-memory BFS replaces ~4 Spark jobs per level with one collect.
+    The distributed path remains for graphs that don't fit
+    (``driver_threshold=0`` forces it)."""
     if src_vid == dst_vid:
         return 0
+    if driver_threshold > 0:
+        probe = (
+            edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= driver_threshold:
+            return _bfs_driver(probe, src_vid, dst_vid, max_depth)
     spark = edges.sparkSession
     e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")).persist()
     pinned: list[DataFrame] = [e]
@@ -229,6 +244,28 @@ def bfs_length(
             df.unpersist(blocking=False)
 
 
+def _bfs_driver(pairs, src_vid: int, dst_vid: int, max_depth: int) -> int:
+    """Level-synchronous BFS over a collected (src, dst) edge list."""
+    adj: dict = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    visited = {src_vid}
+    frontier = [src_vid]
+    for depth in range(1, max_depth + 1):
+        nxt = []
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w == dst_vid:
+                    return depth
+                if w not in visited:
+                    visited.add(w)
+                    nxt.append(w)
+        if not nxt:
+            return -1
+        frontier = nxt
+    return -1
+
+
 def bfs_exist(
     edges: DataFrame,
     src_vid: int,
@@ -237,12 +274,19 @@ def bfs_exist(
     src_col: str = SRC_INDEX_COL,
     dst_col: str = DST_INDEX_COL,
     max_depth: int = 30,
+    driver_threshold: int = 2_000_000,
 ) -> bool:
     """Reachability: `bfs_length(...) != -1` (reference delegates the same
     way, `bfs.cpp:140-163`)."""
     return (
         bfs_length(
-            edges, src_vid, dst_vid, src_col=src_col, dst_col=dst_col, max_depth=max_depth
+            edges,
+            src_vid,
+            dst_vid,
+            src_col=src_col,
+            dst_col=dst_col,
+            max_depth=max_depth,
+            driver_threshold=driver_threshold,
         )
         != -1
     )

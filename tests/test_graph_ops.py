@@ -89,6 +89,15 @@ def test_bfs_length(graph_fixture, edges_df, s, t):
     assert G.bfs_length(edges_df, s, t) == exp
 
 
+@pytest.mark.parametrize("s,t", [(0, 7), (1, 1500), (3, 999)])
+def test_bfs_length_distributed_matches_driver(graph_fixture, edges_df, s, t):
+    """The distributed level-synchronous path (driver_threshold=0) and the
+    adaptive driver fast path agree."""
+    assert G.bfs_length(edges_df, s, t, driver_threshold=0) == G.bfs_length(
+        edges_df, s, t
+    )
+
+
 def test_bfs_exist(graph_fixture, edges_df):
     assert G.bfs_exist(edges_df, 0, 7) is True
 
