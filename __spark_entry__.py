@@ -804,6 +804,264 @@ def q36(spark, sf):
     )
 
 
+# -- TPC-H-shaped suite (q37-q44): the canonical decision-support query
+# -- shapes the host engine runs (DuckDB ships the full TPC-H kit),
+# -- adapted to the fixture schema.  Each exercises a distinct plan
+# -- shape: conditional semi-join, outer-join distribution, top-k over a
+# -- 4-way join, correlated-scalar-avg, HAVING-driven IN, disjunctive
+# -- pushdown, nation-pair self-join, anti-join + global scalar.
+
+
+@_q(
+    "q37_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q37(spark, sf):
+    """TPC-H Q4 shape: EXISTS with a correlated non-equi condition →
+    left-semi join on (key, range) then count per priority."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate)
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "q38_cust_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q38(spark, sf):
+    """TPC-H Q13 shape: outer join with a join-side filter, then a
+    two-level aggregation (per-customer count → distribution)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "q39_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,8))) AS DOUBLE), 4) AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q39(spark, sf):
+    """TPC-H Q10 shape: 4-way join + agg + deterministic top-20
+    (TakeOrderedAndProject; dims broadcast)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q40_small_qty_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(26,8))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q40(spark, sf):
+    """TPC-H Q17 shape: correlated scalar AVG per part → per-part
+    aggregate joined back (decorrelated, one shuffle) instead of a
+    re-executed subquery per row."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("__qty_limit")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part.withColumnRenamed("l_partkey", "__pk"), li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qty_limit"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(26,8)")).cast("double") / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "q41_large_volume_cust",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(26,8))) AS DOUBLE), 4) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    """,
+)
+def q41(spark, sf):
+    """TPC-H Q18 shape: IN over a HAVING aggregate → semi-join against
+    the aggregated key set, then the outer 3-way join + agg."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__s"))
+        .filter(F.col("__s") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "__ok"), o.o_orderkey == F.col("__ok"), "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(_dec_sum(F.col("l_quantity")).alias("total_qty"))
+    )
+
+
+@_q(
+    "q42_disjunctive_pushdown",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,8))) AS DOUBLE), 4) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND
+      ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20))
+    """,
+)
+def q42(spark, sf):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    extracts the common single-side conjuncts (p_brand IN, l_quantity
+    range) below the join; the residual disjunction stays on top."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    return joined.filter(c1 | c2).agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@_q(
+    "q43_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(CAST(SUM(CAST(volume AS DECIMAL(26,8))) AS DOUBLE), 4) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 YEAR(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND n1.n_name IN ('NATION_1', 'NATION_2')
+            AND n2.n_name IN ('NATION_1', 'NATION_2')
+            AND n1.n_name <> n2.n_name)
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q43(spark, sf):
+    """TPC-H Q7 shape: two roles of the same dimension (supplier nation
+    vs customer nation) — nation joined twice under different aliases,
+    both broadcast; the cross-nation inequality filters the pair."""
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation").filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = n.select(F.col("n_nationkey").alias("__nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("__nk2"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("__nk1"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("__nk2"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q44_quiet_rich_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(26,8))) AS DOUBLE), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q44(spark, sf):
+    """TPC-H Q22 shape: uncorrelated scalar subquery (broadcast) +
+    NOT EXISTS (anti-join) + aggregate."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 @_q(
     "u01_udtf_tokens",
     """
