@@ -141,3 +141,37 @@ def test_whole_stage_codegen_covers_expressions(spark, qs):
     plan = _plan(qs["q19_string_funcs"](spark, SF_DIR))
     # `*(n)` node prefixes mark WholeStageCodegen spans in toString()
     assert "*(1)" in plan
+
+
+def test_tpch_topk_over_join_plans_take_ordered(spark, qs):
+    """q39 (Q10 shape): top-20 over a 4-way join + agg must plan as
+    TakeOrderedAndProject with nation broadcast — a global sort of the
+    aggregated customer set would shuffle all groups to one stage."""
+    plan = _plan(qs["q39_returned_items"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_disjunctive_predicate_partially_pushed(spark, qs):
+    """q42 (Q19 shape): from the OR-of-ANDs, the single-side conjuncts
+    (p_brand IN (...), l_quantity range) must be extracted below the
+    join so each scan prunes before joining."""
+    opt = _optimized(qs["q42_disjunctive_pushdown"](spark, SF_DIR))
+    # Catalyst's extraction rewrites the filter so each side carries its
+    # own IN/range conjunct below the join node
+    join_pos = opt.index("Join")
+    assert "p_brand" in opt[join_pos:], "part-side conjunct missing below join"
+    assert "l_quantity" in opt[join_pos:], "lineitem-side conjunct missing below join"
+
+
+def test_exists_with_range_condition_plans_semi_join(spark, qs):
+    """q37 (Q4 shape): correlated EXISTS decorrelates to a LeftSemi join,
+    never a per-row subquery."""
+    plan = _plan(qs["q37_priority_exists"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_not_exists_plans_anti_join(spark, qs):
+    """q44 (Q22 shape): NOT EXISTS decorrelates to a LeftAnti join."""
+    plan = _plan(qs["q44_quiet_rich_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan
