@@ -1439,6 +1439,24 @@ def ga12(spark, sf):
 
 
 @_q(
+    "ga13_uri_point_lookup",
+    f"""
+    WITH e AS ({_E_SQL})
+    SELECT src AS _graphArSrcIndex, dst AS _graphArDstIndex FROM e WHERE src = 42
+    """,
+)
+def ga13(spark, sf):
+    """A5 remote-storage parity: the same CSR point lookup as ga03, but
+    the graph addressed by URI (file:// here; s3://, gs:// resolve
+    through the same pyarrow.fs abstraction, reference
+    `FileSystemFromUriOrPath` src/utils/func.cpp:124-148)."""
+    from duckdb_graphar_spark.graphar import read_edges
+
+    uri = "file://" + _orders_graphar(spark, sf)
+    return read_edges(spark, uri, "Customer", "ordered", "Customer", src_vid=42)
+
+
+@_q(
     "ga06_counts_from_metadata",
     "SELECT (SELECT COUNT(*) FROM customer) AS n_vertices, (SELECT COUNT(*) FROM orders) AS n_edges",
 )
