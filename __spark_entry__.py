@@ -1063,6 +1063,54 @@ def q44(spark, sf):
 
 
 @_q(
+    "q45_salted_join",
+    """
+    SELECT c_mktsegment,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(26,8))) AS DOUBLE), 4) AS segment_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q45(spark, sf):
+    """Skew-mitigation surface: explicit (key, salt) join — identical
+    rows to the plain join (the oracle IS the unsalted join), shuffle
+    spread over salt partitions per hot key."""
+    from duckdb_graphar_spark.operators.skew import salted_join
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    return (
+        salted_join(o, c, "o_custkey", salt=8)
+        .groupBy("c_mktsegment")
+        .agg(_dec_sum(F.col("o_totalprice")).alias("segment_total"))
+    )
+
+
+@_q(
+    "q46_salted_collect_list",
+    """
+    SELECT l_suppkey,
+           array_to_string(list_sort(list(l_orderkey * 10 + l_linenumber)), ',') AS line_ids
+    FROM lineitem WHERE l_suppkey < 20
+    GROUP BY l_suppkey
+    """,
+)
+def q46(spark, sf):
+    """Two-phase salted collect_list (non-algebraic agg AQE can't split);
+    sorted + joined to a scalar so the result is salt-independent."""
+    from duckdb_graphar_spark.operators.skew import salted_collect_list
+
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_suppkey") < 20)
+        .select("l_suppkey", (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("__lid"))
+    )
+    return salted_collect_list(li, "l_suppkey", "__lid", salt=8).select(
+        "l_suppkey", F.array_join("values", ",").alias("line_ids")
+    )
+
+
+@_q(
     "u01_udtf_tokens",
     """
     SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS INT) AS idx, unnest(l) AS token
