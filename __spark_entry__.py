@@ -1111,6 +1111,46 @@ def q46(spark, sf):
 
 
 @_q(
+    "q47_percentile_exact",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q47(spark, sf):
+    """Exact continuous percentile (interpolated) — the order-statistic
+    aggregate shape; Spark's `percentile` == DuckDB's quantile_cont."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+    )
+
+
+@_q(
+    "q48_qualify_latest",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey) = 1
+    """,
+)
+def q48(spark, sf):
+    """QUALIFY shape (filter on a window result): latest order per
+    customer — window + filter, no self-join."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
     "u01_udtf_tokens",
     """
     SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS INT) AS idx, unnest(l) AS token
@@ -1947,6 +1987,31 @@ def st04(spark, sf):
     return sliding_window_agg(
         _t(spark, sf, "events"), window="10 minutes", slide="5 minutes"
     )
+
+
+@_q(
+    "st06_stream_static_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(26,8))) AS DOUBLE), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def st06(spark, sf):
+    """Stream-static join: the events STREAM enriched per micro-batch
+    against the static customer dim, aggregated per segment.  Processing
+    all available input makes the streaming result equal the batch join
+    — so unlike st01-st05 this streaming op is fully oracle-checked."""
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_static_enrich,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    enriched = stream_static_enrich(stream, _t(spark, sf, "customer"))
+    return run_to_memory(enriched, "st06_out", mode="complete")
 
 
 @_q("st05_stateful_totals", None)  # applyInPandasWithState — rows-only

@@ -25,6 +25,9 @@ BENCH_QUERIES = [
     "q14_window_rownum",
     "q25_events_tumbling",
     "q26_sessionize",
+    # TPC-H join-heavy shapes (Q10 top-k over 4-way join; Q7 nation-pair)
+    "q39_returned_items",
+    "q43_volume_shipping",
     # graph operators
     "g02_degrees",
     "g04_degree_distribution",

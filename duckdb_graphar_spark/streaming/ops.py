@@ -103,6 +103,30 @@ def session_window_agg(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str = "user_id",
+    dim_key: str = "c_custkey",
+    group_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static join + aggregate: each micro-batch joins against the
+    static dimension (Spark re-broadcasts the dim per batch; at scale
+    the dim side should be broadcast-sized or pre-bucketed), then counts
+    and sums per dim attribute.  Works identically on a batch DataFrame
+    (the oracle path)."""
+    joined = events.join(
+        F.broadcast(dim.select(F.col(dim_key).alias(on), group_col)), on
+    )
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(26,8)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+
+
 def stateful_dedup(events: DataFrame, *, keys: list[str] | None = None, watermark: str = "10 minutes") -> DataFrame:
     """Drop duplicate events within the watermark horizon — bounded state
     (vs. unbounded `dropDuplicates` state in an infinite stream)."""
