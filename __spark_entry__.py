@@ -1159,6 +1159,63 @@ def q46(spark, sf):
 
 
 @_q(
+    "t10_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN md5(text) < '1' THEN 'test'
+                WHEN md5(text) < '3' THEN 'valid'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def t10(spark, sf):
+    """Content-addressed train/valid/test assignment — stateless filter,
+    stable across engines/partitionings (vs non-reproducible sample())."""
+    from duckdb_graphar_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf, "documents")
+    return hash_split(d, "text").select("doc_id", "split")
+
+
+@_q(
+    "t11_stratified_take",
+    """
+    SELECT doc_id, bucket FROM (
+      SELECT doc_id, doc_id % 5 AS bucket,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 5 ORDER BY md5(text)) AS rn
+      FROM documents)
+    WHERE rn <= 7
+    """,
+)
+def t11(spark, sf):
+    """Deterministic per-stratum sample: smallest-content-hash rows per
+    bucket (one shuffle on the stratum key)."""
+    from duckdb_graphar_spark.operators.sampling import stratified_take
+
+    d = _t(spark, sf, "documents").withColumn("bucket", F.col("doc_id") % 5)
+    return stratified_take(d, "bucket", n_per_key=7, order_col="text").select(
+        "doc_id", "bucket"
+    )
+
+
+@_q(
+    "q49_string_agg",
+    """
+    SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer WHERE c_custkey < 40
+    GROUP BY c_nationkey
+    """,
+)
+def q49(spark, sf):
+    """Ordered string aggregation (DuckDB string_agg ... ORDER BY):
+    collect_list → sort_array → array_join, all JVM-side."""
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") < 40)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names")
+    )
+
+
+@_q(
     "q47_percentile_exact",
     """
     SELECT l_returnflag,

@@ -1,0 +1,76 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Random `df.sample()` is non-reproducible across engines, partitionings
+and reruns; training pipelines need CONTENT-ADDRESSED sampling so a
+document lands in the same split everywhere, forever.  Everything here
+keys on `md5(content)` — identical bytes-in/hex-out in Spark and DuckDB
+(and effectively every engine), so results are oracle-checkable and
+re-runs are stable even if the corpus is re-partitioned or re-ordered.
+
+Scale notes (100 TB):
+- `hash_sample` / `hash_split` are stateless per-row filters — no
+  shuffle, fully pushdown-friendly, embarrassingly parallel.
+- `stratified_take` is a per-key top-n over the hash order: one
+  shuffle on the stratum key; the window never sees more than a
+  stratum's rows, and hash-ordering makes the selection deterministic
+  (not "whichever rows the scan met first").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def content_hash(col: F.Column) -> F.Column:
+    """Lowercase hex md5 of the column's string form — the stable,
+    engine-portable sort/sample key."""
+    return F.md5(col.cast("string"))
+
+
+def hash_sample(df: DataFrame, col: str, *, rate_16ths: int) -> DataFrame:
+    """Keep rows whose content hash falls in the first ``rate_16ths``/16
+    of hash space (first hex digit < rate) — a deterministic ~rate/16
+    sample.  Pure filter: no shuffle, no state, same rows on any
+    engine/partitioning."""
+    if not 0 < rate_16ths <= 16:
+        raise ValueError("rate_16ths must be in 1..16")
+    return df.filter(content_hash(F.col(col)) < format(rate_16ths, "x"))
+
+
+def hash_split(
+    df: DataFrame,
+    col: str,
+    *,
+    splits: list[tuple[str, int]] = (("test", 1), ("valid", 2), ("train", 13)),
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label by hash-space bands (16ths must sum
+    to 16).  Content-addressed: a document keeps its split across runs,
+    engines, and corpus growth."""
+    splits = list(splits)
+    if sum(w for _, w in splits) != 16:
+        raise ValueError("split 16ths must sum to 16")
+    h = content_hash(F.col(col))
+    # CASE from the low end: [0, w0) -> name0, [w0, w0+w1) -> name1, ...
+    bound = 0
+    expr = None
+    for name, w in splits:
+        bound += w
+        cond = h < format(bound, "x") if bound < 16 else F.lit(True)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_take(
+    df: DataFrame, key: str, *, n_per_key: int, order_col: str
+) -> DataFrame:
+    """Deterministic per-stratum sample: the ``n_per_key`` rows with the
+    smallest content hash within each ``key`` group.  Hash order makes
+    the choice content-addressed; ties broken by the hash itself (md5
+    collisions aside, none)."""
+    w = Window.partitionBy(key).orderBy(content_hash(F.col(order_col)))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_key)
+        .drop("__rn")
+    )

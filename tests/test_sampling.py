@@ -1,0 +1,57 @@
+"""Deterministic sampling: reproducibility across repartitionings, split
+completeness, and stratum bounds."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from duckdb_graphar_spark.operators import sampling as S
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_hash_sample_stable_under_repartition(docs):
+    a = sorted(r["doc_id"] for r in S.hash_sample(docs, "text", rate_16ths=4).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in S.hash_sample(docs.repartition(7), "text", rate_16ths=4).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_rate_roughly_holds(docs):
+    n = docs.count()
+    k = S.hash_sample(docs, "text", rate_16ths=4).count()
+    assert 0.15 < k / n < 0.35  # ~4/16 = 25%
+
+
+def test_hash_split_partitions_everything(docs):
+    out = S.hash_split(docs, "text")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"test", "valid", "train"}
+    assert counts["train"] > counts["valid"] > counts["test"] > 0
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError):
+        S.hash_split(docs, "text", splits=[("a", 3), ("b", 3)])
+
+
+def test_stratified_take_bounds_and_determinism(spark, docs):
+    lang = docs.withColumn("bucket", F.col("doc_id") % 5)
+    take = S.stratified_take(lang, "bucket", n_per_key=7, order_col="text")
+    per = take.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 7 for r in per)
+    again = S.stratified_take(lang.repartition(9), "bucket", n_per_key=7, order_col="text")
+    assert sorted(r["doc_id"] for r in take.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
