@@ -1199,6 +1199,58 @@ def t11(spark, sf):
 
 
 @_q(
+    "t12_prep_pipeline",
+    """
+    WITH q AS (
+      SELECT doc_id, text,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tok,
+             CASE WHEN LENGTH(text) > 0
+                  THEN CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / LENGTH(text)
+                  ELSE 0.0 END AS punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+             + (CASE WHEN punct < 0.2 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_tok > 0
+                      AND CAST(LENGTH(text) AS DOUBLE) / n_tok BETWEEN 3.0 AND 12.0
+                     THEN 0.25 ELSE 0.0 END) AS quality
+      FROM q
+    ),
+    kept AS (SELECT doc_id, text FROM scored WHERE quality >= 0.75),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+      FROM kept GROUP BY sha256(text)
+    )
+    SELECT doc_id,
+           CASE WHEN md5(text) < '1' THEN 'test'
+                WHEN md5(text) < '3' THEN 'valid'
+                ELSE 'train' END AS split
+    FROM deduped
+    """,
+)
+def t12(spark, sf):
+    """End-to-end training-data prep composition: quality filter →
+    exact content dedup (keep lowest doc_id) → content-addressed split
+    assignment.  One shuffle total (the dedup groupBy); quality scoring
+    and split assignment are stateless row expressions."""
+    from duckdb_graphar_spark.operators.sampling import hash_split
+    from duckdb_graphar_spark.operators.text import quality_score
+
+    d = _t(spark, sf, "documents")
+    kept = d.withColumn("__q", quality_score(F.col("text"))).filter(F.col("__q") >= 0.75)
+    deduped = (
+        kept.groupBy(F.sha2(F.col("text"), 256).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text"))
+        .drop("__h")
+    )
+    return hash_split(deduped, "text").select("doc_id", "split")
+
+
+@_q(
     "q49_string_agg",
     """
     SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
