@@ -1251,6 +1251,37 @@ def t12(spark, sf):
 
 
 @_q(
+    "q50_asof_join",
+    """
+    WITH o AS (SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS last_orderkey
+               FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, o.last_orderkey
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+    """,
+)
+def q50(spark, sf):
+    """Point-in-time enrichment: each event picks up the user's latest
+    order at-or-before the event timestamp.  Oracle is DuckDB's native
+    ASOF JOIN; the Spark side is the single-shuffle union +
+    ordered-carry-forward composition (operators/asof.py) — no range
+    join, no Python.  (Right side pre-aggregated per (user, date) so
+    tie-breaking is deterministic on both engines.)"""
+    from duckdb_graphar_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return asof_join(
+        ev, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["last_orderkey"],
+    ).select("event_id", "user_id", "last_orderkey")
+
+
+@_q(
     "q49_string_agg",
     """
     SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names

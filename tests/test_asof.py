@@ -1,0 +1,93 @@
+"""As-of join: semantics vs a per-key pandas merge_asof oracle, equal-ts
+inclusivity, inner/left variants, and the single-shuffle plan contract."""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from duckdb_graphar_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        ("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0),
+        ("B", 2, 20.0), ("B", 8, 21.0),
+    ]
+    return spark.createDataFrame(rows, "sym string, qts long, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("A", 0, 100), ("A", 1, 101), ("A", 6, 102), ("A", 9, 103),
+        ("B", 1, 200), ("B", 9, 201), ("C", 4, 300),
+    ]
+    return spark.createDataFrame(rows, "sym string, tts long, qty long")
+
+
+def test_asof_left_matches_merge_asof(spark, trades, quotes):
+    got = {
+        (r["sym"], r["tts"]): r["px"]
+        for r in asof_join(
+            trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+            right_cols=["px"],
+        ).collect()
+    }
+    tp = trades.toPandas().sort_values("tts")
+    qp = quotes.toPandas().sort_values("qts")
+    exp = pd.merge_asof(
+        tp, qp, left_on="tts", right_on="qts", by="sym", direction="backward"
+    )
+    for _, row in exp.iterrows():
+        e = None if pd.isna(row["px"]) else row["px"]
+        assert got[(row["sym"], row["tts"])] == e
+    assert len(got) == len(tp)
+
+
+def test_asof_equal_ts_matches(spark, trades, quotes):
+    # trade at t=1 sees the quote stamped t=1 (>= contract), t=9 sees t=9
+    out = {
+        (r["sym"], r["tts"]): r["px"]
+        for r in asof_join(
+            trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+            right_cols=["px"],
+        ).collect()
+    }
+    assert out[("A", 1)] == 10.0
+    assert out[("A", 9)] == 12.0
+
+
+def test_asof_inner_drops_unmatched(spark, trades, quotes):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_cols=["px"], how="inner",
+    )
+    keys = {(r["sym"], r["tts"]) for r in out.collect()}
+    assert ("A", 0) not in keys and ("C", 4) not in keys
+    assert ("A", 1) in keys
+
+
+def test_asof_single_shuffle(spark, trades, quotes):
+    plan = (
+        asof_join(
+            trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+            right_cols=["px"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_asof_rejects_bad_how(trades, quotes):
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+                  right_cols=["px"], how="full")
