@@ -2089,6 +2089,30 @@ def m01(spark, sf):
     return extract_image_features(d, fake=True)
 
 
+@_q(
+    "m03_payload_stats",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+    """,
+)
+def m03(spark, sf):
+    """Binary-column stats entirely on the opaque payload (byte length +
+    content digest) — the multimodal bookkeeping pass that needs no
+    decoder, JVM-side, fully oracle-checked (unlike the stubbed-decoder
+    m01/m02)."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+    )
+
+
 @_q("st01_stream_tumbling", None)  # structured streaming — rows-only
 def st01(spark, sf):
     from duckdb_graphar_spark.streaming.ops import (
