@@ -1281,6 +1281,41 @@ def q50(spark, sf):
     ).select("event_id", "user_id", "last_orderkey")
 
 
+_BUCKETED_CACHE: set[str] = set()
+
+
+@_q(
+    "q51_bucketed_join",
+    """
+    SELECT o_orderkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q51(spark, sf):
+    """Co-located join over bucketed layouts: the write-time shuffle
+    (bucketBy custkey, both sides) makes this join exchange-free at read
+    time — the storage-layout answer to fact-fact joins at 100 TB
+    (tests/test_bucketing.py pins the no-Exchange plan)."""
+    from duckdb_graphar_spark.bucketing import bucketed, write_bucketed
+
+    tag = re.sub(r"\W", "_", sf)
+    to, tc = f"q51_orders_{tag}", f"q51_customer_{tag}"
+    if sf not in _BUCKETED_CACHE:
+        write_bucketed(_t(spark, sf, "orders"), to, "o_custkey", n_buckets=8)
+        write_bucketed(
+            _t(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+            tc,
+            "o_custkey",
+            n_buckets=8,
+        )
+        _BUCKETED_CACHE.add(sf)
+    return (
+        bucketed(spark, to)
+        .join(bucketed(spark, tc), "o_custkey")
+        .select("o_orderkey", "c_mktsegment", "o_totalprice")
+    )
+
+
 @_q(
     "q49_string_agg",
     """
