@@ -1317,6 +1317,47 @@ def q51(spark, sf):
 
 
 @_q(
+    "q52_unpivot",
+    """
+    SELECT p_partkey, attr, val FROM (
+      SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retailprice
+      FROM part WHERE p_partkey < 50)
+    UNPIVOT (val FOR attr IN (size, retailprice))
+    """,
+)
+def q52(spark, sf):
+    """UNPIVOT / melt (wide → long): DataFrame `unpivot` — the inverse
+    of q28's pivot."""
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_partkey") < 50)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
+
+
+@_q(
+    "u02_range_source",
+    """
+    SELECT range AS n, range * range AS sq
+    FROM range(0, 1000) WHERE range % 7 = 0
+    """,
+)
+def u02(spark, sf):
+    """Generator table source (DuckDB range() == spark.range) — no input
+    files at all."""
+    return (
+        spark.range(0, 1000)
+        .filter(F.col("id") % 7 == 0)
+        .select(F.col("id").alias("n"), (F.col("id") * F.col("id")).alias("sq"))
+    )
+
+
+@_q(
     "q49_string_agg",
     """
     SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
