@@ -32,10 +32,26 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed managed table (parquet).  ``sort=True`` also
     sorts within buckets so downstream merge joins skip their sort."""
+    if mode == "overwrite":
+        _drop_with_location(df.sparkSession, table)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def _drop_with_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS + remove an orphaned warehouse location.
+    With a non-persistent metastore the table directory survives the
+    session while the catalog entry doesn't, and a later saveAsTable
+    fails with LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def bucketed(spark: SparkSession, table: str) -> DataFrame:
