@@ -1,7 +1,8 @@
 """DataFrame-native operators: graph traversal (reference parity) and
 LLM-data-pipeline extensions (dedup, similarity, text analysis,
-multimodal plumbing)."""
+sampling/splits, skew mitigation, as-of join, multimodal plumbing)."""
 
+from duckdb_graphar_spark.operators.asof import asof_join
 from duckdb_graphar_spark.operators.graph import (
     bfs_exist,
     bfs_length,
@@ -10,6 +11,12 @@ from duckdb_graphar_spark.operators.graph import (
     one_more_hop,
     two_hop,
 )
+from duckdb_graphar_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_take,
+)
+from duckdb_graphar_spark.operators.skew import salted_collect_list, salted_join
 
 __all__ = [
     "degrees",
@@ -18,4 +25,10 @@ __all__ = [
     "one_more_hop",
     "bfs_length",
     "bfs_exist",
+    "asof_join",
+    "hash_sample",
+    "hash_split",
+    "stratified_take",
+    "salted_join",
+    "salted_collect_list",
 ]
