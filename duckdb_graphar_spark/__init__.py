@@ -19,5 +19,42 @@ engine is Spark SQL / Catalyst:
 
 from duckdb_graphar_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "ship_to_workers"]
 __version__ = "0.1.0"
+
+
+def ship_to_workers(spark) -> None:
+    """Make this package importable inside Spark's Python workers even when
+    the driver's session was built without the repo on PYTHONPATH (e.g. the
+    correctness harness constructs its own bare SparkSession).
+
+    Worker-side code — the GraphAr Python DataSource, pandas UDFs, UDTFs —
+    is cloudpickled *by reference* to module-level definitions, so the
+    worker process must be able to ``import duckdb_graphar_spark``.  A
+    runtime ``sc.addPyFile`` of a package zip (plus ``__spark_entry__.py``
+    for the registry-defined UDTF classes) is the session-agnostic fix:
+    files added this way land on every executor's python path, locally and
+    on a real cluster alike.  Idempotent per SparkContext.
+    """
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_dgs_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="dgs_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(dirpath, fname)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    entry = os.path.join(root, "__spark_entry__.py")
+    if os.path.exists(entry):
+        sc.addPyFile(entry)
+    sc._dgs_pkg_shipped = True

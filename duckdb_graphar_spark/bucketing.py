@@ -44,11 +44,30 @@ def _drop_with_location(spark: SparkSession, table: str) -> None:
     """DROP TABLE IF EXISTS + remove an orphaned warehouse location.
     With a non-persistent metastore the table directory survives the
     session while the catalog entry doesn't, and a later saveAsTable
-    fails with LOCATION_ALREADY_EXISTS."""
+    fails with LOCATION_ALREADY_EXISTS.
+
+    When the table IS in the catalog, its real location is resolved via
+    DESCRIBE FORMATTED (an external or relocated table's directory is
+    whatever the catalog says, not the naming convention); the
+    convention path ({wh}/name, or {wh}/db.db/name for qualified names)
+    is used only for the orphaned-directory case where there is no
+    catalog entry left to ask."""
+    loc = None
+    if spark.catalog.tableExists(table):
+        rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        loc = next(
+            (r.data_type for r in rows if r.col_name == "Location"), None
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if loc is None:
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        parts = table.lower().split(".")
+        if len(parts) == 1:
+            loc = f"{wh}/{parts[0]}"
+        else:
+            loc = f"{wh}/{'.'.join(parts[:-1])}.db/{parts[-1]}"
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    path = jvm.org.apache.hadoop.fs.Path(loc)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)

@@ -163,13 +163,32 @@ class _EdgeReader(DataSourceReader):
         self.dst_vid: int | None = None
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        # Decide the layout HERE and consume only the one filter
+        # partitions() will actually honor; everything else (including a
+        # second point filter, or a filter whose layout is absent) is
+        # yielded back so Spark evaluates it above the scan.  Consuming a
+        # filter that the scan never applies would silently return extra
+        # rows.
+        src_f = dst_f = None
+        residual: list[Filter] = []
         for f in filters:
-            if isinstance(f, EqualTo) and tuple(f.attribute) == (SRC_INDEX_COL,) and self.src_vid is None:
-                self.src_vid = int(f.value)
-            elif isinstance(f, EqualTo) and tuple(f.attribute) == (DST_INDEX_COL,) and self.dst_vid is None:
-                self.dst_vid = int(f.value)
+            if isinstance(f, EqualTo) and tuple(f.attribute) == (SRC_INDEX_COL,) and src_f is None:
+                src_f = f
+            elif isinstance(f, EqualTo) and tuple(f.attribute) == (DST_INDEX_COL,) and dst_f is None:
+                dst_f = f
             else:
-                yield f
+                residual.append(f)
+        if dst_f is not None and self.ei.has_layout("dst"):
+            self.dst_vid = int(dst_f.value)
+            if src_f is not None:
+                residual.append(src_f)
+        elif src_f is not None and self.ei.has_layout("src"):
+            self.src_vid = int(src_f.value)
+            if dst_f is not None:
+                residual.append(dst_f)
+        else:
+            residual.extend(f for f in (src_f, dst_f) if f is not None)
+        yield from residual
 
     def partitions(self) -> List[InputPartition]:
         from duckdb_graphar_spark.graphar.reader import _offset_range
@@ -264,4 +283,7 @@ class GraphArDataSource(DataSource):
 
 def register(spark) -> None:
     """Register the `graphar` format on this session."""
+    # pushFilters requires this runtime SQL conf; the session may not have
+    # been built by our factory (session.py), so set it here.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GraphArDataSource)

@@ -250,10 +250,13 @@ def read_edges(
     g = _as_graph(graph)
     ei = g.edges[(src, edge_type, dst)]
 
+    # Chunk pruning can use ONE point predicate (the one whose layout
+    # exists); any other point predicate given is applied below as a row
+    # filter — never silently dropped.
     if dst_vid is not None and ei.has_layout("dst"):
         aligned_by = "dst"
         point = dst_vid
-    elif src_vid is not None:
+    elif src_vid is not None and ei.has_layout("src"):
         aligned_by = "src"
         point = src_vid
     else:
@@ -287,6 +290,12 @@ def read_edges(
         df = df.withColumn(
             "__erow", F.col("__chunk") * F.lit(ei.chunk_size) + F.col("__row")
         )
+
+    # residual point predicates (the side NOT used for chunk pruning)
+    if src_vid is not None and not (point is not None and aligned_by == "src"):
+        df = df.filter(F.col(SRC_INDEX_COL) == src_vid)
+    if dst_vid is not None and not (point is not None and aligned_by == "dst"):
+        df = df.filter(F.col(DST_INDEX_COL) == dst_vid)
 
     groups = ei.property_groups
     if columns is not None:

@@ -77,31 +77,39 @@ def extract_image_features(
     payload_col: str = "payload",
     fake: bool = True,
     batch_rows: int = 1024,
+    set_arrow_batch_conf: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract image payloads via `mapInPandas`.
 
-    Arrow-batched: each pandas batch holds `batch_rows` payloads, so
-    executor memory is bounded by batch_rows × max_payload regardless of
-    partition size — the right shape for 100 TB of media where a single
-    partition's payloads don't fit in memory at once.
+    The decode working set is bounded by slicing each incoming Arrow
+    batch into ``batch_rows``-row chunks inside the generator — no
+    session conf is touched.  For 100 TB media where even the *raw
+    payload* Arrow batch must shrink (payloads of many MB each), pass
+    ``set_arrow_batch_conf=True`` to also lower
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``; note that conf is
+    session-wide and stays set (it is read at execution time, so a
+    save/restore around this lazy builder would be a no-op).
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    if set_arrow_batch_conf:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [decode_image(p, fake=fake) for p in pdf["__payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "width": pd.array([f["width"] for f in feats], dtype="Int32"),
-                    "height": pd.array([f["height"] for f in feats], dtype="Int32"),
-                    "n_bytes": pdf["__payload"].map(len).astype("int64"),
-                    "mean_intensity": [f["mean_intensity"] for f in feats],
-                    "phash": pd.array([f["phash"] for f in feats], dtype="Int64"),
-                }
-            )
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                feats = [decode_image(p, fake=fake) for p in chunk["__payload"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": chunk["doc_id"].astype("int64"),
+                        "width": pd.array([f["width"] for f in feats], dtype="Int32"),
+                        "height": pd.array([f["height"] for f in feats], dtype="Int32"),
+                        "n_bytes": chunk["__payload"].map(len).astype("int64"),
+                        "mean_intensity": [f["mean_intensity"] for f in feats],
+                        "phash": pd.array([f["phash"] for f in feats], dtype="Int64"),
+                    }
+                )
 
     return cols.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 

@@ -34,6 +34,11 @@ def hash_sample(df: DataFrame, col: str, *, rate_16ths: int) -> DataFrame:
     engine/partitioning."""
     if not 0 < rate_16ths <= 16:
         raise ValueError("rate_16ths must be in 1..16")
+    if rate_16ths == 16:
+        # the hex-string comparison below would test `hash < "10"`, which
+        # lexicographically keeps only hashes starting with "0" (~1/16);
+        # 16/16 means the whole frame.
+        return df
     return df.filter(content_hash(F.col(col)) < format(rate_16ths, "x"))
 
 

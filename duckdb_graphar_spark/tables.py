@@ -25,6 +25,12 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The caller's session may not have been built by our factory
+        # (session.py) — e.g. the correctness driver constructs its own —
+        # so set the runtime SQL conf here; without it the scan dies with
+        # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integral DIV, not `/`: double division loses µs precision at

@@ -68,6 +68,23 @@ def test_edge_dst_point_lookup_uses_csc(spark, graph_fixture):
     assert got == sorted(src[dst == vid].tolist())
 
 
+def test_edge_combined_src_dst_lookup(spark, graph_fixture):
+    """BOTH point predicates: one side prunes chunks, the other must be
+    applied as a row filter — never silently dropped."""
+    src, dst = graph_fixture["src"], graph_fixture["dst"]
+    svid = 997  # hub, degree 500
+    dvid = int(dst[src == svid][3])
+    e = graphar.read_edges(
+        spark, graph_fixture["yaml"], "Person", "knows", "Person",
+        src_vid=svid, dst_vid=dvid,
+    )
+    got = sorted(map(tuple, e.select("_graphArSrcIndex", "_graphArDstIndex").collect()))
+    expect = sorted(
+        (int(s), int(d)) for s, d in zip(src, dst) if s == svid and d == dvid
+    )
+    assert got == expect and len(got) >= 1
+
+
 def test_metadata_counts(graph_fixture):
     g = GraphInfo.load(graph_fixture["yaml"])
     assert g.vertex_count("Person") == graph_fixture["n"]
@@ -182,6 +199,32 @@ def test_python_datasource_edge_pushdown(spark, graph_fixture):
     got_d = sorted(r._graphArSrcIndex for r in e.filter(F.col("_graphArDstIndex") == dvid).collect())
     expect_d = sorted(int(s) for s, d in zip(src, dst) if d == dvid)
     assert got_d == expect_d
+
+
+def test_python_datasource_combined_src_dst_filter(spark, graph_fixture):
+    """pushFilters must yield back the point filter partitions() won't
+    honor so Spark evaluates it above the scan (ADVICE r1: the consumed
+    -but-unapplied filter silently returned extra rows)."""
+    from duckdb_graphar_spark.graphar.datasource import register
+    import pyspark.sql.functions as F
+
+    register(spark)
+    src, dst = graph_fixture["src"], graph_fixture["dst"]
+    e = (
+        spark.read.format("graphar")
+        .option("path", graph_fixture["yaml"])
+        .option("src", "Person").option("edge", "knows").option("dst", "Person")
+        .load()
+    )
+    svid = 997
+    dvid = int(dst[src == svid][3])
+    got = sorted(map(tuple, e.filter(
+        (F.col("_graphArSrcIndex") == svid) & (F.col("_graphArDstIndex") == dvid)
+    ).select("_graphArSrcIndex", "_graphArDstIndex").collect()))
+    expect = sorted(
+        (int(s), int(d)) for s, d in zip(src, dst) if s == svid and d == dvid
+    )
+    assert got == expect and len(got) >= 1
 
 
 def test_python_datasource_vertex_point_lookup(spark, graph_fixture):

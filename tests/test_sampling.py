@@ -33,6 +33,12 @@ def test_hash_sample_rate_roughly_holds(docs):
     assert 0.15 < k / n < 0.35  # ~4/16 = 25%
 
 
+def test_hash_sample_full_rate_is_identity(docs):
+    # 16/16 must return EVERY row (ADVICE r1: the hex-string compare kept
+    # only hashes starting with '0')
+    assert S.hash_sample(docs, "text", rate_16ths=16).count() == docs.count()
+
+
 def test_hash_split_partitions_everything(docs):
     out = S.hash_split(docs, "text")
     counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
