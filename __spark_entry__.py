@@ -2004,7 +2004,50 @@ def t05(spark, sf):
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"), "lang")
 
 
-@_q("t06_minhash_clusters", None)  # iterative CC — not single-query SQL
+@_q(
+    "t06_minhash_clusters",
+    # ORACLE: connected components over the EXACT 5-shingle-Jaccard >= 0.5
+    # pair graph via a recursive CTE (min-label closure).  The Spark side
+    # is LSH-banded candidates -> exact-Jaccard verify -> CC; banding has
+    # full recall on this corpus (verified at sf0.001/sf0.01/sf0.1 and
+    # deterministic — fixed xxhash64 seeds), so the cluster assignments
+    # coincide with the exhaustive graph's.  The size prune in the join
+    # condition is exact: J >= 0.5 requires 2*min(|A|,|B|) >= max(|A|,|B|).
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5
+                  THEN list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN generate_series(1, len(w) - 4)])
+                  ELSE [array_to_string(w, ' ')] END AS s
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND len(b.s) * 2 >= len(a.s)
+       AND len(a.s) * 2 >= len(b.s)
+      WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS w FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.w = r.v
+    )
+    SELECT v AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY v
+    """,
+)
 def t06(spark, sf):
     from duckdb_graphar_spark.operators.dedup import minhash_dedup
 
@@ -2128,18 +2171,122 @@ def d01(spark, sf):
     return embedding_exact_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
 
 
-@_q("d02_simhash_pairs", None)  # 64-bit signed bit-twiddling — pinned by pytest, rows-only here
+@_q(
+    "d02_simhash_pairs",
+    # ORACLE: the simhash signature itself is engine-specific (xxhash64
+    # bit-twiddling), so the check is the property that matters for a
+    # blocking stage: every emitted pair is a TRUE near-dup (subset of the
+    # exhaustive bigram-Jaccard >= 0.5 set, which DuckDB counts exactly)
+    # and recall stays above the documented bound (observed 0.68-0.79 on
+    # the fixtures; asserted >= 0.6).
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS s
+      FROM toks WHERE len(w) >= 2
+    ),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    )
+    SELECT COUNT(*) AS n_exact_pairs,
+           TRUE AS subset_ok,
+           TRUE AS recall_ok
+    FROM exact
+    """,
+)
 def d02(spark, sf):
-    from duckdb_graphar_spark.operators.dedup import simhash_pairs
+    """SimHash blocking verified against the exhaustive near-dup set:
+    candidates (hamming<=6 on 64-bit simhash over word bigrams) are
+    exact-Jaccard-verified, then compared to the full O(n^2) bigram
+    pair set — emitting (n_exact_pairs, subset_ok, recall_ok)."""
+    from duckdb_graphar_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingles,
+        simhash_pairs,
+    )
+    from duckdb_graphar_spark.operators.text import token_count
 
-    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=6, k=2)
+    d = _t(spark, sf, "documents")
+    cand = simhash_pairs(d, max_hamming=6, k=2).select("id_a", "id_b")
+    found = ngram_jaccard_pairs(d, cand, k=2, threshold=0.5).select("id_a", "id_b")
+    # exhaustive bigram-Jaccard pair set, exactly the t07 shape (mirrors
+    # the oracle's `WHERE len(w) >= 2` doc restriction)
+    sh = d.filter(token_count(F.col("text")) >= 2).select(
+        F.col("doc_id"), shingles(F.col("text"), 2).alias("__s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__s").alias("__sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__s").alias("__sb"))
+    jac = F.size(F.array_intersect("__sa", "__sb")).cast("double") / F.size(
+        F.array_union("__sa", "__sb")
+    )
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b")).filter(jac >= 0.5).select("id_a", "id_b")
+    )
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nf = found.agg(F.count(F.lit(1)).alias("__nf"))
+    extra = found.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__extra")
+    )
+    return (
+        ne.crossJoin(nf)
+        .crossJoin(extra)
+        .select(
+            "n_exact_pairs",
+            (F.col("__extra") == 0).alias("subset_ok"),
+            ((F.col("__nf") - F.col("__extra")).cast("double")
+             >= F.col("n_exact_pairs") * F.lit(0.6)).alias("recall_ok"),
+        )
+    )
 
 
-@_q("d03_embedding_lsh_neardup", None)  # LSH-pruned ≈ recall<1 — rows-only
+@_q(
+    "d03_embedding_lsh_neardup",
+    # ORACLE: same verification pattern as d02 — DuckDB counts the exact
+    # cosine >= 0.9 pair set; Spark asserts the hyperplane-LSH candidates
+    # are a subset with recall >= 0.6 of it.
+    """
+    SELECT COUNT(*) AS n_exact_pairs,
+           TRUE AS subset_ok,
+           TRUE AS recall_ok
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+    """,
+)
 def d03(spark, sf):
-    from duckdb_graphar_spark.operators.dedup import embedding_near_dup_pairs
+    """Hyperplane-LSH near-dup pairs verified against the exact O(n^2)
+    cosine pair set — emits (n_exact_pairs, subset_ok, recall_ok)."""
+    from duckdb_graphar_spark.operators.dedup import (
+        embedding_exact_pairs,
+        embedding_near_dup_pairs,
+    )
 
-    return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.9, n_planes=8)
+    e = _t(spark, sf, "embeddings")
+    found = embedding_near_dup_pairs(e, threshold=0.9, n_planes=8).select("id_a", "id_b")
+    exact = embedding_exact_pairs(e, threshold=0.9).select("id_a", "id_b")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nf = found.agg(F.count(F.lit(1)).alias("__nf"))
+    extra = found.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__extra")
+    )
+    return (
+        ne.crossJoin(nf)
+        .crossJoin(extra)
+        .select(
+            "n_exact_pairs",
+            (F.col("__extra") == 0).alias("subset_ok"),
+            ((F.col("__nf") - F.col("__extra")).cast("double")
+             >= F.col("n_exact_pairs") * F.lit(0.6)).alias("recall_ok"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2173,18 +2320,94 @@ def s01(spark, sf):
     return brute_force_topk(e, q, k=5)
 
 
-@_q("s02_lsh_topk", None)  # approximate by construction — rows-only
-def s02(spark, sf):
-    from duckdb_graphar_spark.operators.similarity import lsh_topk
+_S_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3)
+    SELECT query_id, neighbor_id, cosine_sim, rank, TRUE AS approx_ok FROM (
+      SELECT q.query_id,
+             e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) DESC,
+                                         e.vec_id) AS rank
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    ) WHERE rank <= 5
+    """
+
+
+def _approx_topk_vs_exact(spark, sf, approx_fn, *, k: int = 5, bound: float = 0.6):
+    """Recall-style oracle harness for approximate top-k: emit the EXACT
+    brute-force top-k rows (value-checked against DuckDB, same as s01)
+    plus `approx_ok` = the approximate result's per-query similarity mass
+    is >= ``bound`` x the exact optimum.  The ANN result itself can't be
+    hash-compared across engines (approximate by construction); what CAN
+    be checked is the exact optimum it is measured against and the
+    quality bound it must clear (observed ratios 0.71-0.99 on the
+    fixtures; the bound leaves margin while still catching a broken
+    bucketing that returns garbage or nothing)."""
+    from duckdb_graphar_spark.operators.similarity import brute_force_topk
 
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(e, q, k=5, n_planes=6)
+    exact = brute_force_topk(e, q, k=k)
+    approx = approx_fn(e, q)
+    esum = exact.groupBy("query_id").agg(F.sum("cosine_sim").alias("__esum"))
+    asum = approx.groupBy("query_id").agg(F.sum("cosine_sim").alias("__asum"))
+    ok = esum.join(asum, "query_id", "left").select(
+        "query_id",
+        (
+            F.coalesce(F.col("__asum"), F.lit(0.0)) >= F.col("__esum") * F.lit(bound)
+        ).alias("approx_ok"),
+    )
+    return exact.join(ok, "query_id").select(
+        "query_id", "neighbor_id", "cosine_sim", "rank", "approx_ok"
+    )
 
 
-@_q("m01_image_features", None)  # stubbed decoder — rows-only
+@_q("s02_lsh_topk", _S_TOPK_ORACLE)
+def s02(spark, sf):
+    from duckdb_graphar_spark.operators.similarity import lsh_topk
+
+    return _approx_topk_vs_exact(
+        spark, sf, lambda e, q: lsh_topk(e, q, k=5, n_planes=6)
+    )
+
+
+@_q(
+    "m01_image_features",
+    # ORACLE: the fake decoder is pure byte arithmetic (documents.text is
+    # ASCII, so byte i == code point i) — width/height from byte sums,
+    # mean over the zero-padded first 256 bytes (/256 is exact in binary,
+    # so the doubles match bit-for-bit), phash = little-endian signed
+    # int64 of the first 8 bytes via HUGEINT two's complement.
+    """
+    WITH x AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS nb,
+             [CASE WHEN i <= length(text) THEN unicode(text[i]) ELSE 0 END
+              FOR i IN generate_series(1, 256)] AS c
+      FROM documents
+    ),
+    y AS (
+      SELECT *,
+             CAST(c[1] AS HUGEINT) + CAST(c[2] AS HUGEINT)*256 + CAST(c[3] AS HUGEINT)*65536
+             + CAST(c[4] AS HUGEINT)*16777216 + CAST(c[5] AS HUGEINT)*4294967296
+             + CAST(c[6] AS HUGEINT)*1099511627776 + CAST(c[7] AS HUGEINT)*281474976710656
+             + CAST(c[8] AS HUGEINT)*72057594037927936 AS v
+      FROM x
+    )
+    SELECT doc_id,
+           CAST(64 + ((c[1]+c[2]+c[3]+c[4]) % 1024) AS INTEGER) AS width,
+           CAST(64 + ((c[5]+c[6]+c[7]+c[8]) % 1024) AS INTEGER) AS height,
+           CAST(nb AS BIGINT) AS n_bytes,
+           CAST(list_sum(c) AS DOUBLE) / 256.0 AS mean_intensity,
+           CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616 ELSE v END
+                AS BIGINT) AS phash
+    FROM y
+    """,
+)
 def m01(spark, sf):
     from duckdb_graphar_spark.operators.multimodal import extract_image_features
 
@@ -2230,18 +2453,37 @@ def st01(spark, sf):
     return run_to_memory(tumbling_window_agg(stream, watermark="365 days"), "st01_out")
 
 
-@_q("s03_ivf_topk", None)  # approximate by construction — rows-only
+@_q("s03_ivf_topk", _S_TOPK_ORACLE)
 def s03(spark, sf):
     from duckdb_graphar_spark.operators.similarity import ivf_topk
 
-    e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    return _approx_topk_vs_exact(
+        spark, sf, lambda e, q: ivf_topk(e, q, k=5, n_probe=2)
     )
-    return ivf_topk(e, q, k=5, n_probe=2)
 
 
-@_q("m02_frame_sample", None)  # stubbed decoder — rows-only
+@_q(
+    "m02_frame_sample",
+    # ORACLE: fake frame sampling is deterministic — n_frames =
+    # 1 + octet_length % 5, frame payload = a 16-byte slice at the frame
+    # index (ASCII text, so a VARCHAR slice re-encoded equals the byte
+    # slice).  Expressed via an unnested per-row struct list because
+    # generate_series can't take lateral column args.
+    """
+    SELECT doc_id,
+           u['frame_idx'] AS frame_idx,
+           u['ts_ms'] AS ts_ms,
+           u['frame_payload'] AS frame_payload
+    FROM (
+      SELECT doc_id,
+             unnest([{'frame_idx': CAST(i AS INTEGER),
+                      'ts_ms': CAST(i*1000 AS BIGINT),
+                      'frame_payload': encode(substring(text, CAST(i+1 AS INTEGER), 16))}
+                     FOR i IN range(0, octet_length(encode(text)) % 5 + 1)]) AS u
+      FROM documents
+    )
+    """,
+)
 def m02(spark, sf):
     from duckdb_graphar_spark.operators.multimodal import sample_frames
 
