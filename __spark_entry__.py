@@ -1635,52 +1635,52 @@ def _orders_graphar(spark: SparkSession, sf_dir: str) -> str:
     DuckDB-oracle-checkable."""
     if sf_dir in _GRAPHAR_CACHE:
         return _GRAPHAR_CACHE[sf_dir]
-    import numpy as np
-    import pyarrow as pa
-
-    from duckdb_graphar_spark.graphar import EdgeSpec, VertexSpec, write_graph
+    from duckdb_graphar_spark.graphar.spark_writer import write_graph_dist
 
     out = os.path.join(
         tempfile.gettempdir(), "graphar_orders_" + re.sub(r"\W", "_", sf_dir)
     )
-    cust = (
-        _t(spark, sf_dir, "customer")
-        .orderBy("c_custkey")
-        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-        .toPandas()
+    gy = os.path.join(out, "OrdersGraph.yaml")
+    sentinel = os.path.join(out, ".complete")
+    if os.path.exists(gy) and os.path.exists(sentinel):
+        # built by an earlier process against the same sf_dir (testdata is
+        # immutable); the sentinel is written only after a full build
+        _GRAPHAR_CACHE[sf_dir] = gy
+        return gy
+    # Distributed build — no driver-side materialization: the vertex and
+    # edge tables stay DataFrames end-to-end and each GraphAr chunk is
+    # written by the executor that owns it (spark_writer.write_graph_dist).
+    # c_custkey is dense 0..n-1 in the testdata, so it IS the vertex index.
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("_graphArVertexIndex"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.date_add(
+            F.lit("2020-01-01").cast("date"),
+            (F.col("c_custkey") % 1460).cast("int"),
+        ).alias("signup_date"),
     )
-    n = len(cust)
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey").toPandas()
-    src = orders["o_custkey"].to_numpy(dtype=np.int64)
-    dst = (orders["o_orderkey"].to_numpy(dtype=np.int64)) % n
-    signup = np.array("2020-01-01", dtype="datetime64[D]") + (
-        cust["c_custkey"].to_numpy() % 1460
+    n = cust.count()
+    edges = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("_graphArSrcIndex"),
+        (F.col("o_orderkey").cast("long") % n).alias("_graphArDstIndex"),
     )
-    vt = pa.table(
-        {
-            "name": pa.array(cust["c_name"], pa.string()),
-            "nationkey": pa.array(cust["c_nationkey"], pa.int32()),
-            "acctbal": pa.array(cust["c_acctbal"], pa.float64()),
-            "mktsegment": pa.array(cust["c_mktsegment"], pa.string()),
-            "signup_date": pa.array(signup, pa.date32()),
-        }
-    )
-    gy = write_graph(
+    gy = write_graph_dist(
         out,
         "OrdersGraph",
-        {
-            "Customer": VertexSpec(
-                vt,
-                chunk_size=512,
-                property_groups=[["name", "nationkey"], ["acctbal", "mktsegment", "signup_date"]],
-            )
-        },
-        {
-            ("Customer", "ordered", "Customer"): EdgeSpec(
-                src, dst, chunk_size=2048, src_chunk_size=512, dst_chunk_size=512
-            )
+        {"Customer": cust},
+        {("Customer", "ordered", "Customer"): edges},
+        vertex_chunk_size=512,
+        edge_chunk_size=2048,
+        aligned_chunk_size=512,
+        vertex_property_groups={
+            "Customer": [["name", "nationkey"], ["acctbal", "mktsegment", "signup_date"]]
         },
     )
+    with open(sentinel, "w") as f:
+        f.write("ok")
     _GRAPHAR_CACHE[sf_dir] = gy
     return gy
 
@@ -1785,14 +1785,18 @@ def ga10(spark, sf):
 @_q(
     "ga11_catalog_tables",
     """
-    SELECT * FROM (VALUES ('Customer_ordered_Customer_edge', 'edge'),
+    SELECT * FROM (VALUES ('Customer.vertex', 'vertex'),
+                          ('Customer_ordered_Customer.edge', 'edge'),
+                          ('Customer_ordered_Customer_edge', 'edge'),
                           ('Customer_vertex', 'vertex')) AS t(view_name, kind)
     """,
 )
 def ga11(spark, sf):
     """Catalog introspection (D7 / reference `SHOW TABLES` golden test,
-    `config/test/sql/graphar/attach.test:4-16`): attach registers one view
-    per vertex/edge info; the registry listing is the golden output."""
+    `config/test/sql/graphar/attach.test:4-16`): attach registers the
+    reference-exact dotted name (`Customer.vertex` — the golden output,
+    `src/utils/func.cpp:55-63`) plus an underscore alias for unquoted
+    Spark SQL."""
     from duckdb_graphar_spark.graphar.catalog import attach
 
     registered = attach(spark, _orders_graphar(spark, sf))
@@ -2441,7 +2445,22 @@ def m03(spark, sf):
     )
 
 
-@_q("st01_stream_tumbling", None)  # structured streaming — rows-only
+@_q(
+    "st01_stream_tumbling",
+    # ORACLE: the stream is driven to completion (complete output mode)
+    # over the bounded fixture, so the final memory-sink table equals the
+    # batch tumbling aggregation — which IS SQL-expressible.  The decimal
+    # sum makes the float total order-independent across micro-batches.
+    """
+    SELECT CAST(to_timestamp(b * 300) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(b * 300 + 300) AS TIMESTAMP) AS window_end,
+           event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(26,8))) AS DOUBLE), 6) AS sum_value
+    FROM (SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS b, event_type, value
+          FROM events)
+    GROUP BY 1, 2, 3
+    """,
+)
 def st01(spark, sf):
     from duckdb_graphar_spark.streaming.ops import (
         read_events_stream,
@@ -2573,7 +2592,18 @@ def st06(spark, sf):
     return run_to_memory(enriched, "st06_out", mode="complete")
 
 
-@_q("st05_stateful_totals", None)  # applyInPandasWithState — rows-only
+@_q(
+    "st05_stateful_totals",
+    # ORACLE: the fixture is a single parquet file → one micro-batch →
+    # update mode emits exactly one final row per user, equal to the
+    # batch per-user totals.  The pandas-side float accumulation is
+    # rounded to 6 decimals on both sides.
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def st05(spark, sf):
     from duckdb_graphar_spark.streaming.ops import (
         read_events_stream,
@@ -2587,12 +2617,33 @@ def st05(spark, sf):
     )
 
 
-@_q("st02_stream_dedup", None)
+@_q(
+    "st02_stream_dedup",
+    # ORACLE: event_ids are unique in the fixture, so the stream is
+    # unioned with ITSELF (every event arrives twice, within the
+    # watermark) and dropDuplicatesWithinWatermark must collapse the
+    # copies back to exactly the distinct event set — a real dedup, SQL-
+    # expressible as the plain table.  ts is compared as epoch µs (ns in
+    # DuckDB, µs in Spark).
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+    FROM events
+    """,
+)
 def st02(spark, sf):
     from duckdb_graphar_spark.streaming.ops import read_events_stream, stateful_dedup
 
     stream = read_events_stream(spark, f"{sf}/events.parquet")
-    dd = stateful_dedup(stream, keys=["event_id"], watermark="365 days")
+    doubled = stream.unionAll(read_events_stream(spark, f"{sf}/events.parquet"))
+    dd = stateful_dedup(doubled, keys=["event_id"], watermark="365 days")
+    dd = dd.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
     q = dd.writeStream.outputMode("append").format("memory").queryName("st02_out").start()
     try:
         q.processAllAvailable()
@@ -2621,20 +2672,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # priority list below pins the window; anything unlisted follows in
 # definition order.
 _PRIORITY = [
-    # §2.A + §2.B — GraphAr storage/read surface
+    # --- first 50: one entry per distinct §2 / LLM-pipeline row, so a
+    # --- 50-entry check window verifies the WIDEST operator surface ---
+    # §2.A + §2.B — GraphAr storage/read surface (13)
     *[f"ga{i:02d}" for i in range(1, 14)],
-    # §2.C — graph operators
+    # §2.C — graph operators + demo scalar fn (9)
     *[f"g{i:02d}" for i in range(1, 9)],
-    # LLM-pipeline: text analysis, dedup, similarity, sampling
-    *[f"t{i:02d}" for i in range(1, 13)],
-    "d01", "d02", "d03", "s01", "s02", "s03",
-    "m03", "st06",
-    # relational core + the three round-1 failures (events loading)
-    "q01", "q05", "q24", "q25", "q26",
-    # custom operators: as-of join, bucketed layout, unpivot
-    "q50", "q51", "q52",
-    # newly oracle-checkable approx distinct + §2.C6 demo scalar fn
-    "q31", "c01", "u01",
+    "c01",
+    # §2.D relational core: count/groupBy, filter/pushdown, limit/topk,
+    # joins, approx distinct, window fns, scalar fns (JSON = the r01
+    # failure), batch twins of the windowed aggs, pandas UDAF (10)
+    "q01", "q02", "q03", "q05", "q31", "q14", "q24", "q25", "q26", "q35",
+    # §2.E — every streaming operator (6)
+    "st01", "st02", "st03", "st04", "st05", "st06",
+    # LLM pipeline: text analysis, exact dedup, minhash, sampling, prep,
+    # embedding/simhash near-dup, ANN, multimodal (12)
+    "t01", "t04", "t06", "t10", "t12",
+    "d01", "d02", "d03", "s01", "s02", "m01", "m03",
+    # --- 51+: next-best unique surface if the window is wider ---
+    "q50", "q51", "q52", "q45", "q46", "t11", "s03", "m02", "u01", "u02",
+    "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49",
+    *[f"t{i:02d}" for i in (2, 3, 5, 7, 8, 9)],
 ]
 
 

@@ -383,19 +383,28 @@ def write_graph_dist(
     aligned_chunk_size: int = 1024,
     layouts: tuple[str, ...] = ("src", "dst"),
     file_type: str = "parquet",
+    vertex_property_groups: dict[str, list[list[str]]] | None = None,
 ) -> str:
     """Write a whole graph distributedly; returns the graph YAML path.
 
     ``vertices[vtype]`` must carry a dense ``_graphArVertexIndex``
     (see :func:`with_dense_index`); ``edges[(src,etype,dst)]`` carries
-    ``_graphArSrcIndex``/``_graphArDstIndex`` plus property columns."""
+    ``_graphArSrcIndex``/``_graphArDstIndex`` plus property columns.
+    ``vertex_property_groups[vtype]`` optionally splits that type's
+    property columns into column groups (default: one group per
+    column)."""
     os.makedirs(out_dir, exist_ok=True)
     vertex_yamls, edge_yamls = [], []
     vcounts: dict[str, int] = {}
     for vtype, vdf in vertices.items():
         vertex_yamls.append(
             write_vertices_dist(
-                vdf, out_dir, vtype, chunk_size=vertex_chunk_size, file_type=file_type
+                vdf,
+                out_dir,
+                vtype,
+                chunk_size=vertex_chunk_size,
+                property_groups=(vertex_property_groups or {}).get(vtype),
+                file_type=file_type,
             )
         )
         vcounts[vtype] = vdf.count()
