@@ -45,7 +45,14 @@ def tumbling_window_agg(
     e = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         e.groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        # decimal-sum → double → round: order-independent across partial
+        # aggregation (and micro-batch) orders — see session_window_agg
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(26,8)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
