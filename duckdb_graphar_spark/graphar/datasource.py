@@ -259,9 +259,15 @@ class GraphArDataSource(DataSource):
         return "graphar"
 
     def _graph(self) -> GraphInfo:
-        path = self.options.get("path")
+        # `yaml` is preferred for SQL `CREATE TABLE ... USING graphar`:
+        # Spark's catalog treats the reserved `path` option as a table
+        # location and re-qualifies it on every read (mangling it to
+        # cwd + 'file:/...'), while non-reserved option names pass
+        # through verbatim.  `path` remains for programmatic
+        # spark.read.format("graphar").option("path", ...) use.
+        path = self.options.get("yaml") or self.options.get("path")
         if not path:
-            raise ValueError("graphar: option 'path' (graph YAML) is required")
+            raise ValueError("graphar: option 'yaml' (graph YAML path) is required")
         return GraphInfo.load(path)
 
     def schema(self) -> T.StructType:

@@ -41,7 +41,14 @@ from pyspark.sql import types as T
 
 
 def _fs_for(path: str):
-    """(pyarrow FileSystem, fs-local path) for a URI, or (None, path)."""
+    """(pyarrow FileSystem, fs-local path) for a URI, or (None, path).
+
+    `file:` URIs (any slash count — Spark's catalog qualifies table
+    OPTIONS paths as `file:/abs/path`) resolve to the plain local
+    filesystem."""
+    if path.startswith("file:"):
+        local = re.sub(r"^file:/*", "/", path)
+        return None, local
     if "://" not in path:
         return None, path
     from pyarrow import fs as pafs
@@ -52,7 +59,7 @@ def _fs_for(path: str):
 def _read_text(path: str) -> str:
     f, p = _fs_for(path)
     if f is None:
-        with open(path) as fh:
+        with open(p) as fh:
             return fh.read()
     with f.open_input_stream(p) as fh:
         return fh.read().decode()
@@ -61,7 +68,7 @@ def _read_text(path: str) -> str:
 def _path_exists(path: str) -> bool:
     f, p = _fs_for(path)
     if f is None:
-        return os.path.exists(path)
+        return os.path.exists(p)
     from pyarrow import fs as pafs
 
     return f.get_file_info(p).type != pafs.FileType.NotFound
@@ -71,7 +78,7 @@ def _list_names(directory: str) -> list[str]:
     """Base names of entries in a directory ([] if absent)."""
     f, p = _fs_for(directory)
     if f is None:
-        return os.listdir(directory) if os.path.isdir(directory) else []
+        return os.listdir(p) if os.path.isdir(p) else []
     from pyarrow import fs as pafs
 
     info = f.get_file_info(p)

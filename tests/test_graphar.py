@@ -93,7 +93,7 @@ def test_metadata_counts(graph_fixture):
 
 
 def test_attach_views(spark, graph_fixture):
-    views = graphar.attach(spark, graph_fixture["yaml"])
+    views = graphar.attach(spark, graph_fixture["yaml"], naming="underscore")
     assert views == {"Person_vertex": "vertex", "Person_knows_Person_edge": "edge"}
     n = spark.sql("SELECT count(*) AS n FROM Person_vertex").collect()[0].n
     assert n == graph_fixture["n"]
@@ -102,6 +102,26 @@ def test_attach_views(spark, graph_fixture):
         "SELECT _graphArVertexIndex FROM Person_vertex WHERE hash_phone_no = 42"
     ).collect()
     assert [x._graphArVertexIndex for x in r] == [42]
+
+
+def test_attach_dotted_golden_names(spark, graph_fixture):
+    """A3 catalog parity: dotted view names match the reference's SHOW
+    TABLES golden byte-for-byte (`config/test/sql/graphar/attach.test:
+    6-16`: Person.vertex / Person_knows_Person.edge, naming scheme
+    `src/utils/func.cpp:55-63`); queried with backquotes (the documented
+    Spark-quoting deviation)."""
+    views = graphar.attach(spark, graph_fixture["yaml"], naming="dotted")
+    assert views == {"Person.vertex": "vertex", "Person_knows_Person.edge": "edge"}
+    # reference golden list, same order (vertices then edges)
+    assert list(views) == ["Person.vertex", "Person_knows_Person.edge"]
+    n = spark.sql("SELECT count(*) AS n FROM `Person.vertex`").collect()[0].n
+    assert n == graph_fixture["n"]
+    src, dst = graph_fixture["src"], graph_fixture["dst"]
+    got = spark.sql(
+        "SELECT _graphArDstIndex FROM `Person_knows_Person.edge` "
+        "WHERE _graphArSrcIndex = 42 ORDER BY 1"
+    ).collect()
+    assert [r._graphArDstIndex for r in got] == sorted(dst[src == 42].tolist())
 
 
 @pytest.mark.parametrize("file_type", ["orc", "csv", "json"])
