@@ -30,6 +30,22 @@ def test_vertex_point_lookup_out_of_range(spark, graph_fixture):
         graphar.read_vertices(spark, graph_fixture["yaml"], "Person", vid=10**9)
 
 
+@pytest.mark.parametrize("side", ["src", "dst"])
+def test_edge_point_lookup_out_of_range(spark, graph_fixture, side):
+    """Error-path parity (`read_vertices.cpp:98-108` BinderException):
+    an out-of-range point id must raise on BOTH edge layouts, not
+    silently return empty."""
+    kw = {f"{side}_vid": 10**9}
+    with pytest.raises(ValueError, match="out of range"):
+        graphar.read_edges(
+            spark, graph_fixture["yaml"], "Person", "knows", "Person", **kw
+        )
+    with pytest.raises(ValueError, match="out of range"):
+        graphar.read_edges(
+            spark, graph_fixture["yaml"], "Person", "knows", "Person", **{f"{side}_vid": -1}
+        )
+
+
 def test_vertex_column_pruning(spark, graph_fixture):
     v = graphar.read_vertices(spark, graph_fixture["yaml"], "Person", columns=["score"])
     assert v.columns == ["_graphArVertexIndex", "score"]

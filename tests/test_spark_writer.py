@@ -146,6 +146,40 @@ def test_matches_driver_writer(spark, tmp_path, dist_graph):
     assert sorted(map(tuple, ea.collect())) == sorted(map(tuple, eb.collect()))
 
 
+@pytest.mark.parametrize("file_type", ["orc", "csv"])
+def test_dist_writer_multiformat(spark, tmp_path, file_type):
+    """A4 on the DISTRIBUTED writer path: non-parquet chunk formats
+    round-trip through the Arrow readers identically to parquet."""
+    from duckdb_graphar_spark import graphar
+    from duckdb_graphar_spark.graphar.spark_writer import write_graph_dist
+
+    n = 130
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    vdf = spark.createDataFrame(
+        [(int(i), f"p{i}") for i in range(n)], "_graphArVertexIndex long, name string"
+    )
+    edf = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)],
+        "_graphArSrcIndex long, _graphArDstIndex long",
+    )
+    gy = write_graph_dist(
+        str(tmp_path),
+        "Fmt",
+        {"Person": vdf},
+        {("Person", "knows", "Person"): edf},
+        vertex_chunk_size=64,
+        edge_chunk_size=64,
+        aligned_chunk_size=64,
+        file_type=file_type,
+    )
+    v = graphar.read_vertices(spark, gy, "Person")
+    assert v.count() == n
+    assert v.filter(F.col("_graphArVertexIndex") == 7).collect()[0].name == "p7"
+    e = graphar.read_edges(spark, gy, "Person", "knows", "Person", src_vid=42)
+    assert [r._graphArDstIndex for r in e.collect()] == [43]
+
+
 def test_with_dense_index(spark):
     from duckdb_graphar_spark.graphar.spark_writer import with_dense_index
 
