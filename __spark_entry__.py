@@ -1661,24 +1661,27 @@ def _orders_graphar(spark: SparkSession, sf_dir: str) -> str:
             F.lit("2020-01-01").cast("date"),
             (F.col("c_custkey") % 1460).cast("int"),
         ).alias("signup_date"),
-    )
+    ).cache()  # counted here for the edge modulus AND inside the writer
     n = cust.count()
     edges = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("long").alias("_graphArSrcIndex"),
         (F.col("o_orderkey").cast("long") % n).alias("_graphArDstIndex"),
     )
-    gy = write_graph_dist(
-        out,
-        "OrdersGraph",
-        {"Customer": cust},
-        {("Customer", "ordered", "Customer"): edges},
-        vertex_chunk_size=512,
-        edge_chunk_size=2048,
-        aligned_chunk_size=512,
-        vertex_property_groups={
-            "Customer": [["name", "nationkey"], ["acctbal", "mktsegment", "signup_date"]]
-        },
-    )
+    try:
+        gy = write_graph_dist(
+            out,
+            "OrdersGraph",
+            {"Customer": cust},
+            {("Customer", "ordered", "Customer"): edges},
+            vertex_chunk_size=512,
+            edge_chunk_size=2048,
+            aligned_chunk_size=512,
+            vertex_property_groups={
+                "Customer": [["name", "nationkey"], ["acctbal", "mktsegment", "signup_date"]]
+            },
+        )
+    finally:
+        cust.unpersist(blocking=False)
     with open(sentinel, "w") as f:
         f.write("ok")
     _GRAPHAR_CACHE[sf_dir] = gy
@@ -2175,6 +2178,29 @@ def d01(spark, sf):
     return embedding_exact_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
 
 
+def _subset_recall_frame(found: DataFrame, exact: DataFrame, *, bound: float = 0.6) -> DataFrame:
+    """Shared oracle scaffold for blocking-stage verifiers (d02/d03):
+    emits one row (n_exact_pairs, subset_ok, recall_ok) where subset_ok =
+    every found pair is in the exact set and recall_ok = found covers at
+    least ``bound`` of it.  The DuckDB twin computes n_exact_pairs
+    exactly and hard-codes TRUE for the two bounds."""
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nf = found.agg(F.count(F.lit(1)).alias("__nf"))
+    extra = found.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__extra")
+    )
+    return (
+        ne.crossJoin(nf)
+        .crossJoin(extra)
+        .select(
+            "n_exact_pairs",
+            (F.col("__extra") == 0).alias("subset_ok"),
+            ((F.col("__nf") - F.col("__extra")).cast("double")
+             >= F.col("n_exact_pairs") * F.lit(bound)).alias("recall_ok"),
+        )
+    )
+
+
 @_q(
     "d02_simhash_pairs",
     # ORACLE: the simhash signature itself is engine-specific (xxhash64
@@ -2226,6 +2252,14 @@ def d02(spark, sf):
     sh = d.filter(token_count(F.col("text")) >= 2).select(
         F.col("doc_id"), shingles(F.col("text"), 2).alias("__s")
     )
+    # restrict the candidate side to the SAME >=2-token universe as the
+    # exact set — identical sub-bigram docs would otherwise show up as
+    # found-but-not-exact and falsely flip subset_ok
+    ids = sh.select("doc_id")
+    found = (
+        found.join(ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("__s").alias("__sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("__s").alias("__sb"))
     jac = F.size(F.array_intersect("__sa", "__sb")).cast("double") / F.size(
@@ -2234,21 +2268,7 @@ def d02(spark, sf):
     exact = (
         a.join(b, F.col("id_a") < F.col("id_b")).filter(jac >= 0.5).select("id_a", "id_b")
     )
-    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    nf = found.agg(F.count(F.lit(1)).alias("__nf"))
-    extra = found.join(exact, ["id_a", "id_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("__extra")
-    )
-    return (
-        ne.crossJoin(nf)
-        .crossJoin(extra)
-        .select(
-            "n_exact_pairs",
-            (F.col("__extra") == 0).alias("subset_ok"),
-            ((F.col("__nf") - F.col("__extra")).cast("double")
-             >= F.col("n_exact_pairs") * F.lit(0.6)).alias("recall_ok"),
-        )
-    )
+    return _subset_recall_frame(found, exact)
 
 
 @_q(
@@ -2276,21 +2296,7 @@ def d03(spark, sf):
     e = _t(spark, sf, "embeddings")
     found = embedding_near_dup_pairs(e, threshold=0.9, n_planes=8).select("id_a", "id_b")
     exact = embedding_exact_pairs(e, threshold=0.9).select("id_a", "id_b")
-    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    nf = found.agg(F.count(F.lit(1)).alias("__nf"))
-    extra = found.join(exact, ["id_a", "id_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("__extra")
-    )
-    return (
-        ne.crossJoin(nf)
-        .crossJoin(extra)
-        .select(
-            "n_exact_pairs",
-            (F.col("__extra") == 0).alias("subset_ok"),
-            ((F.col("__nf") - F.col("__extra")).cast("double")
-             >= F.col("n_exact_pairs") * F.lit(0.6)).alias("recall_ok"),
-        )
-    )
+    return _subset_recall_frame(found, exact)
 
 
 # ---------------------------------------------------------------------------

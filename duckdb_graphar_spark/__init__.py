@@ -36,6 +36,7 @@ def ship_to_workers(spark) -> None:
     files added this way land on every executor's python path, locally and
     on a real cluster alike.  Idempotent per SparkContext.
     """
+    import hashlib
     import os
     import tempfile
     import zipfile
@@ -45,14 +46,35 @@ def ship_to_workers(spark) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="dgs_pkg_")
-    os.close(fd)
-    with zipfile.ZipFile(zpath, "w") as z:
-        for dirpath, _dirs, files in os.walk(pkg_dir):
-            for fname in files:
-                if fname.endswith(".py"):
-                    full = os.path.join(dirpath, fname)
-                    z.write(full, os.path.relpath(full, root))
+    members = []
+    digest = hashlib.sha256()
+    for dirpath, _dirs, files in os.walk(pkg_dir):
+        for fname in sorted(files):
+            if fname.endswith(".py"):
+                full = os.path.join(dirpath, fname)
+                members.append(full)
+                digest.update(full.encode())
+                with open(full, "rb") as fh:
+                    digest.update(fh.read())
+    # Content-addressed name: executors fetch from this path lazily (it
+    # must outlive the session, so it is NOT deleted), and every process
+    # shipping identical package bytes reuses the same file — one zip per
+    # package version on disk, never one per process, and no
+    # same-name/different-content clash across concurrent sessions.
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"dgs_pkg_{digest.hexdigest()[:16]}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in members:
+                # fixed timestamp → byte-identical zips from identical
+                # sources, so concurrent builders can't race Spark's
+                # fetched-copy content check
+                info = zipfile.ZipInfo(os.path.relpath(full, root), (2020, 1, 1, 0, 0, 0))
+                with open(full, "rb") as fh:
+                    z.writestr(info, fh.read())
+        os.replace(tmp, zpath)  # atomic: concurrent builders agree
     sc.addPyFile(zpath)
     entry = os.path.join(root, "__spark_entry__.py")
     if os.path.exists(entry):

@@ -62,8 +62,12 @@ def _drop_with_location(spark: SparkSession, table: str) -> None:
     if loc is None:
         wh = spark.conf.get("spark.sql.warehouse.dir")
         parts = table.lower().split(".")
-        if len(parts) == 1:
-            loc = f"{wh}/{parts[0]}"
+        if parts and parts[0] == "spark_catalog":
+            parts = parts[1:]  # catalog part never appears in the path
+        if len(parts) == 1 or parts[0] == "default":
+            # default-database managed tables live directly under the
+            # warehouse root, not under default.db/
+            loc = f"{wh}/{parts[-1]}"
         else:
             loc = f"{wh}/{'.'.join(parts[:-1])}.db/{parts[-1]}"
     jvm = spark._jvm

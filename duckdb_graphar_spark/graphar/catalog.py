@@ -12,14 +12,17 @@ Naming: the reference's names contain a literal dot.  Spark accepts a
 single-part temp-view name containing a dot only via backquoting, so
 `attach` registers BOTH spellings by default: the reference-exact
 dotted name (`Person.vertex` — query as ``SELECT * FROM
-`Person.vertex` ``; `SHOW TABLES` / `listTables` shows the golden
+`Person.vertex` ``; `SHOW TABLES` / `listTables` includes the golden
 name) and an underscore alias (`Person_vertex`) for unquoted SQL.
-That backquote is the one documented deviation — DuckDB resolves the
+Two documented deviations: the backquote (DuckDB resolves the
 unquoted two-part `Person.vertex` against its attached catalog,
-while Spark would parse it as `database.table` (and Python data
+while Spark would parse it as `database.table` — and Python data
 source catalog tables cannot carry the graph-YAML option through a
 round-trip, so a real per-type database is not implementable without
-materializing the data).
+materializing the data), and the underscore base views, which are
+registered even under ``naming="dotted"`` (each dotted view is a SQL
+view defined over its underscore twin, so the session catalog lists
+both; the returned dict contains only the requested spelling).
 """
 
 from __future__ import annotations

@@ -29,6 +29,10 @@ def read_events_stream(spark: SparkSession, path: str, *, max_files: int = 4) ->
     one micro-batch slice; real deployments swap in kafka)."""
     import os
 
+    # same bare-session defense as tables.load_table: the fixture column is
+    # TIMESTAMP(NANOS); with this conf (and the explicit LongType schema)
+    # it arrives as long ns under any session, factory-built or not
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", max_files)
     if path.endswith(".parquet") and os.path.isfile(path):
         # streaming file sources require a directory; narrow with a glob

@@ -130,6 +130,14 @@ def test_attach_dotted_golden_names(spark, graph_fixture):
     assert views == {"Person.vertex": "vertex", "Person_knows_Person.edge": "edge"}
     # reference golden list, same order (vertices then edges)
     assert list(views) == ["Person.vertex", "Person_knows_Person.edge"]
+    # the golden names are listed in the session catalog; the underscore
+    # base views also exist (documented deviation — dotted views are SQL
+    # views over them)
+    # the session catalog stores temp-view names case-folded, so compare
+    # lowercased; the case-exact golden spelling is asserted via `views`
+    listed = {t.name.lower() for t in spark.catalog.listTables()}
+    assert {"person.vertex", "person_knows_person.edge"} <= listed
+    assert {"person_vertex", "person_knows_person_edge"} <= listed
     n = spark.sql("SELECT count(*) AS n FROM `Person.vertex`").collect()[0].n
     assert n == graph_fixture["n"]
     src, dst = graph_fixture["src"], graph_fixture["dst"]
