@@ -2658,6 +2658,194 @@ def st02(spark, sf):
     return spark.table("st02_out")
 
 
+@_q(
+    "t13_dup_ngram_coverage",
+    # ORACLE: fully SQL-expressible — distinct per-doc word 3-grams,
+    # corpus doc-frequency, per-doc duplicate coverage.  DuckDB 1.0 has
+    # no lateral generate_series, so the gram list is built as a scalar
+    # list_transform and unnested.
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w)-2),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS gram
+      FROM toks
+    ),
+    c AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+    per AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN c.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+      FROM g JOIN c USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(per.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           ROUND(COALESCE(per.n_dup_grams / CAST(per.n_grams AS DOUBLE), 0.0), 6) AS dup_frac
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def t13(spark, sf):
+    """Cross-doc duplicate n-gram coverage (Lee et al. 2022 signal);
+    n=3 so the small fixture vocabulary produces a non-trivial dup set."""
+    from duckdb_graphar_spark.operators.text import duplicate_ngram_coverage
+
+    return duplicate_ngram_coverage(_t(spark, sf, "documents"), n=3)
+
+
+@_q(
+    "t14_repetition_stats",
+    # ORACLE: modal-bigram mass + distinct-token ratio, mirrored with
+    # unnested bigrams and list_distinct.  n_tokens mirrors Spark's
+    # token_count (trim + \s+ split).
+    """
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w)-1),
+                                   i -> array_to_string(w[i:i+1], ' '))) AS g
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    top AS (SELECT doc_id, MAX(c) AS top_n FROM cnt GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(CASE WHEN trim(t.text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(t.text), '\\s+')) END AS BIGINT) AS n_tokens,
+           CAST(COALESCE(top.top_n, 0) AS BIGINT) AS top_bigram_n,
+           ROUND(CASE WHEN n_tokens > 0
+                      THEN COALESCE(top.top_n, 0) * 2 / CAST(n_tokens AS DOUBLE)
+                      ELSE 0.0 END, 6) AS top_bigram_frac,
+           ROUND(CASE WHEN len(t.w) > 0
+                      THEN len(list_distinct(t.w)) / CAST(len(t.w) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS uniq_token_ratio
+    FROM toks t LEFT JOIN top USING (doc_id)
+    """,
+)
+def t14(spark, sf):
+    """Within-doc repetition quality signals (Gopher §A1.1)."""
+    from duckdb_graphar_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
+@_q(
+    "t15_mixture_sample",
+    # ORACLE: the per-domain rate is pure integer arithmetic
+    # (min(4096, total*4096 // (n_domains*domain_size))) and the keep
+    # decision is a lexicographic compare of md5 hex prefixes — both
+    # engine-exact, so the sampled ROW SET is identical, not just its
+    # statistics.
+    """
+    WITH dom AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS dom_sz
+                 FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(dom_sz) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nd FROM dom),
+    rates AS (SELECT source,
+                     CAST(LEAST(4096, (tot.tot * 4096) // (tot.nd * dom.dom_sz)) AS BIGINT) AS rate
+              FROM dom, tot)
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE r.rate >= 4096 OR substr(md5(d.text), 1, 3) < printf('%03x', r.rate)
+    """,
+)
+def t15(spark, sf):
+    """Domain-mixture rebalancing: uniform per-source size budget via
+    content-addressed downsampling (`operators/sampling.py:mixture_sample`)."""
+    from duckdb_graphar_spark.operators.sampling import mixture_sample
+
+    s = mixture_sample(
+        _t(spark, sf, "documents"),
+        domain_col="source",
+        size_col="n_chars",
+        key_col="text",
+        rate_col="rate",
+    )
+    return s.select("doc_id", "source", F.col("rate").cast("long").alias("rate"))
+
+
+@_q(
+    "q53_interval_join",
+    # ORACLE: plain BETWEEN join in DuckDB; the Spark side uses the
+    # bucketized interval_join operator (equi-join on bucket id +
+    # residual BETWEEN — no nested-loop), which must produce the exact
+    # same pair set.
+    """
+    SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(26,8))) AS DOUBLE), 4) AS revenue
+    FROM orders o JOIN lineitem l
+      ON CAST(l.l_shipdate AS DATE)
+         BETWEEN CAST(o.o_orderdate AS DATE) AND CAST(o.o_orderdate AS DATE) + 6
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderkey
+    """,
+)
+def q53(spark, sf):
+    """Point-in-interval join at scale: ship-date vs a 7-day window
+    after each urgent order's date (`operators/interval.py`)."""
+    from duckdb_graphar_spark.operators.interval import interval_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), epoch).alias("start_day"),
+            (F.datediff(F.col("o_orderdate"), epoch) + 6).alias("end_day"),
+        )
+    )
+    p = _t(spark, sf, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), epoch).alias("ship_day"),
+        "l_extendedprice",
+    )
+    j = interval_join(
+        p, o, point_col="ship_day", start_col="start_day", end_col="end_day", bucket_size=7
+    )
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec_sum(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
+@_q(
+    "s04_quantize_stats",
+    # ORACLE: per-vector absmax int8 quantization report.  The L2 norm
+    # mirrors Spark's sequential fold via list_reduce over a 0-prepended
+    # squares list (same addition order → bit-identical doubles); max
+    # and scale are order-independent.  err_ok is a hard invariant
+    # (error <= scale/2), not a tolerance.
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    s AS (
+      SELECT vec_id, x, len(x) AS dim,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(x, e -> e*e)),
+                              (a, b) -> a + b)) AS norm,
+             list_max(list_transform(x, e -> abs(e))) / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT *, list_transform(x, e -> LEAST(127.0, GREATEST(-127.0, round(e / scale)))) AS qv
+      FROM s
+    ),
+    e AS (
+      SELECT *, CASE WHEN scale = 0.0 THEN 0.0
+                     ELSE list_max(list_transform(generate_series(1, CAST(len(x) AS INTEGER)),
+                                                  i -> abs(x[i] - qv[i]*scale))) END AS err
+      FROM q
+    )
+    SELECT vec_id, CAST(dim AS INTEGER) AS dim, ROUND(norm, 6) AS norm,
+           ROUND(scale, 6) AS scale, ROUND(err, 6) AS max_abs_err,
+           err <= scale/2.0 + 1e-12 AS err_ok
+    FROM e
+    """,
+)
+def s04(spark, sf):
+    """Int8 embedding quantization quality report
+    (`operators/embeddings.py:quantize_int8_stats`)."""
+    from duckdb_graphar_spark.operators.embeddings import quantize_int8_stats
+
+    return quantize_int8_stats(_t(spark, sf, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -2696,6 +2884,7 @@ _PRIORITY = [
     "t01", "t04", "t06", "t10", "t12",
     "d01", "d02", "d03", "s01", "s02", "m01", "m03",
     # --- 51+: next-best unique surface if the window is wider ---
+    "q53", "t13", "t14", "t15", "s04",
     "q50", "q51", "q52", "q45", "q46", "t11", "s03", "m02", "u01", "u02",
     "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49",
     *[f"t{i:02d}" for i in (2, 3, 5, 7, 8, 9)],

@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "t04_exact_dedup",
     "t06_minhash_clusters",
     "s01_topk_cosine",
+    # round-2 additions: corpus dup-ngram sweep, bucketized interval join
+    "t13_dup_ngram_coverage",
+    "q53_interval_join",
 ]
 
 

@@ -1,0 +1,66 @@
+"""Embedding-column utilities: normalization and int8 quantization.
+
+Training/serving pipelines store embeddings quantized (4× smaller, SIMD
+dot products); the quality gate is the reconstruction error, computed
+here per vector.  Everything is JVM-side higher-order functions over
+``array<float>`` — no Python in the loop, linear scan, no shuffle — so
+the operator is a pure map at any scale.
+
+Float parity note: the arrays are cast element-wise to double before
+any arithmetic, giving bit-identical IEEE754 results in Spark and the
+DuckDB oracle (both round() halves away from zero).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def l2_norm(vec: Column) -> Column:
+    """sqrt(sum(x^2)) over an array column (double)."""
+    return F.sqrt(
+        F.aggregate(_as_double(vec), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def quantize_int8_stats(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization quality report.
+
+    scale = max(|x|)/127 (the standard absmax scheme); q_i =
+    round(x_i/scale) clamped to [-127,127]; reported per vector:
+
+    - ``dim``            — vector length
+    - ``norm``           — L2 norm of the original (round 6)
+    - ``scale``          — quantization step (round 6)
+    - ``max_abs_err``    — max_i |x_i - q_i*scale| (round 6); bounded by
+      scale/2, so the bound itself is checked engine-independently
+    - ``err_ok``         — max_abs_err <= scale/2 + 1e-12 (always true
+      for a correct quantizer — a hard invariant, not a tolerance knob)
+
+    All-zero vectors get scale 0, zero error.
+    """
+    v = _as_double(F.col(vec_col))
+    absmax = F.array_max(F.transform(v, F.abs))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.least(
+            F.lit(127.0), F.greatest(F.lit(-127.0), F.round(x / scale))
+        ),
+    )
+    err = F.array_max(F.zip_with(v, q, lambda x, qi: F.abs(x - qi * scale)))
+    err = F.when(absmax == 0.0, F.lit(0.0)).otherwise(err)
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("dim"),
+        F.round(l2_norm(F.col(vec_col)), 6).alias("norm"),
+        F.round(scale, 6).alias("scale"),
+        F.round(err, 6).alias("max_abs_err"),
+        (err <= scale / F.lit(2.0) + F.lit(1e-12)).alias("err_ok"),
+    )

@@ -66,6 +66,67 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+_HEX_DIGITS = {16: 1, 256: 2, 4096: 3, 65536: 4}
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    size_col: str,
+    key_col: str,
+    granularity: int = 4096,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Rebalance a multi-domain corpus toward a UNIFORM per-domain size
+    budget by content-addressed downsampling — the "domain mixture" step
+    of a training-data pipeline (each source should contribute ~equal
+    mass; over-represented domains are thinned, small ones kept whole).
+
+    Per domain: ``rate = min(g, (total_size * g) DIV (n_domains *
+    domain_size))`` in pure integer arithmetic (g = ``granularity``), so
+    the rate — and therefore the exact sampled row set — is reproducible
+    on any engine from the same corpus, with no float in the loop.  A
+    row is kept iff ``rate == g`` (domain at/below budget: keep all) or
+    the first hex digits of ``md5(key)`` fall below the rate's hex form —
+    the same hash-band filter as `hash_sample`, at 1/g resolution.
+
+    Scale shape: two tiny aggregates (one row per domain / one row
+    total) broadcast back onto the corpus; the sample itself is a
+    stateless per-row filter.  No corpus-sized shuffle at any size.
+
+    ``rate_col`` optionally exposes the per-row integer rate for
+    reporting.
+    """
+    if granularity not in _HEX_DIGITS:
+        raise ValueError(f"granularity must be one of {sorted(_HEX_DIGITS)}")
+    g, nd = granularity, _HEX_DIGITS[granularity]
+    dom = df.groupBy(domain_col).agg(F.sum(size_col).cast("long").alias("__dom_sz"))
+    tot = dom.agg(
+        F.sum("__dom_sz").cast("long").alias("__tot"),
+        F.count(F.lit(1)).alias("__nd"),
+    )
+    rates = (
+        dom.join(F.broadcast(tot))
+        .select(
+            domain_col,
+            F.least(
+                F.lit(g).cast("long"),
+                F.expr(f"(__tot * {g}) DIV (__nd * __dom_sz)"),
+            ).alias("__rate"),
+        )
+    )
+    out = df.join(F.broadcast(rates), domain_col)
+    keep = (F.col("__rate") >= g) | (
+        F.substring(content_hash(F.col(key_col)), 1, nd)
+        < F.format_string(f"%0{nd}x", F.col("__rate"))
+    )
+    out = out.filter(keep)
+    if rate_col is not None:
+        return out.withColumnRenamed("__rate", rate_col)
+    return out.drop("__rate")
+
+
 def stratified_take(
     df: DataFrame, key: str, *, n_per_key: int, order_col: str
 ) -> DataFrame:

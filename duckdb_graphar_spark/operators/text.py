@@ -92,6 +92,130 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def _word_ngrams(tokens: Column, n: int) -> Column:
+    """Sliding word n-grams (space-joined) over a token array; empty
+    array when the doc has fewer than ``n`` tokens (the guard matters:
+    `sequence(1, 0)` would count DOWN, not produce nothing)."""
+    n_out = F.size(tokens) - (n - 1)
+    return F.when(
+        n_out > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_out),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_ngram_coverage(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document duplicate n-gram coverage — the corpus-level
+    repetition signal behind substring-dedup pipelines ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022): for
+    each document, the fraction of its distinct word n-grams that also
+    appear in at least one OTHER document.
+
+    Returns (id, n_grams, n_dup_grams, dup_frac) for every input row
+    (zero-gram docs report 0 / 0 / 0.0).
+
+    Scale shape: explode distinct per-doc grams → one map-combinable
+    groupBy(gram) for corpus doc-frequencies → shuffle join back on gram
+    → groupBy(id).  Three shuffles, all hash-partitioned on high-card
+    keys, no driver state, no broadcast of anything corpus-sized; at
+    100 TB the gram table is the big one and never leaves the executors.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = (
+        df.select(F.col(id_col).alias("__id"), _word_ngrams(toks, n).alias("__gs"))
+        .select("__id", F.explode(F.array_distinct("__gs")).alias("__g"))
+    )
+    freq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        grams.join(freq, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_grams") / F.col("n_grams").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters,
+    Rae et al. 2021 §A1.1): most-frequent-bigram mass and distinct-token
+    ratio.  Boilerplate and degenerate generations score high on the
+    former and low on the latter.
+
+    Returns (id, n_tokens, top_bigram_n, top_bigram_frac, uniq_token_ratio).
+    top_bigram_frac = occurrences of the modal bigram × 2 / n_tokens.
+
+    Scale shape: the distinct-token ratio is a pure per-row expression;
+    the bigram mode needs a (doc, bigram) count — explode + two
+    map-combinable groupBys partitioned by doc id.  No broadcasts, no
+    skew risk beyond document length itself (bounded by the corpus's max
+    doc size, and AQE splits stragglers).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__uniq"),
+        _word_ngrams(toks, 2).alias("__bgs"),
+    )
+    top = (
+        base.select("__id", F.explode("__bgs").alias("__bg"))
+        .groupBy("__id", "__bg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__id")
+        .agg(F.max("__c").alias("top_bigram_n"))
+    )
+    return (
+        base.join(top, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("top_bigram_n", F.lit(0)) * 2 / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(F.col("__uniq"), 6).alias("uniq_token_ratio"),
+        )
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column set."""
     t = F.col(text_col)

@@ -61,3 +61,47 @@ def test_stratified_take_bounds_and_determinism(spark, docs):
     assert sorted(r["doc_id"] for r in take.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_mixture_sample_uniform_budget(spark, docs):
+    out = S.mixture_sample(
+        docs, domain_col="source", size_col="n_chars", key_col="text", rate_col="rate"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # rate is constant per domain, integral, in (0, 4096]
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, set()).add(r.rate)
+    assert all(len(v) == 1 for v in per.values())
+    assert all(0 < next(iter(v)) <= 4096 for v in per.values())
+    # content-addressed: identical row set under any partitioning
+    again = S.mixture_sample(
+        docs.repartition(11), domain_col="source", size_col="n_chars", key_col="text"
+    )
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again.collect())
+
+
+def test_mixture_sample_thins_oversized_domain(spark):
+    rows = [(i, "big", "x%d" % i, 100) for i in range(600)] + [
+        (1000 + i, "small", "y%d" % i, 100) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string, n_chars long")
+    out = S.mixture_sample(
+        df, domain_col="source", size_col="n_chars", key_col="text", rate_col="rate"
+    )
+    got = {r[0]: (r[1], r[2]) for r in
+           out.groupBy("source").agg(F.count("*"), F.min("rate")).collect()}
+    # small domain under budget -> kept whole (rate 4096); big domain
+    # thinned toward the uniform half-share (62000/(2*60000) ~ 0.52)
+    assert got["small"] == (20, 4096)
+    rate_big = got["big"][1]
+    assert rate_big == (620 * 100 * 4096) // (2 * 600 * 100)
+    assert 0 < got["big"][0] < 600
+
+
+def test_mixture_sample_rejects_bad_granularity(docs):
+    with pytest.raises(ValueError):
+        S.mixture_sample(
+            docs, domain_col="source", size_col="n_chars", key_col="text", granularity=100
+        )

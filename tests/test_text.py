@@ -49,3 +49,39 @@ def test_analyze_on_documents(spark, sf_dir):
     out = X.analyze(docs)
     row = out.filter(F.col("doc_id") == 0).collect()[0]
     assert row.n_tokens > 0 and 0 <= row.quality <= 1 and len(row.fingerprint) == 32
+
+
+def test_duplicate_ngram_coverage(spark):
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c x y"),   # shares 3-gram "a b c" with doc 0
+        (2, "p q r s"),     # no shared grams
+        (3, "zz"),          # shorter than n -> zero grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in X.duplicate_ngram_coverage(df, n=3).collect()}
+    assert out[0].n_grams == 3 and out[0].n_dup_grams == 1
+    assert abs(out[0].dup_frac - round(1 / 3, 6)) < 1e-9
+    assert out[1].n_dup_grams == 1
+    assert out[2].n_dup_grams == 0
+    assert out[3].n_grams == 0 and out[3].dup_frac == 0.0
+    # within-doc repeats don't count as cross-doc duplicates (distinct
+    # per doc before the corpus count)
+    solo = spark.createDataFrame([(7, "m m m m m m")], "doc_id long, text string")
+    r7 = X.duplicate_ngram_coverage(solo, n=3).collect()[0]
+    assert r7.n_grams == 1 and r7.n_dup_grams == 0
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (0, "go go go go"),        # modal bigram "go go" x3, 1 distinct token
+        (1, "a b c d"),            # all bigrams unique
+        (2, ""),                   # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in X.repetition_stats(df).collect()}
+    assert out[0].n_tokens == 4 and out[0].top_bigram_n == 3
+    assert abs(out[0].top_bigram_frac - 1.5) < 1e-9
+    assert abs(out[0].uniq_token_ratio - 0.25) < 1e-9
+    assert out[1].top_bigram_n == 1 and abs(out[1].top_bigram_frac - 0.5) < 1e-9
+    assert out[2].n_tokens == 0 and out[2].top_bigram_frac == 0.0
