@@ -2846,6 +2846,124 @@ def s04(spark, sf):
     return quantize_int8_stats(_t(spark, sf, "embeddings"))
 
 
+@_q(
+    "t16_decontamination",
+    # ORACLE: eval set = every 101st doc; flag corpus docs whose distinct
+    # 3-grams overlap the eval gram set by >= 5%.  Both engines compute
+    # the same exact rational hit_frac, so the boolean is engine-stable.
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    gr AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w)-2),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS gram
+      FROM toks
+    ),
+    eg AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 101 = 0),
+    cg AS (SELECT doc_id, gram FROM gr WHERE doc_id % 101 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id),
+    hit AS (SELECT cg.doc_id, COUNT(*) AS n_hit FROM cg JOIN eg USING (gram) GROUP BY cg.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(tot.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(hit.n_hit / CAST(tot.n_grams AS DOUBLE), 0.0), 6) AS hit_frac,
+           COALESCE(hit.n_hit / CAST(tot.n_grams AS DOUBLE), 0.0) >= 0.05 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 101 <> 0) d
+    LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+    """,
+)
+def t16(spark, sf):
+    """Benchmark decontamination (GPT-3 §C-style n-gram overlap): the
+    eval set is carved from `documents` as every 101st doc; the rest is
+    the corpus (`operators/text.py:contamination`, broadcast eval grams)."""
+    from duckdb_graphar_spark.operators.text import contamination
+
+    docs = _t(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 101 == 0)
+    corpus = docs.filter(F.col("doc_id") % 101 != 0)
+    return contamination(corpus, eval_df, n=3, threshold=0.05)
+
+
+@_q(
+    "t17_pack_offsets",
+    # ORACLE: a plain global window prefix-sum.  The Spark side computes
+    # the SAME numbers with the scalable two-phase scan (range-bucketed
+    # parallel windows + broadcast bucket prefixes) — a single-task
+    # Window.orderBy would be the naive plan this operator replaces.
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, tok_offset,
+           CAST(tok_offset // 64 AS BIGINT) AS first_seq,
+           CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 64
+                     ELSE tok_offset // 64 END AS BIGINT) AS last_seq,
+           CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 64
+                     ELSE tok_offset // 64 END - tok_offset // 64 + 1 AS BIGINT) AS n_seqs
+    FROM o
+    """,
+)
+def t17(spark, sf):
+    """Concat-and-chunk sequence packing: global token offsets via the
+    distributed two-phase prefix sum (`operators/packing.py`), budget 64."""
+    from duckdb_graphar_spark.operators.packing import pack_offsets
+    from duckdb_graphar_spark.operators.text import token_count
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_offsets(docs, id_col="doc_id", token_col="n_tok", budget=64).select(
+        "doc_id",
+        "n_tokens",
+        F.col("offset").alias("tok_offset"),
+        "first_seq",
+        "last_seq",
+        "n_seqs",
+    )
+
+
+@_q(
+    "st07_stream_stream_join",
+    # ORACLE: the equivalent batch self-join.  Comparisons run on
+    # microsecond epochs in both engines (the fixture's ns timestamps
+    # truncate to Spark's µs TimestampType), so boundary inclusion is
+    # engine-identical.
+    """
+    SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+           CAST(a.ts AS TIMESTAMP) AS a_ts, CAST(b.ts AS TIMESTAMP) AS b_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND epoch_us(b.ts) >= epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+    """,
+)
+def st07(spark, sf):
+    """Stream-stream inner join with event-time range condition
+    (view → purchase within 10 min per user): both sides are watermarked
+    file streams; the single-file fixture yields one micro-batch whose
+    append-mode output equals the batch join — fully oracle-checked."""
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_join,
+    )
+
+    left = read_events_stream(spark, f"{sf}/events.parquet")
+    right = read_events_stream(spark, f"{sf}/events.parquet")
+    joined = stream_stream_join(left, right, within="10 minutes")
+    return run_to_memory(joined, "st07_out", mode="append")
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -2884,7 +3002,7 @@ _PRIORITY = [
     "t01", "t04", "t06", "t10", "t12",
     "d01", "d02", "d03", "s01", "s02", "m01", "m03",
     # --- 51+: next-best unique surface if the window is wider ---
-    "q53", "t13", "t14", "t15", "s04",
+    "q53", "t13", "t14", "t15", "t16", "t17", "s04", "st07",
     "q50", "q51", "q52", "q45", "q46", "t11", "s03", "m02", "u01", "u02",
     "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49",
     *[f"t{i:02d}" for i in (2, 3, 5, 7, 8, 9)],

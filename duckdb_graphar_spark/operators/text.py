@@ -159,6 +159,61 @@ def duplicate_ngram_coverage(
     )
 
 
+def contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    n-grams with an evaluation set (the GPT-3 §C / PaLM-style 13-gram
+    overlap check; ``n`` is a parameter because the test fixtures have
+    short docs).
+
+    Returns (id, n_grams, n_hit, hit_frac, contaminated) for every
+    corpus row: distinct per-doc n-grams, how many occur anywhere in the
+    eval set, their fraction, and whether it crosses ``threshold``.
+
+    Scale shape: the EVAL side is the small one by construction (benchmarks
+    are ~10⁴–10⁶ grams vs a 100 TB corpus), so its distinct-gram set is
+    broadcast and the corpus-side join is map-side — the corpus is
+    touched exactly once with no corpus-keyed shuffle except the final
+    per-doc groupBy(id).
+    """
+    toks = F.split(F.col(text_col), " ")
+    eval_grams = (
+        eval_df.select(F.explode(_word_ngrams(toks, n)).alias("__g"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("__id"), _word_ngrams(toks, n).alias("__gs")
+    ).select("__id", F.explode(F.array_distinct("__gs")).alias("__g"))
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "__g", "left_semi")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = corpus_grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    frac = F.coalesce(
+        F.col("n_hit") / F.col("n_grams").cast("double"), F.lit(0.0)
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(totals.withColumnRenamed("__id", id_col), id_col, "left")
+        .join(hits.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(frac, 6).alias("hit_frac"),
+            (frac >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     *,

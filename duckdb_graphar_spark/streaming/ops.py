@@ -138,6 +138,51 @@ def stream_static_enrich(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    left_type: str = "view",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition
+    (SURVEY §2.E): pair each ``left_type`` event with the same user's
+    ``right_type`` events that occur within ``within`` afterwards.
+
+    Both sides carry watermarks and the join condition bounds right.ts
+    to [left.ts, left.ts + within], which is exactly what lets Spark
+    evict join state (without the time bound the state store would grow
+    unboundedly).  In batch mode the same join runs without watermarks —
+    the oracle path; with the fixture's single-file source the stream
+    sees one micro-batch, so append-mode output equals the batch join.
+    """
+    a = left.filter(F.col("event_type") == left_type).select(
+        F.col(on),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"),
+    )
+    b = right.filter(F.col("event_type") == right_type).select(
+        F.col(on).alias("__on_b"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"),
+    )
+    if left.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+    if right.isStreaming:
+        b = b.withWatermark("b_ts", watermark)
+    cond = (
+        (a[on] == b["__on_b"])
+        & (b["b_ts"] >= a["a_ts"])
+        & (b["b_ts"] <= a["a_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond, "inner").select(
+        F.col(on), "a_id", "b_id", "a_ts", "b_ts"
+    )
+
+
 def stateful_dedup(events: DataFrame, *, keys: list[str] | None = None, watermark: str = "10 minutes") -> DataFrame:
     """Drop duplicate events within the watermark horizon — bounded state
     (vs. unbounded `dropDuplicates` state in an infinite stream)."""

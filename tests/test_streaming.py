@@ -100,3 +100,21 @@ def test_stateful_user_totals_tws_matches_batch(spark, sf_dir):
     batch = stateful_user_totals_tws(load_table(spark, sf_dir, "events"))
     expect = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in batch.collect()}
     assert final == expect
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch):
+    left = S.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    right = S.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    got = S.run_to_memory(
+        S.stream_stream_join(left, right, within="10 minutes"),
+        "ssj_out",
+        mode="append",
+    )
+    exp = S.stream_stream_join(events_batch, events_batch, within="10 minutes")
+    cols = ["user_id", "a_id", "b_id", "a_ts", "b_ts"]
+    assert _canon(got, cols) == _canon(exp, cols)
+    # every pair obeys the time bound and at least one pair exists
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= (r.b_ts - r.a_ts).total_seconds() <= 600

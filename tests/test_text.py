@@ -85,3 +85,22 @@ def test_repetition_stats(spark):
     assert abs(out[0].uniq_token_ratio - 0.25) < 1e-9
     assert out[1].top_bigram_n == 1 and abs(out[1].top_bigram_frac - 0.5) < 1e-9
     assert out[2].n_tokens == 0 and out[2].top_bigram_frac == 0.0
+
+
+def test_contamination(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c d e"),   # "a b c"/"b c d" overlap eval doc 100
+            (1, "x y z w"),     # clean
+            (2, "zz"),          # zero grams
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "a b c d q")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in X.contamination(corpus, eval_df, n=3, threshold=0.5).collect()}
+    assert out[0].n_grams == 3 and out[0].n_hit == 2
+    assert abs(out[0].hit_frac - round(2 / 3, 6)) < 1e-9 and out[0].contaminated
+    assert out[1].n_hit == 0 and not out[1].contaminated
+    assert out[2].n_grams == 0 and out[2].hit_frac == 0.0 and not out[2].contaminated
