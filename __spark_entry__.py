@@ -2964,6 +2964,59 @@ def st07(spark, sf):
     return run_to_memory(joined, "st07_out", mode="append")
 
 
+@_q(
+    "t18_training_shuffle",
+    # ORACLE: the rank of each doc under ORDER BY md5(seed || id) — md5
+    # hex is engine-identical, so the permutation is too.  (The Spark
+    # side computes it with the two-phase bucketed row_number, never a
+    # single-task global window.)
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('epoch0' || chr(31) || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def t18(spark, sf):
+    """Deterministic global training shuffle: content-addressed
+    per-epoch permutation via the scalable two-phase global row_number
+    (`operators/sampling.py:training_shuffle`)."""
+    from duckdb_graphar_spark.operators.sampling import training_shuffle
+
+    return training_shuffle(_t(spark, sf, "documents"), seed="epoch0")
+
+
+@_q(
+    "st08_foreach_batch_sink",
+    # ORACLE: what the foreachBatch parquet sink persisted must equal the
+    # batch filter over the same input.
+    """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def st08(spark, sf):
+    """foreachBatch sink (§2.E sink surface): stream the purchase events
+    into per-batch-id parquet directories (idempotent overwrite-per-batch
+    = exactly-once on retry), then read the sink back."""
+    import tempfile
+
+    from duckdb_graphar_spark.streaming.ops import read_events_stream
+    from duckdb_graphar_spark.streaming.sinks import (
+        foreach_batch_parquet_sink,
+        read_parquet_sink,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="st08_sink_")
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    filtered = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    foreach_batch_parquet_sink(filtered, out_dir)
+    return read_parquet_sink(spark, out_dir)
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -3002,7 +3055,7 @@ _PRIORITY = [
     "t01", "t04", "t06", "t10", "t12",
     "d01", "d02", "d03", "s01", "s02", "m01", "m03",
     # --- 51+: next-best unique surface if the window is wider ---
-    "q53", "t13", "t14", "t15", "t16", "t17", "s04", "st07",
+    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "s04", "st07", "st08",
     "q50", "q51", "q52", "q45", "q46", "t11", "s03", "m02", "u01", "u02",
     "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49",
     *[f"t{i:02d}" for i in (2, 3, 5, 7, 8, 9)],

@@ -140,3 +140,51 @@ def stratified_take(
         .filter(F.col("__rn") <= n_per_key)
         .drop("__rn")
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global shuffle for training: every row gets a
+    `shuffle_rank` — its position in the corpus ordered by
+    ``md5(seed || id)`` — reproducible across engines, partitionings and
+    reruns, and re-seedable per epoch.
+
+    A naive ``row_number() OVER (ORDER BY key)`` is a single-task global
+    window; this is the scalable two-phase form (same shape as
+    `packing.pack_offsets`): md5 keys are uniform, so their first two
+    hex chars give 256 ORDERED range buckets (hex digits sort
+    lexicographically = numerically) — per-bucket counts are a tiny
+    aggregate, the driver turns them into exclusive prefix offsets, and
+    a parallel per-bucket row_number plus the bucket offset is the
+    global rank."""
+    key = F.md5(F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string")))
+    b = (
+        df.select(F.col(id_col))
+        .withColumn("__key", key)
+        .withColumn("__bucket", F.conv(F.substring("__key", 1, 2), 16, 10).cast("long"))
+    )
+    counts = {
+        r["__bucket"]: r["c"]
+        for r in b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    prefix, acc = {}, 0
+    for k in sorted(counts):
+        prefix[k] = acc
+        acc += int(counts[k])
+    spark = df.sparkSession
+    prefix_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), int(v)) for k, v in prefix.items()], "__bucket long, __pre long"
+        )
+    )
+    w = Window.partitionBy("__bucket").orderBy("__key", id_col)
+    return (
+        b.join(prefix_df, "__bucket")
+        .withColumn("shuffle_rank", F.col("__pre") + F.row_number().over(w) - 1)
+        .select(id_col, "shuffle_rank")
+    )

@@ -191,19 +191,26 @@ def contamination(
     corpus_grams = corpus.select(
         F.col(id_col).alias("__id"), _word_ngrams(toks, n).alias("__gs")
     ).select("__id", F.explode(F.array_distinct("__gs")).alias("__g"))
-    hits = (
-        corpus_grams.join(F.broadcast(eval_grams), "__g", "left_semi")
+    # one pass over the corpus grams: broadcast left join marks hits, a
+    # single map-combinable groupBy(id) counts totals AND hits together
+    # (a separate left-semi branch would explode + shuffle the corpus
+    # gram table twice)
+    per_doc = (
+        corpus_grams.join(
+            F.broadcast(eval_grams.withColumn("__hit", F.lit(1))), "__g", "left"
+        )
         .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
     )
-    totals = corpus_grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
     frac = F.coalesce(
         F.col("n_hit") / F.col("n_grams").cast("double"), F.lit(0.0)
     )
     return (
         corpus.select(F.col(id_col))
-        .join(totals.withColumnRenamed("__id", id_col), id_col, "left")
-        .join(hits.withColumnRenamed("__id", id_col), id_col, "left")
+        .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),

@@ -175,3 +175,29 @@ def test_not_exists_plans_anti_join(spark, qs):
     """q44 (Q22 shape): NOT EXISTS decorrelates to a LeftAnti join."""
     plan = _plan(qs["q44_quiet_rich_customers"](spark, SF_DIR))
     assert "LeftAnti" in plan
+
+
+def test_decontamination_broadcasts_eval_grams(spark, qs):
+    """t16: the eval-gram set must be the broadcast side (map-side join
+    on the 100 TB corpus gram table), and the corpus grams must be
+    exploded/shuffled exactly once (single per-doc aggregate pass)."""
+    plan = _plan(qs["t16_decontamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # one corpus-gram shuffle: exactly one Exchange hashpartitioning(__id
+    assert plan.count("hashpartitioning(__id") == 1
+
+
+def test_pack_offsets_window_is_partitioned(spark, qs):
+    """t17: the prefix-sum window must partition by bucket (parallel),
+    never collapse to a single-partition global window."""
+    plan = _plan(qs["t17_pack_offsets"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(__bucket" in plan
+
+
+def test_interval_join_avoids_nested_loop(spark, qs):
+    """q53: bucket decomposition must plan an equi-join, not the
+    BroadcastNestedLoopJoin Spark gives a raw BETWEEN join."""
+    plan = _plan(qs["q53_interval_join"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

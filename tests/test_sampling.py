@@ -105,3 +105,22 @@ def test_mixture_sample_rejects_bad_granularity(docs):
         S.mixture_sample(
             docs, domain_col="source", size_col="n_chars", key_col="text", granularity=100
         )
+
+
+def test_training_shuffle_is_permutation(spark):
+    from duckdb_graphar_spark.operators.sampling import training_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = training_shuffle(df, seed="e0")
+    ranks = [r.shuffle_rank for r in out.collect()]
+    assert sorted(ranks) == list(range(500))
+    # deterministic under repartitioning
+    again = training_shuffle(df.repartition(7), seed="e0")
+    assert {(r.doc_id, r.shuffle_rank) for r in again.collect()} == {
+        (r.doc_id, r.shuffle_rank) for r in out.collect()
+    }
+    # a different epoch seed produces a different permutation
+    other = training_shuffle(df, seed="e1")
+    assert {(r.doc_id, r.shuffle_rank) for r in other.collect()} != {
+        (r.doc_id, r.shuffle_rank) for r in out.collect()
+    }

@@ -118,3 +118,40 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch):
     assert rows
     for r in rows:
         assert 0 <= (r.b_ts - r.a_ts).total_seconds() <= 600
+
+
+def test_foreach_batch_sink_multi_batch(spark, sf_dir, events_batch, tmp_path):
+    """Two input files -> two micro-batches -> two batch_id dirs whose
+    union equals the batch filter."""
+    import os
+
+    from duckdb_graphar_spark.streaming.sinks import (
+        foreach_batch_parquet_sink,
+        read_parquet_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    half = events_batch.filter(F.col("event_id") % 2 == 0)
+    other = events_batch.filter(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.parquet(str(src / "a.parquet"))
+    other.coalesce(1).write.parquet(str(src / "b.parquet"))
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "value")
+    )
+    out_dir = str(tmp_path / "sink")
+    foreach_batch_parquet_sink(stream, out_dir, checkpoint=str(tmp_path / "ckpt"))
+    batch_dirs = [d for d in os.listdir(out_dir) if d.startswith("batch_id=")]
+    assert len(batch_dirs) >= 2
+    got = read_parquet_sink(spark, out_dir)
+    exp = events_batch.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "value"
+    )
+    assert _canon(got, ["event_id", "user_id", "value"]) == _canon(
+        exp, ["event_id", "user_id", "value"]
+    )
