@@ -14,8 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        # stored as TIMESTAMP(NANOS) → read as long ns (see tables.py)
-        T.StructField("ts", T.LongType(), True),
+        # stored as TIMESTAMP(NANOS, isAdjustedToUTC=false): Spark 4 reads
+        # it natively as TIMESTAMP_NTZ truncated to µs.  NTZ end-to-end
+        # matches DuckDB's naive TIMESTAMP with no session-timezone risk.
+        # (A LongType schema here would trigger an implicit nanos→µs value
+        # conversion — surprising and version-dependent; don't.)
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -29,17 +33,22 @@ def read_events_stream(spark: SparkSession, path: str, *, max_files: int = 4) ->
     one micro-batch slice; real deployments swap in kafka)."""
     import os
 
-    # same bare-session defense as tables.load_table: the fixture column is
-    # TIMESTAMP(NANOS); with this conf (and the explicit LongType schema)
-    # it arrives as long ns under any session, factory-built or not
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", max_files)
     if path.endswith(".parquet") and os.path.isfile(path):
         # streaming file sources require a directory; narrow with a glob
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Watermarks demand TIMESTAMP (LTZ), so convert the naive-UTC wall
+    # clock to the matching instant via epoch-µs arithmetic — both steps
+    # are session-timezone-independent, unlike CAST(ntz AS timestamp).
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+        ),
+    )
 
 
 def tumbling_window_agg(

@@ -32,10 +32,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integral DIV, not `/`: double division loses µs precision at
-        # ~1.7e18 ns (2^-52 × 1.7e18 ≈ 378 ns rounding error)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        # Normalize ts to TIMESTAMP_NTZ under ANY session: Spark 4 reads
+        # TIMESTAMP(NANOS, utc=false) natively as NTZ (µs-truncated); a
+        # session honoring nanosAsLong yields bigint ns instead.  NTZ is
+        # the DuckDB-naive-TIMESTAMP twin, independent of session timezone.
+        t = dict(df.dtypes).get("ts")
+        if t == "bigint":
+            # integral DIV, not `/`: double division loses µs precision at
+            # ~1.7e18 ns (2^-52 × 1.7e18 ≈ 378 ns rounding error).
+            # timestampadd on an NTZ literal stays NTZ — no session-TZ
+            # dependence, unlike CAST(timestamp_micros(..) AS timestamp_ntz)
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif t == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
