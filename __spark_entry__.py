@@ -2793,16 +2793,33 @@ def q53(spark, sf):
             (F.datediff(F.col("o_orderdate"), epoch) + 6).alias("end_day"),
         )
     )
-    p = _t(spark, sf, "lineitem").select(
-        F.datediff(F.col("l_shipdate"), epoch).alias("ship_day"),
-        "l_extendedprice",
+    # Pre-aggregation pushdown below the interval join: the final agg is
+    # keyed only by (o_orderkey) and the match predicate only reads
+    # ship_day, so collapse lineitem to per-day partials FIRST (~2.5k
+    # day rows at any SF vs 600k×SF items).  The join then emits
+    # |days|×|covering intervals| rows instead of |items|×|covering
+    # intervals| — at sf0.1 that is 210k pairs instead of ~50M, and the
+    # ratio only improves with scale since the day grain is fixed.
+    # Decimal partials keep the revenue sum exact (decimal addition is
+    # associative — identical to summing items directly).
+    p = (
+        _t(spark, sf, "lineitem")
+        .select(
+            F.datediff(F.col("l_shipdate"), epoch).alias("ship_day"),
+            "l_extendedprice",
+        )
+        .groupBy("ship_day")
+        .agg(
+            F.count(F.lit(1)).alias("__day_n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(26,8)")).alias("__day_rev"),
+        )
     )
     j = interval_join(
         p, o, point_col="ship_day", start_col="start_day", end_col="end_day", bucket_size=7
     )
     return j.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        _dec_sum(F.col("l_extendedprice")).alias("revenue"),
+        F.sum("__day_n").alias("n_items"),
+        F.round(F.sum("__day_rev").cast("double"), 4).alias("revenue"),
     )
 
 

@@ -122,24 +122,42 @@ def duplicate_ngram_coverage(
     Returns (id, n_grams, n_dup_grams, dup_frac) for every input row
     (zero-gram docs report 0 / 0 / 0.0).
 
-    Scale shape: explode distinct per-doc grams → one map-combinable
-    groupBy(gram) for corpus doc-frequencies → shuffle join back on gram
-    → groupBy(id).  Three shuffles, all hash-partitioned on high-card
-    keys, no driver state, no broadcast of anything corpus-sized; at
-    100 TB the gram table is the big one and never leaves the executors.
+    Scale shape: NO gram-keyed join.  A per-doc gram is "duplicate" iff
+    its corpus doc-frequency is ≥2, so n_dup = n_grams − n_unique, and
+    both counts come from aggregations alone: (1) groupBy(id) counts the
+    doc's distinct grams; (2) groupBy(gram) computes doc-frequency — a
+    gram with df==1 names its single owning doc, so a groupBy(owner)
+    over the df==1 grams counts each doc's unique grams.  That keeps
+    exactly ONE corpus-sized shuffle (the gram one); the alternative
+    `grams ⋈ freq(gram)` plan re-shuffles every exploded gram string a
+    second time and is ~2-3× slower.  All three aggs are map-combinable,
+    no driver state, nothing corpus-sized is broadcast.
     """
     toks = F.split(F.col(text_col), " ")
     grams = (
         df.select(F.col(id_col).alias("__id"), _word_ngrams(toks, n).alias("__gs"))
         .select("__id", F.explode(F.array_distinct("__gs")).alias("__g"))
     )
-    freq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    # NOTE: totals deliberately re-aggregates the exploded grams rather
+    # than computing size(array_distinct(...)) row-locally — the n-gram
+    # transform is an interpreted HOF lambda, and every extra column
+    # reference re-evaluates it (measured 8.4s vs 2.2s at sf0.1 when the
+    # scalar form referenced it from both a filter and a projection).
+    totals = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # df==1 ⇒ max(__id) IS the one owning doc (grams are per-doc distinct)
+    uniq = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"), F.max("__id").alias("__owner"))
+        .filter(F.col("__df") == 1)
+        .groupBy(F.col("__owner").alias("__id"))
+        .agg(F.count(F.lit(1)).alias("__n_uniq"))
+    )
     per_doc = (
-        grams.join(freq, "__g")
-        .groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("__df") >= 2).cast("long")).alias("n_dup_grams"),
+        totals.join(uniq, "__id", "left")
+        .select(
+            "__id",
+            "n_grams",
+            (F.col("n_grams") - F.coalesce("__n_uniq", F.lit(0))).alias("n_dup_grams"),
         )
     )
     return (
