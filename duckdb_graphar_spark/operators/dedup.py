@@ -29,12 +29,21 @@ def normalize(text: F.Column) -> F.Column:
 
 
 def shingles(text: F.Column, k: int = 5) -> F.Column:
-    """Word k-shingles (array<string>, distinct)."""
+    """Word k-shingles (array<string>, distinct).
+
+    k−1 chained zip_withs over the k shifted slices (cheap two-variable
+    concat lambdas), not a per-index `transform` whose interpreted body
+    re-slices per output shingle — see text._word_ngrams for the
+    measured rationale."""
     toks = F.split(normalize(text), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array(normalize(text)))
+    m = F.greatest(n - (k - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for i in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(toks, i + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(n >= k, F.array_distinct(acc)).otherwise(F.array(normalize(text)))
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:

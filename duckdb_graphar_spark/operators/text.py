@@ -94,16 +94,21 @@ def fingerprint(text: Column) -> Column:
 
 def _word_ngrams(tokens: Column, n: int) -> Column:
     """Sliding word n-grams (space-joined) over a token array; empty
-    array when the doc has fewer than ``n`` tokens (the guard matters:
-    `sequence(1, 0)` would count DOWN, not produce nothing)."""
+    array when the doc has fewer than ``n`` tokens.
+
+    Built as n−1 chained zip_withs over the n shifted slices, not a
+    per-index `transform` with a slice+join body: HOF lambdas are
+    interpreted, so a slice inside the lambda pays full dispatch per
+    OUTPUT gram, while here each slice tree is evaluated once per row
+    as a zip_with argument and the lambda bodies are bare two-variable
+    concats (measured ~3× on the bigram consumer)."""
     n_out = F.size(tokens) - (n - 1)
-    return F.when(
-        n_out > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_out),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    acc = F.slice(tokens, 1, n_out)
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(tokens, i + 1, n_out), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(n_out > 0, acc).otherwise(F.array().cast("array<string>"))
 
 
 def duplicate_ngram_coverage(
