@@ -3005,6 +3005,80 @@ def t18(spark, sf):
 
 
 @_q(
+    "t19_lm_fluency",
+    # ORACLE: bigram transition probabilities are exact-integer ratios
+    # (one IEEE division — bit-identical across engines); the per-doc
+    # mean sums DECIMAL(38,18) so aggregation order can't move the
+    # double.  Mirrors operators/text.py:bigram_lm_score.
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w)-1),
+                                   i -> w[i] || ' ' || w[i+1])) AS g
+      FROM toks
+    ),
+    cbg AS (SELECT g, COUNT(*) AS c_g FROM bg GROUP BY g),
+    ctx AS (SELECT string_split(g, ' ')[1] AS w1, SUM(c_g) AS c_ctx
+            FROM cbg GROUP BY 1),
+    p AS (SELECT cbg.g, CAST(cbg.c_g AS DOUBLE) / ctx.c_ctx AS pg
+          FROM cbg JOIN ctx ON string_split(cbg.g, ' ')[1] = ctx.w1),
+    per AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(pg AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+      FROM bg JOIN p USING (g) GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(COALESCE(per.m, 0.0), 6) AS mean_trans_p
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def t19(spark, sf):
+    """Corpus bigram-LM mean transition probability — the log-free
+    CCNet-style perplexity-filter signal (`operators/text.py:
+    bigram_lm_score`)."""
+    from duckdb_graphar_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf, "documents"))
+
+
+@_q(
+    "t20_tfidf_terms",
+    # ORACLE: tfidf = (c·N)/(len·df) — exact-integer products, one IEEE
+    # division, so scores AND the rank order are bit-deterministic in
+    # both engines; ties break on term ASC.  Mirrors
+    # operators/text.py:tfidf_topk.
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id, tf.tok AS term,
+             CAST(tf.c * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+               / (dl.len * dfreq.df) AS s
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+              JOIN dfreq ON tf.tok = dfreq.tok
+    )
+    SELECT doc_id, term, ROUND(s, 6) AS tfidf, rank
+    FROM (SELECT doc_id, term, s,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY s DESC, term ASC) AS BIGINT) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def t20(spark, sf):
+    """Per-doc top-3 TF-IDF terms (ratio idf — engine-exact ordering)
+    for topic bucketing (`operators/text.py:tfidf_topk`)."""
+    from duckdb_graphar_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf, "documents"), k=3)
+
+
+@_q(
     "st08_foreach_batch_sink",
     # ORACLE: what the foreachBatch parquet sink persisted must equal the
     # batch filter over the same input.
@@ -3072,7 +3146,7 @@ _PRIORITY = [
     "t01", "t04", "t06", "t10", "t12",
     "d01", "d02", "d03", "s01", "s02", "m01", "m03",
     # --- 51+: next-best unique surface if the window is wider ---
-    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "s04", "st07", "st08",
+    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "s04", "st07", "st08",
     "q50", "q51", "q52", "q45", "q46", "t11", "s03", "m02", "u01", "u02",
     "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49",
     *[f"t{i:02d}" for i in (2, 3, 5, 7, 8, 9)],

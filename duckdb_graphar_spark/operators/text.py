@@ -315,3 +315,122 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LM fluency score (the log-free cousin of CCNet-style
+    perplexity filtering, Wenzek et al. 2020): train a bigram transition
+    model ON the corpus itself — P(w2|w1) = c(w1 w2) / c(w1 ·) — and
+    score each document by its mean transition probability.  Boilerplate
+    and templated text score high (predictable transitions), word-salad
+    and OCR noise score low; thresholding the score is the quality gate.
+
+    Returns (id, n_bigrams, mean_trans_p); docs with <2 tokens get 0/0.0.
+
+    Engine-stable by construction: every probability is an exact-integer
+    ratio evaluated with one IEEE division (bit-identical across
+    engines, unlike log/exp), and the per-doc mean sums fixed-scale
+    decimals so partial-aggregation order can't change the result.
+
+    Scale shape: one corpus-sized explode → groupBy(gram); the context
+    totals derive from that AGGREGATED table (no second corpus pass);
+    probabilities join back on the gram key and reduce per doc.  No
+    driver state, nothing corpus-sized on one node.
+    """
+    toks = F.split(F.col(text_col), " ")
+    bg = df.select(F.col(id_col).alias("__id"), _word_ngrams(toks, 2).alias("__gs")).select(
+        "__id", F.explode("__gs").alias("__g")
+    )
+    cbg = bg.groupBy("__g").agg(F.count(F.lit(1)).alias("__cg"))
+    ctx = (
+        cbg.withColumn("__w1", F.substring_index("__g", " ", 1))
+        .groupBy("__w1")
+        .agg(F.sum("__cg").alias("__cctx"))
+    )
+    p = cbg.withColumn("__w1", F.substring_index("__g", " ", 1)).join(ctx, "__w1").select(
+        "__g", (F.col("__cg").cast("double") / F.col("__cctx")).alias("__p")
+    )
+    per = (
+        bg.join(p, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # fixed-scale decimal sum → double → /n: order-independent
+            (
+                F.sum(F.col("__p").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__mean"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(F.coalesce("__mean", F.lit(0.0)), 6).alias("mean_trans_p"),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF →
+    (id, term, tfidf, rank) — the per-doc keyword signal used for topic
+    bucketing / domain tagging in data-mixing pipelines.
+
+    idf is the RAW ratio N/df(t) (no log): score = (c_dt · N) /
+    (len_d · df_t) is then a single IEEE division of exact integers, so
+    the ranking is bit-deterministic across engines — a log idf would
+    make near-tie order depend on the engine's ln rounding.  Ties break
+    by term ascending.
+
+    Scale shape: one corpus explode → groupBy(doc, term); doc lengths
+    AND document frequencies both derive from that aggregated table; the
+    final window partitions by doc.  The df(t) join key is the vocab —
+    AQE broadcasts it when small, shuffles when not.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    )
+    tf = t.groupBy("__id", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    dl = tf.groupBy("__id").agg(F.sum("__c").alias("__len"))
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    nd = df.select(F.count(F.lit(1)).alias("__nd"))
+    scored = (
+        tf.join(dl, "__id")
+        .join(dfreq, "__tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "__id",
+            "__tok",
+            (
+                (F.col("__c") * F.col("__nd")).cast("double")
+                / (F.col("__len") * F.col("__df"))
+            ).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__s").desc(), F.col("__tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__tok").alias("term"),
+            F.round("__s", 6).alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
