@@ -201,3 +201,33 @@ def test_interval_join_avoids_nested_loop(spark, qs):
     BroadcastNestedLoopJoin Spark gives a raw BETWEEN join."""
     plan = _plan(qs["q53_interval_join"](spark, SF_DIR))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_quantize_stats_is_single_pass(spark, qs):
+    """s04: per-vector quantization QA is a pure projection — no
+    Exchange, no Python eval; the whole thing maps over scan splits."""
+    plan = _plan(qs["s04_quantize_stats"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_fluency_aggregates_before_join(spark, qs):
+    """t19: the transition-probability table must come from aggregated
+    gram counts (partial_ map-side combine) and join back as an
+    equi-join — never a nested loop over the corpus."""
+    plan = _plan(qs["t19_lm_fluency"](spark, SF_DIR))
+    assert "partial_" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_tfidf_windows_by_doc(spark, qs):
+    """t20: doc lengths and doc frequencies derive from the aggregated
+    (doc, term) table via equi-joins; the only nested-loop join allowed
+    is the broadcast of the 1-row corpus count; top-k ranks inside a
+    per-doc window partition."""
+    plan = _plan(qs["t20_tfidf_terms"](spark, SF_DIR))
+    for line in plan.splitlines():
+        if "NestedLoop" in line or "CartesianProduct" in line:
+            assert "BroadcastNestedLoopJoin" in line, line
+    assert "windowspecdefinition(__id" in plan
+    assert "partial_" in plan
