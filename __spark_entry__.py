@@ -3079,6 +3079,44 @@ def t20(spark, sf):
 
 
 @_q(
+    "s05_kmeans_assign",
+    # ORACLE: distances accumulate as DECIMAL(38,18) over per-element
+    # double diffs (exact-value conversions, one IEEE subtract+multiply
+    # each — bit-identical across engines), so the argmin with
+    # (distance, centroid index) tie-break is engine-deterministic.
+    """
+    WITH c AS (
+      SELECT embedding AS cv,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    d AS (
+      SELECT e.vec_id, c.cidx,
+             list_sum([CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            AS DECIMAL(38,18))
+                       FOR i IN generate_series(1, len(e.embedding))]) AS d2
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, cidx AS cluster, ROUND(CAST(d2 AS DOUBLE), 6) AS dist2
+    FROM (SELECT vec_id, cidx, d2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2 ASC, cidx ASC) AS rn
+          FROM d)
+    WHERE rn = 1
+    """,
+)
+def s05(spark, sf):
+    """SemDeDup clustering primitive: nearest-centroid assignment over
+    the embedding corpus, deterministic first-8 seeding
+    (`operators/embeddings.py:kmeans_assign`)."""
+    from duckdb_graphar_spark.operators.embeddings import kmeans_assign, seed_centroids
+
+    e = _t(spark, sf, "embeddings")
+    return kmeans_assign(e, seed_centroids(e, 8))
+
+
+@_q(
     "st08_foreach_batch_sink",
     # ORACLE: what the foreachBatch parquet sink persisted must equal the
     # batch filter over the same input.
@@ -3146,7 +3184,7 @@ _PRIORITY = [
     "t01", "t04", "t06", "t10", "t12",
     "d01", "d02", "d03", "s01", "s02", "m01", "m03",
     # --- 51+: next-best unique surface if the window is wider ---
-    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "s04", "st07", "st08",
+    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "s04", "s05", "st07", "st08",
     "q50", "q51", "q52", "q45", "q46", "t11", "s03", "m02", "u01", "u02",
     "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49",
     *[f"t{i:02d}" for i in (2, 3, 5, 7, 8, 9)],

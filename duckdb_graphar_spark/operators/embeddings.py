@@ -85,3 +85,66 @@ def quantize_int8_stats(
         F.round(F.col("__err"), 6).alias("max_abs_err"),
         (F.col("__err") <= F.col("__scale") / F.lit(2.0) + F.lit(1e-12)).alias("err_ok"),
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment — the map step of Lloyd's k-means and
+    the clustering primitive of SemDeDup-style semantic dedup (Abbas et
+    al. 2023: cluster embeddings, then prune near-duplicates within each
+    cluster).  Returns (id, cluster, dist2).
+
+    ``centroids`` is a bounded driver-side list of (index, vector) — the
+    standard k-means shape (centroids live on the driver between
+    iterations; k rows, not data-sized).  Each assignment is a pure
+    projection: per centroid, a zip_with of the row vector against a
+    literal array; distances accumulate as DECIMAL(38,18) so the sum is
+    order-independent and the argmin (struct array_min: distance, then
+    centroid index on exact ties) is engine-deterministic — which is
+    what lets a SQL oracle verify the assignment bit-for-bit.
+
+    Scale shape: no shuffle, no Python — the full assign step maps over
+    scan splits; an iteration's centroid update is one groupBy(cluster)
+    mean over this output.
+    """
+    cands = []
+    for idx, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        diff2 = F.zip_with(
+            F.col(vec_col),
+            carr,
+            lambda x, y: (
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ).cast("decimal(38,18)"),
+        )
+        # decimal Add grows precision by 1, so cast the merge result back
+        # to the accumulator type (aggregate requires them equal); values
+        # are bounded by dim·absmax² ≪ the 20 integer digits available
+        d2 = F.aggregate(
+            diff2,
+            F.lit(0).cast("decimal(38,18)"),
+            lambda a, x: (a + x).cast("decimal(38,18)"),
+        )
+        cands.append(F.struct(d2.alias("d"), F.lit(int(idx)).alias("i")))
+    best = F.array_min(F.array(*cands))
+    return df.select(
+        F.col(id_col),
+        best["i"].alias("cluster"),
+        F.round(best["d"].cast("double"), 6).alias("dist2"),
+    )
+
+
+def seed_centroids(
+    df: DataFrame, k: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic first-k-by-id seeding (reproducible across engines,
+    unlike k-means++ random draws); the bounded k-row collect is the
+    normal k-means driver round-trip."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
