@@ -1423,6 +1423,55 @@ def q47(spark, sf):
 
 
 @_q(
+    "q54_approx_percentile",
+    # ORACLE: the sketch value itself differs across engines, so emit the
+    # EXACT interpolated percentile (engine-portable, q47-proven) plus
+    # booleans asserting the approx value landed inside the ±0.001
+    # rank-error band (10× the 1/accuracy=1e-4 guarantee) around the
+    # exact order statistics.
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_exact,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+           TRUE AS median_in_band,
+           TRUE AS p95_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q54(spark, sf):
+    """Approximate percentile (sketch-based, the 100 TB path where exact
+    order statistics would shuffle the world) verified against its rank
+    -error guarantee — the q31 pattern applied to quantiles."""
+    li = _t(spark, sf, "lineitem")
+    c = F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(c, F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)).alias(
+                "__ap"
+            ),
+            F.round(F.percentile(c, F.lit(0.5)), 4).alias("median_exact"),
+            F.round(F.percentile(c, F.lit(0.95)), 4).alias("p95_exact"),
+            F.percentile(c, F.lit(0.499)).alias("__m_lo"),
+            F.percentile(c, F.lit(0.501)).alias("__m_hi"),
+            F.percentile(c, F.lit(0.949)).alias("__p_lo"),
+            F.percentile(c, F.lit(0.951)).alias("__p_hi"),
+        )
+        .select(
+            "l_returnflag",
+            "median_exact",
+            "p95_exact",
+            F.col("__ap")[0].between(F.col("__m_lo"), F.col("__m_hi")).alias(
+                "median_in_band"
+            ),
+            F.col("__ap")[1].between(F.col("__p_lo"), F.col("__p_hi")).alias(
+                "p95_in_band"
+            ),
+        )
+    )
+
+
+@_q(
     "q48_qualify_latest",
     """
     SELECT o_custkey, o_orderkey, o_totalprice
@@ -3186,7 +3235,7 @@ _PRIORITY = [
     # --- 51+: next-best unique surface if the window is wider ---
     "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "s04", "s05", "st07", "st08",
     "q50", "q51", "q52", "q45", "q46", "t11", "s03", "m02", "u01", "u02",
-    "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49",
+    "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49", "q54",
     *[f"t{i:02d}" for i in (2, 3, 5, 7, 8, 9)],
 ]
 
