@@ -3166,6 +3166,53 @@ def s05(spark, sf):
 
 
 @_q(
+    "s06_semdedup",
+    # ORACLE: the s05 assignment CTE (decimal distances, deterministic
+    # argmin) + within-cluster pair pruning at cosine ≥ 0.9 (round-6
+    # double cosine is the d01-proven engine-stable form).
+    """
+    WITH c AS (
+      SELECT embedding AS cv,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    d AS (
+      SELECT e.vec_id, c.cidx,
+             list_sum([CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            AS DECIMAL(38,18))
+                       FOR i IN generate_series(1, len(e.embedding))]) AS d2
+      FROM embeddings e CROSS JOIN c
+    ),
+    asg AS (
+      SELECT vec_id, cidx AS cluster
+      FROM (SELECT vec_id, cidx,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cidx ASC) AS rn
+            FROM d)
+      WHERE rn = 1
+    ),
+    m AS (SELECT asg.cluster, e.vec_id, e.embedding
+          FROM asg JOIN embeddings e USING (vec_id))
+    SELECT a.cluster, a.vec_id AS id_keep, b.vec_id AS id_drop,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+    """,
+)
+def s06(spark, sf):
+    """SemDeDup: cluster-then-prune semantic dedup — the within-cluster
+    pair sweep replaces d01's all-pairs O(n²) scan
+    (`operators/embeddings.py:semdedup`)."""
+    from duckdb_graphar_spark.operators.embeddings import semdedup, seed_centroids
+
+    e = _t(spark, sf, "embeddings")
+    return semdedup(e, seed_centroids(e, 8), threshold=0.9)
+
+
+@_q(
     "st08_foreach_batch_sink",
     # ORACLE: what the foreachBatch parquet sink persisted must equal the
     # batch filter over the same input.
@@ -3233,7 +3280,7 @@ _PRIORITY = [
     "t01", "t04", "t06", "t10", "t12",
     "d01", "d02", "d03", "s01", "s02", "m01", "m03",
     # --- 51+: next-best unique surface if the window is wider ---
-    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "s04", "s05", "st07", "st08",
+    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "s04", "s05", "s06", "st07", "st08",
     "q50", "q51", "q52", "q45", "q46", "t11", "s03", "m02", "u01", "u02",
     "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49", "q54",
     *[f"t{i:02d}" for i in (2, 3, 5, 7, 8, 9)],

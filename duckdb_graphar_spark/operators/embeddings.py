@@ -148,3 +148,51 @@ def seed_centroids(
     normal k-means driver round-trip."""
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning made
+    tractable by clustering — assign every embedding to its nearest
+    centroid (:func:`kmeans_assign`), then compare pairs ONLY within a
+    cluster.  The all-pairs O(n²) cosine sweep becomes O(Σ|cluster|²):
+    with k ≈ √n clusters the quadratic term is bounded per cluster, and
+    the pair join is a plain shuffled equi-join on the cluster id (AQE
+    splits skewed clusters like any other hot key).
+
+    Returns one row per pruned pair: (cluster, id_keep, id_drop,
+    cosine) with id_keep < id_drop (deterministic keep-lowest-id rule).
+    """
+    from duckdb_graphar_spark.operators.similarity import cosine
+
+    asg = kmeans_assign(df, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.col("cluster")
+    )
+    e = df.select(F.col(id_col), F.col(vec_col)).join(asg, id_col)
+    a = e.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_keep"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = e.select(
+        F.col("cluster").alias("__cb"),
+        F.col(id_col).alias("id_drop"),
+        F.col(vec_col).alias("__vb"),
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("__cb"))
+            & (F.col("id_keep") < F.col("id_drop")),
+        )
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("cluster", "id_keep", "id_drop", "cosine")
+    )
