@@ -3213,6 +3213,58 @@ def s06(spark, sf):
 
 
 @_q(
+    "s07_kmeans_update",
+    # ORACLE: s05's assignment CTE, then per-(cluster, dim) DECIMAL sums
+    # → means → ordered list per cluster (list(... ORDER BY) mirrors the
+    # sort_array'd collect on the Spark side).
+    """
+    WITH c AS (
+      SELECT embedding AS cv,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    d AS (
+      SELECT e.vec_id, c.cidx,
+             list_sum([CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            AS DECIMAL(38,18))
+                       FOR i IN generate_series(1, len(e.embedding))]) AS d2
+      FROM embeddings e CROSS JOIN c
+    ),
+    asg AS (
+      SELECT vec_id, cidx AS cluster
+      FROM (SELECT vec_id, cidx,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cidx ASC) AS rn
+            FROM d)
+      WHERE rn = 1
+    ),
+    x AS (
+      SELECT asg.cluster,
+             unnest([{'p': i, 'x': CAST(e.embedding[i] AS DOUBLE)}
+                     FOR i IN generate_series(1, len(e.embedding))]) AS u
+      FROM asg JOIN embeddings e USING (vec_id)
+    ),
+    per AS (
+      SELECT cluster, u['p'] AS pos,
+             SUM(CAST(u['x'] AS DECIMAL(38,18))) AS s, COUNT(*) AS n
+      FROM x GROUP BY 1, 2
+    )
+    SELECT cluster, CAST(MAX(n) AS BIGINT) AS n,
+           list(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY pos) AS centroid
+    FROM per GROUP BY cluster
+    """,
+)
+def s07(spark, sf):
+    """Lloyd's k-means centroid update (the reduce half of an iteration;
+    s05 is the map half) — `operators/embeddings.py:kmeans_update`."""
+    from duckdb_graphar_spark.operators.embeddings import kmeans_update, seed_centroids
+
+    e = _t(spark, sf, "embeddings")
+    return kmeans_update(e, seed_centroids(e, 8))
+
+
+@_q(
     "st08_foreach_batch_sink",
     # ORACLE: what the foreachBatch parquet sink persisted must equal the
     # batch filter over the same input.
@@ -3280,7 +3332,7 @@ _PRIORITY = [
     "t01", "t04", "t06", "t10", "t12",
     "d01", "d02", "d03", "s01", "s02", "m01", "m03",
     # --- 51+: next-best unique surface if the window is wider ---
-    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "s04", "s05", "s06", "st07", "st08",
+    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "s04", "s05", "s06", "s07", "st07", "st08",
     "q50", "q51", "q52", "q45", "q46", "t11", "s03", "m02", "u01", "u02",
     "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49", "q54",
     *[f"t{i:02d}" for i in (2, 3, 5, 7, 8, 9)],

@@ -196,3 +196,49 @@ def semdedup(
         .filter(F.col("cosine") >= threshold)
         .select("cluster", "id_keep", "id_drop", "cosine")
     )
+
+
+def kmeans_update(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The reduce half of a Lloyd's k-means iteration: per-cluster
+    element-wise mean of the member vectors → (cluster, n, centroid).
+    Together with :func:`kmeans_assign` this is one full distributed
+    iteration; the driver loop just feeds the k-row result back in.
+
+    Scale shape: posexplode to (cluster, dim, x) → ONE map-combinable
+    groupBy(cluster, dim) — the shuffle carries k·d partial sums, not
+    vectors — then a k-row regroup assembles the arrays (sort_array over
+    the collected (dim, mean) structs makes the order deterministic;
+    collect_list alone is not).  Per-dimension sums accumulate as
+    DECIMAL(38,18), so means are aggregation-order-independent and the
+    SQL oracle matches exactly.
+    """
+    asg = kmeans_assign(df, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.col("cluster")
+    )
+    j = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(asg, id_col)
+        .select("cluster", F.posexplode(F.col(vec_col)).alias("__pos", "__x"))
+    )
+    per_dim = j.groupBy("cluster", "__pos").agg(
+        F.sum(F.col("__x").cast("double").cast("decimal(38,18)")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mean = F.round(F.col("__s").cast("double") / F.col("__n"), 6)
+    return (
+        per_dim.select("cluster", "__pos", F.col("__n"), mean.alias("__m"))
+        .groupBy("cluster")
+        .agg(
+            F.max("__n").alias("n"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s.getField("__m"),
+            ).alias("centroid"),
+        )
+    )
