@@ -169,23 +169,38 @@ def semdedup(
     Returns one row per pruned pair: (cluster, id_keep, id_drop,
     cosine) with id_keep < id_drop (deterministic keep-lowest-id rule).
     """
-    from duckdb_graphar_spark.operators.similarity import cosine
+    from duckdb_graphar_spark.operators.similarity import dot, norm
 
     asg = kmeans_assign(df, centroids, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col), F.col("cluster")
     )
-    e = df.select(F.col(id_col), F.col(vec_col)).join(asg, id_col)
+    # norms bind per ROW before the pair join — cosine() inline would
+    # re-fold both norms per PAIR (|pairs|·2·d interpreted steps; the
+    # same lesson as brute_force_topk's __cn/__qn)
+    e = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(asg, id_col)
+        .withColumn("__nrm", norm(F.col(vec_col)))
+    )
     a = e.select(
         F.col("cluster"),
         F.col(id_col).alias("id_keep"),
         F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
     )
     b = e.select(
         F.col("cluster").alias("__cb"),
         F.col(id_col).alias("id_drop"),
         F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
     )
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    denom = F.col("__na") * F.col("__nb")
+    sim = F.round(
+        F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
     return (
         a.join(
             b,
