@@ -47,6 +47,12 @@ BENCH_QUERIES = [
     # round-2 additions: corpus dup-ngram sweep, bucketized interval join
     "t13_dup_ngram_coverage",
     "q53_interval_join",
+    # round-2 wave 2: repetition stats, bigram-LM fluency, int8 QA,
+    # k-means assign (all pure-aggregation/projection shapes)
+    "t14_repetition_stats",
+    "t19_lm_fluency",
+    "s04_quantize_stats",
+    "s05_kmeans_assign",
 ]
 
 
