@@ -3128,6 +3128,43 @@ def t20(spark, sf):
 
 
 @_q(
+    "t21_vocab_topk",
+    # ORACLE: plain token frequencies + deterministic (count DESC, token
+    # ASC) global top-1000 — Spark plans the ORDER BY+LIMIT as
+    # TakeOrderedAndProject (per-partition top-k, k·P driver merge).
+    """
+    WITH counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok HAVING COUNT(*) >= 5
+    )
+    SELECT tok, n, rank FROM (
+      SELECT tok, n,
+             CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
+      FROM counts
+    ) WHERE rank <= 1000
+    """,
+)
+def t21(spark, sf):
+    """Vocabulary construction (BPE seed vocab): corpus token counts with
+    a min-count floor, global top-1000 by (count, token) — one
+    map-combinable groupBy + TakeOrderedAndProject, no global sort."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(1000)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+@_q(
     "s05_kmeans_assign",
     # ORACLE: distances accumulate as DECIMAL(38,18) over per-element
     # double diffs (exact-value conversions, one IEEE subtract+multiply
@@ -3332,7 +3369,7 @@ _PRIORITY = [
     "t01", "t04", "t06", "t10", "t12",
     "d01", "d02", "d03", "s01", "s02", "m01", "m03",
     # --- 51+: next-best unique surface if the window is wider ---
-    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "s04", "s05", "s06", "s07", "st07", "st08",
+    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "t21", "s04", "s05", "s06", "s07", "st07", "st08",
     "q50", "q51", "q52", "q45", "q46", "t11", "s03", "m02", "u01", "u02",
     "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49", "q54",
     *[f"t{i:02d}" for i in (2, 3, 5, 7, 8, 9)],
