@@ -3351,28 +3351,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # priority list below pins the window; anything unlisted follows in
 # definition order.
 _PRIORITY = [
-    # --- first 50: one entry per distinct §2 / LLM-pipeline row, so a
-    # --- 50-entry check window verifies the WIDEST operator surface ---
-    # §2.A + §2.B — GraphAr storage/read surface (13)
+    # --- The driver checks the first 50 registry slots each round, so the
+    # --- window rotates: rounds 1+2 hard-verified 89 distinct entries
+    # --- (CORRECTNESS_r01 ∪ CORRECTNESS_r02, all green).  Round 3 promotes
+    # --- the 33 never-driver-verified entries plus this round's new
+    # --- operators into the window; the already-verified long tail follows.
+    # round-2 LLM-pipeline / streaming operators (19)
+    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "t21",
+    "s04", "s05", "s06", "s07", "st07", "st08",
+    "u01", "u02", "s03",
+    # remaining never-verified relational / text / multimodal surface (14)
+    "q50", "q51", "q52", "q54", "q47", "q48", "q49",
+    "t02", "t03", "t05", "t07", "t08", "t09", "m02",
+    # --- round-3 new operators (fill the window to 50) ---
+    "s08", "g09", "g10", "m04", "t22", "t23", "t24", "q55", "q56", "st09",
+    # --- 51+: already driver-verified (r01/r02 green) in coverage order ---
     *[f"ga{i:02d}" for i in range(1, 14)],
-    # §2.C — graph operators + demo scalar fn (9)
     *[f"g{i:02d}" for i in range(1, 9)],
     "c01",
-    # §2.D relational core: count/groupBy, filter/pushdown, limit/topk,
-    # joins, approx distinct, window fns, scalar fns (JSON = the r01
-    # failure), batch twins of the windowed aggs, pandas UDAF (10)
     "q01", "q02", "q03", "q05", "q31", "q14", "q24", "q25", "q26", "q35",
-    # §2.E — every streaming operator (6)
     "st01", "st02", "st03", "st04", "st05", "st06",
-    # LLM pipeline: text analysis, exact dedup, minhash, sampling, prep,
-    # embedding/simhash near-dup, ANN, multimodal (12)
     "t01", "t04", "t06", "t10", "t12",
     "d01", "d02", "d03", "s01", "s02", "m01", "m03",
-    # --- 51+: next-best unique surface if the window is wider ---
-    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "t21", "s04", "s05", "s06", "s07", "st07", "st08",
-    "q50", "q51", "q52", "q45", "q46", "t11", "s03", "m02", "u01", "u02",
-    "q00", "q04", "q10", "q18", "q33", "q36", "q47", "q49", "q54",
-    *[f"t{i:02d}" for i in (2, 3, 5, 7, 8, 9)],
+    "q45", "q46", "t11",
+    "q00", "q04", "q10", "q18", "q33", "q36",
 ]
 
 
