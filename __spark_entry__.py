@@ -3211,7 +3211,8 @@ def s05(spark, sf):
     WITH c AS (
       SELECT embedding AS cv,
              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+      FROM (SELECT * FROM embeddings ORDER BY vec_id
+            LIMIT CAST(ceil(sqrt((SELECT COUNT(*) FROM embeddings))) AS BIGINT))
     ),
     d AS (
       SELECT e.vec_id, c.cidx,
@@ -3242,11 +3243,17 @@ def s05(spark, sf):
 def s06(spark, sf):
     """SemDeDup: cluster-then-prune semantic dedup — the within-cluster
     pair sweep replaces d01's all-pairs O(n²) scan
-    (`operators/embeddings.py:semdedup`)."""
+    (`operators/embeddings.py:semdedup`).  k scales with the corpus
+    (k = ⌈√n⌉) so within-cluster pair counts stay O(n) as data grows —
+    a fixed k would go quadratic at 100×; the matching oracle derives
+    the same k via a scalar-subquery LIMIT."""
+    import math
+
     from duckdb_graphar_spark.operators.embeddings import semdedup, seed_centroids
 
     e = _t(spark, sf, "embeddings")
-    return semdedup(e, seed_centroids(e, 8), threshold=0.9)
+    k = math.ceil(math.sqrt(e.count()))
+    return semdedup(e, seed_centroids(e, k), threshold=0.9)
 
 
 @_q(

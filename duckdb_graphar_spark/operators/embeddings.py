@@ -112,6 +112,7 @@ def kmeans_assign(
     scan splits; an iteration's centroid update is one groupBy(cluster)
     mean over this output.
     """
+    dim = _check_centroid_dims(centroids)
     cands = []
     for idx, cvec in centroids:
         carr = F.array(*[F.lit(float(x)) for x in cvec])
@@ -132,8 +133,91 @@ def kmeans_assign(
             lambda a, x: (a + x).cast("decimal(38,18)"),
         )
         cands.append(F.struct(d2.alias("d"), F.lit(int(idx)).alias("i")))
-    best = F.array_min(F.array(*cands))
+    best = _dim_guarded(F.array_min(F.array(*cands)), F.col(vec_col), dim)
     return df.select(
+        F.col(id_col),
+        best["i"].alias("cluster"),
+        F.round(best["d"].cast("double"), 6).alias("dist2"),
+    )
+
+
+def _check_centroid_dims(centroids: list[tuple[int, list[float]]]) -> int:
+    """Fail loudly on ragged centroids: zip_with null-pads on length
+    mismatch, and a NULL distance struct would win array_min's
+    NULLS-FIRST ordering — a silent mis-assignment.  Returns the dim.
+    (The data-vs-centroid dim is additionally guarded per row with
+    raise_error in the assignment itself.)"""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    dims = {len(v) for _, v in centroids}
+    if len(dims) != 1:
+        raise ValueError(f"centroid vectors have inconsistent dims {sorted(dims)}")
+    return dims.pop()
+
+
+def _dim_guarded(best: Column, vec: Column, dim: int) -> Column:
+    """Wrap the argmin struct so a row whose vector length differs from
+    the centroid dim raises instead of silently pairing with a
+    null-padded zip_with."""
+    return F.when(F.size(vec) == F.lit(dim), best).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"kmeans_assign: embedding dim "),
+                F.size(vec).cast("string"),
+                F.lit(f" != centroid dim {dim}"),
+            )
+        )
+    )
+
+
+def kmeans_assign_bulk(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`kmeans_assign` semantics with the centroid set attached as
+    DATA — one broadcast single-row relation holding
+    ``array<struct<i,cvec>>`` — instead of k inlined literal arrays.
+
+    Same decimal accumulation and (distance, index) argmin, so the same
+    SQL oracle verifies it bit-for-bit.  The difference is the plan
+    shape: the literal form builds an O(k·d) expression tree (fine for
+    driver-loop k-means with k ≤ ~16; pathological codegen beyond), while
+    this form keeps the tree O(1) and evaluates the k·d arithmetic by
+    iterating the centroid ARRAY per row.  Still a pure shuffle-free
+    projection — the right assignment shape for SemDeDup-scale k ≈ √n.
+    """
+    dim = _check_centroid_dims(centroids)
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [([(int(i), [float(x) for x in v]) for i, v in centroids],)],
+        "__cents: array<struct<i:int,cvec:array<double>>>",
+    )
+
+    def d2(cv: Column) -> Column:
+        diff2 = F.zip_with(
+            F.col(vec_col),
+            cv,
+            lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast(
+                "decimal(38,18)"
+            ),
+        )
+        return F.aggregate(
+            diff2,
+            F.lit(0).cast("decimal(38,18)"),
+            lambda a, x: (a + x).cast("decimal(38,18)"),
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(d2(c["cvec"]).alias("d"), c["i"].alias("i")),
+        )
+    )
+    best = _dim_guarded(best, F.col(vec_col), dim)
+    return df.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         best["i"].alias("cluster"),
         F.round(best["d"].cast("double"), 6).alias("dist2"),
@@ -157,21 +241,31 @@ def semdedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bulk_assign: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning made
     tractable by clustering — assign every embedding to its nearest
-    centroid (:func:`kmeans_assign`), then compare pairs ONLY within a
-    cluster.  The all-pairs O(n²) cosine sweep becomes O(Σ|cluster|²):
-    with k ≈ √n clusters the quadratic term is bounded per cluster, and
-    the pair join is a plain shuffled equi-join on the cluster id (AQE
-    splits skewed clusters like any other hot key).
+    centroid, then compare pairs ONLY within a cluster.  The all-pairs
+    O(n²) cosine sweep becomes O(Σ|cluster|²): with k ≈ √n clusters the
+    quadratic term is bounded per cluster, and the pair join is a plain
+    shuffled equi-join on the cluster id (AQE splits skewed clusters like
+    any other hot key).
+
+    ``bulk_assign`` picks the assignment plan: the k-literal projection
+    (:func:`kmeans_assign`) below 17 centroids, the O(1)-expression-tree
+    data-attached form (:func:`kmeans_assign_bulk`) above — because the
+    scale-correct k ≈ √n grows with the corpus, while literal expression
+    trees don't.  ``None`` = auto by that rule.
 
     Returns one row per pruned pair: (cluster, id_keep, id_drop,
     cosine) with id_keep < id_drop (deterministic keep-lowest-id rule).
     """
     from duckdb_graphar_spark.operators.similarity import dot, norm
 
-    asg = kmeans_assign(df, centroids, id_col=id_col, vec_col=vec_col).select(
+    if bulk_assign is None:
+        bulk_assign = len(centroids) > 16
+    assign = kmeans_assign_bulk if bulk_assign else kmeans_assign
+    asg = assign(df, centroids, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col), F.col("cluster")
     )
     # norms bind per ROW before the pair join — cosine() inline would

@@ -180,6 +180,7 @@ def bfs_length(
     dst_col: str = DST_INDEX_COL,
     max_depth: int = 30,
     driver_threshold: int = 2_000_000,
+    broadcast_threshold: int = 1_000_000,
 ) -> int:
     """Unweighted shortest-path length src→dst; -1 unreachable, 0 if equal.
 
@@ -193,7 +194,15 @@ def bfs_length(
     the reference's own dense-array BFS is this shape, `bfs.cpp:94-134`),
     in-memory BFS replaces ~4 Spark jobs per level with one collect.
     The distributed path remains for graphs that don't fit
-    (``driver_threshold=0`` forces it)."""
+    (``driver_threshold=0`` forces it).
+
+    The frontier-edge join is broadcast ONLY while the previous level's
+    frontier count (already measured by the per-level stats aggregate)
+    stays ≤ ``broadcast_threshold``: a mid-BFS frontier on a 100×-scale
+    graph can hold tens of millions of vertices, where a forced broadcast
+    is a hard job failure.  Above the threshold the hint is dropped and
+    the join shuffles; AQE still picks broadcast for small frontiers on
+    its own."""
     if src_vid == dst_vid:
         return 0
     if driver_threshold > 0:
@@ -211,14 +220,11 @@ def bfs_length(
         # single-partition local relation — no shuffle, broadcast feeds the join
         frontier = spark.range(1).select(F.lit(src_vid).cast("long").alias("__v"))
         visited = frontier
+        frontier_n = 1  # size of the current frontier, from the level stats
         for depth in range(1, max_depth + 1):
-            nxt = (
-                e.join(F.broadcast(frontier), e["__s"] == F.col("__v"))
-                .select(F.col("__d").alias("__v"))
-                .distinct()
-                .join(visited, "__v", "left_anti")
-                .persist()
-            )
+            nxt = _expand_frontier(
+                e, frontier, visited, broadcast=frontier_n <= broadcast_threshold
+            ).persist()
             pinned.append(nxt)
             # ONE action per level: the stats aggregate materializes the
             # persisted frontier (size + dst membership read together)
@@ -232,6 +238,7 @@ def bfs_length(
                 return -1
             visited = visited.unionAll(nxt)
             frontier = nxt
+            frontier_n = stat["n"]
             # lineage grows by one cached-scan union per level; cut it with
             # a real checkpoint every 4th level so 100-level BFS never
             # builds a deep plan, without paying an extra job per level
@@ -242,6 +249,21 @@ def bfs_length(
     finally:
         for df in pinned:
             df.unpersist(blocking=False)
+
+
+def _expand_frontier(
+    e: DataFrame, frontier: DataFrame, visited: DataFrame, *, broadcast: bool
+) -> DataFrame:
+    """One BFS level: distinct unvisited successors of the frontier.
+    ``broadcast=False`` drops the hint so the frontier join shuffles
+    instead of failing on an over-limit broadcast."""
+    fr = F.broadcast(frontier) if broadcast else frontier
+    return (
+        e.join(fr, e["__s"] == F.col("__v"))
+        .select(F.col("__d").alias("__v"))
+        .distinct()
+        .join(visited, "__v", "left_anti")
+    )
 
 
 def _bfs_driver(pairs, src_vid: int, dst_vid: int, max_depth: int) -> int:
@@ -275,6 +297,7 @@ def bfs_exist(
     dst_col: str = DST_INDEX_COL,
     max_depth: int = 30,
     driver_threshold: int = 2_000_000,
+    broadcast_threshold: int = 1_000_000,
 ) -> bool:
     """Reachability: `bfs_length(...) != -1` (reference delegates the same
     way, `bfs.cpp:140-163`)."""
@@ -287,6 +310,7 @@ def bfs_exist(
             dst_col=dst_col,
             max_depth=max_depth,
             driver_threshold=driver_threshold,
+            broadcast_threshold=broadcast_threshold,
         )
         != -1
     )

@@ -111,6 +111,21 @@ def _word_ngrams(tokens: Column, n: int) -> Column:
     return F.when(n_out > 0, acc).otherwise(F.array().cast("array<string>"))
 
 
+def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(__id, __g) — each doc's DISTINCT word n-grams, exploded.
+
+    The distinctness is load-bearing, not cosmetic:
+    duplicate_ngram_coverage's uniq block infers "df==1 ⇒ max(__id) is
+    the gram's sole owning doc", which only holds if no doc emits the
+    same gram twice.  The array_distinct is fused here so the invariant
+    is structurally enforced rather than maintained two statements away.
+    """
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col).alias("__id"), _word_ngrams(toks, n).alias("__gs")
+    ).select("__id", F.explode(F.array_distinct("__gs")).alias("__g"))
+
+
 def duplicate_ngram_coverage(
     df: DataFrame,
     *,
@@ -138,11 +153,7 @@ def duplicate_ngram_coverage(
     second time and is ~2-3× slower.  All three aggs are map-combinable,
     no driver state, nothing corpus-sized is broadcast.
     """
-    toks = F.split(F.col(text_col), " ")
-    grams = (
-        df.select(F.col(id_col).alias("__id"), _word_ngrams(toks, n).alias("__gs"))
-        .select("__id", F.explode(F.array_distinct("__gs")).alias("__g"))
-    )
+    grams = _distinct_grams(df, id_col, text_col, n)
     # NOTE: totals deliberately re-aggregates the exploded grams rather
     # than computing size(array_distinct(...)) row-locally — the n-gram
     # transform is an interpreted HOF lambda, and every extra column

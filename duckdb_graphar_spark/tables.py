@@ -51,7 +51,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         elif t == "timestamp":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # LTZ → NTZ via epoch arithmetic, NOT CAST(.. AS timestamp_ntz):
+            # the cast renders the instant in the session timezone — the
+            # session-TZ dependence this whole branch exists to avoid.
+            # Dead for the current utc=false fixture (Spark 4 reads it as
+            # NTZ directly) but fires under inferTimestampNTZ=false or a
+            # utc=true fixture.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 

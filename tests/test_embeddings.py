@@ -41,3 +41,68 @@ def test_zero_vector(vecs):
 def test_scale_is_absmax_over_127(vecs):
     r = {x.vec_id: x for x in quantize_int8_stats(vecs).collect()}[2]
     assert math.isclose(r.scale, 1.0, rel_tol=1e-9)  # absmax 127 → step 1.0
+
+
+# --- kmeans assignment: literal vs bulk plan equivalence + dim guards ---
+
+
+@pytest.fixture(scope="module")
+def emb_corpus(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_bulk_assign_matches_literal(emb_corpus):
+    from duckdb_graphar_spark.operators.embeddings import (
+        kmeans_assign,
+        kmeans_assign_bulk,
+        seed_centroids,
+    )
+
+    cents = seed_centroids(emb_corpus, 12)
+    lit = sorted(map(tuple, kmeans_assign(emb_corpus, cents).collect()))
+    bulk = sorted(map(tuple, kmeans_assign_bulk(emb_corpus, cents).collect()))
+    assert lit == bulk
+
+
+def test_bulk_assign_plan_is_flat_and_shuffle_free(emb_corpus):
+    """The bulk form must not grow the plan with k, and must not shuffle."""
+    from duckdb_graphar_spark.operators.embeddings import (
+        kmeans_assign_bulk,
+        seed_centroids,
+    )
+
+    plan = (
+        kmeans_assign_bulk(emb_corpus, seed_centroids(emb_corpus, 17))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan  # pure projection + broadcast
+    assert len(plan) < 20_000  # literal form with k=17,d=8 would be far larger
+
+
+def test_ragged_centroids_raise(emb_corpus):
+    from duckdb_graphar_spark.operators.embeddings import (
+        kmeans_assign,
+        kmeans_assign_bulk,
+    )
+
+    bad = [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])]
+    with pytest.raises(ValueError, match="inconsistent dims"):
+        kmeans_assign(emb_corpus, bad)
+    with pytest.raises(ValueError, match="inconsistent dims"):
+        kmeans_assign_bulk(emb_corpus, bad)
+
+
+def test_data_vs_centroid_dim_mismatch_raises(spark):
+    from duckdb_graphar_spark.operators.embeddings import kmeans_assign_bulk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="embedding dim"):
+        kmeans_assign_bulk(df, [(0, [1.0, 2.0])]).collect()

@@ -102,6 +102,43 @@ def test_bfs_exist(graph_fixture, edges_df):
     assert G.bfs_exist(edges_df, 0, 7) is True
 
 
+@pytest.mark.parametrize("s,t", [(0, 7), (3, 999)])
+def test_bfs_large_frontier_no_broadcast(graph_fixture, edges_df, s, t):
+    """broadcast_threshold=0 (every frontier counts as 'too large') must
+    still answer correctly — the frontier join falls back to shuffle."""
+    exp = _py_bfs(graph_fixture["src"], graph_fixture["dst"], graph_fixture["n"], s, t)
+    assert (
+        G.bfs_length(edges_df, s, t, driver_threshold=0, broadcast_threshold=0) == exp
+    )
+
+
+def test_bfs_expand_frontier_plan_drops_broadcast(spark, edges_df):
+    """With broadcast=False the level join must not plan a BroadcastExchange
+    (AQE may still re-plan small sides at runtime on a real cluster; the
+    static plan is what a forced-large frontier would execute)."""
+    from pyspark.sql import functions as F
+
+    e = edges_df.select(
+        F.col("_graphArSrcIndex").alias("__s"), F.col("_graphArDstIndex").alias("__d")
+    )
+    frontier = spark.range(3).select(F.col("id").alias("__v"))
+    visited = frontier
+    # the planner auto-broadcasts any visibly-small side; disable that so
+    # the assertion isolates the HINT (what a too-large frontier sees,
+    # where auto-broadcast wouldn't trigger either)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with_hint = G._expand_frontier(e, frontier, visited, broadcast=True)
+        without = G._expand_frontier(e, frontier, visited, broadcast=False)
+        plan_hint = with_hint._jdf.queryExecution().executedPlan().toString()
+        plan_no = without._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" in plan_hint
+    assert "BroadcastExchange" not in plan_no
+
+
 def test_degrees_from_offsets_point_lookup(spark, graph_fixture):
     """vid= prunes to one offset chunk and returns that vertex's degree."""
     from duckdb_graphar_spark.operators.graph import degrees_from_offsets
