@@ -74,10 +74,18 @@ def main() -> None:
     E._orders_graphar(spark, sf_dir)
 
     # median-of-5: this box shows sporadic host-level CPU contention
-    # (identical plans swing 3×) — a wider median absorbs a stalled rep
+    # (identical plans swing 3×) — a wider median absorbs a stalled rep.
+    # Each query additionally gets ONE untimed warm rep (codegen compile +
+    # shuffle-file warmup), so even a low-rep invocation (driver runs used
+    # n=2 in round 2 and showed a 2.7× phantom q01 regression) can't put a
+    # cold/contended rep into the reported number; `queries_min` records
+    # the per-query minimum — the contention-free floor — alongside the
+    # median.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     results: dict[str, float] = {}
+    results_min: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         times = []
         for _ in range(reps):
             t0 = time.time()
@@ -86,6 +94,7 @@ def main() -> None:
             times.append(time.time() - t0)
         times.sort()
         results[name] = round(times[len(times) // 2], 3)
+        results_min[name] = round(times[0], 3)
 
     total = round(sum(results.values()), 3)
     print(
@@ -95,6 +104,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "queries_min": results_min,
                 "sf": sf,
             }
         )

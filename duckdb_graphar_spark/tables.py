@@ -23,8 +23,25 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
+# Fact-sized tables whose downstream operators do real per-row compute.
+# The driver fixtures are single-file, SINGLE-ROW-GROUP parquet (even 6M-row
+# sf1 lineitem), which Spark cannot split — every scan stage runs as ONE
+# task no matter how many cores exist.  For these tables a degenerate
+# narrow scan is widened with one explicit round-robin repartition so the
+# scan-stage compute (HOF n-gram transforms, decimal aggs, window preps)
+# uses the whole machine.  The widen is CONDITIONAL on the scan actually
+# being narrower than the cluster: on a real deployment a 100 TB table
+# arrives as thousands of splits and this branch never fires, so no
+# gratuitous shuffle is added at scale.  (Explicit repartition(N) is
+# deliberately used — AQE's coalescer would immediately re-merge a
+# hint-based repartition because these fixtures are small in BYTES while
+# heavy in per-row COMPUTE.)
+_WIDEN_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, widen: bool = True
+) -> DataFrame:
     if name == "events":
         # The caller's session may not have been built by our factory
         # (session.py) — e.g. the correctness driver constructs its own —
@@ -64,6 +81,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
+    if widen and name in _WIDEN_TABLES:
+        p = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < p:
+            df = df.repartition(p)
     return df
 
 

