@@ -2501,6 +2501,55 @@ def m03(spark, sf):
 
 
 @_q(
+    "m04_bmp_channel_stats",
+    # ORACLE: the BMP payload is a deterministic render of the text
+    # (pixel byte i = text byte i mod L, w = 1+L%16, h = 1+doc_id%12), so
+    # per-channel pixel means are computable straight from the text —
+    # independently of the struct-packed BMP bytes the Spark side
+    # actually parses (headers, 4-byte row padding, bottom-up rows).
+    """
+    WITH px AS (
+      SELECT d.doc_id, d.text,
+             1 + (octet_length(encode(d.text)) % 16) AS w,
+             1 + (d.doc_id % 12) AS h,
+             octet_length(encode(d.text)) AS L,
+             t.i AS i
+      FROM documents d,
+           UNNEST(generate_series(0, (1 + (octet_length(encode(d.text)) % 16))
+                                     * (1 + (d.doc_id % 12)) * 3 - 1)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           ROUND(CAST(SUM(CASE WHEN i % 3 = 0
+                      THEN ord(substring(text, CAST((i % L) + 1 AS INTEGER), 1)) END)
+                 AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
+           ROUND(CAST(SUM(CASE WHEN i % 3 = 1
+                      THEN ord(substring(text, CAST((i % L) + 1 AS INTEGER), 1)) END)
+                 AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+           ROUND(CAST(SUM(CASE WHEN i % 3 = 2
+                      THEN ord(substring(text, CAST((i % L) + 1 AS INTEGER), 1)) END)
+                 AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r
+    FROM px GROUP BY doc_id
+    """,
+)
+def m04(spark, sf):
+    """REAL image decode, no fake left: render every document as a
+    genuine 24-bpp BMP (struct-packed headers, padded bottom-up rows),
+    then recover width/height/per-channel means by actually parsing the
+    binary (`operators/multimodal.py:decode_bmp`).  Both halves are
+    Arrow-batched mapInPandas stages; the oracle never sees the BMP
+    bytes, so a codec bug on either side breaks the match."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        bmp_channel_stats,
+        encode_text_bmp,
+    )
+
+    d = _t(spark, sf, "documents")
+    return bmp_channel_stats(encode_text_bmp(d))
+
+
+@_q(
     "st01_stream_tumbling",
     # ORACLE: the stream is driven to completion (complete output mode)
     # over the bounded fixture, so the final memory-sink table equals the

@@ -33,3 +33,75 @@ def test_sample_frames(media):
     rows = out.collect()
     assert all(r.ts_ms == r.frame_idx * 1000 for r in rows)
     assert {r.doc_id for r in rows} == set(range(10))
+
+
+# --- real dependency-free codecs: BMP / PPM ---
+
+
+def test_bmp_roundtrip_with_padding():
+    import numpy as np
+
+    # w=2 → row 6 bytes padded to 8; values chosen per-channel distinct
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(3, 2, 3)
+    payload = M.encode_bmp(px)
+    d = M.decode_bmp(payload)
+    assert d["width"] == 2 and d["height"] == 3
+    assert (d["pixels"] == px.reshape(-1)).all()
+
+
+def test_bmp_header_validation():
+    import numpy as np
+
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_bmp(b"PNG" + b"\0" * 60)
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_bmp(b"BM" + b"\0" * 10)
+    good = M.encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_bmp(good[:-4])
+
+
+def test_ppm_decode_with_comment():
+    import numpy as np
+
+    px = bytes(range(12))  # 2x2 RGB
+    payload = b"P6\n# a comment\n2 2\n255\n" + px
+    d = M.decode_ppm(payload)
+    assert d["width"] == 2 and d["height"] == 2
+    assert (d["pixels"] == np.frombuffer(px, np.uint8)).all()
+
+
+def test_decode_image_real_path_stats():
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = 10  # B plane
+    px[:, :, 1] = 20
+    px[:, :, 2] = 60
+    feats = M.decode_image(M.encode_bmp(px))
+    assert feats["width"] == 4 and feats["height"] == 4
+    assert feats["mean_intensity"] == 30.0
+    # uniform image: all blocks equal the mean → no bit set
+    assert feats["phash"] == 0
+
+
+def test_average_hash_gradient_nonzero():
+    import numpy as np
+
+    g = np.tile(np.arange(16, dtype=np.uint8).repeat(3), 16).reshape(16, 16, 3)
+    h = M.average_hash(16, 16, g.reshape(-1))
+    assert h != 0  # right half brighter than mean
+
+
+def test_encode_text_bmp_channel_stats(spark):
+    rows = [(0, "the quick"), (25, "a" * 17)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in M.bmp_channel_stats(M.encode_text_bmp(df)).collect()
+    }
+    # doc 0: L=9 → w=10, h=1; doc 25: L=17 → w=2, h=1+25%12=2
+    assert out[0].width == 10 and out[0].height == 1
+    assert out[25].width == 2 and out[25].height == 2
+    # doc 25 is all 'a' (97): every channel mean is exactly 97
+    assert out[25].mean_b == 97.0 and out[25].mean_g == 97.0 and out[25].mean_r == 97.0
