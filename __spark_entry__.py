@@ -1310,6 +1310,77 @@ def q50(spark, sf):
     ).select("event_id", "user_id", "last_orderkey")
 
 
+@_q(
+    "q55_asof_forward",
+    """
+    WITH o AS (SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS next_orderkey
+               FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, o.next_orderkey
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.user_id AND e.ts <= o.o_orderdate
+    """,
+)
+def q55(spark, sf):
+    """Forward as-of join: each event picks up the user's EARLIEST order
+    at-or-after the event timestamp (operators/asof.py
+    direction='forward' — same single-shuffle carry, descending sort).
+    Oracle is DuckDB's native ASOF with the inequality flipped."""
+    from duckdb_graphar_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("next_orderkey"))
+    )
+    return asof_join(
+        ev, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["next_orderkey"], direction="forward",
+    ).select("event_id", "user_id", "next_orderkey")
+
+
+@_q(
+    "q57_asof_nearest",
+    # ORACLE: DuckDB has no 'nearest' ASOF — compose it from the
+    # backward and forward native ASOF joins and pick the closer side
+    # (tie → backward), exactly the operator's documented rule.
+    """
+    WITH o AS (SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS near_orderkey
+               FROM orders GROUP BY 1, 2),
+    b AS (SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS bd, o.near_orderkey AS bk
+          FROM events e ASOF LEFT JOIN o
+            ON e.user_id = o.user_id AND e.ts >= o.o_orderdate),
+    f AS (SELECT e.event_id, o.o_orderdate AS fd, o.near_orderkey AS fk
+          FROM events e ASOF LEFT JOIN o
+            ON e.user_id = o.user_id AND e.ts <= o.o_orderdate)
+    SELECT b.event_id, b.user_id,
+           CASE
+             WHEN bk IS NULL THEN fk
+             WHEN fk IS NULL THEN bk
+             WHEN b.ts - CAST(bd AS TIMESTAMP) <= CAST(fd AS TIMESTAMP) - b.ts THEN bk
+             ELSE fk
+           END AS near_orderkey
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def q57(spark, sf):
+    """Nearest as-of join: the closer of the backward/forward matches,
+    ties backward (pandas merge_asof convention) — both carries share
+    one window partitioning (operators/asof.py direction='nearest')."""
+    from duckdb_graphar_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("near_orderkey"))
+    )
+    return asof_join(
+        ev, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["near_orderkey"], direction="nearest",
+    ).select("event_id", "user_id", "near_orderkey")
+
+
 _BUCKETED_CACHE: set[str] = set()
 
 
@@ -1668,6 +1739,70 @@ def g08(spark, sf):
 
     ok = bfs_exist(_edges(spark, sf), 0, 777, src_col="src", dst_col="dst", max_depth=8)
     return spark.createDataFrame([(0, 777, ok)], "src_vid long, dst_vid long, reachable boolean")
+
+
+@_q(
+    "g09_pagerank",
+    # ORACLE: the two fixed iterations unrolled.  Each edge contribution
+    # is ONE double division cast to DECIMAL(38,18) (exact, order-
+    # independent sums); published ranks round to 12 — both engines run
+    # the identical IEEE op sequence, so the replay is bit-exact.
+    # Dangling mass is not redistributed (variant pinned in the operator
+    # docstring).
+    f"""
+    WITH e AS ({_E_SQL}),
+    v AS (SELECT c_custkey AS id FROM customer),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM customer),
+    od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT c FROM n) AS r FROM v),
+    s1 AS (SELECT e.dst AS id, SUM(CAST(r0.r / od.d AS DECIMAL(38,18))) AS s
+           FROM e JOIN od USING (src) JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+    r1 AS (SELECT v.id,
+                  ROUND(CAST(0.15 AS DOUBLE) / (SELECT c FROM n)
+                        + CAST(0.85 AS DOUBLE)
+                          * CAST(COALESCE(s1.s, CAST(0 AS DECIMAL(38,18))) AS DOUBLE),
+                        12) AS r
+           FROM v LEFT JOIN s1 USING (id)),
+    s2 AS (SELECT e.dst AS id, SUM(CAST(r1.r / od.d AS DECIMAL(38,18))) AS s
+           FROM e JOIN od USING (src) JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+    r2 AS (SELECT v.id,
+                  ROUND(CAST(0.15 AS DOUBLE) / (SELECT c FROM n)
+                        + CAST(0.85 AS DOUBLE)
+                          * CAST(COALESCE(s2.s, CAST(0 AS DECIMAL(38,18))) AS DOUBLE),
+                        12) AS r
+           FROM v LEFT JOIN s2 USING (id))
+    SELECT id, r AS pagerank FROM r2
+    """,
+)
+def g09(spark, sf):
+    """PageRank, 2 fixed iterations, damping 0.85
+    (`operators/graph.py:pagerank`) — per iteration one ranks⋈edges
+    shuffle join plus one map-combinable decimal groupBy(dst)."""
+    from duckdb_graphar_spark.operators.graph import pagerank
+
+    v = _t(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
+    return pagerank(
+        _edges(spark, sf), v, n_iters=2, src_col="src", dst_col="dst"
+    )
+
+
+@_q(
+    "g10_triangle_count",
+    # ORACLE: canonical a<b undirected simple edges, oriented two-join.
+    f"""
+    WITH e AS ({_E_SQL}),
+    c AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e WHERE src <> dst)
+    SELECT COUNT(*) AS n_triangles
+    FROM c e1 JOIN c e2 ON e1.b = e2.a JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def g10(spark, sf):
+    """Global triangle count via degree-safe a<b orientation
+    (`operators/graph.py:triangle_count`)."""
+    from duckdb_graphar_spark.operators.graph import triangle_count
+
+    return triangle_count(_edges(spark, sf), src_col="src", dst_col="dst")
 
 
 # ---------------------------------------------------------------------------
@@ -3355,6 +3490,93 @@ def s07(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     return kmeans_update(e, seed_centroids(e, 8))
+
+
+@_q(
+    "s08_kmeans_fit",
+    # ORACLE: Lloyd's loop unrolled — two full assignment+update rounds
+    # chained as CTEs.  Iteration-2 distances use iteration-1's ROUND-6
+    # published centroids (exactly what the Spark driver loop feeds
+    # back), so the fixed-iteration replay is bit-exact end to end.
+    """WITH c0 AS (
+  SELECT embedding AS cv,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+),
+d1 AS (
+  SELECT e.vec_id, c.cidx,
+         list_sum([CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                        AS DECIMAL(38,18))
+                   FOR i IN generate_series(1, len(e.embedding))]) AS d2
+  FROM embeddings e CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, cidx AS cluster
+  FROM (SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cidx ASC) AS rn
+        FROM d1)
+  WHERE rn = 1
+),
+x1 AS (
+  SELECT a1.cluster,
+         unnest([{'p': i, 'x': CAST(e.embedding[i] AS DOUBLE)}
+                 FOR i IN generate_series(1, len(e.embedding))]) AS u
+  FROM a1 JOIN embeddings e USING (vec_id)
+),
+p1 AS (
+  SELECT cluster, u['p'] AS pos,
+         SUM(CAST(u['x'] AS DECIMAL(38,18))) AS s, COUNT(*) AS n
+  FROM x1 GROUP BY 1, 2
+),
+u1 AS (
+  SELECT cluster, CAST(MAX(n) AS BIGINT) AS n,
+         list(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY pos) AS centroid
+  FROM p1 GROUP BY cluster
+),
+c1 AS (SELECT centroid AS cv, cluster AS cidx FROM u1),
+d2_ AS (
+  SELECT e.vec_id, c.cidx,
+         list_sum([CAST((CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                        * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                        AS DECIMAL(38,18))
+                   FOR i IN generate_series(1, len(e.embedding))]) AS d2
+  FROM embeddings e CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cidx AS cluster
+  FROM (SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cidx ASC) AS rn
+        FROM d2_)
+  WHERE rn = 1
+),
+x2 AS (
+  SELECT a2.cluster,
+         unnest([{'p': i, 'x': CAST(e.embedding[i] AS DOUBLE)}
+                 FOR i IN generate_series(1, len(e.embedding))]) AS u
+  FROM a2 JOIN embeddings e USING (vec_id)
+),
+p2 AS (
+  SELECT cluster, u['p'] AS pos,
+         SUM(CAST(u['x'] AS DECIMAL(38,18))) AS s, COUNT(*) AS n
+  FROM x2 GROUP BY 1, 2
+)
+SELECT cluster, CAST(MAX(n) AS BIGINT) AS n,
+       list(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY pos) AS centroid
+FROM p2 GROUP BY cluster""",
+)
+def s08(spark, sf):
+    """Composed k-means: the driver loop over assign -> update
+    (`operators/embeddings.py:kmeans_fit`), k=4, two iterations, with
+    per-iteration decimal-exact inertia in the returned history.  Driver
+    state is k rows of round-6 centroids per iteration; each iteration
+    is one shuffle-free assignment plus the k*d partial-sum update
+    shuffle."""
+    from duckdb_graphar_spark.operators.embeddings import kmeans_fit
+
+    e = _t(spark, sf, "embeddings")
+    final, _history = kmeans_fit(e, 4, 2)
+    return final
 
 
 @_q(

@@ -37,48 +37,97 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Point-in-time join: left enriched with the latest right_cols whose
-    ``right_ts <= left_ts`` per ``on`` key.
+    """Point-in-time join: left enriched with right_cols from the single
+    matching right row per ``on`` key.
+
+    ``direction``:
+      - 'backward' (default): latest right row with right_ts <= left_ts
+        (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``)
+      - 'forward': earliest right row with right_ts >= left_ts
+        (DuckDB ``ON l.ts <= r.ts``)
+      - 'nearest': whichever of the two is closer in time; exact ties
+        take the backward match (pandas merge_asof convention)
 
     ``how``: 'left' keeps unmatched left rows (null payload), 'inner'
     drops them — mirroring DuckDB `ASOF [LEFT] JOIN`.
+
+    All three directions keep the single-shuffle shape: one window
+    partitioning on the key; 'nearest' adds a second sort (descending)
+    over the SAME partitioning — Catalyst plans both window nodes inside
+    one exchange.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports left/inner, got {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join direction must be backward/forward/nearest, got {direction!r}"
+        )
     lcols = left.columns
+    # the carried payload embeds the right timestamp (coerced to the
+    # LEFT timestamp's type — long stays long, date widens to the left's
+    # timestamp type) so 'nearest' can compare distances after both
+    # carries without any session-TZ-dependent epoch conversion
+    lts_type = left.schema[left_ts].dataType
+    payload = F.struct(
+        F.col(right_ts).cast(lts_type).alias("__rts"),
+        F.struct(*right_cols).alias("__p"),
+    )
     # __side orders right rows BEFORE left rows at equal timestamps so a
     # right row with ts == left ts is visible to that left row (ASOF's
-    # `>=` contract)
+    # inclusive contract, both directions)
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*lcols).alias("__l"),
-        F.lit(None).cast(
-            right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
-        ).alias("__r"),
+        F.lit(None)
+        .cast(right.select(payload.alias("s")).schema["s"].dataType)
+        .alias("__r"),
     )
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(l.schema["__l"].dataType).alias("__l"),
-        F.struct(*right_cols).alias("__r"),
+        payload.alias("__r"),
     )
-    w = (
+    u = l.unionByName(r)
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_back = Window.partitionBy("__k").orderBy("__ts", "__side").rowsBetween(*frame)
+    w_fwd = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col("__ts").desc(), "__side")
+        .rowsBetween(*frame)
     )
-    carried = (
-        l.unionByName(r)
-        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
+    if direction == "backward":
+        u = u.withColumn("__match", F.last("__r", ignorenulls=True).over(w_back))
+    elif direction == "forward":
+        u = u.withColumn("__match", F.last("__r", ignorenulls=True).over(w_fwd))
+    else:
+        u = (
+            u.withColumn("__b", F.last("__r", ignorenulls=True).over(w_back))
+            .withColumn("__f", F.last("__r", ignorenulls=True).over(w_fwd))
+            .withColumn(
+                "__match",
+                F.when(F.col("__b").isNull(), F.col("__f"))
+                .when(F.col("__f").isNull(), F.col("__b"))
+                .when(
+                    # tie → backward; same-type subtraction: numeric ts
+                    # stays numeric, timestamp_ntz yields exact day-time
+                    # intervals — no session-TZ involvement either way
+                    (F.col("__l." + left_ts) - F.col("__b.__rts"))
+                    <= (F.col("__f.__rts") - F.col("__l." + left_ts)),
+                    F.col("__b"),
+                )
+                .otherwise(F.col("__f")),
+            )
+        )
+    carried = u.filter(F.col("__side") == 1)
     if how == "inner":
         carried = carried.filter(F.col("__match").isNotNull())
     out_cols = [F.col(f"__l.{c}").alias(c) for c in lcols] + [
-        F.col(f"__match.{c}").alias(c) for c in right_cols
+        F.col(f"__match.__p.{c}").alias(c) for c in right_cols
     ]
     return carried.select(*out_cols)

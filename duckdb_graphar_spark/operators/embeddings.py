@@ -351,3 +351,57 @@ def kmeans_update(
             ).alias("centroid"),
         )
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iters: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bulk_assign: bool | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Full Lloyd's k-means: driver loop over assign → update with
+    deterministic first-k seeding (:func:`seed_centroids`).
+
+    Returns ``(final_update_df, history)`` where the DataFrame is the
+    last iteration's (cluster, n, centroid) — still lazy, so it composes
+    — and ``history`` holds one dict per iteration:
+    ``{"iter", "inertia", "n_clusters"}``.  Inertia sums the per-row
+    round-6 dist2 as fixed-scale DECIMAL, so it is
+    aggregation-order-independent and bit-stable across runs.
+
+    Scale shape: the ONLY driver state is k·d rounded centroid floats
+    per iteration (the canonical k-means driver round-trip); each
+    iteration is one shuffle-free assignment projection plus the k·d
+    partial-sum update shuffle of :func:`kmeans_update`.  A cluster that
+    loses every member keeps its previous centroid (deterministic, and
+    keeps k stable across iterations).
+
+    Centroids feed back as their ROUND-6 published values — the same
+    numbers a SQL oracle can recompute — so a fixed-iteration replay
+    matches bit-for-bit.
+    """
+    if bulk_assign is None:
+        bulk_assign = k > 16
+    assign = kmeans_assign_bulk if bulk_assign else kmeans_assign
+    cents = seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    history: list[dict] = []
+    upd: DataFrame | None = None
+    for it in range(n_iters):
+        asg = assign(df, cents, id_col=id_col, vec_col=vec_col)
+        inertia = (
+            asg.agg(
+                F.round(
+                    F.sum(F.col("dist2").cast("decimal(38,6)")).cast("double"), 6
+                ).alias("i")
+            ).first()["i"]
+            or 0.0
+        )
+        upd = kmeans_update(df, cents, id_col=id_col, vec_col=vec_col)
+        new = {int(r["cluster"]): list(r["centroid"]) for r in upd.collect()}
+        cents = [(i, new.get(i, old)) for i, old in cents]
+        history.append({"iter": it, "inertia": inertia, "n_clusters": len(new)})
+    assert upd is not None
+    return upd, history

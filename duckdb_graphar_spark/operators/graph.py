@@ -314,3 +314,103 @@ def bfs_exist(
         )
         != -1
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    *,
+    n_iters: int = 2,
+    damping: float = 0.85,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+    id_col: str = "id",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed (multi)edge list —
+    parallel edges each carry mass, per the original random-surfer
+    formulation.  Dangling mass is NOT redistributed (the rank a sink
+    absorbs leaves the system), which keeps every iteration a pure
+    edge-join + aggregation; the variant choice is mirrored by the SQL
+    oracle.
+
+    Engine-stable float discipline: each edge contribution is ONE double
+    division (rank/out_degree) cast to DECIMAL(38,18); per-vertex sums
+    accumulate exactly (order-independent), and the published per-
+    iteration rank rounds to 12 places — so a fixed-iteration SQL replay
+    matches bit-for-bit.
+
+    Scale shape per iteration: join ranks⋈edges on src (shuffle on src,
+    reused across iterations since edges' partitioning is stable), then
+    one map-combinable groupBy(dst) carrying a single decimal per edge;
+    ranks stay an n-row distributed table, never on the driver.
+    """
+    n_b = vertices.count()
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__od"))
+    ranks = vertices.select(
+        F.col(id_col).alias("__v"), (F.lit(1.0) / F.lit(n_b)).alias("__r")
+    )
+    base = F.lit(0.15) / F.lit(n_b)
+    for _ in range(n_iters):
+        contrib = (
+            e.join(outdeg, "__s")
+            .join(ranks, e["__s"] == F.col("__v"))
+            .select(
+                F.col("__d"),
+                (F.col("__r") / F.col("__od")).cast("decimal(38,18)").alias("__c"),
+            )
+            .groupBy("__d")
+            .agg(F.sum("__c").alias("__sum"))
+        )
+        ranks = (
+            ranks.select("__v")
+            .join(contrib, ranks["__v"] == contrib["__d"], "left")
+            .select(
+                "__v",
+                F.round(
+                    base
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__sum"), F.lit(0).cast("decimal(38,18)")).cast(
+                        "double"
+                    ),
+                    12,
+                ).alias("__r"),
+            )
+        )
+    return ranks.select(F.col("__v").alias(id_col), F.col("__r").alias("pagerank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Global triangle count of the UNDIRECTED simple graph underlying a
+    directed multigraph edge list: parallel edges collapse, self-loops
+    drop, and each edge is canonicalized to (lo, hi).  A triangle
+    {a<b<c} is counted once via the standard oriented two-join plan —
+    the a<b orientation halves every join input and guarantees no
+    triangle is double-counted, which is also what keeps the join sizes
+    bounded on skewed degree distributions (every path enumerated runs
+    low→high vertex id).
+
+    Returns a single row (n_triangles).  Scale shape: one distinct
+    (shuffle) to build the canonical edge set, then two shuffled
+    equi-joins; no broadcast assumptions — AQE may still broadcast a
+    small canonical edge set on its own.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    e1 = canon
+    e2 = canon.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    wedges = e1.join(e2, e1["b"] == e2["b2"])  # a < b < c
+    tris = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))

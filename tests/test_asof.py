@@ -91,3 +91,59 @@ def test_asof_rejects_bad_how(trades, quotes):
     with pytest.raises(ValueError):
         asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
                   right_cols=["px"], how="full")
+
+
+def test_asof_forward_matches_merge_asof(spark, trades, quotes):
+    got = {
+        (r["sym"], r["tts"]): r["px"]
+        for r in asof_join(
+            trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+            right_cols=["px"], direction="forward",
+        ).collect()
+    }
+    exp = pd.merge_asof(
+        trades.toPandas().sort_values("tts"),
+        quotes.toPandas().sort_values("qts"),
+        left_on="tts", right_on="qts", by="sym", direction="forward",
+    )
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row.px) else row.px
+        assert got[(row.sym, row.tts)] == want
+
+
+def test_asof_nearest_matches_merge_asof(spark, trades, quotes):
+    got = {
+        (r["sym"], r["tts"]): r["px"]
+        for r in asof_join(
+            trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+            right_cols=["px"], direction="nearest",
+        ).collect()
+    }
+    exp = pd.merge_asof(
+        trades.toPandas().sort_values("tts"),
+        quotes.toPandas().sort_values("qts"),
+        left_on="tts", right_on="qts", by="sym", direction="nearest",
+    )
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row.px) else row.px
+        assert got[(row.sym, row.tts)] == want
+
+
+def test_asof_nearest_single_exchange(spark, trades, quotes):
+    """Both carries must share one hash partitioning on the key."""
+    plan = (
+        asof_join(
+            trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+            right_cols=["px"], direction="nearest",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_rejects_bad_direction(trades, quotes):
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+                  right_cols=["px"], direction="sideways")

@@ -106,3 +106,29 @@ def test_data_vs_centroid_dim_mismatch_raises(spark):
     )
     with pytest.raises(Exception, match="embedding dim"):
         kmeans_assign_bulk(df, [(0, [1.0, 2.0])]).collect()
+
+
+def test_kmeans_fit_inertia_nonincreasing(emb_corpus):
+    from duckdb_graphar_spark.operators.embeddings import kmeans_fit
+
+    final, hist = kmeans_fit(emb_corpus, 5, 3)
+    assert len(hist) == 3
+    inertias = [h["inertia"] for h in hist]
+    assert all(b <= a + 1e-6 for a, b in zip(inertias, inertias[1:]))
+    rows = final.collect()
+    assert sum(r.n for r in rows) == emb_corpus.count()
+    assert all(len(r.centroid) == 8 for r in rows)
+
+
+def test_kmeans_fit_empty_cluster_keeps_seed(spark):
+    from duckdb_graphar_spark.operators.embeddings import kmeans_fit
+
+    # two tight blobs, k=3: the third seed (inside blob B) loses every
+    # member to a closer updated centroid by iter 2 but must survive
+    df = spark.createDataFrame(
+        [(i, [0.0, 0.0] if i % 2 == 0 else [10.0, 10.0]) for i in range(20)]
+        + [(100, [10.1, 10.1])],
+        "vec_id long, embedding array<float>",
+    )
+    final, hist = kmeans_fit(df, 3, 2)
+    assert hist[-1]["n_clusters"] <= 3  # may collapse; must not crash
