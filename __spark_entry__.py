@@ -1381,6 +1381,52 @@ def q57(spark, sf):
     ).select("event_id", "user_id", "near_orderkey")
 
 
+@_q(
+    "q56_interval_overlap_join",
+    # ORACLE: the naive overlap join (DuckDB plans BETWEEN-pair joins as
+    # IEJoin natively, fine at oracle scale).
+    """
+    WITH iv AS (
+      SELECT o_orderkey AS k, o_custkey AS c, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 7 AS INTEGER) AS e
+      FROM orders
+    )
+    SELECT a.k AS left_key, b.k AS right_key, a.c AS custkey
+    FROM iv a JOIN iv b
+      ON a.c = b.c AND a.k < b.k AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def q56(spark, sf):
+    """Interval×interval overlap join per customer — bucket-decomposed
+    equi-join with canonical-bucket pair emission (no distinct), the
+    generalization of q53's point-in-interval plan
+    (`operators/interval.py:interval_overlap_join`)."""
+    from duckdb_graphar_spark.operators.interval import interval_overlap_join
+
+    o = _t(spark, sf, "orders")
+    iv = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("s"),
+        (F.unix_date(F.col("o_orderdate").cast("date")) + F.col("o_orderkey") % 7).alias("e"),
+    )
+    a = iv.select(
+        F.col("k").alias("left_key"), F.col("c").alias("custkey"),
+        F.col("s").alias("ls"), F.col("e").alias("le"),
+    )
+    b = iv.select(
+        F.col("k").alias("right_key"), F.col("c").alias("__rc"),
+        F.col("s").alias("rs"), F.col("e").alias("re"),
+    )
+    out = interval_overlap_join(
+        a, b, left_start="ls", left_end="le", right_start="rs",
+        right_end="re", bucket_size=7, on=("custkey", "__rc"),
+    )
+    return out.filter(F.col("left_key") < F.col("right_key")).select(
+        "left_key", "right_key", "custkey"
+    )
+
+
 _BUCKETED_CACHE: set[str] = set()
 
 
@@ -1561,6 +1607,155 @@ def q48(spark, sf):
         .filter(F.col("__rn") == 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@_q(
+    "t22_pii_scrub",
+    # ORACLE: both engines append the same deterministic synthetic PII
+    # (the fixture prose has none — an all-zeros scrub proves nothing),
+    # then count with independent per-class regexes on the ORIGINAL text
+    # and digest the sequentially-redacted text.  Patterns are
+    # RE2-compatible so Java (Spark) and RE2 (DuckDB) agree exactly.
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.1 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b')) AS BIGINT) AS n_phones,
+           sha256(regexp_replace(
+                    regexp_replace(
+                      regexp_replace(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g'),
+                    '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b', '<PHONE>', 'g')) AS clean_sha
+    FROM aug
+    """,
+)
+def t22(spark, sf):
+    """PII scrub (email/IPv4/phone counts + redacted-text sha256) over
+    deterministically PII-augmented documents
+    (`operators/text.py:pii_scrub` — one JVM regex projection)."""
+    from duckdb_graphar_spark.operators.text import pii_scrub
+
+    d = _t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return pii_scrub(aug, text_col="t")
+
+
+@_q(
+    "t23_chunk_dedup",
+    # ORACLE: disjoint 8-token spans via 1-based inclusive list slices.
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS tk FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(tk[j*8+1 : j*8+8], ' ')) AS chunk_sha
+      FROM toks,
+           UNNEST(generate_series(0, CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1)) AS t(j)
+    ),
+    pd AS (SELECT chunk_sha, doc_id, COUNT(*) AS c FROM ch GROUP BY 1, 2)
+    SELECT chunk_sha, COUNT(*) AS n_docs, SUM(c) AS n_occurrences
+    FROM pd GROUP BY 1 HAVING SUM(c) >= 2
+    """,
+)
+def t23(spark, sf):
+    """Coarse substring dedup: corpus table of duplicated DISJOINT
+    8-token chunks (`operators/text.py:chunk_dedup`) — 1/n the exploded
+    volume of overlapping n-grams, the first pass real substring-dedup
+    pipelines run; shuffle carries md5 hashes, not text."""
+    from duckdb_graphar_spark.operators.text import chunk_dedup
+
+    return chunk_dedup(_t(spark, sf, "documents"))
+
+
+@_q(
+    "t24_quality_deciles",
+    # ORACLE: t08's quality CTE + ntile over (lang, score, doc_id).
+    """
+    WITH x AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tok,
+             CASE WHEN LENGTH(text) > 0
+                  THEN CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / LENGTH(text)
+                  ELSE 0.0 END AS punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+             + (CASE WHEN punct < 0.2 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_tok > 0
+                      AND CAST(LENGTH(text) AS DOUBLE) / n_tok BETWEEN 3.0 AND 12.0
+                     THEN 0.25 ELSE 0.0 END) AS score
+      FROM x
+    ),
+    binned AS (
+      SELECT lang, score,
+             ntile(10) OVER (PARTITION BY lang ORDER BY score, doc_id) AS decile
+      FROM scored
+    )
+    SELECT lang, decile, COUNT(*) AS n_docs,
+           ROUND(MIN(score), 6) AS min_score, ROUND(MAX(score), 6) AS max_score
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def t24(spark, sf):
+    """CCNet-style per-language quality deciles (ntile with doc-id
+    tiebreak → per-bucket stats, `operators/text.py:quality_deciles`)."""
+    from duckdb_graphar_spark.operators.text import quality_deciles
+
+    return quality_deciles(_t(spark, sf, "documents"))
+
+
+@_q(
+    "t25_skipgram_topk",
+    # ORACLE: nested list comprehension generates the same ordered
+    # skip-gram pairs row-locally; unique (cnt, w1, w2) ordering makes
+    # the top-50 cut deterministic.
+    """
+    WITH toks AS (
+      SELECT regexp_split_to_array(TRIM(text), '\\s+') AS tk FROM documents
+    ),
+    p AS (
+      SELECT unnest(flatten([[tk[i] || ' ' || tk[j]
+                              FOR j IN generate_series(i + 1, least(i + 3, len(tk)))]
+                             FOR i IN generate_series(1, len(tk) - 1)])) AS pr
+      FROM toks WHERE len(tk) >= 2
+    ),
+    c AS (SELECT pr, COUNT(*) AS cnt FROM p GROUP BY pr)
+    SELECT split_part(pr, ' ', 1) AS w1, split_part(pr, ' ', 2) AS w2, cnt
+    FROM c ORDER BY cnt DESC, w1, w2 LIMIT 50
+    """,
+)
+def t25(spark, sf):
+    """word2vec-style skip-gram context pairs (window ≤3), global top-50
+    (`operators/text.py:skipgram_topk`) — row-local pair generation, one
+    map-combinable groupBy, TakeOrderedAndProject cut."""
+    from duckdb_graphar_spark.operators.text import skipgram_topk
+
+    return skipgram_topk(_t(spark, sf, "documents"))
 
 
 @_q(

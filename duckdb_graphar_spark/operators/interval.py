@@ -65,3 +65,60 @@ def interval_join(
         p.join(i, (F.col("__pb") == F.col("__ib")) & lo & hi)
         .drop("__pb", "__ib")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_size: int,
+    on: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (closed intervals:
+    ``l.start <= r.end AND r.start <= l.end``), bucket-decomposed like
+    :func:`interval_join` so it plans as a shuffled EQUI-join instead of
+    the nested loop Spark gives the raw pair of inequalities.
+
+    Both sides explode to their covered buckets, but a pair of
+    overlapping intervals shares SEVERAL buckets — instead of a
+    corpus-sized ``distinct``, each qualifying pair is emitted in exactly
+    ONE canonical bucket: the bucket of ``greatest(l.start, r.start)``
+    (the overlap's first instant, guaranteed to lie in both intervals'
+    bucket ranges).  No dedup pass, one shuffle.
+
+    ``on`` optionally adds an equality key (left_col, right_col) — the
+    realistic 100 TB shape (overlaps per user/session); without it the
+    result itself is quadratic in overlapping density, which no plan
+    fixes.  Key columns join the shuffle key, so buckets only co-locate
+    rows of the same entity.
+    """
+    if bucket_size <= 0:
+        raise ValueError("bucket_size must be positive")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column name collision between sides: {sorted(overlap)}")
+
+    def bucket(c) -> F.Column:
+        return F.floor(c.cast("long") / F.lit(bucket_size)).cast("long")
+
+    l = left.withColumn(
+        "__lb", F.explode(F.sequence(bucket(F.col(left_start)), bucket(F.col(left_end))))
+    )
+    r = right.withColumn(
+        "__rb",
+        F.explode(F.sequence(bucket(F.col(right_start)), bucket(F.col(right_end)))),
+    )
+    cond = (
+        (F.col("__lb") == F.col("__rb"))
+        & (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+        # canonical bucket: emit the pair only where the overlap starts
+        & (F.col("__lb") == bucket(F.greatest(F.col(left_start), F.col(right_start))))
+    )
+    if on is not None:
+        cond = cond & (F.col(on[0]) == F.col(on[1]))
+    return l.join(r, cond).drop("__lb", "__rb")

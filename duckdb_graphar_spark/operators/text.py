@@ -8,7 +8,7 @@ DuckDB-oracle verification (see __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny per-language stopword marker sets for the n-gram/stopword language
 # heuristic.  Deterministic and SQL-expressible (regexp counts).
@@ -457,3 +457,161 @@ def tfidf_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# RE2-compatible (no lookarounds/backrefs) so Spark's Java regex and a
+# DuckDB oracle agree on every match.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    "phone": (r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_scrub(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction pass for training corpora: count and replace emails,
+    IPv4 addresses and phone numbers.  Counts come from the ORIGINAL
+    text; redaction applies sequentially (email → ip → phone, pinned
+    order so the digest is deterministic).  Returns
+    (id, n_emails, n_ipv4, n_phones, clean_sha) where clean_sha is the
+    sha256 of the redacted text — pipelines diff the digest to find
+    changed docs without shipping the text.
+
+    Pure JVM regexes in one projection: no shuffle, no Python, linear
+    scan at any corpus size."""
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).alias(f"n_{name}s" if name == "email" else f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    clean = t
+    for pat, repl in PII_PATTERNS.values():
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(
+        F.col(id_col),
+        counts["email"],
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phones"),
+        F.sha2(clean, 256).alias("clean_sha"),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-level duplicated-chunk table: split every document into
+    DISJOINT ``chunk_tokens``-word spans (tail kept, may be shorter) and
+    report each chunk content occurring more than once:
+    (chunk_sha, n_docs, n_occurrences).  The disjoint-span granularity is
+    the cheap cousin of overlapping-n-gram dedup (t13): 1/n the exploded
+    volume, which is what large substring-dedup pipelines actually run
+    first as a coarse pass.
+
+    Scale shape: explode ~n_tokens/chunk_tokens rows per doc, md5 the
+    span, then ONE map-combinable two-level aggregation —
+    groupBy(chunk, doc) → groupBy(chunk) — so the shuffle carries hashes,
+    not text, and distinct-doc counting never builds a set per key.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * chunk_tokens + 1, chunk_tokens)),
+    )
+    chunks = df.select(
+        F.col(id_col).alias("__id"), F.explode(spans).alias("__chunk")
+    ).select("__id", F.md5("__chunk").alias("chunk_sha"))
+    per_doc = chunks.groupBy("chunk_sha", "__id").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        per_doc.groupBy("chunk_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__c").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+
+
+def quality_deciles(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """CCNet-style per-language quality binning (Wenzek et al. 2020 §4.3
+    bins corpora into head/middle/tail per language before sampling):
+    ntile(``n_buckets``) over (partition by lang, order by quality
+    score) with a doc-id tiebreak so the binning is deterministic, then
+    per-(lang, decile) membership stats.
+
+    Returns (lang, decile, n_docs, min_score, max_score).  Scale shape:
+    one window shuffle on lang (bounded key cardinality — languages, so
+    skew is the norm: a 90%-English corpus puts 90% of rows in one
+    partition's sort; for that case pre-aggregate by (lang, score) first
+    or use approx percentiles — documented tradeoff, exact kept here for
+    oracle parity) plus one map-combinable groupBy.
+    """
+    w = Window.partitionBy(F.col(lang_col)).orderBy(
+        quality_score(F.col(text_col)), F.col(id_col)
+    )
+    scored = df.select(
+        F.col(lang_col).alias("lang"),
+        quality_score(F.col(text_col)).alias("__score"),
+        F.ntile(n_buckets).over(w).alias("decile"),
+    )
+    return scored.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("__score"), 6).alias("min_score"),
+        F.round(F.max("__score"), 6).alias("max_score"),
+    )
+
+
+def skipgram_topk(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    max_dist: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k co-occurring token pairs within ``max_dist`` positions —
+    word2vec-style ordered skip-gram context counts, the corpus statistic
+    behind PMI/embedding pretraining data prep.
+
+    Returns (w1, w2, cnt), the k most frequent ordered pairs
+    (count desc, then lexicographic — fully deterministic).
+
+    Scale shape: pair generation is ROW-LOCAL (nested HOF over positions
+    — no join, no per-token explode beyond the pair list itself), then
+    one map-combinable groupBy(pair) and a TakeOrderedAndProject top-k;
+    nothing corpus-sized crosses the driver."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + max_dist, n)),
+                lambda j: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, j)
+                ),
+            ),
+        )
+    )
+    exploded = df.select(F.explode(F.when(n >= 2, pairs)).alias("__p"))
+    counted = exploded.groupBy("__p").agg(F.count(F.lit(1)).alias("cnt"))
+    out = counted.select(
+        F.substring_index("__p", " ", 1).alias("w1"),
+        F.substring_index("__p", " ", -1).alias("w2"),
+        "cnt",
+    )
+    return out.orderBy(F.col("cnt").desc(), "w1", "w2").limit(k)

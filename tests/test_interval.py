@@ -103,3 +103,80 @@ def test_plan_is_equi_join_not_nested_loop(spark, frames):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# --- interval-overlap join ---
+
+
+@pytest.fixture(scope="module")
+def overlap_frames(spark):
+    import random
+
+    rng = random.Random(11)
+    mk = lambda n, pref: [
+        (f"{pref}{i}", i % 5, rng.randrange(0, 300), rng.randrange(0, 25))
+        for i in range(n)
+    ]
+    a = spark.createDataFrame(
+        [(k, key, s, s + d) for k, key, s, d in mk(120, "a")],
+        "ak string, akey long, als long, ale long",
+    )
+    b = spark.createDataFrame(
+        [(k, key, s, s + d) for k, key, s, d in mk(150, "b")],
+        "bk string, bkey long, brs long, bre long",
+    )
+    return a, b
+
+
+def _naive_overlap(a_rows, b_rows, keyed):
+    out = set()
+    for ar in a_rows:
+        for br in b_rows:
+            if keyed and ar.akey != br.bkey:
+                continue
+            if ar.als <= br.bre and br.brs <= ar.ale:
+                out.add((ar.ak, br.bk))
+    return out
+
+
+@pytest.mark.parametrize("bucket_size", [1, 7, 64, 1000])
+def test_overlap_join_exact_and_unique(spark, overlap_frames, bucket_size):
+    from duckdb_graphar_spark.operators.interval import interval_overlap_join
+
+    a, b = overlap_frames
+    got = interval_overlap_join(
+        a, b, left_start="als", left_end="ale", right_start="brs",
+        right_end="bre", bucket_size=bucket_size, on=("akey", "bkey"),
+    ).select("ak", "bk").collect()
+    pairs = [(r.ak, r.bk) for r in got]
+    assert len(pairs) == len(set(pairs))  # canonical bucket => no dups
+    assert set(pairs) == _naive_overlap(a.collect(), b.collect(), keyed=True)
+
+
+def test_overlap_join_unkeyed(spark, overlap_frames):
+    from duckdb_graphar_spark.operators.interval import interval_overlap_join
+
+    a, b = overlap_frames
+    got = interval_overlap_join(
+        a, b, left_start="als", left_end="ale", right_start="brs",
+        right_end="bre", bucket_size=16,
+    ).select("ak", "bk").collect()
+    pairs = [(r.ak, r.bk) for r in got]
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == _naive_overlap(a.collect(), b.collect(), keyed=False)
+
+
+def test_overlap_join_plans_equi(spark, overlap_frames):
+    from duckdb_graphar_spark.operators.interval import interval_overlap_join
+
+    a, b = overlap_frames
+    plan = (
+        interval_overlap_join(
+            a, b, left_start="als", left_end="ale", right_start="brs",
+            right_end="bre", bucket_size=16, on=("akey", "bkey"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -104,3 +104,66 @@ def test_contamination(spark):
     assert abs(out[0].hit_frac - round(2 / 3, 6)) < 1e-9 and out[0].contaminated
     assert out[1].n_hit == 0 and not out[1].contaminated
     assert out[2].n_grams == 0 and out[2].hit_frac == 0.0 and not out[2].contaminated
+
+
+# --- round-3 operators: PII scrub, chunk dedup, deciles, skip-grams ---
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from duckdb_graphar_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a@b.co and c.d+x@e.org, ip 10.0.0.1, call 555-123-4567"),
+            (1, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (rows[0].n_emails, rows[0].n_ipv4, rows[0].n_phones) == (2, 1, 1)
+    assert (rows[1].n_emails, rows[1].n_ipv4, rows[1].n_phones) == (0, 0, 0)
+    import hashlib
+
+    exp = "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"
+    assert rows[0].clean_sha == hashlib.sha256(exp.encode()).hexdigest()
+
+
+def test_chunk_dedup_finds_shared_chunk(spark):
+    from duckdb_graphar_spark.operators.text import chunk_dedup
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(0, shared + " tail words here"), (1, shared), (2, "all unique words only")],
+        "doc_id long, text string",
+    )
+    import hashlib
+
+    rows = {r.chunk_sha: r for r in chunk_dedup(df).collect()}
+    h = hashlib.md5(shared.encode()).hexdigest()
+    assert h in rows and rows[h].n_docs == 2 and rows[h].n_occurrences == 2
+    assert len(rows) == 1  # tails/unique chunks are not duplicated
+
+
+def test_quality_deciles_partitions_per_lang(spark):
+    from duckdb_graphar_spark.operators.text import quality_deciles
+
+    docs = [(i, "word " * (5 + i) + "end", "en" if i % 2 else "de") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    rows = quality_deciles(df).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, 0)
+        per_lang[r.lang] += r.n_docs
+        assert 1 <= r.decile <= 10 and r.min_score <= r.max_score
+    assert per_lang == {"en": 20, "de": 20}
+
+
+def test_skipgram_topk_hand_checked(spark):
+    from duckdb_graphar_spark.operators.text import skipgram_topk
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b"), (2, "x")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2): r.cnt for r in skipgram_topk(df, k=10).collect()}
+    # doc0 pairs (window 3): ab, ac, bc; doc1: ab; doc2: none
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
