@@ -1504,6 +1504,35 @@ def u02(spark, sf):
 
 
 @_q(
+    "u03_datasource_sink",
+    # ORACLE: what the custom Python-DataSource sink persisted must
+    # equal the same filter over the source table.
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30
+    """,
+)
+def u03(spark, sf):
+    """Batch sink through the public Python Data Source V2 writer API:
+    per-partition pyarrow parquet files + two-phase commit manifest
+    (`duckdb_graphar_spark/datasources.py`), then read back."""
+    import tempfile
+
+    from duckdb_graphar_spark.datasources import ArrowParquetSinkDataSource
+
+    try:
+        spark.dataSource.register(ArrowParquetSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+    out = tempfile.mkdtemp(prefix="u03_sink_")
+    df = _t(spark, sf, "lineitem").filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 30)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    df.write.format("arrow_parquet_sink").option("path", out).mode("append").save()
+    return spark.read.parquet(out + "/*.parquet")
+
+
+@_q(
     "q49_string_agg",
     """
     SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
@@ -1759,6 +1788,39 @@ def t25(spark, sf):
 
 
 @_q(
+    "d04_containment_pairs",
+    # ORACLE: exhaustive asymmetric containment |A∩B|/|A| over distinct
+    # word-bigram shingle sets, both directions, threshold 0.6.
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS s
+      FROM toks WHERE len(w) >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) >= 0.6
+    """,
+)
+def d04(spark, sf):
+    """Asymmetric containment near-dup (|A∩B|/|A| ≥ 0.6) — catches
+    short-doc-inside-long-doc duplication Jaccard scores near zero
+    (`operators/dedup.py:containment_pairs`; exhaustive verifier here,
+    LSH-candidate-fed at scale)."""
+    from duckdb_graphar_spark.operators.dedup import containment_pairs
+    from duckdb_graphar_spark.operators.text import token_count
+
+    d = _t(spark, sf, "documents").filter(token_count(F.col("text")) >= 2)
+    return containment_pairs(d, k=2, threshold=0.6)
+
+
+@_q(
     "u01_udtf_tokens",
     """
     SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS INT) AS idx, unnest(l) AS token
@@ -1978,6 +2040,64 @@ def g09(spark, sf):
     v = _t(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
     return pagerank(
         _edges(spark, sf), v, n_iters=2, src_col="src", dst_col="dst"
+    )
+
+
+@_q(
+    "g11_connected_components",
+    # ORACLE: symmetric-closure reachability is an equivalence relation,
+    # so each vertex's component label is the MIN id it can reach
+    # (recursive CTE with UNION dedup — state bounded by |V|·depth).
+    f"""
+    WITH RECURSIVE e AS ({_E_SQL}),
+    sym AS (SELECT src AS u, dst AS w FROM e UNION SELECT dst, src FROM e),
+    r(v, w) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT r.v, s.w FROM r JOIN sym s ON s.u = r.w
+    )
+    SELECT v AS id, MIN(w) AS component FROM r GROUP BY v
+    """,
+)
+def g11(spark, sf):
+    """Undirected connected components by min-label propagation with the
+    adaptive driver union-find fast path
+    (`operators/dedup.py:connected_components` — the same engine that
+    merges MinHash near-dup clusters, exposed on the order graph)."""
+    from duckdb_graphar_spark.operators.dedup import connected_components
+
+    e = _edges(spark, sf).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    v = _t(spark, sf, "customer").select(F.col("c_custkey").alias("v"))
+    return connected_components(e, v).select(
+        F.col("v").alias("id"), F.col("label").alias("component")
+    )
+
+
+@_q(
+    "g12_bfs_levels",
+    # ORACLE: min-depth per reachable vertex via a deduping recursive
+    # CTE (UNION keeps state |V|·depth, not path-count), then histogram.
+    f"""
+    WITH RECURSIVE e AS ({_E_SQL}),
+    walk(v, d) AS (
+      SELECT CAST(0 AS BIGINT) AS v, 0 AS d
+      UNION
+      SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.v WHERE walk.d < 6
+    ),
+    md AS (SELECT v, MIN(d) AS d FROM walk GROUP BY v)
+    SELECT CAST(d AS INTEGER) AS depth, COUNT(*) AS n_vertices
+    FROM md GROUP BY d
+    """,
+)
+def g12(spark, sf):
+    """BFS level profile from vertex 0 (vertices first reached per
+    depth, `operators/graph.py:bfs_levels`)."""
+    from duckdb_graphar_spark.operators.graph import bfs_levels
+
+    return bfs_levels(
+        _edges(spark, sf), 0, src_col="src", dst_col="dst", max_depth=6
     )
 
 
@@ -2880,6 +3000,50 @@ def m04(spark, sf):
 
 
 @_q(
+    "m05_ppm_channel_stats",
+    # ORACLE: same construction as m04 but for the P6 PPM codec — pixel
+    # byte i = text byte (2·i) mod L, w = 1+L%13, h = 1+doc_id%9, RGB
+    # channel order; computed straight from the text, never touching the
+    # PPM bytes the Spark side parses.
+    """
+    WITH px AS (
+      SELECT d.doc_id, d.text,
+             1 + (octet_length(encode(d.text)) % 13) AS w,
+             1 + (d.doc_id % 9) AS h,
+             octet_length(encode(d.text)) AS L,
+             t.i AS i
+      FROM documents d,
+           UNNEST(generate_series(0, (1 + (octet_length(encode(d.text)) % 13))
+                                     * (1 + (d.doc_id % 9)) * 3 - 1)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           ROUND(CAST(SUM(CASE WHEN i % 3 = 0
+                      THEN ord(substring(text, CAST(((2 * i) % L) + 1 AS INTEGER), 1)) END)
+                 AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+           ROUND(CAST(SUM(CASE WHEN i % 3 = 1
+                      THEN ord(substring(text, CAST(((2 * i) % L) + 1 AS INTEGER), 1)) END)
+                 AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+           ROUND(CAST(SUM(CASE WHEN i % 3 = 2
+                      THEN ord(substring(text, CAST(((2 * i) % L) + 1 AS INTEGER), 1)) END)
+                 AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def m05(spark, sf):
+    """Second real codec end-to-end: documents rendered as binary PPM
+    (ASCII header + comment line + raw RGB) and re-parsed for
+    per-channel stats (`operators/multimodal.py:decode_ppm`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_ppm,
+        ppm_channel_stats,
+    )
+
+    return ppm_channel_stats(encode_text_ppm(_t(spark, sf, "documents")))
+
+
+@_q(
     "st01_stream_tumbling",
     # ORACLE: the stream is driven to completion (complete output mode)
     # over the bounded fixture, so the final memory-sink table equals the
@@ -2904,6 +3068,44 @@ def st01(spark, sf):
 
     stream = read_events_stream(spark, f"{sf}/events.parquet")
     return run_to_memory(tumbling_window_agg(stream, watermark="365 days"), "st01_out")
+
+
+@_q(
+    "st09_chained_windows",
+    # ORACLE: the two-level rollup in SQL (5-min buckets re-aggregated
+    # to hours), minus the windows append mode cannot emit: with a
+    # 0-second watermark delay the final watermark is max(ts), so only
+    # outer windows with end <= max(ts) appear in the sink.
+    """
+    WITH mx AS (SELECT MAX(epoch(ts)) AS m FROM events),
+    i AS (SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS b5, event_type,
+                 COUNT(*) AS n, SUM(CAST(value AS DECIMAL(26,8))) AS sv
+          FROM events GROUP BY 1, 2),
+    o AS (SELECT CAST(FLOOR(b5 * 300 / 3600) AS BIGINT) AS bh, event_type,
+                 SUM(n) AS n, COUNT(*) AS n_inner_windows,
+                 ROUND(CAST(SUM(sv) AS DOUBLE), 6) AS sum_value
+          FROM i GROUP BY 1, 2)
+    SELECT CAST(to_timestamp(bh * 3600) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(bh * 3600 + 3600) AS TIMESTAMP) AS window_end,
+           event_type, n, n_inner_windows, sum_value
+    FROM o WHERE bh * 3600 + 3600 <= (SELECT m FROM mx)
+    """,
+)
+def st09(spark, sf):
+    """Chained windowed aggregation (hypertable rollup): 5-minute
+    tumbling reduce → 1-hour re-aggregation over window_time, run as a
+    real two-stateful-operator append-mode stream
+    (`streaming/ops.py:chained_window_agg`)."""
+    from duckdb_graphar_spark.streaming.ops import (
+        chained_window_agg,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    return run_to_memory(
+        chained_window_agg(stream, watermark="0 seconds"), "st09_out", mode="append"
+    )
 
 
 @_q("s03_ivf_topk", _S_TOPK_ORACLE)
@@ -3836,8 +4038,10 @@ _PRIORITY = [
     # remaining never-verified relational / text / multimodal surface (14)
     "q50", "q51", "q52", "q54", "q47", "q48", "q49",
     "t02", "t03", "t05", "t07", "t08", "t09", "m02",
-    # --- round-3 new operators (fill the window to 50) ---
-    "s08", "g09", "g10", "m04", "t22", "t23", "t24", "q55", "q56", "st09",
+    # --- round-3 new operators (fill the window to exactly 50) ---
+    "s08", "g09", "g10", "g11", "g12", "m04", "m05",
+    "t22", "t23", "t24", "t25", "d04",
+    "q55", "q56", "q57", "st09", "u03",
     # --- 51+: already driver-verified (r01/r02 green) in coverage order ---
     *[f"ga{i:02d}" for i in range(1, 14)],
     *[f"g{i:02d}" for i in range(1, 9)],

@@ -1,0 +1,86 @@
+"""Custom batch sink through the public Python Data Source V2 writer API
+(pyspark.sql.datasource, Spark 4): each PARTITION writes its own parquet
+file via pyarrow — executor-side, Arrow-batched, no driver
+materialization — and the driver-side commit records a manifest only
+after every task reported success (the standard two-phase file-sink
+contract; an abort removes the partials).
+
+The reference has no sinks at all (SURVEY §2.A6); together with the
+distributed GraphAr writer and the foreachBatch streaming sink this
+completes the write surface through the OFFICIAL extension point, so a
+user can `df.write.format("arrow_parquet_sink")` like any built-in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _ArrowParquetWriter(DataSourceArrowWriter):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator):  # executor-side, per partition
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        batches = list(iterator)
+        if not batches:
+            return _FileCommit("", 0)
+        table = pa.Table.from_batches(batches)
+        os.makedirs(self.path, exist_ok=True)
+        # task-unique name: a re-attempted task never collides, and only
+        # committed files are listed in the manifest
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        full = os.path.join(self.path, fname)
+        pq.write_table(table, full)
+        return _FileCommit(full, table.num_rows)
+
+    def commit(self, messages):  # driver-side, all tasks succeeded
+        manifest = {
+            "files": [m.path for m in messages if m and m.n_rows],
+            "rows": sum(m.n_rows for m in messages if m),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):  # driver-side, something failed
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class ArrowParquetSinkDataSource(DataSource):
+    """`format("arrow_parquet_sink")` — register with
+    ``spark.dataSource.register(ArrowParquetSinkDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "arrow_parquet_sink"
+
+    def writer(self, schema, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("arrow_parquet_sink requires option 'path'")
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):
+                if f.endswith(".parquet") or f == "_MANIFEST.json":
+                    os.remove(os.path.join(path, f))
+        return _ArrowParquetWriter(path)

@@ -515,3 +515,49 @@ def embedding_near_dup_pairs(
         .select(F.col("__id").alias("id_a"), F.col("__id2").alias("id_b"), "cosine")
         .distinct()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle-set containment
+    c(a→b) = |A∩B| / |A| — the signal Jaccard misses when a short
+    document is wholly embedded in a long one (quote farms, boilerplate
+    wrappers, prompt-in-completion leaks): Jaccard divides by the UNION,
+    so a 50-token doc inside a 5000-token doc scores ≈0.01 while its
+    containment is 1.0.
+
+    Returns ordered pairs (id_a, id_b, containment) with containment of
+    id_a's shingles in id_b ≥ threshold, both directions emitted
+    independently.
+
+    ``candidates`` (id_a, id_b ordered pairs) restricts the verify join —
+    at scale feed :func:`minhash_lsh_pairs` (banding bounds candidate
+    count; containment verify is one array_intersect per candidate).
+    ``None`` runs the exhaustive self-join — the oracle-mirrorable
+    verifier, same role as t07's exhaustive Jaccard."""
+    sh = _shingle_df(df, id_col, text_col, k)
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
+    if candidates is None:
+        joined = a.join(b, F.col("id_a") != F.col("id_b"))
+    else:
+        both = candidates.unionAll(
+            candidates.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        ).distinct()
+        joined = both.join(a, "id_a").join(b, "id_b")
+    na = F.size("__sa").cast("double")
+    cont = F.when(
+        na > 0, F.size(F.array_intersect("__sa", "__sb")).cast("double") / na
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -414,3 +414,51 @@ def triangle_count(
         e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
     )
     return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    src_vid: int,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+    max_depth: int = 6,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Neighborhood growth profile: how many vertices are FIRST reached
+    at each BFS depth from ``src_vid`` — (depth, n_vertices), depth 0 =
+    the source itself.  The level-size sequence is the standard
+    reachability/diameter diagnostic (and the cost model input for
+    deciding broadcast vs shuffle traversal).
+
+    Same level-synchronous machinery as :func:`bfs_length`
+    (`_expand_frontier`, frontier-size-aware broadcast); driver state is
+    the O(max_depth) histogram only.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")).persist()
+    pinned: list[DataFrame] = [e]
+    counts: list[tuple[int, int]] = [(0, 1)]
+    try:
+        frontier = spark.range(1).select(F.lit(src_vid).cast("long").alias("__v"))
+        visited = frontier
+        frontier_n = 1
+        for depth in range(1, max_depth + 1):
+            nxt = _expand_frontier(
+                e, frontier, visited, broadcast=frontier_n <= broadcast_threshold
+            ).persist()
+            pinned.append(nxt)
+            n = nxt.count()
+            if n == 0:
+                break
+            counts.append((depth, n))
+            visited = visited.unionAll(nxt)
+            frontier = nxt
+            frontier_n = n
+            if depth % 4 == 0:
+                frontier = frontier.localCheckpoint(eager=False)
+                visited = visited.localCheckpoint(eager=False)
+        return spark.createDataFrame(counts, "depth int, n_vertices long")
+    finally:
+        for df in pinned:
+            df.unpersist(blocking=False)

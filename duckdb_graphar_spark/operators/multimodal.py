@@ -314,6 +314,80 @@ def bmp_channel_stats(
     return cols.mapInPandas(batches, BMP_CHANNEL_STATS_SCHEMA)
 
 
+def encode_text_ppm(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL binary PPM (P6): ASCII header with
+    a comment line (exercising the parser's comment skip), then raw RGB
+    triplets.  Dimensions w = 1 + octet_length(text) mod 13,
+    h = 1 + id mod 9; pixel byte i = text byte (2·i) mod octet_length —
+    a stride-2 cyclic sample, deliberately different from the BMP
+    fixture so the two codecs can't share a decode bug."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w = 1 + (len(tb) % 13)
+                h = 1 + (int(did) % 9)
+                idx = (np.arange(w * h * 3) * 2) % len(tb)
+                header = f"P6\n# doc {int(did)}\n{w} {h}\n255\n".encode()
+                payloads.append(header + tb[idx].tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+PPM_CHANNEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+    ]
+)
+
+
+def ppm_channel_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image per-channel means from genuinely parsed PPM payloads
+    (:func:`decode_ppm`: header fields, comment lines, raw RGB planes).
+    Same HALF_UP round-6 discipline as :func:`bmp_channel_stats`."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_ppm(bytes(payload))
+                w, h, px = d["width"], d["height"], d["pixels"]
+                n = w * h
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(h)
+                for ci, key in enumerate(("mean_r", "mean_g", "mean_b")):
+                    mean = float(int(px[ci::3].sum(dtype=np.int64))) / n
+                    out[key].append(
+                        float(Decimal(mean).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+                    )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, PPM_CHANNEL_STATS_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     *,

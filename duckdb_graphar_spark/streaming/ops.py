@@ -257,6 +257,57 @@ def stateful_user_totals(
     )
 
 
+def chained_window_agg(
+    events: DataFrame,
+    *,
+    inner: str = "5 minutes",
+    outer: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Two-level windowed rollup — tumbling ``inner`` windows per
+    event_type, re-aggregated into ``outer`` windows via
+    ``window_time()`` (Spark 3.4+ chained stateful aggregations).  The
+    hypertable-rollup shape: the raw stream reduces once at fine grain,
+    and the coarse grain aggregates the ALREADY-REDUCED rows (state and
+    shuffle at the second level are per-inner-window, not per-event).
+
+    Streaming requires APPEND output mode (multiple stateful operators),
+    so only outer windows whose end ≤ the final watermark emit — with
+    the default 0-second delay that is every window except the one
+    containing the stream's max timestamp.  Inner sums stay unrounded
+    DECIMAL until the outer level so the rollup is exact and
+    order-independent; n_inner_windows counts the non-empty fine
+    windows inside each coarse one.
+
+    Works identically on a batch DataFrame (watermark no-op), which is
+    what the batch twin / SQL oracle verifies.
+    """
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    inner_agg = e.groupBy(F.window("ts", inner).alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(26,8)")).alias("__sv"),
+    )
+    outer_src = inner_agg.select(
+        F.window_time("w").alias("wt"), "event_type", "n", "__sv"
+    )
+    return (
+        outer_src.groupBy(F.window("wt", outer).alias("w2"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.count(F.lit(1)).alias("n_inner_windows"),
+            F.round(F.sum("__sv").cast("double"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w2.start").alias("window_start"),
+            F.col("w2.end").alias("window_end"),
+            "event_type",
+            "n",
+            "n_inner_windows",
+            "sum_value",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, *, mode: str | None = None) -> DataFrame:
     """Drive a streaming DataFrame to completion against a memory sink
     (test harness: processAllAvailable → stop → return the batch view)."""
