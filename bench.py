@@ -53,6 +53,15 @@ BENCH_QUERIES = [
     "t19_lm_fluency",
     "s04_quantize_stats",
     "s05_kmeans_assign",
+    # round-3: pagerank, interval overlap, chunk dedup, skip-grams,
+    # real BMP decode (two Python stages), composed k-means, sqrt-n semdedup
+    "g09_pagerank",
+    "q56_interval_overlap_join",
+    "t23_chunk_dedup",
+    "t25_skipgram_topk",
+    "m04_bmp_channel_stats",
+    "s08_kmeans_fit",
+    "s06_semdedup",
 ]
 
 
