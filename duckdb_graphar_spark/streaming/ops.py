@@ -310,7 +310,41 @@ def chained_window_agg(
 
 def run_to_memory(stream_df: DataFrame, name: str, *, mode: str | None = None) -> DataFrame:
     """Drive a streaming DataFrame to completion against a memory sink
-    (test harness: processAllAvailable → stop → return the batch view)."""
+    (test harness: processAllAvailable → stop → return the batch view).
+
+    Stateful operators create one state-store instance per
+    ``spark.sql.shuffle.partitions`` per micro-batch; a foreign session
+    at the Spark default (200) pays ~5× pure task overhead on a
+    32-core box (measured: st07 25 s → 5.3 s).  Since this entry point
+    exists to DRIVE a finite stream to completion, the conf is scoped to
+    the machine for the duration of the run and restored in the finally
+    — never mutated for the caller's other work (the round-1 lesson on
+    session-conf hygiene)."""
+    spark = stream_df.sparkSession
+    return _with_harness_shuffle_parts(
+        spark,
+        lambda: _run_memory_query(stream_df, name, mode),
+    )
+
+
+def _with_harness_shuffle_parts(spark: SparkSession, fn):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    cores = spark.sparkContext.defaultParallelism
+    scoped = prev is None or int(prev) > cores
+    if scoped:
+        spark.conf.set(key, str(cores))
+    try:
+        return fn()
+    finally:
+        if scoped:
+            if prev is not None:
+                spark.conf.set(key, prev)
+            else:
+                spark.conf.unset(key)
+
+
+def _run_memory_query(stream_df: DataFrame, name: str, mode: str | None) -> DataFrame:
     q = (
         stream_df.writeStream.outputMode(
             mode or ("complete" if _has_agg(stream_df) else "append")

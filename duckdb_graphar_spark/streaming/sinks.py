@@ -30,14 +30,20 @@ def foreach_batch_parquet_sink(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
 
-    writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("append")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from duckdb_graphar_spark.streaming.ops import _with_harness_shuffle_parts
+
+    def run() -> None:
+        writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("append")
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # same scoped harness conf as run_to_memory (see its docstring)
+    _with_harness_shuffle_parts(stream_df.sparkSession, run)
 
 
 def read_parquet_sink(spark: SparkSession, out_dir: str) -> DataFrame:
