@@ -4006,6 +4006,95 @@ def st08(spark, sf):
     return read_parquet_sink(spark, out_dir)
 
 
+@_q(
+    "t26_heavy_hitters",
+    # ORACLE: exact token frequencies with the integer threshold
+    # freq*k > n.  The operator's Misra-Gries candidate phase is a
+    # superset guarantee + exact recount, so its output is EXACTLY this
+    # set regardless of partitioning.
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    t2 AS (SELECT token FROM tok WHERE token <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM t2)
+    SELECT token, COUNT(*) AS freq
+    FROM t2, tot GROUP BY token, tot.n HAVING COUNT(*) * 50 > n
+    """,
+)
+def t26(spark, sf):
+    """Exact heavy hitters (freq > n/k, k=50) without a corpus-wide
+    token shuffle: per-partition Misra-Gries candidates in one
+    mapInPandas pass, broadcast-semi-join exact recount, integer
+    threshold (`operators/sketch.py:heavy_hitters`)."""
+    from duckdb_graphar_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf, "documents"), k=50)
+
+
+@_q(
+    "q58_funnel",
+    # ORACLE: staged-min construction — t_{i+1} = first stage-(i+1)
+    # event STRICTLY after t_i.  The operator's one-shuffle sorted fold
+    # is provably equivalent (first-in-time-order == min-ts).
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stages_completed,
+           COALESCE(t3, t2, t1) AS completed_at
+    FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    """,
+)
+def q58(spark, sf):
+    """Ordered funnel conversion view→click→purchase: per user the
+    stage reached + completing timestamp, via ONE groupBy(user) shuffle
+    and a time-sorted HOF fold — the log is scanned once, not once per
+    stage (`operators/events.py:funnel`)."""
+    from duckdb_graphar_spark.operators.events import funnel
+
+    return funnel(_t(spark, sf, "events"), ["view", "click", "purchase"])
+
+
+@_q(
+    "q59_scd2_intervals",
+    # ORACLE: identical gaps-and-islands over (ts, event_id) ordering —
+    # run boundaries by lag, island label by running boundary count,
+    # half-open validity intervals by lead over the collapsed runs.
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+          FROM o),
+    c AS (SELECT user_id, run, MIN(event_type) AS state, MIN(ts) AS valid_from,
+                 COUNT(*) AS n_events
+          FROM r GROUP BY user_id, run)
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+           n_events
+    FROM c
+    """,
+)
+def q59(spark, sf):
+    """SCD-type-2 state intervals from the event log (consecutive
+    same-type runs per user → half-open [valid_from, valid_to) rows);
+    gaps-and-islands with ONE user-hash exchange shared by both windows
+    and the collapse groupBy (`operators/events.py:scd2_intervals`)."""
+    from duckdb_graphar_spark.operators.events import scd2_intervals
+
+    return scd2_intervals(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------

@@ -1,0 +1,118 @@
+"""Event-sequence analytics: funnel conversion and SCD2 state intervals.
+
+Both are per-entity ordered-sequence operators over an event log — the
+product-analytics / CDC-warehousing shapes a training-data platform runs
+next to its corpus jobs.  Scale shape for both: ONE hash shuffle on the
+entity key; everything after is row-local (a fold over the entity's
+sorted events) or a within-partition window sort.  No self-joins, no
+per-stage re-scans — at 100 TB the log is touched once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def funnel(
+    df: DataFrame,
+    stages: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion: per user, how far through ``stages``
+    the event sequence progresses.  Stage i+1 counts only if an event of
+    that type occurs STRICTLY after the event that completed stage i
+    (ties at the same timestamp do not advance — pinned semantics, so
+    within-timestamp event order is irrelevant and the result is
+    deterministic).  Returns (user, stages_completed, completed_at)
+    where completed_at is the timestamp of the last advancing event
+    (NULL when stages_completed = 0).
+
+    One groupBy(user) shuffle; the per-user fold is a single
+    F.aggregate over the time-sorted event structs — equivalent to the
+    staged-min construction (t1 = first stage-0 event, t2 = first
+    stage-1 event after t1, …) which is what the SQL oracle computes,
+    but the fold reads the log ONCE instead of once per stage.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    ev = df.select(
+        F.col(user_col).alias("user_id"),
+        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")).alias("__e"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("__e")).alias("__seq")
+    )
+    # fold accumulator: (stage reached so far, ts of the advancing event).
+    # element_at is 1-based; stage_arr is a tiny literal array, so the
+    # lookup inside the interpreted lambda is O(|stages|) on k ints.
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast(ts_type).alias("ts")
+    )
+    step = lambda acc, e: F.when(
+        (acc["stage"] < F.lit(len(stages)))
+        & (e["et"] == F.element_at(stage_arr, acc["stage"] + 1))
+        & (acc["ts"].isNull() | (e["ts"] > acc["ts"])),
+        F.struct(
+            (acc["stage"] + 1).alias("stage"), e["ts"].alias("ts")
+        ),
+    ).otherwise(acc)
+    done = F.aggregate(F.col("__seq"), init, step)
+    return seq.select(
+        "user_id",
+        done["stage"].alias("stages_completed"),
+        done["ts"].alias("completed_at"),
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Collapse an event log into SCD-type-2 validity intervals: one row
+    per consecutive RUN of the same state per user, with
+    (state, valid_from, valid_to, n_events); valid_to is the start of
+    the next run (NULL for the current state) — the half-open
+    [valid_from, valid_to) convention of warehouse dimension tables.
+
+    Classic gaps-and-islands: within each user's time-ordered events,
+    a run boundary is ``state != lag(state)``; the running count of
+    boundaries labels the island; one groupBy collapses it.  Ordering
+    ties on ts break by the unique event id, so runs are deterministic.
+    All three windows + the final groupBy share the user hash
+    partitioning — Spark plans ONE exchange, then sorts per partition.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    runs = (
+        df.select(user_col, ts_col, state_col, id_col)
+        .withColumn(
+            "__chg",
+            F.when(
+                F.lag(state_col).over(w).isNull()
+                | (F.col(state_col) != F.lag(state_col).over(w)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__run", F.sum("__chg").over(w))
+    )
+    collapsed = runs.groupBy(user_col, "__run").agg(
+        F.min(state_col).alias("state"),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(user_col).orderBy("__run")
+    return collapsed.select(
+        F.col(user_col),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )

@@ -1,0 +1,158 @@
+"""Unit tests for the event-sequence analytics (funnel, SCD2) and the
+Misra-Gries heavy-hitters operator — exercising the paths the uniform
+driver fixture can't: counter eviction under skew, strict-after funnel
+semantics, single-run/alternating-run interval collapse."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+TS = datetime.datetime
+
+
+def _ts(m):
+    return TS(2024, 1, 1, 0, m)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_skewed_eviction(spark):
+    """Vocabulary far larger than the MG capacity: 400 singleton tokens
+    + 2 heavy ones, k=10 → capacity 20 ≪ 402 distinct, so the counter
+    eviction path runs; the exact recount must still return exactly the
+    two true heavy hitters with exact counts."""
+    from duckdb_graphar_spark.operators.sketch import heavy_hitters
+
+    rare = [(f"rare{i:03d}",) for i in range(400)]
+    heavy = [("alpha " * 30).strip()] * 8 + [("beta " * 25).strip()] * 8
+    df = spark.createDataFrame(rare + [(h,) for h in heavy], "text string").repartition(7)
+    # totals: 400 rare + 240 alpha + 200 beta = 840; n/k = 84
+    out = {r["token"]: r["freq"] for r in heavy_hitters(df, k=10).collect()}
+    assert out == {"alpha": 240, "beta": 200}
+
+
+def test_heavy_hitters_threshold_is_strict(spark):
+    """freq*k > n is strict: a token at exactly n/k is excluded."""
+    from duckdb_graphar_spark.operators.sketch import heavy_hitters
+
+    # 4 tokens total, k=2 → threshold freq*2 > 4 ⇒ freq ≥ 3
+    df = spark.createDataFrame([("a a b b",)], "text string")
+    assert heavy_hitters(df, k=2).count() == 0
+    df2 = spark.createDataFrame([("a a a b",)], "text string")
+    out = heavy_hitters(df2, k=2).collect()
+    assert [(r["token"], r["freq"]) for r in out] == [("a", 3)]
+
+
+def test_heavy_hitters_rejects_bad_k(spark):
+    from duckdb_graphar_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def _funnel(spark, rows):
+    from duckdb_graphar_spark.operators.events import funnel
+
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string"
+    )
+    out = funnel(df, ["view", "click", "purchase"])
+    return {
+        r["user_id"]: (r["stages_completed"], r["completed_at"])
+        for r in out.collect()
+    }
+
+
+def test_funnel_full_and_partial(spark):
+    rows = [
+        # user 1: full funnel in order
+        (1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(2), "purchase"),
+        # user 2: purchase BEFORE view → only reaches stage 1
+        (2, _ts(0), "purchase"), (2, _ts(1), "view"),
+        # user 3: no matching first stage
+        (3, _ts(0), "error"),
+    ]
+    got = _funnel(spark, rows)
+    assert got[1] == (3, _ts(2))
+    assert got[2] == (1, _ts(1))
+    assert got[3] == (0, None)
+
+
+def test_funnel_same_timestamp_does_not_advance(spark):
+    """Stage i+1 requires STRICTLY later ts — a click at the view's
+    exact timestamp is pinned to not count."""
+    rows = [
+        (1, _ts(0), "view"), (1, _ts(0), "click"), (1, _ts(5), "click"),
+        (2, _ts(0), "view"), (2, _ts(0), "click"),
+    ]
+    got = _funnel(spark, rows)
+    assert got[1] == (2, _ts(5))
+    assert got[2] == (1, _ts(0))
+
+
+def test_funnel_takes_first_qualifying_event(spark):
+    """The fold must bind each stage to its EARLIEST qualifying event,
+    not a later one (two clicks: the first one after the view wins)."""
+    rows = [
+        (1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(9), "click"),
+        (1, _ts(4), "purchase"),
+    ]
+    got = _funnel(spark, rows)
+    # click@1 completes stage 2, so purchase@4 qualifies
+    assert got[1] == (3, _ts(4))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 intervals
+# ---------------------------------------------------------------------------
+
+
+def _scd2(spark, rows):
+    from duckdb_graphar_spark.operators.events import scd2_intervals
+
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, event_id long"
+    )
+    out = scd2_intervals(df).orderBy("user_id", "valid_from")
+    return [
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"], r["n_events"])
+        for r in out.collect()
+    ]
+
+
+def test_scd2_runs_collapse_and_half_open(spark):
+    rows = [
+        (1, _ts(0), "A", 1), (1, _ts(1), "A", 2), (1, _ts(2), "B", 3),
+        (1, _ts(3), "A", 4),
+    ]
+    assert _scd2(spark, rows) == [
+        (1, "A", _ts(0), _ts(2), 2),
+        (1, "B", _ts(2), _ts(3), 1),
+        (1, "A", _ts(3), None, 1),
+    ]
+
+
+def test_scd2_tie_breaks_on_event_id(spark):
+    """Two events at the same ts: run order follows the unique event id,
+    so the intervals are deterministic."""
+    rows = [(1, _ts(0), "B", 2), (1, _ts(0), "A", 1), (1, _ts(1), "B", 3)]
+    assert _scd2(spark, rows) == [
+        (1, "A", _ts(0), _ts(0), 1),
+        (1, "B", _ts(0), None, 2),
+    ]
+
+
+def test_scd2_single_state_single_row(spark):
+    rows = [(7, _ts(0), "X", 1), (7, _ts(5), "X", 2)]
+    assert _scd2(spark, rows) == [(7, "X", _ts(0), None, 2)]
