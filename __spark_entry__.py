@@ -4006,6 +4006,129 @@ def st08(spark, sf):
     return read_parquet_sink(spark, out_dir)
 
 
+_PQ_BEST_CTE = """
+WITH c AS (
+  SELECT embedding AS cv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+sub AS (SELECT unnest(generate_series(0,3)) AS j),
+d AS (
+  SELECT e.vec_id, s.j, c.cidx,
+         list_sum([CAST((CAST(e.embedding[s.j*16 + i] AS DOUBLE) - CAST(c.cv[s.j*16 + i] AS DOUBLE))
+                        * (CAST(e.embedding[s.j*16 + i] AS DOUBLE) - CAST(c.cv[s.j*16 + i] AS DOUBLE))
+                        AS DECIMAL(38,18)) FOR i IN generate_series(1,16)]) AS d2
+  FROM embeddings e CROSS JOIN sub s CROSS JOIN c
+),
+best AS (SELECT vec_id, j, cidx, d2,
+                row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cidx) AS rn FROM d)
+"""
+
+
+def _pq_books(e):
+    from duckdb_graphar_spark.operators.embeddings import seed_centroids
+
+    seeds = seed_centroids(e, 8)
+    return [[(i, v[j * 16 : (j + 1) * 16]) for i, v in seeds] for j in range(4)]
+
+
+@_q(
+    "s09_pq_encode",
+    # ORACLE: the s05 decimal-argmin CTE applied per 16-dim subspace
+    # slice; recon sums the 4 per-subspace decimals EXACTLY before the
+    # one double cast — bit-identical to the operator's discipline.
+    _PQ_BEST_CTE
+    + """
+    SELECT vec_id, list(cidx ORDER BY j) AS codes,
+           ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS recon_dist2
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def s09(spark, sf):
+    """Product-quantization encode (Jégou et al. 2011): m=4 subspaces ×
+    8 deterministic seed codes, per-vector code tuple + exact
+    reconstruction error — a shuffle-free projection whose codebooks
+    are m·k literal arrays (`operators/embeddings.py:pq_encode`)."""
+    from duckdb_graphar_spark.operators.embeddings import pq_encode
+
+    e = _t(spark, sf, "embeddings")
+    return pq_encode(e, _pq_books(e))
+
+
+@_q(
+    "s10_pq_adc_topk",
+    # ORACLE: re-derive each vector's chosen centroid per subspace
+    # (best CTE), then the query-to-centroid decimal distances — the
+    # exact numbers the operator's constant-folded lookup tables hold.
+    _PQ_BEST_CTE
+    + """
+    , q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ad AS (
+      SELECT b.vec_id,
+             SUM(list_sum([CAST((CAST(q.qv[b.j*16 + i] AS DOUBLE) - CAST(c2.cv[b.j*16 + i] AS DOUBLE))
+                                * (CAST(q.qv[b.j*16 + i] AS DOUBLE) - CAST(c2.cv[b.j*16 + i] AS DOUBLE))
+                                AS DECIMAL(38,18)) FOR i IN generate_series(1,16)])) AS a2
+      FROM best b JOIN c c2 ON c2.cidx = b.cidx CROSS JOIN q
+      WHERE b.rn = 1 GROUP BY b.vec_id
+    )
+    SELECT vec_id, ROUND(CAST(a2 AS DOUBLE), 6) AS approx_dist2
+    FROM ad ORDER BY approx_dist2, vec_id LIMIT 10
+    """,
+)
+def s10(spark, sf):
+    """PQ asymmetric-distance top-10 around the vec_id-0 query: per-row
+    work is m element_at lookups into constant-folded decimal distance
+    tables — the codes-only search path
+    (`operators/embeddings.py:pq_adc_topk`)."""
+    from duckdb_graphar_spark.operators.embeddings import pq_adc_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return pq_adc_topk(e, _pq_books(e), q, k=10)
+
+
+@_q(
+    "g13_sssp",
+    # ORACLE: the 4 Bellman-Ford relaxations unrolled as a linear CTE
+    # chain (pagerank's fixed-iteration recipe) — each d_i is the exact
+    # min distance over paths of ≤ i edges; integer weights, so no
+    # float discipline is needed anywhere.
+    f"""
+    WITH e AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM ({_E_SQL}) base),
+    d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+    d1 AS (SELECT id, MIN(dist) AS dist FROM (
+             SELECT * FROM d0
+             UNION ALL SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON e.src = d0.id
+           ) GROUP BY id),
+    d2 AS (SELECT id, MIN(dist) AS dist FROM (
+             SELECT * FROM d1
+             UNION ALL SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON e.src = d1.id
+           ) GROUP BY id),
+    d3 AS (SELECT id, MIN(dist) AS dist FROM (
+             SELECT * FROM d2
+             UNION ALL SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON e.src = d2.id
+           ) GROUP BY id),
+    d4 AS (SELECT id, MIN(dist) AS dist FROM (
+             SELECT * FROM d3
+             UNION ALL SELECT e.dst, d3.dist + e.w FROM d3 JOIN e ON e.src = d3.id
+           ) GROUP BY id)
+    SELECT id, dist FROM d4
+    """,
+)
+def g13(spark, sf):
+    """Weighted single-source shortest paths from vertex 0 (4
+    Bellman-Ford min-plus rounds over deterministic integer weights
+    1+(src+dst)%7, `operators/graph.py:sssp`) — per round one
+    dist⋈edges shuffle join + one map-combinable groupBy MIN; the
+    distance table stays distributed, no frontier state, no driver
+    round-trips inside the loop."""
+    from duckdb_graphar_spark.operators.graph import sssp
+
+    e = _edges(spark, sf).withColumn(
+        "w", F.lit(1) + (F.col("src") + F.col("dst")) % F.lit(7)
+    )
+    return sssp(e, 0, n_iters=4, src_col="src", dst_col="dst", weight_col="w")
+
+
 @_q(
     "t26_heavy_hitters",
     # ORACLE: exact token frequencies with the integer threshold

@@ -405,3 +405,207 @@ def kmeans_fit(
         history.append({"iter": it, "inertia": inertia, "n_clusters": len(new)})
     assert upd is not None
     return upd, history
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the memory-scale path for
+# similarity search — vectors compress to m small code indices against
+# per-subspace codebooks; search reads codes, not floats.
+# ---------------------------------------------------------------------------
+
+
+def _check_codebooks(
+    codebooks: list[list[tuple[int, list[float]]]]
+) -> list[int]:
+    """Validate per-subspace codebooks; returns the subspace dims."""
+    if not codebooks:
+        raise ValueError("codebooks must be non-empty")
+    dims = []
+    for j, cb in enumerate(codebooks):
+        dims.append(_check_centroid_dims(cb))
+    return dims
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: split each vector into ``m``
+    contiguous subvectors, assign each to its nearest codebook entry,
+    and report the code tuple plus the exact reconstruction error —
+    the PQ quality gate.  Returns (id, codes: array<int>,
+    recon_dist2: double round-6).
+
+    Per subspace this is exactly :func:`kmeans_assign`'s decimal-argmin
+    discipline (double diffs cast to DECIMAL(38,18), (distance, index)
+    tie-break) applied to a bound slice column, so a SQL oracle can
+    replay the encode bit-for-bit.  recon_dist2 sums the m per-subspace
+    decimal distances EXACTLY before the one double cast.
+
+    Scale shape: a pure shuffle-free projection — codebooks are m·k
+    literal arrays (PQ codebooks are small by construction: k ≤ 256 per
+    subspace); at 100 TB the encode maps over scan splits and the
+    output codes table is ~d/m· smaller than the input floats.
+    """
+    dims = _check_codebooks(codebooks)
+    total = sum(dims)
+    s = df.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+    # slices bind to columns so the per-code zip_withs reference a bound
+    # column, not a slice expression re-evaluated inside the HOF
+    start = 1
+    for j, d_sub in enumerate(dims):
+        s = s.withColumn(f"__sl{j}", F.slice(F.col("__vec"), start, d_sub))
+        start += d_sub
+    bests = []
+    for j, cb in enumerate(codebooks):
+        cands = []
+        for idx, cvec in cb:
+            carr = F.array(*[F.lit(float(x)) for x in cvec])
+            diff2 = F.zip_with(
+                F.col(f"__sl{j}"),
+                carr,
+                lambda x, y: (
+                    (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double"))
+                ).cast("decimal(38,18)"),
+            )
+            d2 = F.aggregate(
+                diff2,
+                F.lit(0).cast("decimal(38,18)"),
+                lambda a, x: (a + x).cast("decimal(38,18)"),
+            )
+            cands.append(F.struct(d2.alias("d"), F.lit(int(idx)).alias("i")))
+        bests.append(F.array_min(F.array(*cands)))
+    recon = bests[0]["d"]
+    for b in bests[1:]:
+        recon = (recon + b["d"]).cast("decimal(38,18)")
+    # total-dim guard: a short vector would silently null-pad the last
+    # slice (the same failure mode _dim_guarded pins for kmeans_assign)
+    guarded = F.when(
+        F.size(F.col("__vec")) == F.lit(total),
+        F.struct(
+            F.array(*[b["i"] for b in bests]).alias("codes"),
+            F.round(recon.cast("double"), 6).alias("recon_dist2"),
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pq_encode: embedding dim "),
+                F.size(F.col("__vec")).cast("string"),
+                F.lit(f" != codebook total dim {total}"),
+            )
+        )
+    )
+    return s.select(
+        F.col(id_col),
+        guarded["codes"].alias("codes"),
+        guarded["recon_dist2"].alias("recon_dist2"),
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Train PQ codebooks: per contiguous subspace, run
+    :func:`kmeans_fit` on the sliced vectors (deterministic first-k
+    seeding, decimal-exact updates).  Returns the codebooks list
+    :func:`pq_encode` consumes.  Driver state: m·k·(d/m) floats."""
+    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if first is None:
+        raise ValueError("pq_train: empty input")
+    d = int(first["n"])
+    if d % m != 0:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    d_sub = d // m
+    books = []
+    for j in range(m):
+        sl = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(vec_col)
+        )
+        upd, _ = kmeans_fit(sl, k, n_iters, id_col=id_col, vec_col=vec_col)
+        got = {int(r["cluster"]): list(r["centroid"]) for r in upd.collect()}
+        seeds = dict(seed_centroids(sl, k, id_col=id_col, vec_col=vec_col))
+        books.append(
+            [(i, got.get(i, [float(x) for x in seeds[i]])) for i in range(k)]
+        )
+    return books
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    query: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: approximate nearest neighbours of
+    ``query`` using ONLY the PQ codes — per subspace a k-entry
+    query-to-codebook distance table is precomputed driver-side
+    (m·k decimal scalars), and each row's approximate distance is m
+    table lookups summed exactly.  Returns (id, approx_dist2) the k
+    closest, ties on id.
+
+    This is the PQ search path: at 100 TB the scan reads the compact
+    codes table; the per-row work is O(m) element_at lookups into
+    literal arrays — no floats from the corpus are touched.  Here the
+    encode is inlined (fixture stores raw vectors); a deployment would
+    persist :func:`pq_encode`'s output and scan that instead.
+
+    The distance tables are CONSTANT expressions built from query and
+    codebook literals with the exact decimal-cast op sequence the
+    encode uses — Catalyst constant-folds them with its own cast
+    semantics, so the numbers are the engine's, not Python's, and a SQL
+    oracle using the same literal arithmetic replays them bit-for-bit.
+    """
+    dims = _check_codebooks(codebooks)
+    if sum(dims) != len(query):
+        raise ValueError("query dim != codebook total dim")
+    for j, cb in enumerate(codebooks):
+        if sorted(i for i, _ in cb) != list(range(len(cb))):
+            # the element_at(table, code+1) lookup positions entries by
+            # index — a gap would silently look up the wrong centroid
+            raise ValueError(f"codebook {j} indices must be exactly 0..k-1")
+    enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    tables = []
+    start = 0
+    for j, cb in enumerate(codebooks):
+        qj = [float(x) for x in query[start : start + dims[j]]]
+        start += dims[j]
+        qarr = F.array(*[F.lit(x) for x in qj])
+        ents = []
+        for idx, cvec in sorted(cb):
+            carr = F.array(*[F.lit(float(x)) for x in cvec])
+            diff2 = F.zip_with(
+                qarr,
+                carr,
+                lambda x, y: ((x - y) * (x - y)).cast("decimal(38,18)"),
+            )
+            ents.append(
+                F.aggregate(
+                    diff2,
+                    F.lit(0).cast("decimal(38,18)"),
+                    lambda a, x: (a + x).cast("decimal(38,18)"),
+                )
+            )
+        tables.append(F.array(*ents))
+    approx = F.element_at(tables[0], F.col("codes")[0] + 1)
+    for j in range(1, len(tables)):
+        approx = (approx + F.element_at(tables[j], F.col("codes")[j] + 1)).cast(
+            "decimal(38,18)"
+        )
+    return (
+        enc.select(F.col(id_col), F.round(approx.cast("double"), 6).alias("approx_dist2"))
+        .orderBy("approx_dist2", id_col)
+        .limit(k)
+    )

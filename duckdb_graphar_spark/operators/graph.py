@@ -497,3 +497,58 @@ def bfs_levels(
     finally:
         for df in pinned:
             df.unpersist(blocking=False)
+
+
+def sssp(
+    edges: DataFrame,
+    src_vid: int,
+    *,
+    n_iters: int = 4,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Single-source shortest paths over INTEGER edge weights:
+    ``n_iters`` rounds of Bellman-Ford min-plus relaxation (Pregel
+    style), so the result is the exact shortest distance among paths of
+    at most ``n_iters`` edges — the fixed-iteration form whose SQL
+    replay is a linear chain of relax CTEs, the same determinism recipe
+    as :func:`pagerank`'s unrolled iterations.  Integer weights keep
+    every distance exact (no float discipline needed at all).
+
+    Returns (id, dist) for vertices reached within the horizon.
+
+    Scale shape per iteration: dist ⋈ edges on the source key (shuffle
+    join — the distance table is an n-row DISTRIBUTED relation, never
+    broadcast and never on the driver), then ONE map-combinable
+    groupBy(id) MIN over old + relaxed candidate distances.  Parallel
+    edges collapse inside the MIN for free.  Unlike BFS no frontier
+    tracking is needed — relaxation is monotone and idempotent, so the
+    fixed horizon needs no convergence probe (and therefore no
+    per-iteration driver round-trip at all until the final collect).
+    """
+    e = edges.select(
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__d"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    spark = edges.sparkSession
+    dist = spark.range(1).select(
+        F.lit(int(src_vid)).cast("long").alias("__v"),
+        F.lit(0).cast("long").alias("__dist"),
+    )
+    for it in range(n_iters):
+        relaxed = (
+            dist.join(e, dist["__v"] == e["__s"])
+            .select(F.col("__d").alias("__v"), (F.col("__dist") + F.col("__w")).alias("__dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("__v")
+            .agg(F.min("__dist").alias("__dist"))
+        )
+        # the lineage doubles per iteration (dist feeds both branches);
+        # truncate it on the same cadence the BFS loop uses
+        if (it + 1) % 4 == 0 and it + 1 < n_iters:
+            dist = dist.localCheckpoint(eager=False)
+    return dist.select(F.col("__v").alias("id"), F.col("__dist").alias("dist"))

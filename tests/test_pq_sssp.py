@@ -1,0 +1,153 @@
+"""Unit tests for product quantization and weighted SSSP — reference
+implementations are independent numpy/pure-Python reconstructions, not
+the operators' own code paths."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _emb_df(spark, n=60, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs.astype(np.float64),
+    )
+
+
+def _books(df, m, d_sub, k=4):
+    from duckdb_graphar_spark.operators.embeddings import seed_centroids
+
+    seeds = seed_centroids(df, k)
+    return [
+        [(i, v[j * d_sub : (j + 1) * d_sub]) for i, v in seeds] for j in range(m)
+    ]
+
+
+def test_pq_encode_matches_numpy(spark):
+    from duckdb_graphar_spark.operators.embeddings import pq_encode
+
+    df, vecs = _emb_df(spark)
+    m, d_sub = 2, 4
+    books = _books(df, m, d_sub)
+    got = {
+        r["vec_id"]: (list(r["codes"]), r["recon_dist2"])
+        for r in pq_encode(df, books).collect()
+    }
+    cents = [np.array([c for _, c in cb], dtype=np.float64) for cb in books]
+    for i, v in enumerate(vecs):
+        codes, recon = [], 0.0
+        for j in range(m):
+            sl = v[j * d_sub : (j + 1) * d_sub]
+            d2 = ((cents[j] - sl) ** 2).sum(axis=1)
+            codes.append(int(d2.argmin()))
+            recon += float(d2.min())
+        assert got[i][0] == codes, f"vec {i} codes"
+        assert got[i][1] == pytest.approx(recon, abs=2e-6), f"vec {i} recon"
+
+
+def test_pq_encode_short_vector_raises(spark):
+    from duckdb_graphar_spark.operators.embeddings import pq_encode
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    books = [[(0, [0.0, 0.0]), (1, [1.0, 1.0])]] * 2  # total dim 4 != 3
+    with pytest.raises(Exception, match="pq_encode"):
+        pq_encode(df, books).collect()
+
+
+def test_pq_adc_rejects_gapped_codebook(spark):
+    from duckdb_graphar_spark.operators.embeddings import pq_adc_topk
+
+    df, _ = _emb_df(spark, n=4)
+    bad = [[(0, [0.0] * 4), (2, [1.0] * 4)], [(0, [0.0] * 4), (1, [1.0] * 4)]]
+    with pytest.raises(ValueError, match="0..k-1"):
+        pq_adc_topk(df, bad, [0.0] * 8)
+
+
+def test_pq_adc_exact_codebook_vectors_rank_first(spark):
+    """A query equal to a stored vector must rank that vector's reconstruction
+    distance first (approx dist to itself = dist between its PQ cells and the
+    query's — zero when the query IS a codebook seed)."""
+    from duckdb_graphar_spark.operators.embeddings import pq_adc_topk, seed_centroids
+
+    df, vecs = _emb_df(spark)
+    books = _books(df, 2, 4)
+    q = [float(x) for x in vecs[0]]  # vec 0 is seed 0 in every subspace
+    top = pq_adc_topk(df, books, q, k=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["approx_dist2"] == 0.0
+
+
+def test_pq_train_uses_lloyd_slices(spark):
+    """pq_train's codebooks equal kmeans_fit run manually on each slice."""
+    from duckdb_graphar_spark.operators.embeddings import kmeans_fit, pq_train
+
+    df, _ = _emb_df(spark, n=40)
+    books = pq_train(df, m=2, k=3, n_iters=2)
+    for j in range(2):
+        sl = df.select(
+            "vec_id", F.slice("embedding", j * 4 + 1, 4).alias("embedding")
+        )
+        upd, _ = kmeans_fit(sl, 3, 2)
+        want = {int(r["cluster"]): list(r["centroid"]) for r in upd.collect()}
+        got = dict(books[j])
+        assert got == {i: want[i] for i in got}
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    from duckdb_graphar_spark.operators.embeddings import pq_train
+
+    df, _ = _emb_df(spark, n=10, d=6)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=4, k=2)
+
+
+# ---------------------------------------------------------------------------
+# SSSP
+# ---------------------------------------------------------------------------
+
+
+def _bellman_ford_ref(edges, src, n_iters):
+    dist = {src: 0}
+    for _ in range(n_iters):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_matches_reference_on_random_graph(spark):
+    from duckdb_graphar_spark.operators.graph import sssp
+
+    rng = np.random.default_rng(11)
+    n = 80
+    edges = [
+        (int(rng.integers(n)), int(rng.integers(n)), int(rng.integers(1, 9)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["id"]: r["dist"]
+        for r in sssp(df, 5, n_iters=5, src_col="src", dst_col="dst").collect()
+    }
+    assert got == _bellman_ford_ref(edges, 5, 5)
+
+
+def test_sssp_horizon_limits_paths(spark):
+    """A vertex 3 hops out is unreachable at n_iters=2 but reached at 3;
+    a shorter-weight longer-hop path wins only once the horizon allows it."""
+    from duckdb_graphar_spark.operators.graph import sssp
+
+    edges = [(0, 1, 10), (1, 2, 10), (0, 3, 1), (3, 4, 1), (4, 2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    kw = dict(src_col="src", dst_col="dst")
+    two = {r["id"]: r["dist"] for r in sssp(df, 0, n_iters=2, **kw).collect()}
+    assert two[2] == 20  # direct 2-hop path; cheap 3-hop path out of horizon
+    three = {r["id"]: r["dist"] for r in sssp(df, 0, n_iters=3, **kw).collect()}
+    assert three[2] == 3
