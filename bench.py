@@ -62,6 +62,15 @@ BENCH_QUERIES = [
     "m04_bmp_channel_stats",
     "s08_kmeans_fit",
     "s06_semdedup",
+    # round-3 wave 2: sketch-exact heavy hitters, one-scan funnel fold,
+    # SCD2 gaps-and-islands, PQ encode + codes-only ADC search, weighted
+    # Bellman-Ford SSSP
+    "t26_heavy_hitters",
+    "q58_funnel",
+    "q59_scd2_intervals",
+    "s09_pq_encode",
+    "s10_pq_adc_topk",
+    "g13_sssp",
 ]
 
 

@@ -238,3 +238,80 @@ def test_tfidf_windows_by_doc(spark, qs):
             assert "BroadcastNestedLoopJoin" in line, line
     assert "windowspecdefinition(__id" in plan
     assert "partial_" in plan
+
+
+def test_scd2_single_exchange(spark, qs):
+    """q59: both gaps-and-islands windows and the collapse groupBy must
+    share ONE user-hash exchange (built on an unwidened scan; the
+    declared entry's conditional widen adds its round-robin)."""
+    from duckdb_graphar_spark.operators.events import scd2_intervals
+    from duckdb_graphar_spark.tables import load_table
+
+    raw = load_table(spark, SF_DIR, "events", widen=False)
+    plan = _plan(scd2_intervals(raw))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_single_exchange_no_python(spark, qs):
+    """q58: the fold form exists to scan the log once — one
+    groupBy(user) exchange, no per-stage re-joins, no Python eval."""
+    from duckdb_graphar_spark.operators.events import funnel
+    from duckdb_graphar_spark.tables import load_table
+
+    raw = load_table(spark, SF_DIR, "events", widen=False)
+    plan = _plan(funnel(raw, ["view", "click", "purchase"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heavy_hitters_shuffles_candidates_only(spark, qs):
+    """t26: the exact recount must reach the groupBy THROUGH the
+    broadcast left-semi candidate filter (the corpus-wide token shuffle
+    the operator exists to avoid would show as the exploded scan feeding
+    an exchange directly), and the threshold n attaches by broadcast."""
+    plan = _plan(qs["t26_heavy_hitters"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # candidate generation is the single allowed Python stage
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") <= 1
+
+
+def test_pq_encode_is_projection(spark):
+    """s09: PQ encode is shuffle-free — codebooks are literals, no
+    Exchange, no Python."""
+    from duckdb_graphar_spark.operators.embeddings import pq_encode, seed_centroids
+    from duckdb_graphar_spark.tables import load_table
+
+    raw = load_table(spark, SF_DIR, "embeddings", widen=False)
+    seeds = seed_centroids(raw, 8)
+    books = [[(i, v[j * 16 : (j + 1) * 16]) for i, v in seeds] for j in range(4)]
+    plan = _plan(pq_encode(raw, books))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sssp_iteration_is_join_plus_partial_min(spark):
+    """g13: each relaxation must plan a SHUFFLED equi-join when the
+    planner can't size-broadcast (a 100×-scale distance table past the
+    broadcast limit must degrade to shuffle, not fail — so the operator
+    may not carry a broadcast HINT) plus a map-combinable MIN.  On the
+    fixture Catalyst size-broadcasts the small distance side on its own;
+    that's the adaptive behavior we WANT, so the pin disables the
+    threshold to expose what the plan does when broadcasting is off the
+    table.  (Iteration 1 folds the single-row literal seed into an
+    e.src = 0 filter — no join at all — which is optimal.)"""
+    from duckdb_graphar_spark.operators.graph import sssp
+
+    e = spark.range(1000).selectExpr(
+        "id AS src", "(id * 7 + 3) % 1000 AS dst", "1 + id % 5 AS w"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(sssp(e, 0, n_iters=2, src_col="src", dst_col="dst"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "partial_min" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Broadcast" not in plan
