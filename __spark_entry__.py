@@ -4130,6 +4130,38 @@ def g13(spark, sf):
 
 
 @_q(
+    "g14_kcore",
+    # ORACLE: the 3 peel rounds unrolled — degree over the current
+    # subgraph, alive = deg>=3, edges filtered to alive endpoints; the
+    # published row set is the degree table of the round-3 subgraph.
+    f"""
+    WITH raw AS ({_E_SQL}),
+    e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           FROM raw WHERE src <> dst),
+    d1 AS (SELECT v, COUNT(*) AS deg FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+    a1 AS (SELECT v FROM d1 WHERE deg >= 3),
+    e1 AS (SELECT e.a, e.b FROM e0 e JOIN a1 x ON e.a = x.v JOIN a1 y ON e.b = y.v),
+    d2 AS (SELECT v, COUNT(*) AS deg FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY v),
+    a2 AS (SELECT v FROM d2 WHERE deg >= 3),
+    e2 AS (SELECT e.a, e.b FROM e1 e JOIN a2 x ON e.a = x.v JOIN a2 y ON e.b = y.v),
+    d3 AS (SELECT v, COUNT(*) AS deg FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY v),
+    a3 AS (SELECT v FROM d3 WHERE deg >= 3),
+    e3 AS (SELECT e.a, e.b FROM e2 e JOIN a3 x ON e.a = x.v JOIN a3 y ON e.b = y.v)
+    SELECT v AS id, COUNT(*) AS degree
+    FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) GROUP BY v
+    """,
+)
+def g14(spark, sf):
+    """Fixed-iteration k-core peeling (k=3, 3 rounds) over the
+    undirected order graph — per round one map-combinable degree
+    groupBy + two vertex semi-joins; the edge relation shrinks
+    monotonically (`operators/graph.py:kcore`)."""
+    from duckdb_graphar_spark.operators.graph import kcore
+
+    return kcore(_edges(spark, sf), 3, n_iters=3, src_col="src", dst_col="dst")
+
+
+@_q(
     "t26_heavy_hitters",
     # ORACLE: exact token frequencies with the integer threshold
     # freq*k > n.  The operator's Misra-Gries candidate phase is a
@@ -4151,6 +4183,43 @@ def t26(spark, sf):
     from duckdb_graphar_spark.operators.sketch import heavy_hitters
 
     return heavy_hitters(_t(spark, sf, "documents"), k=50)
+
+
+@_q(
+    "t27_tfidf_cosine_pairs",
+    # ORACLE: identical posting-list self-join arithmetic — ratio-idf
+    # weights (one IEEE division of exact integers), decimal-exact dot
+    # and norm sums, sqrt/divide/round-6; threshold on the UNROUNDED
+    # cosine in both engines.
+    """
+    WITH t AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    t2 AS (SELECT id, tok FROM t WHERE tok <> ''),
+    tf AS (SELECT id, tok, COUNT(*) AS c FROM t2 GROUP BY id, tok),
+    dl AS (SELECT id, SUM(c) AS len FROM tf GROUP BY id),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    w AS (SELECT tf.id, tf.tok,
+                 CAST(tf.c * nd.n AS DOUBLE) / (dl.len * dfreq.df) AS w
+          FROM tf JOIN dl USING (id) JOIN dfreq USING (tok) CROSS JOIN nd
+          WHERE dfreq.df <= nd.n * 1.0),
+    norms AS (SELECT id, SUM(CAST(w * w AS DECIMAL(38,18))) AS n2 FROM w GROUP BY id),
+    dots AS (SELECT a.id AS id_a, b.id AS id_b, SUM(CAST(a.w * b.w AS DECIMAL(38,18))) AS dot
+             FROM w a JOIN w b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+    FROM dots JOIN norms na ON na.id = dots.id_a JOIN norms nb ON nb.id = dots.id_b
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.95
+    """,
+)
+def t27(spark, sf):
+    """Sparse TF-IDF cosine near-dup pairs via the posting-list
+    self-join (only term-sharing pairs materialize; max_df_frac is the
+    hot-term scale knob, documented at 1.0 here because the synthetic
+    31-word vocabulary would drop every term under a realistic cap)
+    (`operators/text.py:tfidf_cosine_pairs`)."""
+    from duckdb_graphar_spark.operators.text import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_t(spark, sf, "documents"), threshold=0.95)
 
 
 @_q(
@@ -4254,7 +4323,13 @@ _PRIORITY = [
     "s08", "g09", "g10", "g11", "g12", "m04", "m05",
     "t22", "t23", "t24", "t25", "d04",
     "q55", "q56", "q57", "st09", "u03",
-    # --- 51+: already driver-verified (r01/r02 green) in coverage order ---
+    # --- 51+: round-3 late additions (NEVER driver-verified — promote
+    # --- these into the round-4 window first): t26 heavy hitters, q58
+    # --- funnel, q59 scd2, s09/s10 product quantization, g13 sssp, g14
+    # --- k-core, t27 tf-idf cosine pairs.  They are unlisted here, so
+    # --- they follow the priority block in definition order, ahead of
+    # --- nothing — list them explicitly when rotating.
+    # --- then: already driver-verified (r01/r02 green) in coverage order ---
     *[f"ga{i:02d}" for i in range(1, 14)],
     *[f"g{i:02d}" for i in range(1, 9)],
     "c01",

@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "s09_pq_encode",
     "s10_pq_adc_topk",
     "g13_sssp",
+    # round-3 wave 3: k-core peeling, posting-list TF-IDF cosine pairs
+    "g14_kcore",
+    "t27_tfidf_cosine_pairs",
 ]
 
 

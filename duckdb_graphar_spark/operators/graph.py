@@ -552,3 +552,50 @@ def sssp(
         if (it + 1) % 4 == 0 and it + 1 < n_iters:
             dist = dist.localCheckpoint(eager=False)
     return dist.select(F.col("__v").alias("id"), F.col("__dist").alias("dist"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    *,
+    n_iters: int = 3,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Fixed-iteration k-core peeling over the undirected simple graph
+    (the graph-ML pre-filter: drop low-degree fringe before expensive
+    downstream passes).  Each round removes every vertex whose degree
+    in the CURRENT subgraph is < k; ``n_iters`` bounded rounds make the
+    result exactly SQL-replayable as an unrolled CTE chain (full peeling
+    converges once no round removes a vertex — at that point more
+    rounds are no-ops, so a caller wanting the true k-core raises
+    ``n_iters`` until the pre/post vertex counts match).
+
+    Returns (id, degree): the vertices surviving ``n_iters`` rounds
+    with their degree in the surviving subgraph.
+
+    Scale shape per round: one explode-both-directions degree groupBy
+    (map-combinable longs) + two semi-joins filtering the edge list —
+    all shuffles keyed on vertex ids; the edge relation shrinks
+    monotonically and no driver state exists beyond the loop counter.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+
+    def degs(edges_df: DataFrame) -> DataFrame:
+        both = edges_df.select(F.col("a").alias("v")).unionAll(
+            edges_df.select(F.col("b").alias("v"))
+        )
+        return both.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+
+    for it in range(n_iters):
+        alive = degs(e).filter(F.col("degree") >= k).select("v")
+        e = e.join(alive, e["a"] == alive["v"], "left_semi")
+        e = e.join(alive, e["b"] == alive["v"], "left_semi")
+        if (it + 1) % 3 == 0 and it + 1 < n_iters:
+            e = e.localCheckpoint(eager=False)
+    return degs(e).select(F.col("v").alias("id"), "degree")

@@ -615,3 +615,84 @@ def skipgram_topk(
         "cnt",
     )
     return out.orderBy(F.col("cnt").desc(), "w1", "w2").limit(k)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """All document pairs whose TF-IDF cosine similarity ≥ threshold —
+    the sparse-vector twin of the embedding near-dup sweep (d01), built
+    from the text itself.  Returns (id_a, id_b, cosine), id_a < id_b.
+
+    The pair enumeration is the classic POSTING-LIST self-join: weights
+    W(doc, term, w) join themselves on term, so only pairs sharing at
+    least one term are ever materialized, and the join input per term is
+    its posting list.  ``max_df_frac`` is THE scale knob: a term in more
+    than that fraction of documents is dropped before the join (a
+    stopword's posting list is corpus-sized and its self-join is
+    quadratic in it — exactly the hot-key blowup; stopwords also carry
+    no discriminative weight).  The fixture's synthetic 31-word uniform
+    vocabulary would drop EVERY term under any realistic cap, so the
+    declared entry keeps 1.0 and documents the knob instead.
+
+    Float discipline: w = (c·N)/(len·df) is one IEEE division of exact
+    integers (t20's ratio-idf recipe); each pair product and each
+    squared weight casts to DECIMAL(38,18) and sums exactly, so dot and
+    norms are aggregation-order-independent; cosine is then
+    sqrt/divide/round-6 — bit-stable across engines.
+    """
+    t = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    tf = t.groupBy("__id", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    dl = tf.groupBy("__id").agg(F.sum("__c").alias("__len"))
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    nd = df.select(F.count(F.lit(1)).alias("__nd"))
+    w = (
+        tf.join(dl, "__id")
+        .join(dfreq, "__tok")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("__df") <= F.col("__nd") * F.lit(float(max_df_frac)))
+        .select(
+            "__id",
+            "__tok",
+            (
+                (F.col("__c") * F.col("__nd")).cast("double")
+                / (F.col("__len") * F.col("__df"))
+            ).alias("__w"),
+        )
+    )
+    norms = w.groupBy("__id").agg(
+        F.sum((F.col("__w") * F.col("__w")).cast("decimal(38,18)")).alias("__n2")
+    )
+    a = w.select(
+        F.col("__id").alias("id_a"), F.col("__tok").alias("__ta"), F.col("__w").alias("__wa")
+    )
+    b = w.select(
+        F.col("__id").alias("id_b"), F.col("__tok").alias("__tb"), F.col("__w").alias("__wb")
+    )
+    dots = (
+        a.join(b, (F.col("__ta") == F.col("__tb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("__wa") * F.col("__wb")).cast("decimal(38,18)")).alias("__dot")
+        )
+    )
+    na = norms.select(F.col("__id").alias("id_a"), F.col("__n2").alias("__na"))
+    nb = norms.select(F.col("__id").alias("id_b"), F.col("__n2").alias("__nb"))
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double"))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(cos >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -151,3 +151,83 @@ def test_sssp_horizon_limits_paths(spark):
     assert two[2] == 20  # direct 2-hop path; cheap 3-hop path out of horizon
     three = {r["id"]: r["dist"] for r in sssp(df, 0, n_iters=3, **kw).collect()}
     assert three[2] == 3
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def _kcore_ref(pairs, k, rounds):
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {v for v, d in deg.items() if d >= k}
+        edges = {(a, b) for a, b in edges if a in alive and b in alive}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def test_kcore_matches_reference(spark):
+    from duckdb_graphar_spark.operators.graph import kcore
+
+    rng = np.random.default_rng(7)
+    pairs = [
+        (int(rng.integers(50)), int(rng.integers(50))) for _ in range(260)
+    ]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["degree"]
+        for r in kcore(df, 3, n_iters=3, src_col="src", dst_col="dst").collect()
+    }
+    assert got == _kcore_ref(pairs, 3, 3)
+
+
+def test_kcore_peels_fringe(spark):
+    """A triangle with a pendant chain: the chain peels off round by
+    round, the triangle survives any number of rounds at k=2."""
+    from duckdb_graphar_spark.operators.graph import kcore
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["degree"]
+        for r in kcore(df, 2, n_iters=3, src_col="src", dst_col="dst").collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# tf-idf cosine pairs
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_identical_docs_hit_one(spark):
+    from duckdb_graphar_spark.operators.text import tfidf_cosine_pairs
+
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in tfidf_cosine_pairs(df, threshold=0.99).collect()
+    ]
+    assert got == [(1, 2, 1.0)]
+
+
+def test_tfidf_cosine_max_df_drops_stopword_postings(spark):
+    """A stopword present in every doc links otherwise-disjoint docs;
+    the df cap removes it BEFORE the posting self-join, so those pairs
+    never materialize."""
+    from duckdb_graphar_spark.operators.text import tfidf_cosine_pairs
+
+    rows = [(1, "the cat"), (2, "the dog"), (3, "the bird")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = tfidf_cosine_pairs(df, threshold=0.0).count()
+    capped = tfidf_cosine_pairs(df, threshold=0.0, max_df_frac=0.5).count()
+    assert uncapped == 3 and capped == 0
