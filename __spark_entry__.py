@@ -4287,6 +4287,141 @@ def q59(spark, sf):
     return scd2_intervals(_t(spark, sf, "events"))
 
 
+_BM25_Q = ["scan", "merge", "vector"]
+
+# BM25 CTE chain shared by t28 and the s11 hybrid oracle: raw RSJ ratio
+# idf (one IEEE division of exact values, no log), tf saturation with
+# identical parenthesization to the Spark expression, DECIMAL(38,18)
+# per-doc accumulation, rank on the ROUNDED score.
+_BM25_CTE = """
+    WITH base AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+    dl AS (SELECT id, len(toks) AS dl FROM base),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM dl),
+    tf AS (
+      SELECT id, tok, COUNT(*) AS tf
+      FROM (SELECT id, unnest(toks) AS tok FROM base)
+      WHERE tok IN ('scan', 'merge', 'vector')
+      GROUP BY id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    bscored AS (
+      SELECT tf.id,
+             SUM(CAST(((s.n - d.df + 0.5) / (d.df + 0.5))
+                      * ((tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (1.0 - 0.75 + (0.75 * dl.dl)
+                                           / (CAST(s.tot AS DOUBLE) / s.n))))
+                      AS DECIMAL(38,18))) AS ssum,
+             COUNT(*) AS n_terms
+      FROM tf JOIN dl ON tf.id = dl.id
+              JOIN dfreq d ON tf.tok = d.tok
+              CROSS JOIN stats s
+      GROUP BY tf.id
+    ),
+    branked AS (
+      SELECT id, ROUND(CAST(ssum AS DOUBLE), 6) AS bm25, n_terms,
+             ROW_NUMBER() OVER (ORDER BY ROUND(CAST(ssum AS DOUBLE), 6) DESC, id) AS rank
+      FROM bscored
+    )
+"""
+
+
+@_q(
+    "t28_bm25_topk",
+    _BM25_CTE
+    + """
+    SELECT id AS doc_id, bm25, n_terms, rank FROM branked
+    WHERE rank <= 10
+    """,
+)
+def t28(spark, sf):
+    """BM25 lexical top-10 for a fixed 3-term query: ratio-idf (no
+    log), per-doc DECIMAL(38,18) term-score accumulation, posting
+    explode FILTERED to the query terms before the only corpus shuffle,
+    doc length as a shuffle-free projection
+    (`operators/text.py:bm25_topk`)."""
+    from duckdb_graphar_spark.operators.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), _BM25_Q, k=10)
+
+
+@_q(
+    "t29_token_spectrum",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok)
+    SELECT f AS freq, COUNT(*) AS n_tokens, f * COUNT(*) AS mass
+    FROM freq GROUP BY f
+    """,
+)
+def t29(spark, sf):
+    """Corpus Zipf spectrum (frequency-of-frequencies): two
+    map-combinable groupBys, the only corpus shuffle carries one row
+    per distinct token after partial aggregation
+    (`operators/text.py:token_freq_spectrum`)."""
+    from duckdb_graphar_spark.operators.text import token_freq_spectrum
+
+    return token_freq_spectrum(_t(spark, sf, "documents"))
+
+
+@_q(
+    "s11_hybrid_rrf",
+    # ORACLE: both source rankers replayed exactly — the BM25 chain
+    # above (top-20) and the s01 brute-force cosine ranking for the
+    # vec_id-0 query (top-20) — then RRF contributions 1/(60+rank) as
+    # one IEEE division each, DECIMAL(38,18) fused sum, rank on the
+    # rounded score.  doc ids and vec ids share the 0..n-1 key space,
+    # so embeddings[i] is document i's embedding.
+    _BM25_CTE
+    + """
+    , q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vranked AS (
+      SELECT neighbor_id, rank FROM (
+        SELECT e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(q.qv AS DOUBLE[])), 6) DESC,
+                          e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+      ) WHERE rank <= 20
+    ),
+    contrib AS (
+      SELECT id AS doc_id, CAST(1.0 / (60.0 + rank) AS DECIMAL(38,18)) AS c
+      FROM branked WHERE rank <= 20
+      UNION ALL
+      SELECT neighbor_id, CAST(1.0 / (60.0 + rank) AS DECIMAL(38,18)) AS c
+      FROM vranked
+    ),
+    fused AS (
+      SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS rrf_score,
+             COUNT(*) AS n_sources
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_sources,
+           ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def s11(spark, sf):
+    """Hybrid retrieval: BM25 top-20 + brute-force cosine top-20 for
+    the vec_id-0 query, fused by reciprocal-rank fusion (1/(60+rank),
+    DECIMAL-summed) — the rank-based combiner that never mixes the two
+    incomparable score scales (`operators/similarity.py:rrf_fuse`)."""
+    from duckdb_graphar_spark.operators.similarity import brute_force_topk, rrf_fuse
+    from duckdb_graphar_spark.operators.text import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "embeddings")
+    lex = bm25_topk(d, _BM25_Q, k=20).select("doc_id", "rank")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = brute_force_topk(e, q, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, vec], k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -4326,9 +4461,10 @@ _PRIORITY = [
     # --- 51+: round-3 late additions (NEVER driver-verified — promote
     # --- these into the round-4 window first): t26 heavy hitters, q58
     # --- funnel, q59 scd2, s09/s10 product quantization, g13 sssp, g14
-    # --- k-core, t27 tf-idf cosine pairs.  They are unlisted here, so
-    # --- they follow the priority block in definition order, ahead of
-    # --- nothing — list them explicitly when rotating.
+    # --- k-core, t27 tf-idf cosine pairs, t28 bm25, t29 zipf spectrum,
+    # --- s11 hybrid rrf.  They are unlisted here, so they follow the
+    # --- priority block in definition order, ahead of nothing — list
+    # --- them explicitly when rotating.
     # --- then: already driver-verified (r01/r02 green) in coverage order ---
     *[f"ga{i:02d}" for i in range(1, 14)],
     *[f"g{i:02d}" for i in range(1, 9)],

@@ -224,3 +224,52 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists →
+    (id, rrf_score, n_sources, rank): score(d) = Σ_sources 1/(c + rank_s(d)).
+    The standard hybrid-retrieval combiner (BM25 list + embedding list)
+    — rank-based, so the sources' incomparable score scales never touch
+    each other.
+
+    Determinism: each contribution 1/(c + rank) is one IEEE division of
+    exact integers; contributions accumulate as DECIMAL(38,18)
+    (order-independent across sources and partitions), and the final
+    ordering compares the ROUNDED score with id tiebreak.
+
+    Scale shape: the inputs are already-truncated top-k lists (tiny);
+    union + one groupBy + TakeOrderedAndProject.  With corpus-sized
+    inputs the same plan holds: one hash shuffle on id, no windows over
+    unpartitioned data except the k-row rank stamp."""
+    tagged = [
+        r.select(
+            F.col(id_col).alias("__id"),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col)))
+            .cast("decimal(38,18)")
+            .alias("__contrib"),
+        )
+        for r in rankings
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionAll(t)
+    fused = u.groupBy("__id").agg(
+        F.round(F.sum("__contrib").cast("double"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col("__id").asc()).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("__id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("__id").alias(id_col),
+        "rrf_score",
+        F.col("n_sources").cast("long").alias("n_sources"),
+        "rank",
+    )

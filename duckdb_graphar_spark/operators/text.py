@@ -696,3 +696,103 @@ def tfidf_cosine_pairs(
         .filter(cos >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones) lexical retrieval: score every
+    document against a fixed query-term set, return the global top-k →
+    (id, bm25, rank).  The lexical half of a hybrid retrieval stack
+    (fuse with an embedding ranker via `similarity.rrf_fuse`).
+
+    Determinism: idf is the RAW RSJ ratio (N - df + 0.5)/(df + 0.5) —
+    one IEEE division of exactly-representable values, no log, so both
+    engines compute the identical double (the t20/t27 ratio-idf rule);
+    the per-document sum over matched query terms accumulates as
+    DECIMAL(38,18) (order-independent), and ranking compares the
+    ROUNDED score so near-ties can't flip between engines.
+
+    Scale shape: document length is a per-row projection (`size(split)`
+    — no shuffle, unlike a tf re-aggregation); the corpus explode is
+    FILTERED to the query terms before the (doc, term) groupBy, so the
+    only corpus-sized shuffle carries query-term postings (|q| terms ×
+    matching docs), not the whole vocabulary.  df(t) derives from that
+    same filtered postings table (df of a term only needs that term's
+    rows) and is broadcast back; the final top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    terms = [str(t) for t in query_terms]
+    base = df.select(
+        F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    dl = base.select("__id", F.size("__toks").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__tot")
+    )
+    tf = (
+        base.select("__id", F.explode("__toks").alias("__tok"))
+        .filter(F.col("__tok").isin(terms))
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    avgdl = F.col("__tot").cast("double") / F.col("__n")
+    idf = (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    tf_part = (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / avgdl)
+    )
+    scored = (
+        tf.join(dl, "__id")
+        .join(F.broadcast(dfreq), "__tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__id")
+        .agg(
+            F.round(
+                F.sum((idf * tf_part).cast("decimal(38,18)")).cast("double"), 6
+            ).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    top = scored.orderBy(F.col("bm25").desc(), F.col("__id").asc()).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("__id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("__id").alias(id_col), "bm25", F.col("n_terms").cast("long").alias("n_terms"), "rank"
+    )
+
+
+def token_freq_spectrum(
+    df: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Corpus frequency-of-frequencies (the Zipf spectrum): for each
+    corpus frequency f, how many distinct tokens occur exactly f times
+    and how much token mass they carry → (freq, n_tokens, mass).
+    The shape drives vocabulary-size / min-count decisions and is the
+    standard smoke test that a corpus wasn't accidentally duplicated
+    (a dup shifts the whole spectrum to even frequencies).
+
+    Scale shape: two map-combinable groupBys — token counts (the only
+    corpus-sized shuffle, carrying one row per distinct token after
+    partial aggregation) then the tiny spectrum aggregation.  No joins,
+    no windows, no Python."""
+    tok = df.select(F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
+    freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__f"))
+    return (
+        freq.groupBy("__f")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            F.col("__f").alias("freq"),
+            "n_tokens",
+            (F.col("__f") * F.col("n_tokens")).alias("mass"),
+        )
+    )

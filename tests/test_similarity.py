@@ -62,3 +62,19 @@ def test_ivf_topk_runs(spark, emb):
     rows = out.collect()
     assert len(rows) > 0
     assert {r.query_id for r in rows} <= {0, 1}
+
+
+def test_rrf_fuse_hand_checked(spark):
+    from duckdb_graphar_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank long")
+    r2 = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rank long")
+    got = {r.doc_id: (r.rrf_score, r.n_sources, r.rank) for r in rrf_fuse([r1, r2], k=4).collect()}
+    import pytest as _pt
+
+    # doc 20: 1/62 + 1/61 is the largest mass; singles follow by rank
+    assert got[20][0] == _pt.approx(round(1 / 62 + 1 / 61, 6), abs=1e-6)
+    assert got[20][1] == 2 and got[20][2] == 1
+    assert got[10] == (_pt.approx(round(1 / 61, 6), abs=1e-6), 1, 2)
+    assert got[40][2] == 3  # 1/62 beats 1/63
+    assert got[30][2] == 4

@@ -167,3 +167,55 @@ def test_skipgram_topk_hand_checked(spark):
     got = {(r.w1, r.w2): r.cnt for r in skipgram_topk(df, k=10).collect()}
     # doc0 pairs (window 3): ab, ac, bc; doc1: ab; doc2: none
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_bm25_matches_pure_python(spark):
+    from duckdb_graphar_spark.operators.text import bm25_topk
+
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana banana"),
+        (2, "cherry date elderberry fig grape"),
+        (3, "apple apple apple apple banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = ["apple", "banana"]
+    got = {r.doc_id: (r.bm25, r.n_terms, r.rank) for r in bm25_topk(df, q, k=4).collect()}
+
+    # pure-Python BM25 with the same ratio idf
+    docs = {i: t.split(" ") for i, t in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfreq = {t: sum(1 for d in docs.values() if t in d) for t in q}
+    k1, b = 1.2, 0.75
+
+    def score(d):
+        s = 0.0
+        for t in q:
+            tf = docs[d].count(t)
+            if tf == 0:
+                continue
+            idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(docs[d]) / avgdl))
+        return round(s, 6)
+
+    expect = sorted(
+        ((score(d), d) for d in docs if score(d) > 0), key=lambda x: (-x[0], x[1])
+    )
+    assert set(got) == {d for _, d in expect}
+    for rank, (s, d) in enumerate(expect, start=1):
+        assert got[d][0] == pytest.approx(s, abs=1e-6)
+        assert got[d][2] == rank
+    # doc 2 matches no query term → absent
+    assert 2 not in got
+
+
+def test_token_freq_spectrum_hand_checked(spark):
+    from duckdb_graphar_spark.operators.text import token_freq_spectrum
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c b")], "doc_id long, text string"
+    )
+    # freqs: a=3, b=2, c=1 → spectrum {1: 1 token, 2: 1, 3: 1}
+    got = {r.freq: (r.n_tokens, r.mass) for r in token_freq_spectrum(df).collect()}
+    assert got == {1: (1, 1), 2: (1, 2), 3: (1, 3)}
