@@ -4422,6 +4422,124 @@ def s11(spark, sf):
     return rrf_fuse([lex, vec], k=10)
 
 
+_QPROBS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@_q(
+    "q60_exact_quantiles",
+    # ORACLE: DuckDB's own quantile_disc per prob — an INDEPENDENT
+    # construction (its internal sorted-multiset selection vs our
+    # two-phase distributed rank scan).  target_rank replays the
+    # floor((n-1)·p)+1 selection in DuckDB's exact DECIMAL literal
+    # arithmetic, which the operator mirrors with Fraction on the
+    # driver.
+    " UNION ALL ".join(
+        f"""
+        SELECT CAST({p} AS DOUBLE) AS prob,
+               quantile_disc(l_extendedprice, {p}) AS value,
+               CAST(FLOOR((COUNT(l_extendedprice) - 1) * {p}) + 1 AS BIGINT) AS target_rank,
+               COUNT(l_extendedprice) AS n
+        FROM lineitem
+        """
+        for p in _QPROBS
+    ),
+)
+def q60(spark, sf):
+    """Exact discrete quantiles of l_extendedprice without a global
+    sort: map-combinable value-count shuffle → two-phase prefix sum
+    over range buckets (bounded driver state) → per-prob min-value
+    selection (`operators/quantiles.py:exact_quantiles`)."""
+    from duckdb_graphar_spark.operators.quantiles import exact_quantiles
+
+    return exact_quantiles(_t(spark, sf, "lineitem"), "l_extendedprice", _QPROBS)
+
+
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_orderkey", "l_linenumber"]
+
+
+@_q(
+    "q61_table_stats",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_v,
+               CAST(MAX({c}) AS DOUBLE) AS max_v
+        FROM lineitem
+        """
+        for c in _STATS_COLS
+    ),
+)
+def q61(spark, sf):
+    """ANALYZE-style per-column stats for six lineitem columns in ONE
+    scan (nulls / exact ndv / min / max, unpivoted via stack) — the
+    statistics surface the reference stubs out (GetStatistics →
+    nullptr); exact_ndv=False is the documented HLL++ 100 TB knob
+    (`operators/stats.py:table_stats`)."""
+    from duckdb_graphar_spark.operators.stats import table_stats
+
+    return table_stats(_t(spark, sf, "lineitem"), _STATS_COLS)
+
+
+@_q(
+    "q62_cdc_upsert",
+    # ORACLE: latest change per key via ROW_NUMBER (a DIFFERENT
+    # construction than the operator's map-combinable max_by), then the
+    # same full-outer merge with delete filtering.
+    """
+    WITH ch AS (
+      SELECT o_custkey AS k, o_orderkey AS seq, o_orderstatus = 'P' AS del,
+             o_totalprice AS acctbal, o_orderpriority AS segment
+      FROM orders
+    ),
+    latest AS (
+      SELECT k, del, acctbal, segment FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch
+      ) WHERE rn = 1
+    ),
+    s AS (SELECT c_custkey AS k, c_acctbal AS acctbal, c_mktsegment AS segment
+          FROM customer)
+    SELECT COALESCE(s.k, l.k) AS c_custkey,
+           CASE WHEN l.k IS NOT NULL THEN l.acctbal ELSE s.acctbal END AS acctbal,
+           CASE WHEN l.k IS NOT NULL THEN l.segment ELSE s.segment END AS segment,
+           CASE WHEN l.k IS NULL THEN 'keep'
+                WHEN s.k IS NULL THEN 'insert'
+                ELSE 'update' END AS op
+    FROM s FULL OUTER JOIN latest l ON s.k = l.k
+    WHERE l.del IS NULL OR NOT l.del
+    """,
+)
+def q62(spark, sf):
+    """CDC upsert (MERGE): orders replayed as a change feed against the
+    customer snapshot — latest change per key via ONE map-combinable
+    max_by aggregate (hot keys collapse executor-side before the
+    shuffle), full-outer merge, status='P' deletes
+    (`operators/cdc.py:apply_changes`)."""
+    from duckdb_graphar_spark.operators.cdc import apply_changes
+
+    snapshot = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    changes = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        (F.col("o_orderstatus") == "P").alias("is_del"),
+        F.col("o_totalprice").alias("acctbal"),
+        F.col("o_orderpriority").alias("segment"),
+    )
+    return apply_changes(
+        snapshot,
+        changes,
+        key_col="c_custkey",
+        seq_col="seq",
+        delete_col="is_del",
+        payload_cols=["acctbal", "segment"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -4462,9 +4580,10 @@ _PRIORITY = [
     # --- these into the round-4 window first): t26 heavy hitters, q58
     # --- funnel, q59 scd2, s09/s10 product quantization, g13 sssp, g14
     # --- k-core, t27 tf-idf cosine pairs, t28 bm25, t29 zipf spectrum,
-    # --- s11 hybrid rrf.  They are unlisted here, so they follow the
-    # --- priority block in definition order, ahead of nothing — list
-    # --- them explicitly when rotating.
+    # --- s11 hybrid rrf, q60 exact quantiles, q61 table stats, q62 cdc
+    # --- upsert.  They are unlisted here, so they follow the priority
+    # --- block in definition order, ahead of nothing — list them
+    # --- explicitly when rotating.
     # --- then: already driver-verified (r01/r02 green) in coverage order ---
     *[f"ga{i:02d}" for i in range(1, 14)],
     *[f"g{i:02d}" for i in range(1, 9)],

@@ -1,0 +1,78 @@
+"""CDC upsert: apply a change feed to a snapshot (MERGE semantics).
+
+The warehouse companion to `events.scd2_intervals`: where SCD2 keeps
+every historical state as a validity interval, `apply_changes` produces
+the CURRENT snapshot — latest-change-wins per key, with deletes.  This
+is the core of every lakehouse MERGE INTO / CDC-compaction job.
+
+Scale shape: the change feed collapses to latest-per-key with ONE
+map-combinable aggregate — ``max_by(struct(payload...), seq)`` — not a
+window sort (partial aggregation discards superseded changes executor-
+side before the shuffle, which matters when the feed has hot keys: a
+key with 10⁶ updates ships O(partitions) rows, not 10⁶).  Then one
+full-outer hash join against the snapshot on the key.  Both sides
+shuffle on the same key; no broadcast assumption — at 100 TB both the
+snapshot and the day's feed are large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    *,
+    key_col: str,
+    seq_col: str,
+    delete_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Apply ``changes`` to ``snapshot`` → the new snapshot:
+    (key, payload..., op) where op ∈ {'keep', 'update', 'insert'}.
+
+    - latest change per key wins (greatest ``seq_col``; ``seq_col`` must
+      be unique per key — a CDC log sequence number is);
+    - a latest change with ``delete_col`` true removes the key;
+    - keys untouched by the feed pass through as 'keep'.
+    """
+    if not payload_cols:
+        raise ValueError("payload_cols must be non-empty")
+    latest = changes.groupBy(F.col(key_col).alias("__k")).agg(
+        F.max_by(
+            F.struct(
+                F.col(delete_col).alias("__del"),
+                *[F.col(c).alias(c) for c in payload_cols],
+            ),
+            F.col(seq_col),
+        ).alias("__ch")
+    )
+    c = latest.select(
+        "__k",
+        F.lit(1).alias("__in_c"),
+        F.col("__ch.__del").alias("__del"),
+        *[F.col(f"__ch.{p}").alias(f"__c_{p}") for p in payload_cols],
+    )
+    s = snapshot.select(
+        F.col(key_col).alias("__k"),
+        F.lit(1).alias("__in_s"),
+        *[F.col(p).alias(f"__s_{p}") for p in payload_cols],
+    )
+    j = s.join(c, "__k", "full_outer")
+    alive = j.filter(F.col("__del").isNull() | ~F.col("__del"))
+    op = (
+        F.when(F.col("__in_c").isNull(), F.lit("keep"))
+        .when(F.col("__in_s").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    return alive.select(
+        F.col("__k").alias(key_col),
+        *[
+            F.when(F.col("__in_c").isNotNull(), F.col(f"__c_{p}"))
+            .otherwise(F.col(f"__s_{p}"))
+            .alias(p)
+            for p in payload_cols
+        ],
+        op.alias("op"),
+    )

@@ -1,0 +1,121 @@
+"""Exact distributed quantiles (percentile_disc) without a global sort.
+
+The naive exact quantile sorts the column on one task (`Window.orderBy`
+with no partition) — a non-starter at 100 TB.  `exact_quantiles` gets
+the same answer with bounded driver state, the value-domain twin of
+`packing.pack_offsets`' two-phase scan:
+
+1. ``groupBy(value).count()`` — the only corpus-sized shuffle, and it's
+   map-combinable, so the shuffle carries one row per DISTINCT value
+   after partial aggregation (a price column at 100 TB has millions of
+   distinct values, not trillions of rows);
+2. range-bucket the distinct values (min/max probe + fixed-width
+   buckets), per-bucket count sums → ``n_buckets`` rows to the driver,
+   turned into exclusive prefix offsets and broadcast back;
+3. parallel per-bucket window cumsum gives every distinct value its
+   global inclusive rank range; the p-quantile is the minimal value
+   whose cumulative count reaches the target rank — a map-side filter
+   plus a tiny min aggregate per requested prob.
+
+Target-rank arithmetic matches DuckDB's ``quantile_disc`` exactly:
+element at 0-based index floor((n-1)·p) of the sorted multiset, with
+(n-1)·p computed in EXACT decimal arithmetic (`fractions.Fraction` on
+the driver; DuckDB parses ``0.99`` as DECIMAL, so its product is exact
+too — a double multiply could floor the wrong way when the true product
+is an integer).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    *,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Exact discrete quantiles of ``value_col`` → one row per prob:
+    (prob, value, target_rank, n).  NULLs are excluded (SQL aggregate
+    semantics); ``value`` is the element at sorted 0-based index
+    floor((n-1)·p) — DuckDB ``quantile_disc`` / ANSI
+    ``percentile_disc`` semantics."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob {p} outside [0, 1]")
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism
+
+    vc = (
+        df.select(F.col(value_col).cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    bounds = vc.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
+    empty_schema = "prob double, value double, target_rank long, n long"
+    if bounds.lo is None:
+        return spark.createDataFrame([], empty_schema)
+    lo, hi = float(bounds.lo), float(bounds.hi)
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
+    b = vc.withColumn(
+        "__bucket",
+        F.least(
+            F.floor((F.col("__v") - F.lit(lo)) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ).cast("long"),
+    )
+
+    # phase 1: per-bucket count sums — n_buckets rows, map-combinable
+    sums = {
+        r["__bucket"]: int(r["s"])
+        for r in b.groupBy("__bucket").agg(F.sum("__c").alias("s")).collect()
+    }
+    prefix, acc = {}, 0
+    for k in sorted(sums):
+        prefix[k] = acc
+        acc += sums[k]
+    n = acc
+    prefix_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), int(v)) for k, v in prefix.items()],
+            "__bucket long, __pre long",
+        )
+    )
+
+    # phase 2: parallel within-bucket cumsum → global inclusive rank
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.join(prefix_df, "__bucket").withColumn(
+        "__cum", F.col("__pre") + F.sum("__c").over(w)
+    )
+
+    # exact decimal target ranks (matches DuckDB's DECIMAL literal math)
+    targets = [
+        (float(p), int((n - 1) * Fraction(str(p))) + 1) for p in probs
+    ]
+    tdf = F.broadcast(
+        spark.createDataFrame(targets, "prob double, target_rank long")
+    )
+    return (
+        cum.crossJoin(tdf)
+        .filter(F.col("__cum") >= F.col("target_rank"))
+        .groupBy("prob")
+        .agg(
+            F.min("__v").alias("value"),
+            # constant within the group (joined on prob) — min is just
+            # the determinism-by-construction spelling
+            F.min("target_rank").alias("target_rank"),
+        )
+        .select("prob", "value", "target_rank", F.lit(n).cast("long").alias("n"))
+    )

@@ -1,0 +1,101 @@
+"""Unit tests: exact_quantiles, table_stats, apply_changes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_exact_quantiles_matches_sorted_reference(spark):
+    from duckdb_graphar_spark.operators.quantiles import exact_quantiles
+
+    import random
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(0, 100), 2) for _ in range(997)]
+    # duplicates + a null on purpose
+    vals += vals[:50]
+    rows = [(i, v) for i, v in enumerate(vals)] + [(len(vals), None)]
+    df = spark.createDataFrame(rows, "id long, x double")
+
+    probs = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = {r.prob: (r.value, r.target_rank, r.n) for r in
+           exact_quantiles(df, "x", probs, n_buckets=7).collect()}
+
+    s = sorted(vals)
+    n = len(s)
+    for p in probs:
+        idx = int((n - 1) * p)  # floor on exact values used here
+        assert got[p][2] == n
+        assert got[p][1] == idx + 1
+        assert got[p][0] == pytest.approx(s[idx], abs=1e-9)
+
+
+def test_exact_quantiles_single_value_and_validation(spark):
+    from duckdb_graphar_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([(1, 5.0)] * 10, "id long, x double")
+    got = exact_quantiles(df, "x", [0.5]).collect()
+    assert got[0].value == 5.0 and got[0].n == 10
+
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [1.5])
+
+    empty = spark.createDataFrame([], "id long, x double")
+    assert exact_quantiles(empty, "x", [0.5]).count() == 0
+
+
+def test_table_stats_hand_checked(spark):
+    from duckdb_graphar_spark.operators.stats import table_stats
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (2, 30.0), (3, 10.0)], "k long, v double"
+    )
+    got = {r.col_name: r for r in table_stats(df, ["k", "v"]).collect()}
+    assert got["k"].n_nulls == 0 and got["k"].n_distinct == 3
+    assert got["k"].min_v == 1.0 and got["k"].max_v == 3.0
+    assert got["v"].n_nulls == 1 and got["v"].n_distinct == 2
+    assert got["v"].min_v == 10.0 and got["v"].max_v == 30.0
+    # approx path returns the same shape (values are HLL estimates)
+    approx = {r.col_name: r for r in
+              table_stats(df, ["k", "v"], exact_ndv=False).collect()}
+    assert approx["k"].n_distinct >= 1
+    with pytest.raises(ValueError):
+        table_stats(df, [])
+
+
+def test_apply_changes_semantics(spark):
+    from duckdb_graphar_spark.operators.cdc import apply_changes
+
+    snapshot = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, val string"
+    )
+    # key 1: two updates, latest (seq 5) wins; key 2: delete;
+    # key 4: insert; key 3: untouched
+    changes = spark.createDataFrame(
+        [
+            (1, 4, False, "a2"),
+            (1, 5, False, "a3"),
+            (2, 6, True, "xx"),
+            (4, 7, False, "d"),
+        ],
+        "k long, seq long, is_del boolean, val string",
+    )
+    got = {r.k: (r.val, r.op) for r in apply_changes(
+        snapshot, changes, key_col="k", seq_col="seq",
+        delete_col="is_del", payload_cols=["val"]).collect()}
+    assert got == {1: ("a3", "update"), 3: ("c", "keep"), 4: ("d", "insert")}
+
+
+def test_apply_changes_delete_then_reinsert_latest_wins(spark):
+    from duckdb_graphar_spark.operators.cdc import apply_changes
+
+    snapshot = spark.createDataFrame([(1, "a")], "k long, val string")
+    changes = spark.createDataFrame(
+        [(1, 10, True, None), (1, 11, False, "re")],
+        "k long, seq long, is_del boolean, val string",
+    )
+    got = apply_changes(
+        snapshot, changes, key_col="k", seq_col="seq",
+        delete_col="is_del", payload_cols=["val"]).collect()
+    assert [(r.k, r.val, r.op) for r in got] == [(1, "re", "update")]
