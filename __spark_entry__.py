@@ -4540,6 +4540,91 @@ def q62(spark, sf):
     )
 
 
+@_q(
+    "g15_label_propagation",
+    # ORACLE: the 2 synchronous rounds unrolled; the operator's
+    # max(struct(count, -label)) argmax is replayed as ROW_NUMBER
+    # (ORDER BY c DESC, lab ASC) — a different construction of the same
+    # deterministic pick.
+    f"""
+    WITH raw AS ({_E_SQL}),
+    e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           FROM raw WHERE src <> dst),
+    nbr AS (SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b AS v, a AS u FROM e0),
+    l0 AS (SELECT id, id AS lab FROM (SELECT a AS id FROM e0 UNION SELECT b FROM e0)),
+    r1 AS (SELECT n.v, l.lab, COUNT(*) AS c FROM nbr n JOIN l0 l ON l.id = n.u
+           GROUP BY n.v, l.lab),
+    l1 AS (SELECT v AS id, lab FROM (
+             SELECT v, lab, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+             FROM r1) WHERE rn = 1),
+    r2 AS (SELECT n.v, l.lab, COUNT(*) AS c FROM nbr n JOIN l1 l ON l.id = n.u
+           GROUP BY n.v, l.lab),
+    l2 AS (SELECT v AS id, lab FROM (
+             SELECT v, lab, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+             FROM r2) WHERE rn = 1)
+    SELECT id, lab AS label FROM l2
+    """,
+)
+def g15(spark, sf):
+    """Deterministic synchronous label propagation, 2 fixed rounds
+    (most-frequent neighbor label, smallest-label ties) — the argmax is
+    one map-combinable max(struct) aggregate, never a per-vertex window
+    sort (`operators/graph.py:label_propagation`)."""
+    from duckdb_graphar_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _edges(spark, sf), n_iters=2, src_col="src", dst_col="dst"
+    )
+
+
+@_q(
+    "g16_personalized_pagerank",
+    # ORACLE: g09's unrolled-iteration replay with the teleport term
+    # moved to the source vertex.  The (1-d) base is written as an IEEE
+    # double SUBTRACTION (1.0 - 0.85 = 0.15000000000000002 ≠ literal
+    # 0.15) to mirror the operator's Python-computed lit exactly.
+    f"""
+    WITH e AS ({_E_SQL}),
+    v AS (SELECT c_custkey AS id FROM customer),
+    od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT id, CASE WHEN id = 1 THEN CAST(1.0 AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END AS r FROM v),
+    s1 AS (SELECT e.dst AS id, SUM(CAST(r0.r / od.d AS DECIMAL(38,18))) AS s
+           FROM e JOIN od USING (src) JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+    r1 AS (SELECT v.id,
+                  ROUND(CASE WHEN v.id = 1
+                             THEN CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END
+                        + CAST(0.85 AS DOUBLE)
+                          * CAST(COALESCE(s1.s, CAST(0 AS DECIMAL(38,18))) AS DOUBLE),
+                        12) AS r
+           FROM v LEFT JOIN s1 USING (id)),
+    s2 AS (SELECT e.dst AS id, SUM(CAST(r1.r / od.d AS DECIMAL(38,18))) AS s
+           FROM e JOIN od USING (src) JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+    r2 AS (SELECT v.id,
+                  ROUND(CASE WHEN v.id = 1
+                             THEN CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END
+                        + CAST(0.85 AS DOUBLE)
+                          * CAST(COALESCE(s2.s, CAST(0 AS DECIMAL(38,18))) AS DOUBLE),
+                        12) AS r
+           FROM v LEFT JOIN s2 USING (id))
+    SELECT id, r AS ppr FROM r2
+    """,
+)
+def g16(spark, sf):
+    """Personalized PageRank seeded at vertex 1 (2 fixed iterations,
+    damping 0.85): point-mass init, teleport (1-d) entirely to the
+    seed — the related-items / local-community score
+    (`operators/graph.py:personalized_pagerank`)."""
+    from duckdb_graphar_spark.operators.graph import personalized_pagerank
+
+    v = _t(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
+    return personalized_pagerank(
+        _edges(spark, sf), v, 1, n_iters=2, src_col="src", dst_col="dst"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -4581,9 +4666,10 @@ _PRIORITY = [
     # --- funnel, q59 scd2, s09/s10 product quantization, g13 sssp, g14
     # --- k-core, t27 tf-idf cosine pairs, t28 bm25, t29 zipf spectrum,
     # --- s11 hybrid rrf, q60 exact quantiles, q61 table stats, q62 cdc
-    # --- upsert.  They are unlisted here, so they follow the priority
-    # --- block in definition order, ahead of nothing — list them
-    # --- explicitly when rotating.
+    # --- upsert, g15 label propagation, g16 personalized pagerank.
+    # --- They are unlisted here, so they follow the priority block in
+    # --- definition order, ahead of nothing — list them explicitly
+    # --- when rotating.
     # --- then: already driver-verified (r01/r02 green) in coverage order ---
     *[f"ga{i:02d}" for i in range(1, 14)],
     *[f"g{i:02d}" for i in range(1, 9)],

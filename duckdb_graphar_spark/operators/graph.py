@@ -599,3 +599,117 @@ def kcore(
         if (it + 1) % 3 == 0 and it + 1 < n_iters:
             e = e.localCheckpoint(eager=False)
     return degs(e).select(F.col("v").alias("id"), "degree")
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    n_iters: int = 2,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) over the undirected simple graph underlying a directed
+    multigraph edge list → (id, label) community assignments.
+
+    Deterministic variant (engine-replayable, unlike the randomized
+    original): every vertex starts labeled with its own id; each round
+    every vertex adopts the label that is MOST FREQUENT among its
+    neighbors, ties broken by smallest label.  The argmax is ONE
+    map-combinable aggregate — ``max(struct(count, -label))`` — so no
+    per-vertex window sort exists anywhere.
+
+    Scale shape per round: neighbor-relation ⋈ labels (shuffle on the
+    neighbor id, stable across rounds) + groupBy(vertex, label) count +
+    groupBy(vertex) argmax, all map-combinable; labels stay an n-row
+    distributed relation; lineage cut every 3rd round.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    nbr = canon.select(F.col("a").alias("__v"), F.col("b").alias("__u")).unionAll(
+        canon.select(F.col("b").alias("__v"), F.col("a").alias("__u"))
+    )
+    labels = (
+        canon.select(F.col("a").alias("__v"))
+        .unionAll(canon.select(F.col("b").alias("__v")))
+        .distinct()
+        .select("__v", F.col("__v").alias("__lab"))
+    )
+    for it in range(n_iters):
+        counts = (
+            nbr.join(labels.select(F.col("__v").alias("__u"), "__lab"), "__u")
+            .groupBy("__v", "__lab")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        picked = counts.groupBy("__v").agg(
+            F.max(F.struct(F.col("__c"), (-F.col("__lab")).alias("__nl"))).alias("__m")
+        )
+        labels = picked.select("__v", (-F.col("__m.__nl")).alias("__lab"))
+        if (it + 1) % 3 == 0 and it + 1 < n_iters:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select(F.col("__v").alias("id"), F.col("__lab").alias("label"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    source: int,
+    *,
+    n_iters: int = 2,
+    damping: float = 0.85,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+    id_col: str = "id",
+) -> DataFrame:
+    """Fixed-iteration PageRank personalized to one source vertex: the
+    teleport mass (1-d) lands entirely on ``source`` instead of being
+    spread 1/n — the standard seed-proximity score for related-item /
+    local-community queries.  Initial distribution is a point mass at
+    the source; dangling mass leaves the system (same variant as
+    `pagerank`, mirrored by the SQL oracle).
+
+    Identical float discipline and per-iteration plan as `pagerank`:
+    one ranks⋈edges shuffle join + one map-combinable DECIMAL(38,18)
+    groupBy(dst) per round; ranks published at 12 decimals."""
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__od"))
+    ranks = vertices.select(
+        F.col(id_col).alias("__v"),
+        F.when(F.col(id_col) == F.lit(source), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("__r"),
+    )
+    base = F.when(F.col("__v") == F.lit(source), F.lit(1.0 - damping)).otherwise(
+        F.lit(0.0)
+    )
+    for _ in range(n_iters):
+        contrib = (
+            e.join(outdeg, "__s")
+            .join(ranks, e["__s"] == F.col("__v"))
+            .select(
+                F.col("__d"),
+                (F.col("__r") / F.col("__od")).cast("decimal(38,18)").alias("__c"),
+            )
+            .groupBy("__d")
+            .agg(F.sum("__c").alias("__sum"))
+        )
+        ranks = (
+            ranks.select("__v")
+            .join(contrib, ranks["__v"] == contrib["__d"], "left")
+            .select(
+                "__v",
+                F.round(
+                    base
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.col("__sum"), F.lit(0).cast("decimal(38,18)")
+                    ).cast("double"),
+                    12,
+                ).alias("__r"),
+            )
+        )
+    return ranks.select(F.col("__v").alias(id_col), F.col("__r").alias("ppr"))

@@ -155,3 +155,81 @@ def test_degrees_from_offsets_point_lookup(spark, graph_fixture):
         degrees_from_offsets(
             spark, graph_fixture["yaml"], "Person", "knows", "Person", vid=10**9
         )
+
+
+def test_label_propagation_matches_pure_python(spark):
+    from duckdb_graphar_spark.operators.graph import label_propagation
+
+    import random
+
+    rng = random.Random(11)
+    n = 60
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(150)}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r.id: r.label for r in
+           label_propagation(df, n_iters=3, src_col="src", dst_col="dst").collect()}
+
+    # pure-Python synchronous LPA with (count desc, label asc) pick
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs = {}
+    for a, b in canon:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {v: v for v in nbrs}
+    for _ in range(3):
+        new = {}
+        for v in nbrs:
+            cnt = {}
+            for u in nbrs[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    assert got == lab
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    from duckdb_graphar_spark.operators.graph import label_propagation
+
+    # two 4-cliques {0..3} and {10..13} joined by bridge 3-10
+    def clique(vs):
+        return [(a, b) for a in vs for b in vs if a < b]
+
+    e = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = {r.id: r.label for r in
+           label_propagation(df, n_iters=4, src_col="src", dst_col="dst").collect()}
+    # clique members end with the clique minimum label
+    assert {got[v] for v in (0, 1, 2)} == {0}
+    assert {got[v] for v in (11, 12, 13)} == {10}
+
+
+def test_personalized_pagerank_matches_pure_python(spark):
+    from duckdb_graphar_spark.operators.graph import personalized_pagerank
+
+    import random
+
+    rng = random.Random(5)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    src = 7
+    got = {r.id: r.ppr for r in
+           personalized_pagerank(edf, vdf, src, n_iters=3,
+                                 src_col="src", dst_col="dst").collect()}
+
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    r = {v: (1.0 if v == src else 0.0) for v in range(n)}
+    for _ in range(3):
+        contrib = {}
+        for a, b in edges:
+            contrib[b] = contrib.get(b, 0.0) + r[a] / outdeg[a]
+        r = {v: round((1.0 - 0.85 if v == src else 0.0)
+                      + 0.85 * contrib.get(v, 0.0), 12) for v in range(n)}
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-9), v
+    # the teleport term floors the seed at (1-d); un-reached vertices are 0
+    assert got[src] >= 0.15 - 1e-9  # published at 12 decimals
+    assert all(v >= 0.0 for v in got.values())
