@@ -4625,6 +4625,78 @@ def g16(spark, sf):
     )
 
 
+@_q(
+    "d05_keep_best_dedup",
+    # ORACLE: same canonicalization (DuckDB regexp_replace needs the
+    # explicit 'g' flag to match Java's replace-all), keeper via
+    # ROW_NUMBER (quality desc, id asc) — a different construction of
+    # the operator's max(struct(quality, -id)) pick.
+    """
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS canon_sha
+      FROM documents
+    ),
+    p AS (SELECT canon_sha, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY canon_sha
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY canon_sha) AS n_docs
+          FROM c)
+    SELECT canon_sha, doc_id AS keeper_id, n_docs - 1 AS n_dups,
+           n_chars AS best_quality
+    FROM p WHERE rn = 1
+    """,
+)
+def d05(spark, sf):
+    """Canonicalized exact dedup with keep-BEST policy (longest capture
+    wins, ties → smallest id): ONE map-combinable max(struct) aggregate
+    over a sha-keyed shuffle carrying (sha, quality, id) — never the
+    text, never a window sort
+    (`operators/dedup.py:canonical_keep_best`)."""
+    from duckdb_graphar_spark.operators.dedup import canonical_keep_best
+
+    return canonical_keep_best(_t(spark, sf, "documents"))
+
+
+@_q(
+    "st10_trending_topk",
+    # ORACLE: tumbling counts limited to the windows append mode can
+    # emit (end <= final watermark = max ts, the st09 rule), then the
+    # per-window rank the serving-side batch step applies.
+    """
+    WITH mx AS (SELECT MAX(epoch(ts)) AS m FROM events),
+    w AS (SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS b, event_type,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+    f AS (SELECT * FROM w WHERE (b + 1) * 300 <= (SELECT m FROM mx)),
+    r AS (SELECT CAST(to_timestamp(b * 300) AS TIMESTAMP) AS window_start,
+                 event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY b ORDER BY n DESC, event_type) AS rank
+          FROM f)
+    SELECT window_start, event_type, n, rank FROM r WHERE rank <= 3
+    """,
+)
+def st10(spark, sf):
+    """Streaming trending top-3: the engine maintains tumbling
+    (window, event_type) counts in append mode; ranking runs as the
+    serving-side batch window over the FINALIZED sink windows — the
+    trending-dashboard architecture (ranking over a streaming aggregate
+    isn't a streaming op, and immutable emitted windows mean it doesn't
+    need to be) (`streaming/ops.py:trending_topk`)."""
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        trending_topk,
+        tumbling_window_agg,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    sink = run_to_memory(
+        tumbling_window_agg(stream, watermark="0 seconds"), "st10_out", mode="append"
+    )
+    return trending_topk(sink, k=3)
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -4666,10 +4738,10 @@ _PRIORITY = [
     # --- funnel, q59 scd2, s09/s10 product quantization, g13 sssp, g14
     # --- k-core, t27 tf-idf cosine pairs, t28 bm25, t29 zipf spectrum,
     # --- s11 hybrid rrf, q60 exact quantiles, q61 table stats, q62 cdc
-    # --- upsert, g15 label propagation, g16 personalized pagerank.
-    # --- They are unlisted here, so they follow the priority block in
-    # --- definition order, ahead of nothing — list them explicitly
-    # --- when rotating.
+    # --- upsert, g15 label propagation, g16 personalized pagerank,
+    # --- d05 keep-best dedup, st10 trending topk.  They are unlisted
+    # --- here, so they follow the priority block in definition order,
+    # --- ahead of nothing — list them explicitly when rotating.
     # --- then: already driver-verified (r01/r02 green) in coverage order ---
     *[f"ga{i:02d}" for i in range(1, 14)],
     *[f"g{i:02d}" for i in range(1, 9)],

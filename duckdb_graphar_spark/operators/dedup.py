@@ -561,3 +561,48 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def canonical_keep_best(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Exact dedup after text canonicalization, keep-BEST policy →
+    one row per canonical form: (canon_sha, keeper_id, n_dups,
+    best_quality).
+
+    Canonicalization (lowercase, non-alphanumerics → space, collapse
+    runs, trim) merges the near-identical variants exact dedup misses —
+    case/punctuation/whitespace edits, the most common crawl-dup shape.
+    Unlike `exact_dedup`'s keep-first, the keeper is the HIGHEST
+    ``quality_col`` (ties → smallest id): crawl pipelines keep the
+    longest/cleanest capture, not the first-seen one.
+
+    Scale shape: the keeper pick is ONE map-combinable aggregate —
+    ``max(struct(quality, -id))`` — over a single sha-keyed shuffle
+    that carries (sha, quality, id) triples, never the text.  No
+    window, no keep-first row_number sort."""
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    return (
+        df.select(
+            F.sha2(canon, 256).alias("canon_sha"),
+            F.col(quality_col).cast("long").alias("__q"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("canon_sha")
+        .agg(
+            F.max(F.struct(F.col("__q"), (-F.col("__id")).alias("__ni"))).alias("__m"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "canon_sha",
+            (-F.col("__m.__ni")).alias("keeper_id"),
+            (F.col("n_docs") - 1).alias("n_dups"),
+            F.col("__m.__q").alias("best_quality"),
+        )
+    )

@@ -9,7 +9,7 @@ verify the windowed aggregations (FIXTURES.md §B2, SURVEY §2.E).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -441,4 +441,29 @@ def stateful_user_totals_tws(
             outputMode="Update",
             timeMode="None",
         )
+    )
+
+
+def trending_topk(sink_windows: DataFrame, *, k: int = 3) -> DataFrame:
+    """Serving-side ranking for a streaming trending feed: given the
+    FINALIZED tumbling (window, event_type) counts an append-mode
+    stream has emitted (`tumbling_window_agg` → sink), rank event types
+    within each window and keep the top k → (window_start, event_type,
+    n, rank).
+
+    Ranking is not a streaming-supported operation (no window functions
+    over a streaming aggregate), and it shouldn't be: append mode means
+    a window's counts are immutable once emitted, so the rank is a
+    plain batch window over the bounded sink relation — the actual
+    architecture of every trending dashboard (engine maintains counts,
+    the serving query ranks finalized windows).  Ties break by
+    event_type ascending.  Scale: partitionBy(window) — parallel, each
+    window sees its handful of event types."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        sink_windows.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", "n", "rank")
     )

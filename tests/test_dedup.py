@@ -137,3 +137,34 @@ def test_cc_driver_path_matches_distributed(spark):
     }
     assert fast == slow
     assert len(fast) == 250
+
+
+def test_canonical_keep_best(spark):
+    from duckdb_graphar_spark.operators.dedup import canonical_keep_best
+
+    df = spark.createDataFrame(
+        [
+            (0, "Hello,  World!", 14),
+            (1, "hello world", 11),        # same canonical form, shorter
+            (2, "hello world extended", 20),
+            (3, "HELLO--WORLD", 12),       # same canonical form again
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {r.canon_sha: r for r in canonical_keep_best(df).collect()}
+    assert len(got) == 2
+    by_keeper = {r.keeper_id: r for r in got.values()}
+    # 'hello world' group: doc 0 wins on n_chars=14; 2 dups
+    assert by_keeper[0].n_dups == 2 and by_keeper[0].best_quality == 14
+    assert by_keeper[2].n_dups == 0
+
+
+def test_canonical_keep_best_tie_prefers_smallest_id(spark):
+    from duckdb_graphar_spark.operators.dedup import canonical_keep_best
+
+    df = spark.createDataFrame(
+        [(5, "a b", 3), (2, "A B", 3), (9, "a-b", 3)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = canonical_keep_best(df).collect()
+    assert len(rows) == 1 and rows[0].keeper_id == 2 and rows[0].n_dups == 2

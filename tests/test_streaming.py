@@ -169,3 +169,24 @@ def test_foreach_batch_sink_multi_batch(spark, sf_dir, events_batch, tmp_path):
     assert _canon(got, ["event_id", "user_id", "value"]) == _canon(
         exp, ["event_id", "user_id", "value"]
     )
+
+
+def test_trending_topk_ranks_finalized_windows(spark):
+    from duckdb_graphar_spark.streaming.ops import trending_topk
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    sink = spark.createDataFrame(
+        [
+            (t0, "a", 5), (t0, "b", 9), (t0, "c", 5), (t0, "d", 1),
+            (dt.datetime(2024, 1, 1, 0, 5), "x", 2),
+        ],
+        "window_start timestamp, event_type string, n long",
+    )
+    got = [(r.window_start, r.event_type, r.rank) for r in
+           trending_topk(sink, k=3).orderBy("window_start", "rank").collect()]
+    assert got == [
+        (t0, "b", 1), (t0, "a", 2), (t0, "c", 3),  # tie a/c → a first
+        (dt.datetime(2024, 1, 1, 0, 5), "x", 1),
+    ]
