@@ -4697,6 +4697,83 @@ def st10(spark, sf):
     return trending_topk(sink, k=3)
 
 
+@_q(
+    "q63_hll_sketch_union",
+    # ORACLE: q31's tolerance pattern — sketch bytes differ across
+    # engines, so emit the exact distinct count plus the in-band
+    # assertion the merged estimate must clear.
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS within_tolerance
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q63(spark, sf):
+    """Mergeable distinct-count sketches — the 100 TB rollup pattern
+    q31's single-level approx_count_distinct can't show: per
+    (returnflag, linestatus) HLL sketches built once, then UNION-merged
+    to the returnflag level (hll_union_agg) without touching the rows
+    again.  Estimate asserted within 5% of exact."""
+    li = _t(spark, sf, "lineitem")
+    sk = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("__sk"),
+        F.count_distinct("l_orderkey").alias("__ex"),
+    )
+    merged = sk.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__approx")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders")
+    )
+    return merged.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("__approx") - F.col("exact_orders"))
+            <= F.col("exact_orders") * F.lit(0.05)
+        ).alias("within_tolerance"),
+    )
+
+
+@_q(
+    "m06_audio_energy",
+    # ORACLE: never sees the PCM bytes — recomputes sample values
+    # (byte-80)·256 straight from the text (ASCII fixture: byte i ==
+    # code point i), so a codec bug on either side breaks the match.
+    # All-integer features: energy Σs², sign-flip crossings, peak |s|.
+    """
+    WITH x AS (
+      SELECT doc_id,
+             [(unicode(text[i]) - 80) * 256
+              FOR i IN generate_series(1, length(text))] AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_samples,
+           CAST(list_sum([CAST(v * v AS BIGINT) FOR v IN s]) AS BIGINT) AS total_energy,
+           CAST(COALESCE(list_sum(
+             [CASE WHEN (s[i] < 0) <> (s[i+1] < 0) THEN 1 ELSE 0 END
+              FOR i IN generate_series(1, len(s) - 1)]), 0) AS BIGINT) AS n_zero_cross,
+           CAST(list_max([abs(v) FOR v IN s]) AS BIGINT) AS peak
+    FROM x
+    """,
+)
+def m06(spark, sf):
+    """Audio-modality pipeline over REAL bytes: every document rendered
+    as a genuine little-endian int16 PCM buffer in one Arrow-batched
+    mapInPandas stage (`encode_text_pcm`), then decoded back with
+    numpy frombuffer in a second (`pcm_energy_stats`) for the
+    energy / zero-crossing / peak quality trio
+    (`operators/multimodal.py`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_pcm,
+        pcm_energy_stats,
+    )
+
+    return pcm_energy_stats(encode_text_pcm(_t(spark, sf, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -4739,9 +4816,10 @@ _PRIORITY = [
     # --- k-core, t27 tf-idf cosine pairs, t28 bm25, t29 zipf spectrum,
     # --- s11 hybrid rrf, q60 exact quantiles, q61 table stats, q62 cdc
     # --- upsert, g15 label propagation, g16 personalized pagerank,
-    # --- d05 keep-best dedup, st10 trending topk.  They are unlisted
-    # --- here, so they follow the priority block in definition order,
-    # --- ahead of nothing — list them explicitly when rotating.
+    # --- d05 keep-best dedup, st10 trending topk, q63 hll sketch
+    # --- union, m06 audio energy.  They are unlisted here, so they
+    # --- follow the priority block in definition order, ahead of
+    # --- nothing — list them explicitly when rotating.
     # --- then: already driver-verified (r01/r02 green) in coverage order ---
     *[f"ga{i:02d}" for i in range(1, 14)],
     *[f"g{i:02d}" for i in range(1, 9)],

@@ -432,3 +432,95 @@ def resize_stub(df: DataFrame, *, width: int, height: int, payload_col: str = "p
     return df.withColumns(
         {"target_width": F.lit(width), "target_height": F.lit(height)}
     )
+
+
+def encode_text_pcm(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministically synthesize each document as a REAL 16-bit PCM
+    waveform: sample i = (text byte i - 80) · 256, little-endian int16
+    — letters (97-122) land positive, spaces/digits negative, so the
+    signal genuinely oscillates and zero-crossing counts are
+    meaningful.  The payload is the raw sample buffer (the audio twin
+    of `encode_text_bmp`): the fixture-side half of a real decode path
+    whose features a SQL oracle can compute straight from the text."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["__text"]:
+                tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                samples = (tb.astype(np.int32) - 80) * 256
+                payloads.append(samples.astype("<i2").tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def pcm_energy_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio feature extraction from REAL decoded samples: parse each
+    raw PCM payload (little-endian int16 via numpy frombuffer) and emit
+    (doc_id, n_samples, total_energy, n_zero_cross, peak) — the energy /
+    zero-crossing / peak trio every audio quality gate starts with.
+
+    All-integer outputs (energy = Σ s², crossings = sign flips between
+    consecutive samples, peak = max |s|), so the oracle is exact — no
+    float discipline needed.  Scale shape: Arrow-batched mapInPandas
+    projection, no shuffle; a malformed (odd-length) payload raises
+    rather than silently truncating."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in ("doc_id", "n_samples", "total_energy", "n_zero_cross", "peak")
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                b = bytes(payload)
+                if len(b) % 2:
+                    raise ValueError(f"odd PCM payload length {len(b)} for doc {did}")
+                s = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                neg = s < 0
+                out["doc_id"].append(int(did))
+                out["n_samples"].append(int(s.size))
+                out["total_energy"].append(int(np.sum(s * s)))
+                out["n_zero_cross"].append(
+                    int(np.count_nonzero(neg[:-1] != neg[1:])) if s.size > 1 else 0
+                )
+                out["peak"].append(int(np.max(np.abs(s))) if s.size else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "total_energy": pd.Series(out["total_energy"], dtype="int64"),
+                    "n_zero_cross": pd.Series(out["n_zero_cross"], dtype="int64"),
+                    "peak": pd.Series(out["peak"], dtype="int64"),
+                }
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("n_samples", T.LongType(), False),
+                T.StructField("total_energy", T.LongType(), False),
+                T.StructField("n_zero_cross", T.LongType(), False),
+                T.StructField("peak", T.LongType(), False),
+            ]
+        ),
+    )

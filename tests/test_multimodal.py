@@ -105,3 +105,34 @@ def test_encode_text_bmp_channel_stats(spark):
     assert out[25].width == 2 and out[25].height == 2
     # doc 25 is all 'a' (97): every channel mean is exactly 97
     assert out[25].mean_b == 97.0 and out[25].mean_g == 97.0 and out[25].mean_r == 97.0
+
+
+def test_pcm_roundtrip_features(spark):
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_pcm,
+        pcm_energy_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "aA"), (1, " "), (2, "abc def")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in pcm_energy_stats(encode_text_pcm(df)).collect()}
+    # doc 0: bytes 97, 65 → samples (97-80)*256=4352, (65-80)*256=-3840
+    assert got[0].n_samples == 2
+    assert got[0].total_energy == 4352 * 4352 + 3840 * 3840
+    assert got[0].n_zero_cross == 1 and got[0].peak == 4352
+    # doc 1: single sample (32-80)*256 = -12288
+    assert got[1].n_samples == 1 and got[1].n_zero_cross == 0
+    assert got[1].peak == 12288
+    # doc 2: 'abc def' — space flips sign twice
+    assert got[2].n_zero_cross == 2
+
+
+def test_pcm_energy_stats_rejects_odd_payload(spark):
+    from duckdb_graphar_spark.operators.multimodal import pcm_energy_stats
+
+    df = spark.createDataFrame([(0, bytearray(b"abc"))], "doc_id long, payload binary")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="odd PCM"):
+        pcm_energy_stats(df).collect()
