@@ -4774,6 +4774,62 @@ def m06(spark, sf):
     return pcm_energy_stats(encode_text_pcm(_t(spark, sf, "documents")))
 
 
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round: pair counts over w{r}, best pair b{r},
+    merged symbol strings w{r+1} via the same greedy list_reduce fold
+    the operator runs (merging a+b = append b without the space)."""
+    return f"""
+    p{r} AS (SELECT pair, SUM(f) AS wt FROM (
+             SELECT unnest([l[i] || ' ' || l[i+1]
+                            FOR i IN generate_series(1, len(l)-1)]) AS pair, f
+             FROM (SELECT f, string_split(s, ' ') AS l FROM w{r})) GROUP BY pair),
+    b{r} AS (SELECT pair, wt FROM p{r} ORDER BY wt DESC, pair LIMIT 1),
+    w{r + 1} AS (SELECT w.w, w.f,
+                 list_reduce(string_split(w.s, ' '),
+                   (acc, x) -> CASE WHEN (acc = split_part(b.pair, ' ', 1)
+                                          OR ends_with(acc, ' ' || split_part(b.pair, ' ', 1)))
+                                         AND x = split_part(b.pair, ' ', 2)
+                                    THEN acc || split_part(b.pair, ' ', 2)
+                                    ELSE acc || ' ' || x END) AS s
+               FROM w{r} w CROSS JOIN b{r} b)"""
+
+
+@_q(
+    "t30_bpe_train",
+    # ORACLE: the 3 merge rounds unrolled; merge application is the
+    # IDENTICAL greedy left fold (list_reduce) the operator's
+    # `aggregate` HOF runs, so leftmost-first behavior ("a a a" under
+    # (a,a) → "aa a") matches by construction, and pair weights are
+    # exact integer sums with lexicographic tie-break.
+    """
+    WITH wf AS (
+      SELECT w, COUNT(*) AS f FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    w1 AS (SELECT w, f,
+                  array_to_string([w[i] FOR i IN generate_series(1, length(w))], ' ') AS s
+           FROM wf),
+    """
+    + ",".join(_bpe_round_sql(r) for r in (1, 2, 3))
+    + """
+    SELECT 1 AS rank, pair, wt AS weight FROM b1
+    UNION ALL SELECT 2, pair, wt FROM b2
+    UNION ALL SELECT 3, pair, wt FROM b3
+    """,
+)
+def t30(spark, sf):
+    """BPE tokenizer merge training, 3 rounds, Sennrich-style: merges
+    iterate over the word-frequency table (corpus touched ONCE), each
+    round is one pair explode + integer groupBy + TakeOrdered(1)
+    argmax, merge application is a greedy left fold over symbol
+    strings; driver state = one winning pair per round
+    (`operators/text.py:bpe_train`)."""
+    from duckdb_graphar_spark.operators.text import bpe_train
+
+    return bpe_train(_t(spark, sf, "documents"), n_merges=3)
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -4817,9 +4873,9 @@ _PRIORITY = [
     # --- s11 hybrid rrf, q60 exact quantiles, q61 table stats, q62 cdc
     # --- upsert, g15 label propagation, g16 personalized pagerank,
     # --- d05 keep-best dedup, st10 trending topk, q63 hll sketch
-    # --- union, m06 audio energy.  They are unlisted here, so they
-    # --- follow the priority block in definition order, ahead of
-    # --- nothing — list them explicitly when rotating.
+    # --- union, m06 audio energy, t30 bpe train.  They are unlisted
+    # --- here, so they follow the priority block in definition order,
+    # --- ahead of nothing — list them explicitly when rotating.
     # --- then: already driver-verified (r01/r02 green) in coverage order ---
     *[f"ga{i:02d}" for i in range(1, 14)],
     *[f"g{i:02d}" for i in range(1, 9)],

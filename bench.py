@@ -74,6 +74,20 @@ BENCH_QUERIES = [
     # round-3 wave 3: k-core peeling, posting-list TF-IDF cosine pairs
     "g14_kcore",
     "t27_tfidf_cosine_pairs",
+    # round-3 wave 4: retrieval stack (BM25 + hybrid RRF), warehouse
+    # surface (exact quantiles, one-scan stats, CDC upsert), graph
+    # (label propagation, personalized pagerank), keep-best dedup,
+    # mergeable HLL rollup, audio PCM pipeline
+    "t28_bm25_topk",
+    "s11_hybrid_rrf",
+    "q60_exact_quantiles",
+    "q61_table_stats",
+    "q62_cdc_upsert",
+    "g15_label_propagation",
+    "g16_personalized_pagerank",
+    "d05_keep_best_dedup",
+    "q63_hll_sketch_union",
+    "m06_audio_energy",
 ]
 
 

@@ -796,3 +796,89 @@ def token_freq_spectrum(
             (F.col("__f") * F.col("n_tokens")).alias("mass"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame, *, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level BPE merge training (Sennrich et al. 2016) → the
+    merge table (rank, pair, weight): ``n_merges`` rounds of
+    count-all-adjacent-symbol-pairs → take the globally most frequent →
+    apply it everywhere.  The real tokenizer-training primitive, built
+    the way the reference algorithm actually scales: merges iterate
+    over the WORD-FREQUENCY table (distinct words × counts), never the
+    corpus — the corpus is touched exactly once to build that table.
+
+    Determinism: pair weights are exact integer sums; the best pair
+    breaks ties lexicographically; applying a merge is a greedy left
+    fold over each word's symbol string (`aggregate` over tokens —
+    "a a a" under merge (a,a) → "aa a", matching the reference
+    tokenizer's leftmost-first behavior), which DuckDB replays with the
+    identical `list_reduce` fold.
+
+    Scale shape per round: one pair explode over the word table (≤
+    avg-word-len rows per distinct word), one map-combinable integer
+    groupBy, and a TakeOrdered(1) argmax — the only driver state is the
+    single winning pair per round (the kmeans_fit k-row pattern);
+    lineage cut each round.  At 100 TB the word table is millions of
+    rows — executor-resident throughout.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    chars = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length("__w")),
+            lambda i: F.col("__w").substr(i, F.lit(1)),
+        ),
+        " ",
+    )
+    wf = words.select("__w", "__f", chars.alias("__s"))
+
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, n_merges + 1):
+        toks = F.split(F.col("__s"), " ")
+        # guard: Spark's sequence(1, 0) DESCENDS; single-symbol words
+        # must yield no pairs, not the pair (s[1], s[0])
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            wf.select(F.explode(pairs).alias("__p"), "__f")
+            .groupBy("__p")
+            .agg(F.sum("__f").alias("__wt"))
+            .orderBy(F.col("__wt").desc(), F.col("__p").asc())
+            .first()
+        )
+        if best is None:
+            break
+        a, b = best["__p"].split(" ")
+        merges.append((r, best["__p"], int(best["__wt"])))
+        merged = F.aggregate(
+            toks,
+            F.lit(""),
+            lambda acc, x: (
+                F.when(acc == F.lit(""), x)
+                .when(
+                    ((acc == F.lit(a)) | acc.endswith(" " + a)) & (x == F.lit(b)),
+                    F.concat(acc, F.lit(b)),
+                )
+                .otherwise(F.concat(acc, F.lit(" "), x))
+            ),
+        )
+        wf = wf.select("__w", "__f", merged.alias("__s")).localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(merges, "rank long, pair string, weight long")

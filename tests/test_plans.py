@@ -315,3 +315,125 @@ def test_sssp_iteration_is_join_plus_partial_min(spark):
     assert "partial_min" in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "Broadcast" not in plan
+
+
+def test_bm25_topk_never_global_sorts(spark, qs):
+    """t28: the final top-k must be TakeOrderedAndProject (never a
+    global Sort of all scored docs), scoring stays JVM-side, and the
+    doc-length side is a projection (size(split)) — no second corpus
+    aggregation for lengths."""
+    plan = _plan(qs["t28_bm25_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_exact_quantiles_window_is_bucketed(spark):
+    """q60: the rank cumsum must be a PER-BUCKET window (partitionBy
+    __bucket), never the single-task unpartitioned window the naive
+    exact quantile plans; no Python anywhere."""
+    from duckdb_graphar_spark.operators.quantiles import exact_quantiles
+    from duckdb_graphar_spark.tables import load_table
+
+    raw = load_table(spark, SF_DIR, "lineitem", widen=False)
+    plan = _plan(exact_quantiles(raw, "l_extendedprice", [0.5], n_buckets=8))
+    assert "windowspecdefinition(__bucket" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_table_stats_expand_only_when_exact(spark):
+    """q61: exact multi-column ndv plans an Expand (the documented
+    (k+1)× replication); the approx path must NOT — HLL partials are
+    plain map-combinable aggregation, which is the 100 TB knob."""
+    from duckdb_graphar_spark.operators.stats import table_stats
+    from duckdb_graphar_spark.tables import load_table
+
+    raw = load_table(spark, SF_DIR, "lineitem", widen=False)
+    cols = ["l_quantity", "l_discount"]
+    assert "Expand" in _plan(table_stats(raw, cols))
+    assert "Expand" not in _plan(table_stats(raw, cols, exact_ndv=False))
+
+
+def test_apply_changes_no_window_sort(spark):
+    """q62: latest-per-key must be the map-combinable max_by aggregate
+    — no Window over the change feed — and the merge is one full-outer
+    join; no Python."""
+    from duckdb_graphar_spark.operators.cdc import apply_changes
+    from duckdb_graphar_spark.tables import load_table
+
+    snap = load_table(spark, SF_DIR, "customer", widen=False).selectExpr(
+        "c_custkey", "c_acctbal as acctbal"
+    )
+    from pyspark.sql import functions as F
+
+    ch = load_table(spark, SF_DIR, "orders", widen=False).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        (F.col("o_orderstatus") == "P").alias("is_del"),
+        F.col("o_totalprice").alias("acctbal"),
+    )
+    plan = _plan(
+        apply_changes(snap, ch, key_col="c_custkey", seq_col="seq",
+                      delete_col="is_del", payload_cols=["acctbal"])
+    )
+    assert "Window" not in plan
+    assert "FullOuter" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_label_propagation_argmax_without_window(spark):
+    """g15: the per-vertex label argmax must be the max(struct)
+    aggregate — a Window here would sort every vertex's neighbor-label
+    counts instead of combining them map-side."""
+    from duckdb_graphar_spark.operators.graph import label_propagation
+    from pyspark.sql import functions as F
+
+    e = spark.range(100).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 100).alias("dst")
+    )
+    plan = _plan(label_propagation(e, n_iters=1, src_col="src", dst_col="dst"))
+    assert "Window" not in plan
+
+
+def test_keep_best_dedup_single_exchange_no_window(spark):
+    """d05: one sha-keyed hash exchange, keeper by max(struct) — no
+    keep-first window sort, no Python, and the shuffle carries hashes
+    (the projection under the exchange must not include the text)."""
+    from duckdb_graphar_spark.operators.dedup import canonical_keep_best
+    from duckdb_graphar_spark.tables import load_table
+
+    raw = load_table(spark, SF_DIR, "documents", widen=False)
+    plan = _plan(canonical_keep_best(raw))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pcm_pipeline_two_python_stages_no_shuffle(spark):
+    """m06: encode + decode are exactly two Arrow-batched mapInPandas
+    stages composed WITHOUT an exchange between them — the whole audio
+    pass is a per-partition pipeline."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_pcm,
+        pcm_energy_stats,
+    )
+    from duckdb_graphar_spark.tables import load_table
+
+    raw = load_table(spark, SF_DIR, "documents", widen=False)
+    plan = _plan(pcm_energy_stats(encode_text_pcm(raw)))
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
+
+
+def test_trending_topk_window_partitioned(spark):
+    """st10 serving step: the rank window partitions by window_start —
+    parallel across windows, never a single-task global window."""
+    from duckdb_graphar_spark.streaming.ops import trending_topk
+    import datetime as dt
+
+    sink = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "a", 1)],
+        "window_start timestamp, event_type string, n long",
+    )
+    plan = _plan(trending_topk(sink, k=3))
+    assert "windowspecdefinition(window_start" in plan

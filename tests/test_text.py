@@ -219,3 +219,68 @@ def test_token_freq_spectrum_hand_checked(spark):
     # freqs: a=3, b=2, c=1 → spectrum {1: 1 token, 2: 1, 3: 1}
     got = {r.freq: (r.n_tokens, r.mass) for r in token_freq_spectrum(df).collect()}
     assert got == {1: (1, 1), 2: (1, 2), 3: (1, 3)}
+
+
+def test_bpe_train_matches_pure_python(spark):
+    from duckdb_graphar_spark.operators.text import bpe_train
+
+    docs = [
+        (0, "low lower lowest"),
+        (1, "new newer newest low"),
+        (2, "wide wider widest new new"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r.rank, r.pair, r.weight) for r in
+           bpe_train(df, n_merges=4).orderBy("rank").collect()]
+
+    # pure-Python reference BPE over word frequencies
+    from collections import Counter
+
+    wf = Counter(w for _, t in docs for w in t.split(" ") if w)
+    syms = {w: list(w) for w in wf}
+    expect = []
+    for r in range(1, 5):
+        pc = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), wt = best
+        expect.append((r, f"{a} {b}", wt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == expect
+
+
+def test_bpe_train_greedy_leftmost(spark):
+    from duckdb_graphar_spark.operators.text import bpe_train
+
+    # 'aaa' x2: round 1 merges (a,a) with weight 2*2=4 (leftmost-first:
+    # "a a a" -> "aa a", so the pair count NEXT round is (aa,a))
+    df = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    got = [(r.rank, r.pair, r.weight) for r in
+           bpe_train(df, n_merges=2).orderBy("rank").collect()]
+    assert got == [(1, "a a", 4), (2, "aa a", 2)]
+
+
+def test_bpe_train_validation(spark):
+    from duckdb_graphar_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bpe_train(df, n_merges=0)
+    # single-char vocab: no pairs -> empty merge table
+    assert bpe_train(df, n_merges=2).count() == 0
