@@ -4830,6 +4830,53 @@ def t30(spark, sf):
     return bpe_train(_t(spark, sf, "documents"), n_merges=3)
 
 
+@_q(
+    "s12_ivfpq_topk",
+    # ORACLE: full IVFADC replay.  The coarse full-dim distance is the
+    # EXACT sum of the 4 per-subspace decimals already computed in d
+    # (subspaces partition dims 1..64, decimal arithmetic is exact, so
+    # order of summation is free); the query's probe cells fall out of
+    # the same table at vec_id 0; ADC is s10's chain restricted to rows
+    # assigned to probed cells.
+    _PQ_BEST_CTE
+    + """
+    , coarse AS (SELECT vec_id, cidx, SUM(d2) AS cd2 FROM d GROUP BY vec_id, cidx),
+    casg AS (SELECT vec_id, cidx AS cluster FROM (
+               SELECT vec_id, cidx,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY cd2, cidx) AS rn
+               FROM coarse) WHERE rn = 1),
+    probes AS (SELECT cidx FROM (
+                 SELECT cidx, row_number() OVER (ORDER BY cd2, cidx) AS rn
+                 FROM coarse WHERE vec_id = 0) WHERE rn <= 2),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ad AS (
+      SELECT b.vec_id,
+             SUM(list_sum([CAST((CAST(q.qv[b.j*16 + i] AS DOUBLE) - CAST(c2.cv[b.j*16 + i] AS DOUBLE))
+                                * (CAST(q.qv[b.j*16 + i] AS DOUBLE) - CAST(c2.cv[b.j*16 + i] AS DOUBLE))
+                                AS DECIMAL(38,18)) FOR i IN generate_series(1,16)])) AS a2
+      FROM best b JOIN c c2 ON c2.cidx = b.cidx CROSS JOIN q
+      WHERE b.rn = 1
+        AND b.vec_id IN (SELECT vec_id FROM casg
+                         WHERE cluster IN (SELECT cidx FROM probes))
+      GROUP BY b.vec_id
+    )
+    SELECT vec_id, ROUND(CAST(a2 AS DOUBLE), 6) AS approx_dist2
+    FROM ad ORDER BY approx_dist2, vec_id LIMIT 10
+    """,
+)
+def s12(spark, sf):
+    """IVFADC: coarse inverted-file probe (8 seed cells, n_probe=2,
+    probe list computed ENGINE-side by a 1-row decimal-argmin job) +
+    codes-only PQ asymmetric-distance top-10 over the candidate cells
+    (`operators/embeddings.py:ivfpq_topk`)."""
+    from duckdb_graphar_spark.operators.embeddings import ivfpq_topk, seed_centroids
+
+    e = _t(spark, sf, "embeddings")
+    coarse = seed_centroids(e, 8)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfpq_topk(e, coarse, _pq_books(e), q, k=10, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------

@@ -71,9 +71,16 @@ BENCH_QUERIES = [
     "s09_pq_encode",
     "s10_pq_adc_topk",
     "g13_sssp",
-    # round-3 wave 3: k-core peeling, posting-list TF-IDF cosine pairs
+    # round-3 wave 3: k-core peeling.  t27_tfidf_cosine_pairs is
+    # deliberately NOT benched at sf0.1: its declared entry keeps
+    # max_df_frac=1.0 (the fixture's 31-word uniform vocabulary makes
+    # every term a stopword, so any realistic cap empties the result),
+    # and with the cap disabled the posting self-join is genuinely
+    # quadratic — 31 corpus-sized posting lists ≈ 4×10⁸ joined rows at
+    # 5000 docs, ~3 min/run.  That is the documented hot-key blowup the
+    # max_df knob exists to prevent, not a plan regression; the entry
+    # stays in the correctness registry (500-doc SFs are fine).
     "g14_kcore",
-    "t27_tfidf_cosine_pairs",
     # round-3 wave 4: retrieval stack (BM25 + hybrid RRF), warehouse
     # surface (exact quantiles, one-scan stats, CDC upsert), graph
     # (label propagation, personalized pagerank), keep-best dedup,
@@ -120,6 +127,7 @@ def main() -> None:
     results: dict[str, float] = {}
     results_min: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         times = []
         for _ in range(reps):

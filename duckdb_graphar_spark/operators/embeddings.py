@@ -609,3 +609,63 @@ def pq_adc_topk(
         .orderBy("approx_dist2", id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    coarse_centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    query: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC search (Jégou et al. 2011 §IV) — the composition the two
+    halves exist for: a coarse inverted-file probe (`kmeans_assign`
+    cells) narrows the corpus to ``n_probe`` cells, then
+    :func:`pq_adc_topk` scores ONLY those candidates from their codes.
+    Returns (id, approx_dist2), the k closest by asymmetric distance.
+
+    The probe list is computed ENGINE-side (one 1-row job over the
+    query literal with the same decimal-argmin arithmetic the corpus
+    assignment uses), not in Python floats — so a SQL oracle replaying
+    the identical expressions derives the identical cells, and the
+    whole search chain stays bit-replayable.
+
+    Scale shape: cell assignment is a shuffle-free projection (persist
+    it in a deployment — it's the inverted file); the probe filter is a
+    left-semi join on the bounded probed-cell id set; ADC then touches
+    codes only.  Total per-query work ≈ |corpus|·n_probe/n_cells code
+    lookups — the IVF recall/cost dial."""
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    dim = _check_centroid_dims(coarse_centroids)
+    if len(query) != dim:
+        raise ValueError(f"query dim {len(query)} != coarse centroid dim {dim}")
+    spark = df.sparkSession
+
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    cands = []
+    for idx, cvec in coarse_centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        diff2 = F.zip_with(
+            qarr, carr, lambda x, y: ((x - y) * (x - y)).cast("decimal(38,18)")
+        )
+        d2 = F.aggregate(
+            diff2,
+            F.lit(0).cast("decimal(38,18)"),
+            lambda a, x: (a + x).cast("decimal(38,18)"),
+        )
+        cands.append(F.struct(d2.alias("d"), F.lit(int(idx)).alias("i")))
+    probe_expr = F.transform(
+        F.slice(F.array_sort(F.array(*cands)), 1, n_probe), lambda s: s["i"]
+    )
+    probes = [int(x) for x in spark.range(1).select(probe_expr.alias("p")).first()["p"]]
+
+    asg = kmeans_assign(df, coarse_centroids, id_col=id_col, vec_col=vec_col)
+    cand_rows = df.join(
+        asg.filter(F.col("cluster").isin(probes)).select(id_col), id_col, "left_semi"
+    )
+    return pq_adc_topk(cand_rows, codebooks, query, k=k, id_col=id_col, vec_col=vec_col)

@@ -231,3 +231,49 @@ def test_tfidf_cosine_max_df_drops_stopword_postings(spark):
     uncapped = tfidf_cosine_pairs(df, threshold=0.0).count()
     capped = tfidf_cosine_pairs(df, threshold=0.0, max_df_frac=0.5).count()
     assert uncapped == 3 and capped == 0
+
+
+def test_ivfpq_equals_adc_over_probed_cells(spark):
+    """IVFADC == pq_adc_topk restricted to the rows whose numpy coarse
+    assignment lands in the numpy-derived probe cells."""
+    from duckdb_graphar_spark.operators.embeddings import (
+        ivfpq_topk,
+        kmeans_assign,
+        pq_adc_topk,
+        seed_centroids,
+    )
+
+    df, vecs = _emb_df(spark, n=80, d=8, seed=9)
+    coarse = seed_centroids(df, 4)
+    books = _books(df, m=2, d_sub=4, k=4)
+    q = [float(x) for x in vecs[3]]
+
+    got = [(r.vec_id, r.approx_dist2) for r in
+           ivfpq_topk(df, coarse, books, q, k=5, n_probe=2).collect()]
+
+    # numpy probe cells
+    cents = np.array([v for _, v in coarse])
+    qd = ((cents - np.array(q)) ** 2).sum(axis=1)
+    probes = sorted(np.argsort(qd, kind="stable")[:2].tolist())
+
+    asg = {r.vec_id: r.cluster for r in kmeans_assign(df, coarse).collect()}
+    cand_ids = [i for i, c in asg.items() if c in probes]
+    sub = df.where(df.vec_id.isin(cand_ids))
+    exp = [(r.vec_id, r.approx_dist2) for r in
+           pq_adc_topk(sub, books, q, k=5).collect()]
+    assert got == exp
+    assert all(asg[i] in probes for i, _ in got)
+
+
+def test_ivfpq_validation(spark):
+    from duckdb_graphar_spark.operators.embeddings import ivfpq_topk, seed_centroids
+
+    df, vecs = _emb_df(spark, n=20, d=8, seed=1)
+    coarse = seed_centroids(df, 2)
+    books = _books(df, m=2, d_sub=4, k=2)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_probe"):
+        ivfpq_topk(df, coarse, books, [0.0] * 8, n_probe=0)
+    with _pt.raises(ValueError, match="query dim"):
+        ivfpq_topk(df, coarse, books, [0.0] * 7)
