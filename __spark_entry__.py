@@ -59,6 +59,19 @@ def _dec_sum(col: F.Column, digits: int = 4, prec: str = "26,8") -> F.Column:
     return F.round(F.sum(col.cast(f"decimal({prec})")).cast("double"), digits)
 
 
+def _stringify_vec(col: str) -> F.Column:
+    """Serialize an array<double> column to a '%.6f'-joined string for
+    the driver's pandas canonicalizer (which cannot hash list cells).
+    `+ 0.0d` folds IEEE -0.0 to +0.0 on both engines; the DuckDB twin is
+    `array_to_string(list_transform(v, x -> printf('%.6f', x + 0.0)), ',')`."""
+    return F.concat_ws(
+        ",",
+        F.expr(
+            f"transform({col}, x -> format_string('%.6f', x + cast(0.0 as double)))"
+        ),
+    )
+
+
 _SCALE = 10_000  # fixed-point scale for the two-phase exact sums (4 digits)
 
 
@@ -1703,7 +1716,7 @@ def t22(spark, sf):
            UNNEST(generate_series(0, CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1)) AS t(j)
     ),
     pd AS (SELECT chunk_sha, doc_id, COUNT(*) AS c FROM ch GROUP BY 1, 2)
-    SELECT chunk_sha, COUNT(*) AS n_docs, SUM(c) AS n_occurrences
+    SELECT chunk_sha, COUNT(*) AS n_docs, CAST(SUM(c) AS BIGINT) AS n_occurrences
     FROM pd GROUP BY 1 HAVING SUM(c) >= 2
     """,
 )
@@ -3082,7 +3095,7 @@ def st01(spark, sf):
                  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(26,8))) AS sv
           FROM events GROUP BY 1, 2),
     o AS (SELECT CAST(FLOOR(b5 * 300 / 3600) AS BIGINT) AS bh, event_type,
-                 SUM(n) AS n, COUNT(*) AS n_inner_windows,
+                 CAST(SUM(n) AS BIGINT) AS n, COUNT(*) AS n_inner_windows,
                  ROUND(CAST(SUM(sv) AS DOUBLE), 6) AS sum_value
           FROM i GROUP BY 1, 2)
     SELECT CAST(to_timestamp(bh * 3600) AS TIMESTAMP) AS window_start,
@@ -3128,7 +3141,8 @@ def s03(spark, sf):
     SELECT doc_id,
            u['frame_idx'] AS frame_idx,
            u['ts_ms'] AS ts_ms,
-           u['frame_payload'] AS frame_payload
+           sha256(decode(u['frame_payload'])) AS payload_sha,
+           CAST(octet_length(u['frame_payload']) AS BIGINT) AS payload_bytes
     FROM (
       SELECT doc_id,
              unnest([{'frame_idx': CAST(i AS INTEGER),
@@ -3140,12 +3154,21 @@ def s03(spark, sf):
     """,
 )
 def m02(spark, sf):
+    """Frame sampling; the declared output digests the BINARY payload
+    (sha256 + byte length, the m03 pattern) because the driver's pandas
+    canonicalizer cannot hash bytearray cells (r3 ERR)."""
     from duckdb_graphar_spark.operators.multimodal import sample_frames
 
     d = _t(spark, sf, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return sample_frames(d, fake=True)
+    return sample_frames(d, fake=True).select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        F.sha2("frame_payload", 256).alias("payload_sha"),
+        F.octet_length("frame_payload").cast("long").alias("payload_bytes"),
+    )
 
 
 @_q(
@@ -3876,17 +3899,25 @@ def s06(spark, sf):
       FROM x GROUP BY 1, 2
     )
     SELECT cluster, CAST(MAX(n) AS BIGINT) AS n,
-           list(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY pos) AS centroid
+           array_to_string(
+             list(printf('%.6f', ROUND(CAST(s AS DOUBLE) / n, 6) + 0.0) ORDER BY pos),
+             ',') AS centroid
     FROM per GROUP BY cluster
     """,
 )
 def s07(spark, sf):
     """Lloyd's k-means centroid update (the reduce half of an iteration;
-    s05 is the map half) — `operators/embeddings.py:kmeans_update`."""
+    s05 is the map half) — `operators/embeddings.py:kmeans_update`.
+    The library API returns the centroid as array<double>; the declared
+    driver output serializes it to a '%.6f'-joined string because the
+    correctness driver's pandas canonicalizer cannot hash list cells
+    (r3 ERR)."""
     from duckdb_graphar_spark.operators.embeddings import kmeans_update, seed_centroids
 
     e = _t(spark, sf, "embeddings")
-    return kmeans_update(e, seed_centroids(e, 8))
+    return kmeans_update(e, seed_centroids(e, 8)).withColumn(
+        "centroid", _stringify_vec("centroid")
+    )
 
 
 @_q(
@@ -3959,7 +3990,9 @@ p2 AS (
   FROM x2 GROUP BY 1, 2
 )
 SELECT cluster, CAST(MAX(n) AS BIGINT) AS n,
-       list(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY pos) AS centroid
+       array_to_string(
+         list(printf('%.6f', ROUND(CAST(s AS DOUBLE) / n, 6) + 0.0) ORDER BY pos),
+         ',') AS centroid
 FROM p2 GROUP BY cluster""",
 )
 def s08(spark, sf):
@@ -3973,7 +4006,8 @@ def s08(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     final, _history = kmeans_fit(e, 4, 2)
-    return final
+    # string-serialize the centroid array for the driver's pandas canon
+    return final.withColumn("centroid", _stringify_vec("centroid"))
 
 
 @_q(
@@ -4038,7 +4072,7 @@ def _pq_books(e):
     # one double cast — bit-identical to the operator's discipline.
     _PQ_BEST_CTE
     + """
-    SELECT vec_id, list(cidx ORDER BY j) AS codes,
+    SELECT vec_id, array_to_string(list(cidx ORDER BY j), ',') AS codes,
            ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS recon_dist2
     FROM best WHERE rn = 1 GROUP BY vec_id
     """,
@@ -4047,11 +4081,16 @@ def s09(spark, sf):
     """Product-quantization encode (Jégou et al. 2011): m=4 subspaces ×
     8 deterministic seed codes, per-vector code tuple + exact
     reconstruction error — a shuffle-free projection whose codebooks
-    are m·k literal arrays (`operators/embeddings.py:pq_encode`)."""
+    are m·k literal arrays (`operators/embeddings.py:pq_encode`).
+    The library keeps `codes` as array<int>; the declared output joins
+    it to a ','-string for the driver's pandas canon (unhashable-list
+    hazard, same class as the r3 s07/s08 ERRs)."""
     from duckdb_graphar_spark.operators.embeddings import pq_encode
 
     e = _t(spark, sf, "embeddings")
-    return pq_encode(e, _pq_books(e))
+    return pq_encode(e, _pq_books(e)).withColumn(
+        "codes", F.concat_ws(",", F.expr("transform(codes, x -> cast(x as string))"))
+    )
 
 
 @_q(
@@ -4717,8 +4756,7 @@ def q63(spark, sf):
     again.  Estimate asserted within 5% of exact."""
     li = _t(spark, sf, "lineitem")
     sk = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.hll_sketch_agg("l_orderkey").alias("__sk"),
-        F.count_distinct("l_orderkey").alias("__ex"),
+        F.hll_sketch_agg("l_orderkey").alias("__sk")
     )
     merged = sk.groupBy("l_returnflag").agg(
         F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__approx")
@@ -4813,9 +4851,9 @@ def _bpe_round_sql(r: int) -> str:
     """
     + ",".join(_bpe_round_sql(r) for r in (1, 2, 3))
     + """
-    SELECT 1 AS rank, pair, wt AS weight FROM b1
-    UNION ALL SELECT 2, pair, wt FROM b2
-    UNION ALL SELECT 3, pair, wt FROM b3
+    SELECT 1 AS rank, pair, CAST(wt AS BIGINT) AS weight FROM b1
+    UNION ALL SELECT 2, pair, CAST(wt AS BIGINT) FROM b2
+    UNION ALL SELECT 3, pair, CAST(wt AS BIGINT) FROM b3
     """,
 )
 def t30(spark, sf):
@@ -4898,41 +4936,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order.
 _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
-    # --- window rotates: rounds 1+2 hard-verified 89 distinct entries
-    # --- (CORRECTNESS_r01 ∪ CORRECTNESS_r02, all green).  Round 3 promotes
-    # --- the 33 never-driver-verified entries plus this round's new
-    # --- operators into the window; the already-verified long tail follows.
-    # round-2 LLM-pipeline / streaming operators (19)
-    "q53", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t20", "t21",
-    "s04", "s05", "s06", "s07", "st07", "st08",
-    "u01", "u02", "s03",
-    # remaining never-verified relational / text / multimodal surface (14)
-    "q50", "q51", "q52", "q54", "q47", "q48", "q49",
-    "t02", "t03", "t05", "t07", "t08", "t09", "m02",
-    # --- round-3 new operators (fill the window to exactly 50) ---
-    "s08", "g09", "g10", "g11", "g12", "m04", "m05",
-    "t22", "t23", "t24", "t25", "d04",
-    "q55", "q56", "q57", "st09", "u03",
-    # --- 51+: round-3 late additions (NEVER driver-verified — promote
-    # --- these into the round-4 window first): t26 heavy hitters, q58
-    # --- funnel, q59 scd2, s09/s10 product quantization, g13 sssp, g14
-    # --- k-core, t27 tf-idf cosine pairs, t28 bm25, t29 zipf spectrum,
-    # --- s11 hybrid rrf, q60 exact quantiles, q61 table stats, q62 cdc
-    # --- upsert, g15 label propagation, g16 personalized pagerank,
-    # --- d05 keep-best dedup, st10 trending topk, q63 hll sketch
-    # --- union, m06 audio energy, t30 bpe train.  They are unlisted
-    # --- here, so they follow the priority block in definition order,
-    # --- ahead of nothing — list them explicitly when rotating.
-    # --- then: already driver-verified (r01/r02 green) in coverage order ---
+    # --- window rotates.  Rounds 1–3 hard-verified 134 distinct entries
+    # --- (union of CORRECTNESS_r01/r02/r03 green rows).  The round-4
+    # --- window opens with the 22 entries that have NEVER been driver
+    # --- checked (round-3 wave-2/3/4 operators), then the 5 rows that
+    # --- were red in r3 (representation fixes: oracle SUM casts for
+    # --- t23/st09, string-serialized centroids for s07/s08, digested
+    # --- binary payload for m02), then regression re-checks spread over
+    # --- every surface (GraphAr, graph, relational, streaming, LLM
+    # --- pipeline, multimodal) fill the window to 50.
+    # --- 22 never-driver-verified entries ---
+    "t26", "q58", "q59", "s09", "s10", "s12", "s11",
+    "g13", "g14", "g15", "g16",
+    "t27", "t28", "t29", "t30",
+    "q60", "q61", "q62", "q63",
+    "d05", "st10", "m06",
+    # --- 5 r3-red rows, re-declared this round ---
+    "t23", "st09", "s07", "s08", "m02",
+    # --- 23 regression re-checks (all ever-green) ---
+    "ga01", "ga03", "ga11", "ga13",
+    "g02", "g05", "g07", "g11",
+    "q01", "q02", "q05", "q31", "q14", "q25",
+    "st01", "st03", "st05", "st08",
+    "t01", "t04", "t06", "d01", "s01", "m04",
+    # --- 51+: remaining ever-verified tail in coverage order ---
     *[f"ga{i:02d}" for i in range(1, 14)],
-    *[f"g{i:02d}" for i in range(1, 9)],
+    *[f"g{i:02d}" for i in range(1, 13)],
     "c01",
-    "q01", "q02", "q03", "q05", "q31", "q14", "q24", "q25", "q26", "q35",
-    "st01", "st02", "st03", "st04", "st05", "st06",
-    "t01", "t04", "t06", "t10", "t12",
-    "d01", "d02", "d03", "s01", "s02", "m01", "m03",
-    "q45", "q46", "t11",
-    "q00", "q04", "q10", "q18", "q33", "q36",
+    "q03", "q24", "q26", "q35", "q47", "q48", "q49", "q50", "q51", "q52",
+    "q53", "q54", "q55", "q56", "q57",
+    "st02", "st04", "st06", "st07",
+    "t02", "t03", "t05", "t07", "t08", "t09", "t10", "t11", "t12", "t13",
+    "t14", "t15", "t16", "t17", "t18", "t19", "t20", "t21", "t22", "t24", "t25",
+    "d02", "d03", "d04", "s02", "s03", "s04", "s05", "s06",
+    "u01", "u02", "u03", "m01", "m03", "m05",
+    "q45", "q46", "q00", "q04", "q10", "q18", "q33", "q36",
 ]
 
 

@@ -451,6 +451,15 @@ def encode_text_pcm(
             payloads = []
             for text in pdf["__text"]:
                 tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if tb.size and int(tb.max()) >= 128:
+                    # (byte-80)*256 overflows int16 from byte 208 up, and
+                    # multibyte UTF-8 diverges from the oracle's per-code-
+                    # point recompute — raise, mirroring the odd-length
+                    # check in pcm_energy_stats, instead of silent wrap
+                    raise ValueError(
+                        "encode_text_pcm requires ASCII text "
+                        f"(found byte {int(tb.max())})"
+                    )
                 samples = (tb.astype(np.int32) - 80) * 256
                 payloads.append(samples.astype("<i2").tobytes())
             yield pd.DataFrame(

@@ -53,11 +53,17 @@ def exact_quantiles(
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
 
+    # cached: the corpus-sized scan+shuffle behind the distinct-value
+    # table runs ONCE; the bounds probe, the bucket-sum collect, and the
+    # caller's final action all reuse it (it is bounded — one row per
+    # distinct value).  Left cached for the returned plan; Spark's LRU
+    # evicts it under pressure.
     vc = (
         df.select(F.col(value_col).cast("double").alias("__v"))
         .filter(F.col("__v").isNotNull())
         .groupBy("__v")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .cache()
     )
     bounds = vc.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
     empty_schema = "prob double, value double, target_rank long, n long"

@@ -249,6 +249,8 @@ def rrf_fuse(
     union + one groupBy + TakeOrderedAndProject.  With corpus-sized
     inputs the same plan holds: one hash shuffle on id, no windows over
     unpartitioned data except the k-row rank stamp."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
     tagged = [
         r.select(
             F.col(id_col).alias("__id"),

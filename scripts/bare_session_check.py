@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+from test_driver_canon import check_driver_family_parity
 from test_oracle import _canon_rows, _duck  # reuse the driver-mirror canonicalization
 
 import __spark_entry__ as entrymod
@@ -52,6 +53,9 @@ def main() -> None:
             if name not in oracle:
                 print(f"ROWS_ONLY {name}: {len(srows)} rows", flush=True)
                 continue
+            # driver-canon parity: unhashable cells / numeric-family
+            # mismatch fail here before they can cost a driver slot
+            check_driver_family_parity(name, con, oracle[name], sdf.schema)
             res = con.execute(oracle[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()

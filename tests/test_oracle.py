@@ -73,11 +73,14 @@ _QUERIES = entrymod.queries()
 
 @pytest.mark.parametrize("name", sorted(_ORACLE))
 def test_oracle_match(spark, sf_dir, name):
+    from test_driver_canon import check_driver_family_parity
+
     sdf = _QUERIES[name](spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
     con = _duck(sf_dir)
+    check_driver_family_parity(name, con, _ORACLE[name], sdf.schema)
     res = con.execute(_ORACLE[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
