@@ -2357,6 +2357,96 @@ def ga13(spark, sf):
 
 
 @_q(
+    "ga14_writer_roundtrip",
+    # ORACLE: the graph content is fully derivable from the nation
+    # table, so the written-then-re-read vertices+edges must equal this
+    # self-join — a writer bug anywhere (chunking, offsets, property
+    # groups, yaml) breaks the match.
+    """
+    WITH v AS (SELECT CAST(n_nationkey AS BIGINT) AS vid, n_name AS name,
+                      n_regionkey AS rk FROM nation),
+    e AS (SELECT a.vid AS src, b.vid AS dst,
+                 CAST(a.vid * 100 + b.vid AS BIGINT) AS weight
+          FROM v a JOIN v b ON a.rk = b.rk AND a.vid <> b.vid)
+    SELECT e.src AS _graphArSrcIndex, e.dst AS _graphArDstIndex, e.weight,
+           va.name AS src_name, vb.name AS dst_name
+    FROM e JOIN v va ON va.vid = e.src JOIN v vb ON vb.vid = e.dst
+    """,
+)
+def ga14(spark, sf):
+    """A6 driver pin — the component that EXCEEDS the reference (its
+    catalog is read-only: `src/storage/graphar_catalog.cpp:61-81`
+    throws on write).  Distributed-write a same-region nation mesh with
+    deliberately tiny chunk sizes (25 vertices / chunk_size 8 → 4
+    vertex chunks; both CSR and CSC edge layouts + offsets), re-read it
+    through the A1/A2 readers, and join edge properties to both
+    endpoint names — every byte the oracle sees round-tripped through
+    GraphAr chunk files written by executors."""
+    import shutil
+
+    from duckdb_graphar_spark.graphar import read_edges, read_vertices
+    from duckdb_graphar_spark.graphar.spark_writer import write_graph_dist
+
+    nat = _t(spark, sf, "nation")
+    v = nat.select(
+        F.col("n_nationkey").cast("long").alias("_graphArVertexIndex"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("int").alias("regionkey"),
+    )
+    a, b = nat.alias("a"), nat.alias("b")
+    e = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").cast("long").alias("_graphArSrcIndex"),
+        F.col("b.n_nationkey").cast("long").alias("_graphArDstIndex"),
+        (F.col("a.n_nationkey") * 100 + F.col("b.n_nationkey"))
+        .cast("long")
+        .alias("weight"),
+    )
+    out = tempfile.mkdtemp(prefix="ga14_roundtrip_")
+    try:
+        gy = write_graph_dist(
+            out,
+            "RegionMesh",
+            {"Nation": v},
+            {("Nation", "same_region", "Nation"): e},
+            vertex_chunk_size=8,
+            edge_chunk_size=32,
+            aligned_chunk_size=8,
+        )
+        vr = read_vertices(spark, gy, "Nation")
+        er = read_edges(spark, gy, "Nation", "same_region", "Nation")
+        src_v = vr.select(
+            F.col("_graphArVertexIndex").alias("__sv"),
+            F.col("name").alias("src_name"),
+        )
+        dst_v = vr.select(
+            F.col("_graphArVertexIndex").alias("__dv"),
+            F.col("name").alias("dst_name"),
+        )
+        joined = (
+            er.join(F.broadcast(src_v), F.col("_graphArSrcIndex") == F.col("__sv"))
+            .join(F.broadcast(dst_v), F.col("_graphArDstIndex") == F.col("__dv"))
+            .select(
+                "_graphArSrcIndex", "_graphArDstIndex", "weight",
+                "src_name", "dst_name",
+            )
+        )
+        # materialize before the temp graph dir is deleted; bounded —
+        # nation is a fixed 25-row table at every TPC-H scale factor
+        rows = joined.collect()
+        return spark.createDataFrame(
+            rows,
+            "`_graphArSrcIndex` long, `_graphArDstIndex` long, weight long, "
+            "src_name string, dst_name string",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@_q(
     "ga06_counts_from_metadata",
     "SELECT (SELECT COUNT(*) FROM customer) AS n_vertices, (SELECT COUNT(*) FROM orders) AS n_edges",
 )
@@ -4951,8 +5041,8 @@ _PRIORITY = [
     "t27", "t28", "t29", "t30",
     "q60", "q61", "q62", "q63",
     "d05", "st10", "m06",
-    # --- 5 r3-red rows, re-declared this round ---
-    "t23", "st09", "s07", "s08", "m02",
+    # --- 5 r3-red rows, re-declared this round + new A6 writer pin ---
+    "t23", "st09", "s07", "s08", "m02", "ga14",
     # --- 23 regression re-checks (all ever-green) ---
     "ga01", "ga03", "ga11", "ga13",
     "g02", "g05", "g07", "g11",

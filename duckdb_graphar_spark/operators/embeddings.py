@@ -540,43 +540,17 @@ def pq_train(
     return books
 
 
-def pq_adc_topk(
-    df: DataFrame,
+def _adc_table_exprs(
     codebooks: list[list[tuple[int, list[float]]]],
     query: list[float],
-    *,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Asymmetric-distance top-k: approximate nearest neighbours of
-    ``query`` using ONLY the PQ codes — per subspace a k-entry
-    query-to-codebook distance table is precomputed driver-side
-    (m·k decimal scalars), and each row's approximate distance is m
-    table lookups summed exactly.  Returns (id, approx_dist2) the k
-    closest, ties on id.
-
-    This is the PQ search path: at 100 TB the scan reads the compact
-    codes table; the per-row work is O(m) element_at lookups into
-    literal arrays — no floats from the corpus are touched.  Here the
-    encode is inlined (fixture stores raw vectors); a deployment would
-    persist :func:`pq_encode`'s output and scan that instead.
-
-    The distance tables are CONSTANT expressions built from query and
-    codebook literals with the exact decimal-cast op sequence the
-    encode uses — Catalyst constant-folds them with its own cast
-    semantics, so the numbers are the engine's, not Python's, and a SQL
-    oracle using the same literal arithmetic replays them bit-for-bit.
-    """
-    dims = _check_codebooks(codebooks)
-    if sum(dims) != len(query):
-        raise ValueError("query dim != codebook total dim")
-    for j, cb in enumerate(codebooks):
-        if sorted(i for i, _ in cb) != list(range(len(cb))):
-            # the element_at(table, code+1) lookup positions entries by
-            # index — a gap would silently look up the wrong centroid
-            raise ValueError(f"codebook {j} indices must be exactly 0..k-1")
-    enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    dims: list[int],
+) -> list[Column]:
+    """The m query-to-codebook distance-table CONSTANT expressions —
+    per subspace an array of k decimal scalars built with the exact
+    decimal-cast op sequence the encode uses.  Both ADC modes derive
+    their numbers from these same expressions (Catalyst constant-folds
+    them with engine cast semantics), which is what keeps the two modes
+    bit-identical and SQL-oracle-replayable."""
     tables = []
     start = 0
     for j, cb in enumerate(codebooks):
@@ -599,11 +573,101 @@ def pq_adc_topk(
                 )
             )
         tables.append(F.array(*ents))
-    approx = F.element_at(tables[0], F.col("codes")[0] + 1)
-    for j in range(1, len(tables)):
-        approx = (approx + F.element_at(tables[j], F.col("codes")[j] + 1)).cast(
-            "decimal(38,18)"
+    return tables
+
+
+# auto mode switches to the broadcast table above this many table
+# entries (m·k); beyond it the literal plan carries thousands of
+# constants through codegen for zero benefit
+_ADC_LITERAL_BUDGET = 256
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    query: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table_mode: str = "auto",
+) -> DataFrame:
+    """Asymmetric-distance top-k: approximate nearest neighbours of
+    ``query`` using ONLY the PQ codes — per subspace a k-entry
+    query-to-codebook distance table is precomputed driver-side
+    (m·k decimal scalars), and each row's approximate distance is m
+    table lookups summed exactly.  Returns (id, approx_dist2) the k
+    closest, ties on id.
+
+    This is the PQ search path: at 100 TB the scan reads the compact
+    codes table; the per-row work is O(m) element_at lookups into
+    literal arrays — no floats from the corpus are touched.  Here the
+    encode is inlined (fixture stores raw vectors); a deployment would
+    persist :func:`pq_encode`'s output and scan that instead.
+
+    The distance tables are CONSTANT expressions built from query and
+    codebook literals with the exact decimal-cast op sequence the
+    encode uses — Catalyst constant-folds them with its own cast
+    semantics, so the numbers are the engine's, not Python's, and a SQL
+    oracle using the same literal arithmetic replays them bit-for-bit.
+
+    ``table_mode`` picks how the tables reach the scan:
+
+    - ``"literal"`` — inlined constant arrays: O(m·k·d/m) plan
+      literals.  Right for fixture-sized codebooks (m·k ≤ ~256).
+    - ``"broadcast"`` — the SAME constant expressions are evaluated
+      once on a 1-row job, collected as exact decimals (m·k scalars of
+      driver state), and re-attached as one broadcast row of
+      ``array<array<decimal>>``; per-row work stays m element_at
+      lookups but the scan plan is O(1) regardless of k.  Bit-identical
+      to literal mode by construction (decimals round-trip exactly).
+      The production shape at k=256/m=16, where the literal plan would
+      carry 4096 table constants.
+    - ``"auto"`` (default) — broadcast above ``m·k > 256``.
+    """
+    dims = _check_codebooks(codebooks)
+    if sum(dims) != len(query):
+        raise ValueError("query dim != codebook total dim")
+    if table_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown table_mode {table_mode!r}")
+    for j, cb in enumerate(codebooks):
+        if sorted(i for i, _ in cb) != list(range(len(cb))):
+            # the element_at(table, code+1) lookup positions entries by
+            # index — a gap would silently look up the wrong centroid
+            raise ValueError(f"codebook {j} indices must be exactly 0..k-1")
+    n_entries = sum(len(cb) for cb in codebooks)
+    if table_mode == "auto":
+        table_mode = "literal" if n_entries <= _ADC_LITERAL_BUDGET else "broadcast"
+    enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    table_exprs = _adc_table_exprs(codebooks, query, dims)
+    if table_mode == "literal":
+        approx = F.element_at(table_exprs[0], F.col("codes")[0] + 1)
+        for j in range(1, len(table_exprs)):
+            approx = (
+                approx + F.element_at(table_exprs[j], F.col("codes")[j] + 1)
+            ).cast("decimal(38,18)")
+    else:
+        # evaluate the SAME constant expressions engine-side once;
+        # collect exact decimals and ship them back as one broadcast row
+        spark = df.sparkSession
+        row = spark.range(1).select(
+            *[table_exprs[j].alias(f"__t{j}") for j in range(len(table_exprs))]
+        ).first()
+        tabs = [[d for d in row[f"__t{j}"]] for j in range(len(table_exprs))]
+        tabs_df = spark.createDataFrame(
+            [(tabs,)], "__tabs: array<array<decimal(38,18)>>"
         )
+        enc = enc.crossJoin(F.broadcast(tabs_df))
+        approx = F.element_at(
+            F.element_at(F.col("__tabs"), 1), F.col("codes")[0] + 1
+        )
+        for j in range(1, len(table_exprs)):
+            approx = (
+                approx
+                + F.element_at(
+                    F.element_at(F.col("__tabs"), j + 1), F.col("codes")[j] + 1
+                )
+            ).cast("decimal(38,18)")
     return (
         enc.select(F.col(id_col), F.round(approx.cast("double"), 6).alias("approx_dist2"))
         .orderBy("approx_dist2", id_col)
@@ -621,6 +685,7 @@ def ivfpq_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    table_mode: str = "auto",
 ) -> DataFrame:
     """IVFADC search (Jégou et al. 2011 §IV) — the composition the two
     halves exist for: a coarse inverted-file probe (`kmeans_assign`
@@ -668,4 +733,7 @@ def ivfpq_topk(
     cand_rows = df.join(
         asg.filter(F.col("cluster").isin(probes)).select(id_col), id_col, "left_semi"
     )
-    return pq_adc_topk(cand_rows, codebooks, query, k=k, id_col=id_col, vec_col=vec_col)
+    return pq_adc_topk(
+        cand_rows, codebooks, query, k=k, id_col=id_col, vec_col=vec_col,
+        table_mode=table_mode,
+    )

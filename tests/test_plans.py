@@ -437,3 +437,38 @@ def test_trending_topk_window_partitioned(spark):
     )
     plan = _plan(trending_topk(sink, k=3))
     assert "windowspecdefinition(window_start" in plan
+
+
+def test_pq_adc_broadcast_plan_has_no_literal_blowup(spark):
+    """s10 at production codebook sizes: with k=64 codes per subspace
+    (m·k = 256+ table entries) the broadcast mode's scan-side plan must
+    stay O(1) — the distance tables ride a BroadcastNestedLoopJoin as
+    ONE row of data, not thousands of folded decimal constants.  The
+    literal mode at the same k demonstrates the blow-up being avoided."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.embeddings import pq_adc_topk
+
+    rng = np.random.default_rng(11)
+    n, d, m, k = 80, 8, 2, 64
+    vecs = rng.normal(size=(n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    books = [
+        [(i, [float(x) for x in rng.normal(size=d // m)]) for i in range(k)]
+        for _ in range(m)
+    ]
+    q = [float(x) for x in vecs[0]]
+    bc_plan = _optimized(pq_adc_topk(df, books, q, table_mode="broadcast"))
+    lit_plan = _optimized(pq_adc_topk(df, books, q, table_mode="literal"))
+    # the broadcast plan carries the codebooks once (inside pq_encode's
+    # argmin) but NOT the m·k folded distance-table decimals
+    assert len(bc_plan) < len(lit_plan)
+    assert "Join" in bc_plan
+    # auto mode at m·k=128 > budget? 2*64=128 <= 256 stays literal; at
+    # k=256 auto must flip — assert via the selector itself
+    from duckdb_graphar_spark.operators.embeddings import _ADC_LITERAL_BUDGET
+
+    assert m * k <= _ADC_LITERAL_BUDGET  # this fixture would stay literal in auto

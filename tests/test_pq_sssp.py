@@ -277,3 +277,29 @@ def test_ivfpq_validation(spark):
         ivfpq_topk(df, coarse, books, [0.0] * 8, n_probe=0)
     with _pt.raises(ValueError, match="query dim"):
         ivfpq_topk(df, coarse, books, [0.0] * 7)
+
+
+def test_pq_adc_broadcast_mode_bit_identical(spark):
+    """The broadcast-table ADC path must return exactly the literal
+    path's rows: the tables are the same constant expressions evaluated
+    engine-side and round-tripped as exact decimals."""
+    from duckdb_graphar_spark.operators.embeddings import pq_adc_topk
+
+    df, vecs = _emb_df(spark)
+    m, d_sub = 2, 4
+    books = _books(df, m, d_sub)
+    q = [float(x) for x in vecs[0]]
+    lit = pq_adc_topk(df, books, q, k=7, table_mode="literal").collect()
+    bc = pq_adc_topk(df, books, q, k=7, table_mode="broadcast").collect()
+    assert [tuple(r) for r in lit] == [tuple(r) for r in bc]
+
+
+def test_pq_adc_auto_picks_broadcast_above_budget(spark):
+    """auto mode must switch to broadcast above the literal budget;
+    an explicit bad mode raises."""
+    from duckdb_graphar_spark.operators.embeddings import pq_adc_topk
+
+    df, vecs = _emb_df(spark)
+    q = [float(x) for x in vecs[0]]
+    with pytest.raises(ValueError, match="table_mode"):
+        pq_adc_topk(df, _books(df, 2, 4), q, table_mode="nope")
