@@ -4902,6 +4902,164 @@ def m06(spark, sf):
     return pcm_energy_stats(encode_text_pcm(_t(spark, sf, "documents")))
 
 
+@_q(
+    "m07_jpeg_roundtrip",
+    # ORACLE: never sees the JPEG bytes — the fixture image is wb×hb
+    # FLAT 8×8 blocks (block b = text byte b mod L), and flat blocks
+    # survive baseline JPEG's lossy pipeline bit-exactly (AC
+    # coefficients identically zero, all-ones quant table keeps DC
+    # integral), so pixel stats are recomputable from the text alone; a
+    # Huffman/DCT/zigzag/stuffing bug on either side breaks the match.
+    # Pixel mean = block-value mean (each block contributes 64 equal
+    # pixels; ÷64 is a power-of-two scaling, so the IEEE quotient is
+    # identical).
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 4 AS wb,
+             1 + doc_id % 3 AS hb, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, wb, hb,
+             unicode(text[CAST(j % L AS INTEGER) + 1]) AS v
+      FROM g, UNNEST(generate_series(0, CAST(wb * hb AS BIGINT) - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           ROUND(CAST(SUM(v) AS DOUBLE) / (wb * hb), 6) AS mean_gray,
+           CAST(MIN(v) AS BIGINT) AS min_gray,
+           CAST(MAX(v) AS BIGINT) AS max_gray
+    FROM b GROUP BY doc_id, wb, hb
+    """,
+)
+def m07(spark, sf):
+    """Compressed-image modality over a REAL pure-numpy baseline JPEG
+    codec: each document rendered as a genuine JFIF file (forward DCT,
+    Annex-K canonical Huffman, DPCM DC + run-length AC, byte stuffing —
+    `operators/multimodal.py:encode_gray_jpeg`), then decoded back
+    through the full general pipeline (marker parse, Huffman decode,
+    dequantize, 64-coefficient IDCT — `decode_jpeg_gray`) for
+    width/height/mean/min/max pixel stats.  Two Arrow-batched
+    mapInPandas stages, no shuffle."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_jpeg,
+        jpeg_gray_stats,
+    )
+
+    return jpeg_gray_stats(encode_text_jpeg(_t(spark, sf, "documents")))
+
+
+@_q(
+    "q64_cohort_retention",
+    # ORACLE: first-event week per user, then DISTINCT (cohort, offset,
+    # user) before the count — the same two-aggregate shape the operator
+    # uses instead of a count_distinct Expand.
+    """
+    WITH ev AS (SELECT user_id AS u,
+                       CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS wk
+                FROM events),
+    f AS (SELECT u, MIN(wk) AS cohort FROM ev GROUP BY u),
+    a AS (SELECT DISTINCT f.cohort, ev.wk - f.cohort AS off, ev.u
+          FROM ev JOIN f USING (u))
+    SELECT CAST(to_timestamp(cohort * 604800) AS TIMESTAMP) AS cohort_start,
+           CAST(off AS BIGINT) AS week_offset, COUNT(*) AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+)
+def q64(spark, sf):
+    """Cohort retention triangle (product-analytics warehouse shape):
+    users bucketed by first-event week, distinct-active counts per
+    (cohort, week offset) — one min-groupBy, one user-keyed join, two
+    map-combinable aggregates, log touched once
+    (`operators/events.py:cohort_retention`)."""
+    from duckdb_graphar_spark.operators.events import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+@_q(
+    "g17_hits",
+    # ORACLE: the two HITS iterations unrolled — authority from previous
+    # hubs, hub from NEW authorities, classic half-step order.  The
+    # unnormalized variant keeps every score an exact integer sum, so no
+    # float discipline exists anywhere; final CASTs collapse DuckDB's
+    # HUGEINT sums to BIGINT.
+    f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_E_SQL})),
+    v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    a1s AS (SELECT dst AS v, COUNT(*) AS s FROM e GROUP BY dst),
+    a1 AS (SELECT v.v, COALESCE(a1s.s, 0) AS a FROM v LEFT JOIN a1s USING (v)),
+    h1s AS (SELECT e.src AS v, SUM(a1.a) AS s FROM e JOIN a1 ON a1.v = e.dst GROUP BY e.src),
+    h1 AS (SELECT v.v, COALESCE(h1s.s, 0) AS h FROM v LEFT JOIN h1s USING (v)),
+    a2s AS (SELECT e.dst AS v, SUM(h1.h) AS s FROM e JOIN h1 ON h1.v = e.src GROUP BY e.dst),
+    a2 AS (SELECT v.v, COALESCE(a2s.s, 0) AS a FROM v LEFT JOIN a2s USING (v)),
+    h2s AS (SELECT e.src AS v, SUM(a2.a) AS s FROM e JOIN a2 ON a2.v = e.dst GROUP BY e.src),
+    h2 AS (SELECT v.v, COALESCE(h2s.s, 0) AS h FROM v LEFT JOIN h2s USING (v))
+    SELECT v.v AS id, CAST(h2.h AS BIGINT) AS hub, CAST(a2.a AS BIGINT) AS authority
+    FROM v JOIN h2 ON h2.v = v.v JOIN a2 ON a2.v = v.v
+    """,
+)
+def g17(spark, sf):
+    """HITS hubs & authorities, 2 fixed iterations, integer-exact
+    unnormalized variant (`operators/graph.py:hits`) — per iteration
+    two edge⋈score hash joins + map-combinable integer groupBys, the
+    pagerank shape with zero float discipline."""
+    from duckdb_graphar_spark.operators.graph import hits
+
+    return hits(_edges(spark, sf), n_iters=2, src_col="src", dst_col="dst")
+
+
+@_q(
+    "st11_stream_static_join",
+    # ORACLE: the batch twin — events keyed user_id % 25 joined to the
+    # nation→region dimension, 1-hour tumbling rollup per region with
+    # the decimal-sum discipline (order-independent across micro-batch
+    # boundaries, so the completed stream equals this batch SQL).
+    """
+    SELECT CAST(to_timestamp(b * 3600) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(b * 3600 + 3600) AS TIMESTAMP) AS window_end,
+           r_name, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(26,8))) AS DOUBLE), 6) AS sum_value
+    FROM (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS b, value,
+                 user_id % 25 AS nk
+          FROM events) ev
+    JOIN nation ON n_nationkey = ev.nk
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def st11(spark, sf):
+    """Stream-static dimension enrichment: a REAL running stream joined
+    per micro-batch against the static nation→region dimension
+    (broadcast hash join, NO streaming state for the dim side — the
+    third join shape next to st07's stream-stream), then a 1-hour
+    tumbling rollup per region
+    (`streaming/ops.py:stream_static_enrich_agg`)."""
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_static_enrich_agg,
+    )
+
+    dim = (
+        _t(spark, sf, "nation")
+        .join(_t(spark, sf, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("nk"), "r_name")
+    )
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    out = stream_static_enrich_agg(
+        stream,
+        dim,
+        stream_key=F.col("user_id") % 25,
+        dim_key="nk",
+        group_col="r_name",
+        window="1 hour",
+    )
+    return run_to_memory(out, "st11_out")
+
+
 def _bpe_round_sql(r: int) -> str:
     """One unrolled BPE round: pair counts over w{r}, best pair b{r},
     merged symbol strings w{r+1} via the same greedy list_reduce fold
@@ -5041,12 +5199,15 @@ _PRIORITY = [
     "t27", "t28", "t29", "t30",
     "q60", "q61", "q62", "q63",
     "d05", "st10", "m06",
-    # --- 5 r3-red rows, re-declared this round + new A6 writer pin ---
-    "t23", "st09", "s07", "s08", "m02", "ga14",
+    # --- 5 r3-red rows, re-declared this round + round-4 new operators
+    # --- (A6 writer pin, JPEG codec, cohort retention, HITS,
+    # --- stream-static join) ---
+    "t23", "st09", "s07", "s08", "m02",
+    "ga14", "m07", "q64", "g17", "st11",
     # --- 23 regression re-checks (all ever-green) ---
     "ga01", "ga03", "ga11", "ga13",
     "g02", "g05", "g07", "g11",
-    "q01", "q02", "q05", "q31", "q14", "q25",
+    "q01", "q02", "q05", "q31", "q14",
     "st01", "st03", "st05", "st08",
     "t01", "t04", "t06", "d01", "s01", "m04",
     # --- 51+: remaining ever-verified tail in coverage order ---

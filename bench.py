@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "d05_keep_best_dedup",
     "q63_hll_sketch_union",
     "m06_audio_energy",
+    # round-4: real baseline-JPEG codec round-trip (encode DCT+Huffman,
+    # decode Huffman+IDCT — two Arrow-batched Python stages, no shuffle)
+    "m07_jpeg_roundtrip",
 ]
 
 

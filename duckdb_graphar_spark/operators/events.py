@@ -116,3 +116,45 @@ def scd2_intervals(
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 604_800,
+) -> DataFrame:
+    """Cohort retention triangle: bucket every user into the cohort of
+    their FIRST event (epoch-floored week by default), then for each
+    (cohort, week-offset) count the distinct users active in that
+    offset week → (cohort_start ts, week_offset, n_users).
+
+    Scale shape: one groupBy(user) min(ts) for the cohort table, one
+    hash join back on the user key (both sides shuffle on user — AQE
+    broadcasts the cohort side when it fits), then distinct users via
+    groupBy(cohort, offset, user) FOLLOWED BY groupBy(cohort, offset)
+    count — two map-combinable aggregates instead of a count_distinct
+    Expand, so partials collapse before the wire at every step.  The
+    log is touched once."""
+    sec = F.lit(int(bucket_seconds))
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.floor(F.unix_timestamp(ts_col) / sec).alias("__wk"),
+    )
+    first = ev.groupBy("__u").agg(F.min("__wk").alias("__cohort"))
+    active = (
+        ev.join(first, "__u")
+        .select("__u", "__cohort", (F.col("__wk") - F.col("__cohort")).alias("__off"))
+        .groupBy("__cohort", "__off", "__u")
+        .agg(F.lit(1))
+    )
+    return (
+        active.groupBy("__cohort", "__off")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.timestamp_seconds(F.col("__cohort") * sec).alias("cohort_start"),
+            F.col("__off").cast("long").alias("week_offset"),
+            "n_users",
+        )
+    )

@@ -559,6 +559,7 @@ def kcore(
     k: int,
     *,
     n_iters: int = 3,
+    until_stable: bool = False,
     src_col: str = SRC_INDEX_COL,
     dst_col: str = DST_INDEX_COL,
 ) -> DataFrame:
@@ -566,18 +567,24 @@ def kcore(
     (the graph-ML pre-filter: drop low-degree fringe before expensive
     downstream passes).  Each round removes every vertex whose degree
     in the CURRENT subgraph is < k; ``n_iters`` bounded rounds make the
-    result exactly SQL-replayable as an unrolled CTE chain (full peeling
-    converges once no round removes a vertex — at that point more
-    rounds are no-ops, so a caller wanting the true k-core raises
-    ``n_iters`` until the pre/post vertex counts match).
+    result exactly SQL-replayable as an unrolled CTE chain.
 
-    Returns (id, degree): the vertices surviving ``n_iters`` rounds
-    with their degree in the surviving subgraph.
+    ``until_stable=True`` runs to the TRUE k-core instead: peel until a
+    round removes no edge (one bounded ``count()`` per round — the BFS
+    frontier-exhaustion pattern, constant driver state), with
+    ``n_iters`` reinterpreted as a safety cap (pass a generous cap; the
+    peel provably needs ≤ |V| rounds and in practice a handful).  The
+    fixed-round form stays the default because the declared driver
+    entry replays it as an unrolled SQL chain.
+
+    Returns (id, degree): the vertices surviving the peel with their
+    degree in the surviving subgraph.
 
     Scale shape per round: one explode-both-directions degree groupBy
     (map-combinable longs) + two semi-joins filtering the edge list —
     all shuffles keyed on vertex ids; the edge relation shrinks
-    monotonically and no driver state exists beyond the loop counter.
+    monotonically and no driver state exists beyond the loop counter
+    (plus one edge-count long per round under ``until_stable``).
     """
     s, d = F.col(src_col), F.col(dst_col)
     e = (
@@ -592,12 +599,21 @@ def kcore(
         )
         return both.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
 
+    n_edges = e.count() if until_stable else None
     for it in range(n_iters):
         alive = degs(e).filter(F.col("degree") >= k).select("v")
         e = e.join(alive, e["a"] == alive["v"], "left_semi")
         e = e.join(alive, e["b"] == alive["v"], "left_semi")
         if (it + 1) % 3 == 0 and it + 1 < n_iters:
             e = e.localCheckpoint(eager=False)
+        if until_stable:
+            # materialize once per round: the count IS the convergence
+            # probe and the checkpoint that cuts the semi-join lineage
+            e = e.localCheckpoint(eager=True)
+            now = e.count()
+            if now == n_edges:
+                break
+            n_edges = now
     return degs(e).select(F.col("v").alias("id"), "degree")
 
 
@@ -713,3 +729,68 @@ def personalized_pagerank(
             )
         )
     return ranks.select(F.col("__v").alias(id_col), F.col("__r").alias("ppr"))
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    n_iters: int = 2,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Fixed-iteration UNNORMALIZED HITS (Kleinberg 1999) over the
+    distinct directed edge set → (id, hub, authority).
+
+    Integer-exact variant: all scores start at 1; each iteration first
+    updates authorities a(v) = Σ_{(u,v)} h(u) from the PREVIOUS hubs,
+    then hubs h(u) = Σ_{(u,v)} a(v) from the NEW authorities — the
+    classic two half-steps, minus the norm (scores are compared by
+    ratio anyway; callers normalize at read time).  Skipping the norm
+    keeps every quantity a BIGINT sum, so the result is exactly
+    engine-replayable as an unrolled SQL chain with no float discipline
+    at all — and overflow would need path counts beyond 2⁶³, far past
+    any fixed-iteration horizon on real graphs.
+
+    Scale shape per iteration: two (edge ⋈ score) hash joins each
+    followed by a map-combinable integer groupBy — the pagerank shape;
+    scores stay n-row distributed relations, never on the driver.
+    Zero-score vertices are DROPPED inside the loop (a zero contributes
+    nothing to any sum, so propagation is unchanged) and re-attached
+    with one pair of left joins at the end — half the per-iteration
+    shuffle count of the keep-every-vertex form.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .distinct()
+    )
+    verts = (
+        e.select(F.col("__s").alias("__v"))
+        .unionAll(e.select(F.col("__d").alias("__v")))
+        .distinct()
+    )
+    hubs = verts.select("__v", F.lit(1).cast("long").alias("__h"))
+    auths = None
+    for _ in range(n_iters):
+        auths = (
+            e.join(hubs, e["__s"] == hubs["__v"])
+            .groupBy("__d")
+            .agg(F.sum("__h").cast("long").alias("__a"))
+            .select(F.col("__d").alias("__v"), "__a")
+        )
+        hubs = (
+            e.join(auths, e["__d"] == auths["__v"])
+            .groupBy("__s")
+            .agg(F.sum("__a").cast("long").alias("__h"))
+            .select(F.col("__s").alias("__v"), "__h")
+        )
+    return (
+        verts.join(hubs.withColumnRenamed("__v", "__hv"),
+                   verts["__v"] == F.col("__hv"), "left")
+        .join(auths.withColumnRenamed("__v", "__av"),
+              verts["__v"] == F.col("__av"), "left")
+        .select(
+            F.col("__v").alias("id"),
+            F.coalesce("__h", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("__a", F.lit(0)).cast("long").alias("authority"),
+        )
+    )

@@ -3,13 +3,17 @@ payloads with typed metadata.
 
 Two decode tiers:
 
-- **Real, dependency-free codecs** for uncompressed formats: 24-bpp BMP
-  and binary PPM (P6) are parsed with pure `struct`/numpy — header
-  validation, row padding, bottom-up row order, per-channel pixel stats
-  and an 8×8 average-hash all operate on genuinely decoded pixels
-  (:func:`decode_bmp`, :func:`decode_ppm`, :func:`encode_bmp`).
-- **Stubbed compressed codecs**: JPEG/PNG/WAV/MP4 need PIL/ffmpeg,
-  which this container lacks; `decode_image` raises
+- **Real, dependency-free codecs**: 24-bpp BMP and binary PPM (P6) are
+  parsed with pure `struct`/numpy — header validation, row padding,
+  bottom-up row order, per-channel pixel stats and an 8×8 average-hash
+  all operate on genuinely decoded pixels (:func:`decode_bmp`,
+  :func:`decode_ppm`, :func:`encode_bmp`) — plus a COMPLETE baseline
+  grayscale JPEG codec (:func:`encode_gray_jpeg`,
+  :func:`decode_jpeg_gray`): forward/inverse DCT, canonical Annex-K
+  Huffman coding, byte stuffing, marker parsing, all in numpy; and raw
+  16-bit PCM audio (:func:`encode_text_pcm`, :func:`pcm_energy_stats`).
+- **Stubbed compressed codecs**: PNG/MP4 need zlib-inflate/ffmpeg
+  plumbing this container lacks; `decode_image` raises
   NotImplementedError for those magics unless `fake=True`, in which
   case a deterministic fake decoder derives shape/features from the
   payload bytes.
@@ -165,7 +169,9 @@ def average_hash(width: int, height: int, pixels: np.ndarray) -> int:
 
 def decode_image(payload: bytes, *, fake: bool = False) -> dict:
     """Decode an image payload to features.  Real pure-Python codecs
-    handle BMP ('BM') and PPM ('P6'); compressed formats raise unless
+    handle BMP ('BM'), PPM ('P6'), and baseline grayscale JPEG
+    (FFD8, :func:`decode_jpeg_gray` — gray replicated to 3 channels so
+    the hash path is format-uniform); PNG/video raise unless
     ``fake=True`` (deterministic stub, no real pixels)."""
     if fake:
         return _fake_decode(payload)
@@ -173,10 +179,18 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict:
         d = decode_bmp(payload)
     elif payload[:2] == b"P6":
         d = decode_ppm(payload)
+    elif payload[:2] == b"\xff\xd8":
+        j = decode_jpeg_gray(payload)
+        d = {
+            "width": j["width"],
+            "height": j["height"],
+            "pixels": np.repeat(j["pixels"], 3),
+        }
     else:
         raise NotImplementedError(
-            "only uncompressed BMP/PPM decode without PIL/opencv (not in "
-            "this container); pass fake=True for the deterministic stub"
+            "only BMP/PPM/baseline-gray-JPEG decode without PIL/opencv "
+            "(not in this container); pass fake=True for the "
+            "deterministic stub"
         )
     w, h, px = d["width"], d["height"], d["pixels"]
     return {
@@ -386,6 +400,440 @@ def ppm_channel_stats(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, PPM_CHANNEL_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (ITU-T T.81): real pure-numpy encoder + decoder
+# ---------------------------------------------------------------------------
+# Grayscale baseline sequential DCT, standard JFIF container: SOI, APP0,
+# DQT, SOF0, DHT (canonical Huffman from T.81 Annex K luminance tables),
+# SOS, entropy-coded MCUs with 0xFF byte stuffing, EOI.  No restart
+# markers, no progressive, no chroma subsampling (1 component).  The
+# decoder is GENERAL — canonical-Huffman bit reader, run-length AC loop
+# with ZRL/EOB, dezigzag, dequantize, full 64-coefficient float IDCT —
+# nothing in it assumes the fixture's flat blocks.
+
+# zigzag order: _JPEG_ZIGZAG[i] = raster index of the i-th zigzag coeff
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# T.81 Annex K.3 luminance Huffman specs: (BITS[1..16], HUFFVAL)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """M[u, x] = 0.5·C(u)·cos((2x+1)uπ/16): forward F = M f Mᵀ,
+    inverse f = Mᵀ F M (orthonormal, float64)."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+_JPEG_DCT_M = _jpeg_dct_matrix()
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical assignment."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per T.81 F.1.2.3
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    """Magnitude category: number of bits to represent |v| (0 for 0)."""
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def encode_gray_jpeg(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a REAL baseline JFIF
+    JPEG: genuine forward DCT per 8×8 block, all-ones quantization
+    table (so flat blocks round-trip exactly — the property the SQL
+    oracle leans on), DPCM DC + run-length AC entropy coding with the
+    Annex K luminance Huffman tables.  h and w must be multiples of 8
+    (no edge-block replication — keeps encode/decode exactly inverse)."""
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError(f"encode_gray_jpeg needs multiple-of-8 dims, got {w}x{h}")
+    if h > 65535 or w > 65535:
+        raise ValueError("image too large for SOF0")
+    dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"  # APP0
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)  # DQT all-1
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01"  # 1 component
+        + b"\x01\x11\x00"  # id 1, sampling 1x1, qtable 0
+    )  # SOF0
+    for cls, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 3 + 16 + len(vals))
+            + bytes([cls])
+            + bytes(bits)
+            + bytes(vals)
+        )  # DHT
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"  # SOS
+
+    bw = _BitWriter()
+    prev_dc = 0
+    f = pixels.astype(np.float64) - 128.0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _JPEG_DCT_M @ block @ _JPEG_DCT_M.T
+            q = np.rint(coef).astype(np.int64)  # qtable is all ones
+            zz = q.reshape(-1)[_JPEG_ZIGZAG]
+            # DC: DPCM + category/amplitude bits
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = _jpeg_category(diff)
+            code, length = dc_codes[s]
+            bw.put(code, length)
+            if s:
+                amp = diff if diff > 0 else diff + (1 << s) - 1
+                bw.put(amp, s)
+            # AC: run-length of zeros, ZRL for 16+, EOB for trailing zeros
+            run = 0
+            last_nz = 0
+            nz = np.nonzero(zz[1:])[0]
+            last_nz = int(nz[-1]) + 1 if nz.size else 0
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.put(code, length)
+                    run -= 16
+                s = _jpeg_category(v)
+                code, length = ac_codes[(run << 4) | s]
+                bw.put(code, length)
+                amp = v if v > 0 else v + (1 << s) - 1
+                bw.put(amp, s)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.put(code, length)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; raises on markers or exhaustion inside the scan."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} inside scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _jpeg_extend(amp: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: amplitude bits -> signed value."""
+    return amp if amp >= (1 << (s - 1)) else amp - (1 << s) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> dict:
+    """Decode a baseline grayscale JPEG with a GENERAL pure-numpy
+    pipeline: marker parse (DQT/SOF0/DHT/SOS from the stream — the
+    decoder trusts the file, not this module's encoder), canonical
+    Huffman decode with bit unstuffing, DPCM DC + run-length AC,
+    dezigzag, dequantize, full 64-coefficient float IDCT, +128 level
+    shift, round, clip.  Returns {width, height, pixels (h·w uint8
+    row-major)}.  Raises ValueError on structural corruption and
+    NotImplementedError on progressive/multi-component streams."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_q = comp_dc = comp_ac = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(seg, np.uint8, count=64, offset=off + 1).astype(
+                    np.int64
+                )
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_JPEG_ZIGZAG] = zz
+                qtables[tq] = tbl
+                off += 65
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xC0:  # SOF0
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit precision")
+            h, w = struct.unpack(">HH", seg[1:5])
+            if seg[5] != 1:
+                raise NotImplementedError("only single-component (grayscale)")
+            if seg[7] != 0x11:
+                raise NotImplementedError("only 1x1 sampling")
+            comp_q = seg[8]
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(seg):
+                cls, tid = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nvals])
+                dec = {
+                    (length, code): sym
+                    for sym, (code, length) in _huff_canonical(bits, vals).items()
+                }
+                htables[(cls, tid)] = dec
+                off += 17 + nvals
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise NotImplementedError("only single-scan grayscale")
+            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            pos += seg_len
+            break
+        pos += seg_len
+    if w is None or comp_dc is None:
+        raise ValueError("missing SOF0/SOS")
+    if h % 8 or w % 8:
+        raise NotImplementedError("partial edge blocks not supported")
+    qt = qtables[comp_q]
+    dc_tbl = htables[(0, comp_dc)]
+    ac_tbl = htables[(1, comp_ac)]
+
+    br = _BitReader(payload, pos)
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = np.zeros(64, dtype=np.int64)
+            s = br.huff(dc_tbl)
+            diff = _jpeg_extend(br.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = br.huff(ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"bad AC symbol {sym:#x}")
+                    i += 16  # ZRL
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("AC run overflows block")
+                zz[i] = _jpeg_extend(br.bits(size), size)
+                i += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_JPEG_ZIGZAG] = (zz * qt[_JPEG_ZIGZAG]).astype(np.float64)
+            block = _JPEG_DCT_M.T @ coef.reshape(8, 8) @ _JPEG_DCT_M + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype(np.uint8)
+    return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
+
+
+def encode_text_jpeg(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL baseline JPEG whose decoded
+    pixels a SQL oracle can predict exactly: the image is wb×hb flat
+    8×8 blocks (wb = 1 + octet_length mod 4, hb = 1 + id mod 3) where
+    block b (row-major) is filled with text byte (b mod octet_length).
+    Flat blocks survive the lossy pipeline bit-exactly (AC coefficients
+    are identically zero; the all-ones quant table keeps DC integral),
+    so the decode side's stats are text-derivable while the codec path
+    — DCT, Huffman, stuffing — is completely real."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if tb.size == 0:
+                    raise ValueError(f"empty text for doc {did}")
+                wb = 1 + (len(tb) % 4)
+                hb = 1 + (int(did) % 3)
+                vals = tb[np.arange(wb * hb) % len(tb)].reshape(hb, wb)
+                px = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(encode_gray_jpeg(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+JPEG_GRAY_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("mean_gray", T.DoubleType(), False),
+        T.StructField("min_gray", T.LongType(), False),
+        T.StructField("max_gray", T.LongType(), False),
+    ]
+)
+
+
+def jpeg_gray_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Image stats from REAL JPEG-decoded pixels
+    (:func:`decode_jpeg_gray`: Huffman → dequant → IDCT): width,
+    height, mean (integer pixel sum divided once in float64, HALF_UP
+    round 6 — the :func:`bmp_channel_stats` discipline), min, max.
+    Arrow-batched mapInPandas projection, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "mean_gray", "min_gray", "max_gray")
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_jpeg_gray(bytes(payload))
+                px = d["pixels"]
+                mean = float(int(px.sum(dtype=np.int64))) / px.size
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["mean_gray"].append(
+                    float(Decimal(mean).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+                )
+                out["min_gray"].append(int(px.min()))
+                out["max_gray"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, JPEG_GRAY_STATS_SCHEMA)
 
 
 def sample_frames(

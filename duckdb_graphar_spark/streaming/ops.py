@@ -9,7 +9,7 @@ verify the windowed aggregations (FIXTURES.md §B2, SURVEY §2.E).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F, types as T
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -466,4 +466,53 @@ def trending_topk(sink_windows: DataFrame, *, k: int = 3) -> DataFrame:
         sink_windows.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("window_start", "event_type", "n", "rank")
+    )
+
+
+def stream_static_enrich_agg(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    stream_key: Column,
+    dim_key: str,
+    group_col: str,
+    window: str = "1 hour",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Stream-static dimension enrichment (SURVEY §2.E): join each
+    micro-batch against a STATIC dimension table, then tumbling-window
+    rollup by a dimension attribute → (window_start, window_end,
+    <group_col>, n, sum_value).
+
+    This is the third join shape next to stream-stream (q: st07) and
+    batch joins: the static side needs no watermark and no state store
+    — Spark re-plans it per micro-batch as an ordinary broadcast hash
+    join, so dimension updates between batches are picked up and NOTHING
+    about the dim ever enters streaming state.  The decimal-sum
+    discipline makes the rollup order-independent across micro-batches
+    (same as tumbling_window_agg).
+
+    Scale shape: broadcast the dimension (dims are small by definition;
+    a corpus-sized "dimension" belongs in a stream-stream join), stream
+    side stays partition-local until the windowed groupBy's single
+    shuffle."""
+    s = stream.withWatermark("ts", watermark) if stream.isStreaming else stream
+    j = s.withColumn("__k", stream_key).join(
+        F.broadcast(dim), F.col("__k") == F.col(dim_key)
+    )
+    return (
+        j.groupBy(F.window("ts", window).alias("w"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(26,8)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            group_col,
+            "n",
+            "sum_value",
+        )
     )

@@ -233,3 +233,58 @@ def test_personalized_pagerank_matches_pure_python(spark):
     # the teleport term floors the seed at (1-d); un-reached vertices are 0
     assert got[src] >= 0.15 - 1e-9  # published at 12 decimals
     assert all(v >= 0.0 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def _hits_ref(pairs, n_iters):
+    """Pure-Python unnormalized integer HITS (authority from previous
+    hubs, hub from new authorities)."""
+    edges = sorted(set(pairs))
+    verts = sorted({v for p in edges for v in p})
+    h = {v: 1 for v in verts}
+    a = {v: 0 for v in verts}
+    for _ in range(n_iters):
+        a = {v: 0 for v in verts}
+        for s, d in edges:
+            a[d] += h[s]
+        h = {v: 0 for v in verts}
+        for s, d in edges:
+            h[s] += a[d]
+    return {v: (h[v], a[v]) for v in verts}
+
+
+def test_hits_matches_reference(spark):
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.graph import hits
+
+    rng = np.random.default_rng(13)
+    pairs = [(int(rng.integers(20)), int(rng.integers(20))) for _ in range(60)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iters=2, src_col="src", dst_col="dst").collect()
+    }
+    assert got == _hits_ref(pairs, 2)
+
+
+def test_hits_star_graph(spark):
+    """Star: center 0 → leaves 1..4.  After iter 1: a(leaf)=1, h(0)=4.
+    After iter 2: a(leaf)=h(0)=4, h(0)=16; leaves have no out-edges →
+    hub 0; center has no in-edges → authority 0."""
+    from duckdb_graphar_spark.operators.graph import hits
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    got = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iters=2, src_col="src", dst_col="dst").collect()
+    }
+    assert got[0] == (16, 0)
+    for leaf in range(1, 5):
+        assert got[leaf] == (0, 4)

@@ -136,3 +136,104 @@ def test_pcm_energy_stats_rejects_odd_payload(spark):
 
     with _pt.raises(Exception, match="odd PCM"):
         pcm_energy_stats(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_blocks_roundtrip_exact():
+    """Flat 8×8 blocks survive the full lossy pipeline bit-exactly
+    with the all-ones quant table — the property the m07 oracle uses."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 256, size=(3, 4)).astype(np.uint8)
+    px = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    d = decode_jpeg_gray(encode_gray_jpeg(px))
+    assert (d["width"], d["height"]) == (32, 24)
+    assert np.array_equal(d["pixels"].reshape(24, 32), px)
+
+
+def test_jpeg_arbitrary_content_near_lossless():
+    """General content through the real DCT/Huffman path: with q=1 the
+    only loss is coefficient rounding — max pixel error ≤ 2."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(16, 24)).astype(np.uint8)
+    d = decode_jpeg_gray(encode_gray_jpeg(px))
+    err = np.abs(d["pixels"].reshape(16, 24).astype(int) - px.astype(int)).max()
+    assert err <= 2
+    # gradient rows exercise long AC runs / ZRL
+    g = np.tile((np.arange(64, dtype=np.uint16) * 4 % 256).astype(np.uint8), (8, 1))
+    d2 = decode_jpeg_gray(encode_gray_jpeg(g))
+    assert np.abs(d2["pixels"].reshape(8, 64).astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_malformed():
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_gray_jpeg,
+    )
+
+    with _pt.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x89PNG....")
+    with _pt.raises(ValueError, match="multiple-of-8"):
+        encode_gray_jpeg(np.zeros((10, 16), dtype=np.uint8))
+    buf = bytearray(encode_gray_jpeg(np.full((8, 8), 7, dtype=np.uint8)))
+    # flip SOF0 marker to SOF2 (progressive) — must refuse, not mis-decode
+    sof = bytes(buf).find(b"\xff\xc0")
+    buf[sof + 1] = 0xC2
+    with _pt.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_gray(bytes(buf))
+
+
+def test_decode_image_handles_jpeg_magic():
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_image,
+        encode_gray_jpeg,
+    )
+
+    px = np.full((8, 16), 200, dtype=np.uint8)
+    d = decode_image(encode_gray_jpeg(px))
+    assert (d["width"], d["height"]) == (16, 8)
+    assert d["mean_intensity"] == 200.0
+
+
+def test_jpeg_spark_stats_match_numpy(spark):
+    """m07's two mapInPandas stages against a driver-side recompute."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_jpeg,
+        jpeg_gray_stats,
+    )
+
+    docs = [(0, "hello world"), (1, "abc"), (2, "The quick brown fox!")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in jpeg_gray_stats(encode_text_jpeg(df)).collect()}
+    for did, text in docs:
+        tb = np.frombuffer(text.encode(), dtype=np.uint8)
+        wb, hb = 1 + len(tb) % 4, 1 + did % 3
+        vals = tb[np.arange(wb * hb) % len(tb)]
+        r = got[did]
+        assert (r.width, r.height) == (8 * wb, 8 * hb)
+        assert (r.min_gray, r.max_gray) == (int(vals.min()), int(vals.max()))
+        assert abs(r.mean_gray - vals.mean()) < 1e-6

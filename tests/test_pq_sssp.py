@@ -203,6 +203,65 @@ def test_kcore_peels_fringe(spark):
     assert got == {0: 2, 1: 2, 2: 2}
 
 
+def _kcore_ref_converged(pairs, k):
+    """Pure-Python TRUE k-core: peel until fixpoint."""
+    prev = None
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    while prev != edges:
+        prev = edges
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {v for v, d in deg.items() if d >= k}
+        edges = {(a, b) for a, b in edges if a in alive and b in alive}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def test_kcore_until_stable_is_true_core(spark):
+    """until_stable must reach the converged k-core on a graph that
+    NEEDS more than the default 3 rounds: a long pendant chain hanging
+    off a triangle peels one vertex per round, so n_iters=3 returns
+    chain remnants while until_stable (cap 50) matches the pure-Python
+    fixpoint peeler exactly."""
+    from duckdb_graphar_spark.operators.graph import kcore
+
+    chain = [(i, i + 1) for i in range(3, 9)]  # 3-4-5-6-7-8 pendant chain
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3)] + chain
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    kw = dict(src_col="src", dst_col="dst")
+    fixed = {
+        r["id"]: r["degree"] for r in kcore(df, 2, n_iters=3, **kw).collect()
+    }
+    assert set(fixed) != {0, 1, 2}  # 3 rounds are NOT enough here
+    stable = {
+        r["id"]: r["degree"]
+        for r in kcore(df, 2, n_iters=50, until_stable=True, **kw).collect()
+    }
+    assert stable == _kcore_ref_converged(pairs, 2) == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_until_stable_matches_reference_random(spark):
+    """Property check on a random graph: until_stable == pure-Python
+    fixpoint peeler."""
+    from duckdb_graphar_spark.operators.graph import kcore
+
+    rng = np.random.default_rng(23)
+    pairs = [(int(rng.integers(40)), int(rng.integers(40))) for _ in range(120)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["degree"]
+        for r in kcore(
+            df, 3, n_iters=100, until_stable=True, src_col="src", dst_col="dst"
+        ).collect()
+    }
+    assert got == _kcore_ref_converged(pairs, 3)
+
+
 # ---------------------------------------------------------------------------
 # tf-idf cosine pairs
 # ---------------------------------------------------------------------------

@@ -99,3 +99,36 @@ def test_apply_changes_delete_then_reinsert_latest_wins(spark):
         snapshot, changes, key_col="k", seq_col="seq",
         delete_col="is_del", payload_cols=["val"]).collect()
     assert [(r.k, r.val, r.op) for r in got] == [(1, "re", "update")]
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Three users, weekly buckets pinned by hand."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.events import cohort_retention
+
+    W = 604800
+
+    def ts(week, extra=0):
+        return dt.datetime.utcfromtimestamp(week * W + extra)
+
+    rows = [
+        # user 1: first week 100, active weeks 100, 101, 103
+        (1, ts(100)), (1, ts(100, 30)), (1, ts(101)), (1, ts(103)),
+        # user 2: first week 100, active weeks 100, 101
+        (2, ts(100, 60)), (2, ts(101, 5)),
+        # user 3: first week 101, active week 101 only
+        (3, ts(101, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_start, r.week_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    c100, c101 = ts(100), ts(101)
+    assert got == {
+        (c100, 0): 2,  # users 1+2 in their cohort week
+        (c100, 1): 2,  # both active the next week
+        (c100, 3): 1,  # only user 1
+        (c101, 0): 1,  # user 3's cohort
+    }
