@@ -5117,6 +5117,50 @@ def t30(spark, sf):
 
 
 @_q(
+    "t31_bpe_apply",
+    # ORACLE: t30's 3 unrolled training rounds produce w4 (per-distinct-
+    # word merged symbol strings via the IDENTICAL list_reduce fold);
+    # per-word token counts join back to the doc→word table and sum —
+    # the same distinct-word application shape the operator plans.
+    """
+    WITH wf AS (
+      SELECT w, COUNT(*) AS f FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    w1 AS (SELECT w, f,
+                  array_to_string([w[i] FOR i IN generate_series(1, length(w))], ' ') AS s
+           FROM wf),
+    """
+    + ",".join(_bpe_round_sql(r) for r in (1, 2, 3))
+    + """,
+    tok AS (SELECT w, len(string_split(s, ' ')) AS nt FROM w4),
+    dw AS (SELECT doc_id, w, COUNT(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(c * length(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(c * nt) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(c * length(w)) AS DOUBLE)
+                 / CAST(SUM(c * nt) AS DOUBLE), 6) AS compression
+    FROM dw JOIN tok USING (w) GROUP BY doc_id
+    """,
+)
+def t31(spark, sf):
+    """BPE tokenizer APPLICATION — the other half of t30's training:
+    train 3 merges (bounded driver state: the merge list IS the model),
+    then tokenize the corpus with the fold running once per DISTINCT
+    word and an integer join carrying per-word piece counts back to
+    documents (`operators/text.py:bpe_apply`).  Returns per-doc
+    char/token counts and the compression ratio the merges achieve."""
+    from duckdb_graphar_spark.operators.text import bpe_apply, bpe_train
+
+    d = _t(spark, sf, "documents")
+    merges = [r["pair"] for r in bpe_train(d, n_merges=3).collect()]
+    return bpe_apply(d, merges)
+
+
+@_q(
     "s12_ivfpq_topk",
     # ORACLE: full IVFADC replay.  The coarse full-dim distance is the
     # EXACT sum of the 4 per-subspace decimals already computed in d
@@ -5203,7 +5247,7 @@ _PRIORITY = [
     # --- (A6 writer pin, JPEG codec, cohort retention, HITS,
     # --- stream-static join) ---
     "t23", "st09", "s07", "s08", "m02",
-    "ga14", "m07", "q64", "g17", "st11",
+    "ga14", "m07", "q64", "g17", "st11", "t31",
     # --- 23 regression re-checks (all ever-green) ---
     "ga01", "ga03", "ga11", "ga13",
     "g02", "g05", "g07", "g11",

@@ -866,19 +866,89 @@ def bpe_train(
             break
         a, b = best["__p"].split(" ")
         merges.append((r, best["__p"], int(best["__wt"])))
-        merged = F.aggregate(
-            toks,
-            F.lit(""),
-            lambda acc, x: (
-                F.when(acc == F.lit(""), x)
-                .when(
-                    ((acc == F.lit(a)) | acc.endswith(" " + a)) & (x == F.lit(b)),
-                    F.concat(acc, F.lit(b)),
-                )
-                .otherwise(F.concat(acc, F.lit(" "), x))
-            ),
-        )
-        wf = wf.select("__w", "__f", merged.alias("__s")).localCheckpoint(
+        wf = wf.select("__w", "__f", _bpe_merge_fold(toks, a, b).alias("__s")).localCheckpoint(
             eager=False
         )
     return spark.createDataFrame(merges, "rank long, pair string, weight long")
+
+
+def _bpe_merge_fold(toks: F.Column, a: str, b: str) -> F.Column:
+    """Greedy leftmost-first application of merge (a, b) to a symbol
+    array: fold left, appending b WITHOUT the separating space whenever
+    the accumulator currently ends in symbol ``a`` — 'a a a' under
+    (a, a) → 'aa a', the reference tokenizer's behavior.  Shared by
+    :func:`bpe_train` (between rounds) and :func:`bpe_apply`; the
+    DuckDB twin is the identical ``list_reduce`` CASE fold."""
+    return F.aggregate(
+        toks,
+        F.lit(""),
+        lambda acc, x: (
+            F.when(acc == F.lit(""), x)
+            .when(
+                ((acc == F.lit(a)) | acc.endswith(" " + a)) & (x == F.lit(b)),
+                F.concat(acc, F.lit(b)),
+            )
+            .otherwise(F.concat(acc, F.lit(" "), x))
+        ),
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge list to a corpus → per document
+    (id, n_chars, n_tokens, compression): the tokenizer-APPLICATION
+    half of :func:`bpe_train`, measuring how far the learned merges
+    compress each document.
+
+    Scale shape — the fold runs once per DISTINCT word, never per
+    occurrence: explode docs to (doc, word, count), reduce the word set
+    to distinct words, apply every merge as one chained symbol fold per
+    word (merges are a bounded driver-side list — the trained
+    vocabulary), then join the per-word token counts back and sum per
+    doc.  On a heavy-tailed corpus the distinct-word table is orders of
+    magnitude smaller than the token stream, which is exactly why real
+    tokenizers precompute word→pieces caches; both shuffles (word join,
+    doc groupBy) carry integers, and AQE broadcasts the token table
+    when it fits."""
+    for m in merges:
+        if len(m.split(" ")) != 2:
+            raise ValueError(f"merge {m!r} must be 'a b'")
+    dw = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    chars = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length("__w")),
+            lambda i: F.col("__w").substr(i, F.lit(1)),
+        ),
+        " ",
+    )
+    s = dw.select("__w").distinct().select("__w", chars.alias("__s"))
+    for m in merges:
+        a, b = m.split(" ")
+        s = s.select("__w", _bpe_merge_fold(F.split(F.col("__s"), " "), a, b).alias("__s"))
+    tok = s.select("__w", F.size(F.split(F.col("__s"), " ")).cast("long").alias("__nt"))
+    return (
+        dw.join(tok, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__c") * F.length("__w")).cast("long").alias("n_chars"),
+            F.sum(F.col("__c") * F.col("__nt")).cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("compression"),
+        )
+    )

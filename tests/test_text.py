@@ -284,3 +284,33 @@ def test_bpe_train_validation(spark):
         bpe_train(df, n_merges=0)
     # single-char vocab: no pairs -> empty merge table
     assert bpe_train(df, n_merges=2).count() == 0
+
+
+def test_bpe_apply_hand_computed(spark):
+    """Apply known merges to a tiny corpus: 'l o' then 'lo w' turns
+    'low low lower' into tokens [low, low, low+e+r]."""
+    from duckdb_graphar_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame(
+        [(0, "low low lower"), (1, "slow")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bpe_apply(df, ["l o", "lo w"]).collect()}
+    # doc 0: 'low'->'low' (1 token) twice; 'lower' -> low,e,r (3 tokens)
+    assert got[0].n_chars == 11 and got[0].n_tokens == 5
+    assert got[0].compression == round(11 / 5, 6)
+    # doc 1: 'slow' -> s,lo,w? 'l o' merges to 'lo'; 'lo w' needs acc to
+    # END in symbol 'lo' -> s lo w folds: s+lo (no, pair is lo,w)...
+    # fold: acc='s', x='l'->'s l'; x='o': acc ends ' l' -> 's lo';
+    # x='w': acc ends 'lo' -> 's low'? NO: merge2=(lo,w), acc ends
+    # ' lo' -> append w without space -> 's low' = 2 tokens
+    assert got[1].n_tokens == 2 and got[1].n_chars == 4
+
+
+def test_bpe_apply_rejects_bad_merge(spark):
+    from duckdb_graphar_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="merge"):
+        bpe_apply(df, ["abc"])
