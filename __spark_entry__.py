@@ -4952,6 +4952,43 @@ def m07(spark, sf):
 
 
 @_q(
+    "m08_mjpeg_frame_sample",
+    # ORACLE: never sees the AVI bytes — each frame is a flat-block
+    # JPEG (m07's exactness argument) with the block pattern shifted by
+    # the frame index, so per-frame stats are recomputable from the
+    # text; a RIFF-walk or JPEG bug on either side breaks the match.
+    """
+    WITH g AS (SELECT doc_id, length(text) AS L,
+                      1 + length(text) % 4 AS wb, 1 + doc_id % 3 AS hb,
+                      1 + doc_id % 4 AS nf, text FROM documents),
+    fr AS (SELECT doc_id, wb, hb, L, text, f
+           FROM g, UNNEST(generate_series(0, CAST(nf AS BIGINT) - 1)) AS t(f)),
+    b AS (SELECT doc_id, wb, hb, f,
+                 unicode(text[CAST((j + f) % L AS INTEGER) + 1]) AS v
+          FROM fr, UNNEST(generate_series(0, CAST(wb * hb AS BIGINT) - 1)) AS t2(j))
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(f * 100 AS BIGINT) AS ts_ms,
+           CAST(8 * wb AS BIGINT) AS width, CAST(8 * hb AS BIGINT) AS height,
+           ROUND(CAST(SUM(v) AS DOUBLE) / (wb * hb), 6) AS mean_gray
+    FROM b GROUP BY doc_id, wb, hb, f
+    """,
+)
+def m08(spark, sf):
+    """Video modality with ZERO fakes: each document rendered as a real
+    Motion-JPEG AVI (RIFF container: avih/strh/strf headers, '00dc'
+    frame chunks, idx1 — `operators/multimodal.py:encode_mjpeg_avi`)
+    holding 1 + id mod 4 genuine baseline-JPEG frames, then
+    frame-sampled by a general RIFF chunk walk + full JPEG decode per
+    frame (`mjpeg_frame_stats`).  The decode / frame-sample /
+    feature-extract chain of the multimodal north-star, all real."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_mjpeg,
+        mjpeg_frame_stats,
+    )
+
+    return mjpeg_frame_stats(encode_text_mjpeg(_t(spark, sf, "documents")))
+
+
+@_q(
     "q64_cohort_retention",
     # ORACLE: first-event week per user, then DISTINCT (cohort, offset,
     # user) before the count — the same two-aggregate shape the operator
@@ -5247,7 +5284,7 @@ _PRIORITY = [
     # --- (A6 writer pin, JPEG codec, cohort retention, HITS,
     # --- stream-static join) ---
     "t23", "st09", "s07", "s08", "m02",
-    "ga14", "m07", "q64", "g17", "st11", "t31",
+    "ga14", "m07", "m08", "q64", "g17", "st11", "t31",
     # --- 23 regression re-checks (all ever-green) ---
     "ga01", "ga03", "ga11", "ga13",
     "g02", "g05", "g07", "g11",

@@ -836,6 +836,191 @@ def jpeg_gray_stats(
     return cols.mapInPandas(batches, JPEG_GRAY_STATS_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI: real RIFF container + real JPEG frames
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """One RIFF chunk: fourcc + little-endian size + payload, padded to
+    a word boundary (the pad byte is NOT counted in the size)."""
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_mjpeg_avi(
+    frames: list[bytes], *, width: int, height: int, fps: int = 10
+) -> bytes:
+    """Write a structurally valid Motion-JPEG AVI (RIFF 'AVI '): avih
+    main header, one video stream ('strh' fourcc MJPG + 'strf'
+    BITMAPINFOHEADER), a 'movi' LIST of '00dc' chunks each holding one
+    complete baseline JPEG (:func:`encode_gray_jpeg` output), and an
+    'idx1' index — the classic pre-MP4 video container, all struct-
+    packed, no dependencies."""
+    if not frames:
+        raise ValueError("encode_mjpeg_avi needs at least one frame")
+    us_per_frame = 1_000_000 // fps
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, max_bytes * fps, 0, 0x10,  # flags: AVIF_HASINDEX
+        len(frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      max_bytes, 0xFFFFFFFF, 0, 0)
+        + struct.pack("<HHHH", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    movi = _riff_list(b"movi", movi_payload)
+    idx, off = [], 4  # offsets relative to the start of 'movi' list data
+    for f in frames:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_mjpeg_avi(payload: bytes) -> list[bytes]:
+    """Parse a RIFF AVI and return the '00dc' frame payloads (each a
+    complete JPEG) in stream order — a GENERAL chunk walk (fourcc +
+    size + word alignment), not an offset replay of the writer above;
+    raises ValueError on structural corruption."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI")
+    total = struct.unpack("<I", payload[4:8])[0]
+    if total + 8 > len(payload):
+        raise ValueError("RIFF size exceeds payload")
+    frames: list[bytes] = []
+    pos = 12
+
+    def walk(start: int, end: int) -> None:
+        p = start
+        while p + 8 <= end:
+            fourcc = payload[p : p + 4]
+            size = struct.unpack("<I", payload[p + 4 : p + 8])[0]
+            data_start = p + 8
+            if data_start + size > end:
+                raise ValueError(f"chunk {fourcc!r} overruns container")
+            if fourcc == b"LIST":
+                walk(data_start + 4, data_start + size)  # skip list type
+            elif fourcc == b"00dc":
+                frames.append(payload[data_start : data_start + size])
+            p = data_start + size + (size % 2)
+
+    walk(pos, 8 + total)
+    return frames
+
+
+def encode_text_mjpeg(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL Motion-JPEG AVI: 1 + id mod 4
+    frames, each frame a flat-block grayscale JPEG (same dims as
+    :func:`encode_text_jpeg`) whose block b carries text byte
+    (b + frame_idx) mod L — a frame-shifted pattern, so every frame's
+    stats differ and the SQL oracle can predict each one exactly."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if tb.size == 0:
+                    raise ValueError(f"empty text for doc {did}")
+                wb = 1 + (len(tb) % 4)
+                hb = 1 + (int(did) % 3)
+                frames = []
+                for fidx in range(1 + int(did) % 4):
+                    vals = tb[(np.arange(wb * hb) + fidx) % len(tb)].reshape(hb, wb)
+                    px = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                    frames.append(encode_gray_jpeg(px))
+                payloads.append(
+                    encode_mjpeg_avi(frames, width=8 * wb, height=8 * hb)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+MJPEG_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("mean_gray", T.DoubleType(), False),
+    ]
+)
+
+
+def mjpeg_frame_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_ms: int = 100,
+) -> DataFrame:
+    """REAL video frame sampling: parse the RIFF AVI container
+    (:func:`decode_mjpeg_avi`), decode every MJPEG frame through the
+    full baseline JPEG pipeline (:func:`decode_jpeg_gray`), and emit
+    one row per frame with its timestamp and pixel stats — the decode /
+    frame-sample / feature-extract chain the multimodal north-star
+    describes, with zero fakes left.  Arrow-batched mapInPandas, no
+    shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "frame_idx", "ts_ms", "width", "height", "mean_gray")}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                for fidx, fbytes in enumerate(decode_mjpeg_avi(bytes(payload))):
+                    d = decode_jpeg_gray(fbytes)
+                    px = d["pixels"]
+                    mean = float(int(px.sum(dtype=np.int64))) / px.size
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(int(fidx))
+                    out["ts_ms"].append(int(fidx * every_ms))
+                    out["width"].append(int(d["width"]))
+                    out["height"].append(int(d["height"]))
+                    out["mean_gray"].append(
+                        float(Decimal(mean).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+                    )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, MJPEG_FRAME_STATS_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     *,

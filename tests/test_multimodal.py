@@ -237,3 +237,80 @@ def test_jpeg_spark_stats_match_numpy(spark):
         assert (r.width, r.height) == (8 * wb, 8 * hb)
         assert (r.min_gray, r.max_gray) == (int(vals.min()), int(vals.max()))
         assert abs(r.mean_gray - vals.mean()) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI container
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_avi_roundtrip_exact():
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_mjpeg_avi,
+        encode_gray_jpeg,
+        encode_mjpeg_avi,
+    )
+
+    rng = np.random.default_rng(3)
+    frames_px = [
+        np.kron(rng.integers(0, 256, size=(2, 3)).astype(np.uint8),
+                np.ones((8, 8), np.uint8))
+        for _ in range(3)
+    ]
+    avi = encode_mjpeg_avi(
+        [encode_gray_jpeg(p) for p in frames_px], width=24, height=16
+    )
+    back = decode_mjpeg_avi(avi)
+    assert len(back) == 3
+    for fb, px in zip(back, frames_px):
+        assert np.array_equal(decode_jpeg_gray(fb)["pixels"].reshape(16, 24), px)
+
+
+def test_mjpeg_avi_rejects_malformed():
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_mjpeg_avi,
+        encode_gray_jpeg,
+        encode_mjpeg_avi,
+    )
+
+    avi = encode_mjpeg_avi(
+        [encode_gray_jpeg(np.full((8, 8), 9, np.uint8))], width=8, height=8
+    )
+    with _pt.raises(ValueError, match="RIFF"):
+        decode_mjpeg_avi(b"JUNK" + avi[4:])
+    with _pt.raises(ValueError, match="exceeds|overruns"):
+        decode_mjpeg_avi(avi[:40])
+    with _pt.raises(ValueError):
+        encode_mjpeg_avi([], width=8, height=8)
+
+
+def test_mjpeg_spark_stats_match_numpy(spark):
+    """m08's frame-shifted pattern against a driver-side recompute."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_mjpeg,
+        mjpeg_frame_stats,
+    )
+
+    docs = [(1, "hello world"), (3, "abc")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.frame_idx): r
+        for r in mjpeg_frame_stats(encode_text_mjpeg(df)).collect()
+    }
+    for did, text in docs:
+        tb = np.frombuffer(text.encode(), dtype=np.uint8)
+        wb, hb = 1 + len(tb) % 4, 1 + did % 3
+        for f in range(1 + did % 4):
+            vals = tb[(np.arange(wb * hb) + f) % len(tb)]
+            r = got[(did, f)]
+            assert (r.width, r.height, r.ts_ms) == (8 * wb, 8 * hb, f * 100)
+            assert abs(r.mean_gray - vals.mean()) < 1e-6
+    assert len(got) == sum(1 + did % 4 for did, _ in docs)

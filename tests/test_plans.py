@@ -472,3 +472,57 @@ def test_pq_adc_broadcast_plan_has_no_literal_blowup(spark):
     from duckdb_graphar_spark.operators.embeddings import _ADC_LITERAL_BUDGET
 
     assert m * k <= _ADC_LITERAL_BUDGET  # this fixture would stay literal in auto
+
+
+def test_cohort_retention_no_expand_no_window(spark, qs):
+    """q64: distinct users via two map-combinable aggregates — no
+    count_distinct Expand, no window sort anywhere."""
+    plan = _plan(qs["q64_cohort_retention"](spark, SF_DIR))
+    assert "Expand" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan  # final count combines map-side
+
+
+def test_hits_integer_sums_partial_no_window(spark, qs):
+    """g17: every iteration aggregate is a partial integer sum; no
+    windows, no Python, no cartesian products."""
+    plan = _plan(qs["g17_hits"](spark, SF_DIR))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stream_static_dim_broadcasts(spark):
+    """st11's batch twin: the static dimension side must plan as a
+    broadcast hash join — no shuffle of the event stream for the dim."""
+    from duckdb_graphar_spark.streaming.ops import stream_static_enrich_agg
+    from duckdb_graphar_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    dim = (
+        load_table(spark, SF_DIR, "nation")
+        .join(
+            load_table(spark, SF_DIR, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("nk"), "r_name")
+    )
+    out = stream_static_enrich_agg(
+        ev, dim, stream_key=F.col("user_id") % 25, dim_key="nk", group_col="r_name"
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_bpe_apply_folds_distinct_words_only(spark, qs):
+    """t31: the merge fold must sit above the DISTINCT word aggregate,
+    not the exploded token stream — the plan has the word-level
+    HashAggregate under the fold projection and no Python stage."""
+    plan = _plan(qs["t31_bpe_apply"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    # the fold (aggregate HOF) appears in a Project above an Aggregate
+    assert "aggregate(" in plan
