@@ -524,5 +524,7 @@ def test_bpe_apply_folds_distinct_words_only(spark, qs):
     plan = _plan(qs["t31_bpe_apply"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
-    # the fold (aggregate HOF) appears in a Project above an Aggregate
-    assert "aggregate(" in plan
+    # the folded per-word token table (built on the DISTINCT word
+    # aggregate) broadcasts into the doc join; doc sums combine map-side
+    assert "BroadcastExchange" in plan
+    assert "partial_sum" in plan
