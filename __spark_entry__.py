@@ -4989,6 +4989,148 @@ def m08(spark, sf):
 
 
 @_q(
+    "m09_png_roundtrip",
+    # ORACLE: PNG is lossless, so pixel i = text byte (i mod L) exactly;
+    # the encoder writes Sub-filtered CRC-stamped chunks and the decoder
+    # re-derives pixels via inflate + filter reconstruction — any zlib /
+    # filter / CRC bug on either side breaks the match.
+    """
+    WITH g AS (SELECT doc_id, length(text) AS L,
+                      1 + length(text) % 24 AS w, 1 + doc_id % 10 AS h, text
+               FROM documents),
+    b AS (SELECT doc_id, w, h,
+                 unicode(text[CAST(j % L AS INTEGER) + 1]) AS v
+          FROM g, UNNEST(generate_series(0, CAST(w * h AS BIGINT) - 1)) AS t(j))
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           ROUND(CAST(SUM(v) AS DOUBLE) / (w * h), 6) AS mean_gray,
+           CAST(MIN(v) AS BIGINT) AS min_gray, CAST(MAX(v) AS BIGINT) AS max_gray
+    FROM b GROUP BY doc_id, w, h
+    """,
+)
+def m09(spark, sf):
+    """PNG modality over a REAL stdlib-zlib codec: each document
+    rendered as a genuine 8-bit grayscale PNG (Sub-filtered scanlines,
+    CRC-stamped chunks — `operators/multimodal.py:encode_gray_png`),
+    decoded back through the general pipeline (chunk walk + CRC verify,
+    multi-IDAT inflate, all-five-filter scanline reconstruction —
+    `decode_png_gray`).  With JPEG (m07), MJPEG-AVI (m08), BMP, PPM and
+    PCM, every compressed format the stub tier once faked now has a
+    real dependency-free codec."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_png,
+        png_gray_stats,
+    )
+
+    return png_gray_stats(encode_text_png(_t(spark, sf, "documents")))
+
+
+@_q(
+    "d06_fuzzy_word_pairs",
+    # ORACLE: the identical blocking join + exact levenshtein filter
+    # (both engines implement the classic integer DP, so distances are
+    # equal by construction).  The fixture vocabulary is typo-free, so
+    # docs with id % 7 == 0 are augmented with a deterministic typo of
+    # their first word (last char doubled) — the t22 augmentation
+    # pattern, replicated verbatim on both sides, guaranteeing the
+    # entry exercises real matches instead of passing on empty output.
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' ' || split_part(text, ' ', 1)
+                       || substr(split_part(text, ' ', 1),
+                                 length(split_part(text, ' ', 1)), 1)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    w AS (SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM aug)
+      WHERE w <> '' AND length(w) >= 3 GROUP BY w)
+    SELECT a.w AS w1, b.w AS w2,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist,
+           CAST(a.c AS BIGINT) AS c1, CAST(b.c AS BIGINT) AS c2
+    FROM w a JOIN w b
+      ON substr(a.w, 1, 1) = substr(b.w, 1, 1)
+     AND length(b.w) BETWEEN length(a.w) - 1 AND length(a.w) + 1
+     AND a.w < b.w
+    WHERE levenshtein(a.w, b.w) <= 1
+    """,
+)
+def d06(spark, sf):
+    """Typo-pair mining: vocabulary self-join blocked on (first char,
+    length band) with the exact Levenshtein filter only on candidates —
+    never all-pairs (`operators/dedup.py:fuzzy_word_pairs`).  Docs with
+    id % 7 == 0 get a deterministic last-char-doubled typo of their
+    first word appended, so the declared entry produces real pairs."""
+    from duckdb_graphar_spark.operators.dedup import fuzzy_word_pairs
+
+    d = _t(spark, sf, "documents")
+    first = F.split(F.col("text"), " ")[0]
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" "), first,
+                F.substring(first, -1, 1),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return fuzzy_word_pairs(aug)
+
+
+@_q(
+    "q65_exact_corr",
+    # ORACLE: identical fixed-point moment sums (exact integers —
+    # order-independent, unlike corr()'s streaming float accumulation)
+    # and the IDENTICAL one-double-expression finish, so the value is
+    # bit-equal across engines.
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    g AS (SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+          FROM s GROUP BY 1)
+    SELECT l_returnflag, n,
+           ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 END, 6) AS corr
+    FROM g
+    """,
+)
+def q65(spark, sf):
+    """Engine-exact Pearson correlation of quantity vs extended price
+    per return flag: fixed-point moment sums + one double finish —
+    bit-reproducible across engines/partitionings/retries, which the
+    built-in streaming `corr()` is not
+    (`operators/stats.py:exact_corr`)."""
+    from duckdb_graphar_spark.operators.stats import exact_corr
+
+    return exact_corr(
+        _t(spark, sf, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        ["l_returnflag"],
+    )
+
+
+@_q(
     "q64_cohort_retention",
     # ORACLE: first-event week per user, then DISTINCT (cohort, offset,
     # user) before the count — the same two-aggregate shape the operator
@@ -5284,7 +5426,7 @@ _PRIORITY = [
     # --- (A6 writer pin, JPEG codec, cohort retention, HITS,
     # --- stream-static join) ---
     "t23", "st09", "s07", "s08", "m02",
-    "ga14", "m07", "m08", "q64", "g17", "st11", "t31",
+    "ga14", "m07", "m08", "m09", "q64", "q65", "g17", "st11", "t31", "d06",
     # --- 23 regression re-checks (all ever-green) ---
     "ga01", "ga03", "ga11", "ga13",
     "g02", "g05", "g07", "g11",

@@ -606,3 +606,66 @@ def canonical_keep_best(
             F.col("__m.__q").alias("best_quality"),
         )
     )
+
+
+def fuzzy_word_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    max_dist: int = 1,
+    min_len: int = 3,
+) -> DataFrame:
+    """Typo-pair mining over the corpus vocabulary: all DISTINCT word
+    pairs within Levenshtein distance ``max_dist`` → (w1, w2, dist, c1,
+    c2) with w1 < w2 — the spell-normalization primitive corpus
+    cleaning runs before frequency-based filters (a typo's count hides
+    its canonical form's true frequency).
+
+    Scale shape — never all-pairs: candidates block on (first
+    character, length band ±max_dist), so the self-join fans out per
+    (char, length) bucket instead of |V|²; the exact distance filter
+    runs ONLY on candidates, JVM-side (`levenshtein` is codegen'd).
+    Both blocking keys are sound for distance ≤ 1 ONLY when the first
+    character matches — an edit at position 0 escapes the block, which
+    is the standard first-letter-blocking recall tradeoff (documented;
+    raise the band or add a last-char pass for full recall).  Words
+    shorter than ``min_len`` are excluded (every 1-2 char pair is
+    within distance 1 of something; pure noise).
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("__w"))
+        .filter((F.col("__w") != "") & (F.length("__w") >= min_len))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    a = words.select(
+        F.col("__w").alias("w1"),
+        F.col("__c").alias("c1"),
+        F.substring("__w", 1, 1).alias("__k1"),
+        F.length("__w").alias("__l1"),
+    )
+    b = words.select(
+        F.col("__w").alias("w2"),
+        F.col("__c").alias("c2"),
+        F.substring("__w", 1, 1).alias("__k2"),
+        F.length("__w").alias("__l2"),
+    )
+    cand = a.join(
+        b,
+        (F.col("__k1") == F.col("__k2"))
+        & (F.col("__l2").between(F.col("__l1") - max_dist, F.col("__l1") + max_dist))
+        & (F.col("w1") < F.col("w2")),
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("w1", "w2").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            "w1",
+            "w2",
+            "dist",
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+        )
+    )

@@ -186,11 +186,17 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict:
             "height": j["height"],
             "pixels": np.repeat(j["pixels"], 3),
         }
+    elif payload[:8] == _PNG_SIG:
+        p = decode_png_gray(payload)
+        d = {
+            "width": p["width"],
+            "height": p["height"],
+            "pixels": np.repeat(p["pixels"], 3),
+        }
     else:
         raise NotImplementedError(
-            "only BMP/PPM/baseline-gray-JPEG decode without PIL/opencv "
-            "(not in this container); pass fake=True for the "
-            "deterministic stub"
+            "unknown image magic (BMP/PPM/baseline-gray-JPEG/gray-PNG "
+            "decode natively); pass fake=True for the deterministic stub"
         )
     w, h, px = d["width"], d["height"], d["pixels"]
     return {
@@ -821,6 +827,194 @@ def jpeg_gray_stats(
             }
             for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
                 d = decode_jpeg_gray(bytes(payload))
+                px = d["pixels"]
+                mean = float(int(px.sum(dtype=np.int64))) / px.size
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["mean_gray"].append(
+                    float(Decimal(mean).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+                )
+                out["min_gray"].append(int(px.min()))
+                out["max_gray"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, JPEG_GRAY_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG: real codec (stdlib zlib inflate + full filter reconstruction)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib as _zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_gray_png(pixels: np.ndarray) -> bytes:
+    """Write a real 8-bit grayscale PNG: IHDR, one zlib-compressed IDAT
+    whose scanlines use filter type 1 (Sub) — deliberately NOT the
+    trivial filter 0, so the decoder's filter reconstruction is
+    actually exercised — and IEND, all CRC-stamped."""
+    import zlib as _zlib
+
+    h, w = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = bytearray()
+    for y in range(h):
+        row = pixels[y].astype(np.int16)
+        sub = np.empty(w, dtype=np.uint8)
+        sub[0] = row[0] % 256
+        if w > 1:
+            sub[1:] = ((row[1:] - row[:-1]) % 256).astype(np.uint8)
+        raw.append(1)  # filter type: Sub
+        raw += sub.tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(payload: bytes) -> dict:
+    """Decode an 8-bit grayscale PNG with a GENERAL pipeline: signature
+    + chunk walk with CRC verification, multi-IDAT concatenation, zlib
+    inflate, and full scanline filter reconstruction (all five filter
+    types: None/Sub/Up/Average/Paeth) — nothing assumes this module's
+    encoder.  Returns {width, height, pixels}.  Raises ValueError on
+    corruption, NotImplementedError on color/interlaced/16-bit."""
+    import zlib as _zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = struct.unpack(">I", payload[pos : pos + 4])[0]
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        crc = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])[0]
+        if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color != 0:
+                raise NotImplementedError("only 8-bit grayscale PNG")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = _zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError(f"inflated size {len(raw)} != {h}*({w}+1)")
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (w + 1)]
+        line = np.frombuffer(raw, np.uint8, count=w, offset=y * (w + 1) + 1).astype(
+            np.int32
+        )
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub
+            rec = np.empty(w, dtype=np.int32)
+            acc = 0
+            for x in range(w):
+                acc = (line[x] + acc) % 256
+                rec[x] = acc
+        elif ftype == 2:  # Up
+            rec = (line + prev) % 256
+        elif ftype == 3:  # Average
+            rec = np.empty(w, dtype=np.int32)
+            left = 0
+            for x in range(w):
+                left = (line[x] + (left + prev[x]) // 2) % 256
+                rec[x] = left
+        elif ftype == 4:  # Paeth
+            rec = np.empty(w, dtype=np.int32)
+            left = 0
+            for x in range(w):
+                up = int(prev[x])
+                ul = int(prev[x - 1]) if x else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                left = (line[x] + pred) % 256
+                rec[x] = left
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
+
+
+def encode_text_png(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL grayscale PNG (lossless, so the
+    oracle predicts every pixel): w = 1 + length mod 24,
+    h = 1 + id mod 10, pixel i (row-major) = text byte (i mod L)."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if tb.size == 0:
+                    raise ValueError(f"empty text for doc {did}")
+                w = 1 + (len(tb) % 24)
+                h = 1 + (int(did) % 10)
+                px = tb[np.arange(w * h) % len(tb)].reshape(h, w)
+                payloads.append(encode_gray_png(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def png_gray_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Pixel stats from REAL PNG-decoded pixels (:func:`decode_png_gray`:
+    CRC walk → inflate → filter reconstruction): same output shape and
+    rounding discipline as :func:`jpeg_gray_stats`."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "mean_gray", "min_gray", "max_gray")
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_png_gray(bytes(payload))
                 px = d["pixels"]
                 mean = float(int(px.sum(dtype=np.int64))) / px.size
                 out["doc_id"].append(int(did))

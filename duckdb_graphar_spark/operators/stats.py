@@ -51,3 +51,53 @@ def table_stats(
         f"stack({len(columns)}, {stack_args}) "
         "as (col_name, n_nulls, n_distinct, min_v, max_v)"
     )
+
+
+def exact_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Engine-exact Pearson correlation per group → (groups..., n,
+    corr): both inputs are fixed-point LONGs per row (ROUND(v·scale) —
+    exact for values with ≤ log10(scale) decimals), the five moment
+    sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact integers/decimals
+    (order-independent — the property `corr()` aggregates lack), and
+    the final value is ONE double expression over those exact sums.
+    Correlation is affine-invariant, so the fixed-point scaling cancels
+    exactly; round-6 published.
+
+    Scale shape: a single map-combinable groupBy carrying five numeric
+    partials per group — the cheapest possible statistic at 100 TB, and
+    bit-reproducible across engines, partitionings, and retries,
+    which `corr()`'s streaming float accumulation is not."""
+    xs = F.round(F.col(x_col) * scale).cast("long")
+    ys = F.round(F.col(y_col) * scale).cast("long")
+    g = (
+        df.select(*group_cols, xs.alias("__x"), ys.alias("__y"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").alias("__sx"),
+            F.sum("__y").alias("__sy"),
+            F.sum((F.col("__x") * F.col("__y")).cast("decimal(38,0)")).alias("__sxy"),
+            F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)")).alias("__sxx"),
+            F.sum((F.col("__y") * F.col("__y")).cast("decimal(38,0)")).alias("__syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    cov = n * sxy - sx * sy
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return g.select(
+        *group_cols,
+        "n",
+        F.round(
+            F.when(den > 0, cov / F.sqrt(den)).otherwise(F.lit(None)), 6
+        ).alias("corr"),
+    )

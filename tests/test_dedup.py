@@ -168,3 +168,33 @@ def test_canonical_keep_best_tie_prefers_smallest_id(spark):
     )
     rows = canonical_keep_best(df).collect()
     assert len(rows) == 1 and rows[0].keeper_id == 2 and rows[0].n_dups == 2
+
+
+def test_fuzzy_word_pairs_hand_computed(spark):
+    from duckdb_graphar_spark.operators.dedup import fuzzy_word_pairs
+
+    df = spark.createDataFrame(
+        [
+            (0, "color colour theme theme thema"),
+            (1, "color theory"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.w1, r.w2): (r.dist, r.c1, r.c2) for r in fuzzy_word_pairs(df).collect()}
+    # colour/color: dist 1, same first char, lengths 6/5 -> in band
+    assert got[("color", "colour")] == (1, 2, 1)
+    # thema/theme: dist 1
+    assert got[("thema", "theme")] == (1, 1, 2)
+    # theory/theme: dist 3 -> filtered; color/theme: different first char
+    assert ("theme", "theory") not in got
+    assert len(got) == 2
+
+
+def test_fuzzy_word_pairs_rejects_bad_dist(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.dedup import fuzzy_word_pairs
+
+    df = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="max_dist"):
+        fuzzy_word_pairs(df, max_dist=0)

@@ -132,3 +132,33 @@ def test_cohort_retention_hand_computed(spark):
         (c100, 3): 1,  # only user 1
         (c101, 0): 1,  # user 3's cohort
     }
+
+
+def test_exact_corr_matches_numpy(spark):
+    """Fixed-point exact corr vs numpy's corrcoef on 2-decimal data."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.stats import exact_corr
+
+    rng = np.random.default_rng(2)
+    x = np.round(rng.normal(10, 3, 200), 2)
+    y = np.round(x * 1.5 + rng.normal(0, 2, 200), 2)
+    rows = [("a", float(x[i]), float(y[i])) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = exact_corr(df, "x", "y", ["g"]).collect()[0]
+    assert r.n == 200
+    # the fixed-point rounding IS the operator's contract: compare
+    # against numpy on the same scaled-integer values
+    xs, ys = np.round(x * 100), np.round(y * 100)
+    expected = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r.corr - expected) < 1e-6
+
+
+def test_exact_corr_degenerate_group_is_null(spark):
+    from duckdb_graphar_spark.operators.stats import exact_corr
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("a", 1.0, 7.0)], "g string, x double, y double"
+    )
+    r = exact_corr(df, "x", "y", ["g"]).collect()[0]
+    assert r.corr is None  # zero x-variance -> undefined, not NaN/crash
