@@ -5025,6 +5025,105 @@ def m09(spark, sf):
 
 
 @_q(
+    "g18_clustering_coeff",
+    # ORACLE: the same oriented a<b<c triangle enumeration + corner
+    # explode; integer counts throughout, one mirrored double division.
+    f"""
+    WITH e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM ({_E_SQL}) WHERE src <> dst),
+    deg AS (SELECT v, COUNT(*) AS degree FROM (
+             SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+    tri AS (SELECT e1.a, e1.b, e2.b AS c
+            FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+            JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tv AS (SELECT v, COUNT(*) AS t FROM (
+            SELECT unnest([a, b, c]) AS v FROM tri) GROUP BY v)
+    SELECT deg.v AS id, CAST(degree AS BIGINT) AS degree,
+           CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN degree >= 2
+                THEN ROUND((2.0 * CAST(COALESCE(t, 0) AS DOUBLE))
+                           / (CAST(degree AS DOUBLE)
+                              * (CAST(degree AS DOUBLE) - 1.0)), 6)
+                ELSE 0.0 END AS coeff
+    FROM deg LEFT JOIN tv ON tv.v = deg.v
+    """,
+)
+def g18(spark, sf):
+    """Per-vertex local clustering coefficient — g10's oriented
+    triangle enumeration fanned out to corners, integer counts, one
+    double division (`operators/graph.py:clustering_coefficient`)."""
+    from duckdb_graphar_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_edges(spark, sf), src_col="src", dst_col="dst")
+
+
+
+
+def _bootstrap_sql(n_replicates: int = 20, tail_rank: int = 2) -> str:
+    """q66's oracle: the identical md5-thresholded Poisson(1) weights,
+    fixed-point weighted sums, and rank-picked replicate means,
+    unrolled over n_replicates columns."""
+    from duckdb_graphar_spark.operators.stats import POISSON1_THRESHOLDS
+
+    def w_case(b: int) -> str:
+        pre = (
+            f"substr(md5('bs{b}' || chr(31) || CAST(l_orderkey AS VARCHAR)"
+            f" || chr(31) || CAST(l_linenumber AS VARCHAR)), 1, 8)"
+        )
+        whens = " ".join(
+            f"WHEN {pre} < '{t}' THEN {k}"
+            for k, t in enumerate(POISSON1_THRESHOLDS)
+        )
+        return f"(CASE {whens} ELSE {len(POISSON1_THRESHOLDS)} END)"
+
+    rep_aggs = ",\n".join(
+        f"SUM({w_case(b)}) AS sw{b},"
+        f" SUM(CAST({w_case(b)} * x AS DECIMAL(38,0))) AS swx{b}"
+        for b in range(n_replicates)
+    )
+    means = ", ".join(
+        f"CASE WHEN sw{b} > 0 THEN"
+        f" (CAST(swx{b} AS DOUBLE) / CAST(sw{b} AS DOUBLE)) / 10000.0 END"
+        for b in range(n_replicates)
+    )
+    return f"""
+    WITH s AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             CAST(ROUND(l_discount * 10000) AS BIGINT) AS x
+      FROM lineitem),
+    g AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx,
+                 {rep_aggs}
+          FROM s GROUP BY 1),
+    m AS (SELECT l_returnflag, n, sx,
+                 list_sort([m FOR m IN [{means}] IF m IS NOT NULL]) AS ms
+          FROM g)
+    SELECT l_returnflag, n,
+           ROUND((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0, 6) AS est_mean,
+           ROUND(ms[{tail_rank}], 6) AS ci_lo,
+           ROUND(ms[-{tail_rank}], 6) AS ci_hi
+    FROM m
+    """
+
+
+@_q("q66_bootstrap_ci", _bootstrap_sql())
+def q66(spark, sf):
+    """Deterministic Poisson-bootstrap CI for mean discount per return
+    flag (Chamandy et al. online bootstrap): content-addressed md5
+    replicate weights, ONE map-combinable groupBy carrying 2B+2 exact
+    fixed-point partials, replicate sort/rank row-local — no B-times
+    data explosion, no rand(), bit-reproducible
+    (`operators/stats.py:bootstrap_mean_ci`)."""
+    from duckdb_graphar_spark.operators.stats import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        _t(spark, sf, "lineitem"),
+        "l_discount",
+        ["l_returnflag"],
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+@_q(
     "d06_fuzzy_word_pairs",
     # ORACLE: the identical blocking join + exact levenshtein filter
     # (both engines implement the classic integer DP, so distances are
@@ -5426,7 +5525,7 @@ _PRIORITY = [
     # --- (A6 writer pin, JPEG codec, cohort retention, HITS,
     # --- stream-static join) ---
     "t23", "st09", "s07", "s08", "m02",
-    "ga14", "m07", "m08", "m09", "q64", "q65", "g17", "st11", "t31", "d06",
+    "ga14", "m07", "m08", "m09", "q64", "q65", "q66", "g17", "g18", "st11", "t31", "d06",
     # --- 23 regression re-checks (all ever-green) ---
     "ga01", "ga03", "ga11", "ga13",
     "g02", "g05", "g07", "g11",

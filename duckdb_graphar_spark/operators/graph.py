@@ -794,3 +794,68 @@ def hits(
             F.coalesce("__a", F.lit(0)).cast("long").alias("authority"),
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected
+    simple graph → (id, degree, n_triangles, coeff) with
+    coeff = 2·T(v) / (deg(v)·(deg(v)−1)), 0.0 for degree < 2.
+
+    Triangles come from the same oriented a<b<c two-join enumeration as
+    :func:`triangle_count` (each triangle materializes ONCE), then fan
+    out to their three corners with one explode — integer counts all
+    the way, one double division at the end (engine-mirrorable).
+
+    Scale shape: one distinct for the canonical edge set, two shuffled
+    equi-joins for the triangles (oriented — join inputs stay bounded
+    under degree skew), one explode+groupBy for corner counts, one
+    degree groupBy, one join; everything keyed on vertex ids.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e2 = canon.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tris = (
+        canon.join(e2, canon["b"] == e2["b2"])
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    tri_per_v = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tri_per_v, "v", "left")
+        .select(
+            F.col("v").alias("id"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (F.lit(2.0) * F.coalesce("n_triangles", F.lit(0)).cast("double"))
+                    / (F.col("degree").cast("double")
+                       * (F.col("degree").cast("double") - F.lit(1.0))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )

@@ -101,3 +101,98 @@ def exact_corr(
             F.when(den > 0, cov / F.sqrt(den)).otherwise(F.lit(None)), 6
         ).alias("corr"),
     )
+
+
+def _poisson1_cum_hex(max_k: int = 6) -> list[str]:
+    """Cumulative Poisson(1) pmf thresholds as 8-hex-digit strings:
+    a uniform md5 prefix below threshold k ⇒ weight ≤ k.  Deterministic
+    module-level constants, identical in the SQL oracle."""
+    import math
+
+    cum, acc, out = 0.0, math.exp(-1.0), []
+    fact = 1.0
+    for k in range(max_k):
+        if k > 0:
+            fact *= k
+        cum += math.exp(-1.0) / fact
+        out.append(format(int(cum * 16**8), "08x"))
+    return out
+
+
+POISSON1_THRESHOLDS = _poisson1_cum_hex()
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    key_cols: list[str],
+    *,
+    n_replicates: int = 20,
+    seed: str = "bs",
+    scale: int = 10_000,
+    tail_rank: int = 2,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap confidence interval for the
+    per-group mean → (groups..., n, est_mean, ci_lo, ci_hi).
+
+    Classic online-bootstrap construction (Poisson(1) row weights per
+    replicate — Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams"), made engine-replayable: replicate b's weight for a
+    row is a CASE over the first 8 hex digits of ``md5(seed·b, key)``
+    against precomputed Poisson(1) cumulative thresholds — so the
+    resample is content-addressed (stable under repartitioning,
+    retries, and engines) instead of `rand()`-dependent.  ci_lo/ci_hi
+    are the ``tail_rank``-th smallest/largest replicate means.
+
+    Scale shape: ONE map-combinable groupBy computing 2·B+2 numeric
+    partials (weighted fixed-point sums — exact integers, so replicate
+    means are order-independent); the replicate array, sort, and rank
+    picks are row-local on B doubles per group.  The corpus is touched
+    once, there is no B× data explosion, and no driver state exists."""
+    if n_replicates < 2 * tail_rank:
+        raise ValueError("n_replicates too small for tail_rank")
+    xs = F.round(F.col(value_col) * scale).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xs).alias("__sx"),
+    ]
+    for b in range(n_replicates):
+        pre = F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit(f"{seed}{b}"),
+                    *[F.col(k).cast("string") for k in key_cols],
+                )
+            ),
+            1,
+            8,
+        )
+        w = F.lit(len(POISSON1_THRESHOLDS))
+        for k in reversed(range(len(POISSON1_THRESHOLDS))):
+            w = F.when(pre < POISSON1_THRESHOLDS[k], F.lit(k)).otherwise(w)
+        w = w.cast("long")
+        aggs.append(F.sum(w).alias(f"__sw{b}"))
+        aggs.append(F.sum((w * xs).cast("decimal(38,0)")).alias(f"__swx{b}"))
+    g = df.groupBy(*group_cols).agg(*aggs)
+    means = [
+        F.when(
+            F.col(f"__sw{b}") > 0,
+            (F.col(f"__swx{b}").cast("double") / F.col(f"__sw{b}").cast("double"))
+            / F.lit(float(scale)),
+        )
+        for b in range(n_replicates)
+    ]
+    arr = F.array_sort(F.filter(F.array(*means), lambda x: x.isNotNull()))
+    return g.select(
+        *group_cols,
+        "n",
+        F.round(
+            (F.col("__sx").cast("double") / F.col("n").cast("double"))
+            / F.lit(float(scale)),
+            6,
+        ).alias("est_mean"),
+        F.round(F.element_at(arr, tail_rank), 6).alias("ci_lo"),
+        F.round(F.element_at(arr, -tail_rank), 6).alias("ci_hi"),
+    )

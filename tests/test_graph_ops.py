@@ -288,3 +288,21 @@ def test_hits_star_graph(spark):
     assert got[0] == (16, 0)
     for leaf in range(1, 5):
         assert got[leaf] == (0, 4)
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    """Triangle 0-1-2 plus pendant 3 off vertex 2: coeff 1.0 for 0,1;
+    2/(3*2)*2=0.333333 for 2; 0.0 for the degree-1 pendant."""
+    from duckdb_graphar_spark.operators.graph import clustering_coefficient
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    got = {
+        r.id: (r.degree, r.n_triangles, r.coeff)
+        for r in clustering_coefficient(df, src_col="src", dst_col="dst").collect()
+    }
+    assert got[0] == (2, 1, 1.0)
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 1, round(2 / 6, 6))
+    assert got[3] == (1, 0, 0.0)

@@ -162,3 +162,30 @@ def test_exact_corr_degenerate_group_is_null(spark):
     )
     r = exact_corr(df, "x", "y", ["g"]).collect()[0]
     assert r.corr is None  # zero x-variance -> undefined, not NaN/crash
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.stats import bootstrap_mean_ci
+
+    rng = np.random.default_rng(7)
+    rows = [("g", int(i), float(np.round(rng.normal(50, 5), 2))) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out1 = bootstrap_mean_ci(df, "v", ["grp"], ["id"]).collect()[0]
+    out2 = bootstrap_mean_ci(df, "v", ["grp"], ["id"]).collect()[0]
+    assert out1 == out2  # content-addressed: identical across runs
+    assert out1.n == 400
+    assert out1.ci_lo <= out1.est_mean <= out1.ci_hi
+    # CI width should be a few standard errors (5/sqrt(400) = 0.25)
+    assert 0.05 < out1.ci_hi - out1.ci_lo < 2.0
+
+
+def test_bootstrap_ci_rejects_small_b(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "grp string, id long, v double")
+    with _pt.raises(ValueError, match="n_replicates"):
+        bootstrap_mean_ci(df, "v", ["grp"], ["id"], n_replicates=3)
