@@ -621,16 +621,17 @@ def fuzzy_word_pairs(
     cleaning runs before frequency-based filters (a typo's count hides
     its canonical form's true frequency).
 
-    Scale shape — never all-pairs: candidates block on (first
-    character, length band ±max_dist), so the self-join fans out per
-    (char, length) bucket instead of |V|²; the exact distance filter
-    runs ONLY on candidates, JVM-side (`levenshtein` is codegen'd).
-    Both blocking keys are sound for distance ≤ 1 ONLY when the first
-    character matches — an edit at position 0 escapes the block, which
-    is the standard first-letter-blocking recall tradeoff (documented;
-    raise the band or add a last-char pass for full recall).  Words
-    shorter than ``min_len`` are excluded (every 1-2 char pair is
-    within distance 1 of something; pure noise).
+    Scale shape — never all-pairs: the left side EXPLODES its length
+    band (2·max_dist+1 candidate lengths per word) so the self-join is
+    a pure equi-join on (first char, exact length) — the shuffle keys
+    on the full (char, length) product instead of ~26 first-char hot
+    partitions, and the exact distance filter runs ONLY on candidates,
+    JVM-side (`levenshtein` is codegen'd).  The block is sound for
+    distance ≤ max_dist ONLY when the first character matches — an
+    edit at position 0 escapes it, the standard first-letter-blocking
+    recall tradeoff (documented; add a last-char pass for full
+    recall).  Words shorter than ``min_len`` are excluded (every 1-2
+    char pair is within distance 1 of something; pure noise).
     """
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
@@ -640,11 +641,14 @@ def fuzzy_word_pairs(
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    band = F.sequence(
+        F.length("__w") - max_dist, F.length("__w") + max_dist
+    )
     a = words.select(
         F.col("__w").alias("w1"),
         F.col("__c").alias("c1"),
         F.substring("__w", 1, 1).alias("__k1"),
-        F.length("__w").alias("__l1"),
+        F.explode(band).alias("__cl"),
     )
     b = words.select(
         F.col("__w").alias("w2"),
@@ -655,7 +659,7 @@ def fuzzy_word_pairs(
     cand = a.join(
         b,
         (F.col("__k1") == F.col("__k2"))
-        & (F.col("__l2").between(F.col("__l1") - max_dist, F.col("__l1") + max_dist))
+        & (F.col("__cl") == F.col("__l2"))
         & (F.col("w1") < F.col("w2")),
     )
     return (

@@ -759,6 +759,8 @@ def hits(
     with one pair of left joins at the end — half the per-iteration
     shuffle count of the keep-every-vertex form.
     """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
     e = (
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
         .distinct()
