@@ -5025,6 +5025,167 @@ def m09(spark, sf):
 
 
 @_q(
+    "q67_delta_agg_maintenance",
+    # ORACLE: state-equivalence, not mechanism replay — base is the
+    # aggregate over orderkey%10<8, the delta inserts the %10=8 rows
+    # and deletes the %10=7 rows, so the maintained view must equal the
+    # direct aggregate over %10 IN {0..6, 8}.  Exact fixed-point sums
+    # make insert/delete cancellation bit-exact.
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 6) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 <= 6 OR o_orderkey % 10 = 8
+    GROUP BY 1
+    """,
+)
+def q67(spark, sf):
+    """Incremental materialized-view maintenance: a pre-aggregated
+    per-priority (n, Σprice) base refreshed by a CDC delta batch
+    (inserts + deletes) WITHOUT rescanning the fact table — O(delta)
+    refresh, exact signed fixed-point arithmetic, keys dropping to
+    zero removed (`operators/cdc.py:maintain_agg`)."""
+    from duckdb_graphar_spark.operators.cdc import maintain_agg
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    mod = F.col("o_orderkey") % 10
+    base = (
+        o.filter(mod < 8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sum_scaled"))
+    )
+    changes = (
+        o.filter(mod == 8).select("o_orderpriority", "x", F.lit("insert").alias("op"))
+    ).unionAll(
+        o.filter(mod == 7).select("o_orderpriority", "x", F.lit("delete").alias("op"))
+    )
+    out = maintain_agg(base, changes, ["o_orderpriority"])
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("sum_scaled").cast("double") / F.lit(100.0), 6).alias(
+            "sum_price"
+        ),
+    )
+
+
+@_q(
+    "g19_assortativity",
+    # ORACLE: q65's exact-moment-sum recipe over both orientations of
+    # every canonical edge; scale 1 (degrees are integers already).
+    f"""
+    WITH e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM ({_E_SQL}) WHERE src <> dst),
+    deg AS (SELECT v, COUNT(*) AS d FROM (
+             SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+    pairs AS (SELECT a AS u, b AS w FROM e0 UNION ALL SELECT b, a FROM e0),
+    s AS (SELECT CAST(du.d AS BIGINT) AS x, CAST(dw.d AS BIGINT) AS y
+          FROM pairs JOIN deg du ON du.v = pairs.u JOIN deg dw ON dw.v = pairs.w),
+    g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+          FROM s)
+    SELECT n,
+           ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 END, 6) AS corr
+    FROM g
+    """,
+)
+def g19(spark, sf):
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    endpoint degrees over both orientations of the canonical edge set,
+    via `stats.exact_corr`'s bit-reproducible moment sums
+    (`operators/graph.py:degree_assortativity`)."""
+    from duckdb_graphar_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_edges(spark, sf), src_col="src", dst_col="dst")
+
+
+@_q(
+    "g20_link_prediction",
+    # ORACLE: identical wedge enumeration (u < w orientation), edge
+    # anti-join, degree-stamped Jaccard; (u, w) is unique so the top-50
+    # cut is deterministic.
+    f"""
+    WITH e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM ({_E_SQL}) WHERE src <> dst),
+    nb AS (SELECT a AS c, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT n AS v, COUNT(*) AS d FROM nb GROUP BY 1),
+    cn AS (SELECT l.n AS u, r.n AS w, COUNT(*) AS n_common
+           FROM nb l JOIN nb r ON l.c = r.c AND l.n < r.n GROUP BY 1, 2),
+    ne AS (SELECT cn.u, cn.w, cn.n_common FROM cn
+           ANTI JOIN e0 ON cn.u = e0.a AND cn.w = e0.b)
+    SELECT u, w, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / CAST(du.d + dw.d - n_common AS DOUBLE), 6) AS jaccard
+    FROM ne JOIN deg du ON du.v = ne.u JOIN deg dw ON dw.v = ne.w
+    ORDER BY n_common DESC, u, w LIMIT 50
+    """,
+)
+def g20(spark, sf):
+    """Common-neighbor link prediction: top-50 non-adjacent pairs by
+    shared-neighbor count with Jaccard scores — wedge join bounded by
+    u<w orientation (hub cap knob for power-law graphs), one (u,w)
+    groupBy, edge anti-join, degree stamps
+    (`operators/graph.py:common_neighbor_candidates`)."""
+    from duckdb_graphar_spark.operators.graph import common_neighbor_candidates
+
+    return common_neighbor_candidates(_edges(spark, sf), k=50, src_col="src", dst_col="dst")
+
+
+@_q(
+    "t32_feature_hashing",
+    # ORACLE: the identical portable polynomial hash — list_reduce over
+    # codepoints with a prepended 0 accumulator (DuckDB's reduce seeds
+    # from the first element; prepending 0 replays Spark's fold-from-0
+    # exactly), same bucket/sign split, same signed-count aggregation.
+    r"""
+    WITH tok AS (SELECT doc_id, w, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+      WHERE w <> '' GROUP BY doc_id, w),
+    hh AS (SELECT doc_id, c,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 [CAST(unicode(w[i]) AS BIGINT)
+                  FOR i IN generate_series(1, length(w))]),
+               (acc, x) -> (acc * 31 + x) % 1000003) AS h
+           FROM tok),
+    sb AS (SELECT doc_id, h % 16 AS bucket,
+                  CASE WHEN ((h - h % 16) // 16) % 2 = 0 THEN 1 ELSE -1 END * c AS v
+           FROM hh)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(v) AS BIGINT) AS value
+    FROM sb GROUP BY 1, 2 HAVING SUM(v) <> 0
+    """,
+)
+def t32(spark, sf):
+    """The hashing trick (Weinberger et al. 2009): vocabulary-free
+    fixed-dim signed bag-of-words features, sparse (doc, bucket, value)
+    output — explode, map-combinable token counts, row-local portable
+    hash, one (doc, bucket) groupBy; vocabulary size never appears
+    (`operators/text.py:feature_hash_vectors`)."""
+    from duckdb_graphar_spark.operators.text import feature_hash_vectors
+
+    return feature_hash_vectors(_t(spark, sf, "documents"), dim=16)
+
+
+@_q(
     "g18_clustering_coeff",
     # ORACLE: the same oriented a<b<c triangle enumeration + corner
     # explode; integer counts throughout, one mirrored double division.
@@ -5525,13 +5686,16 @@ _PRIORITY = [
     # --- (A6 writer pin, JPEG codec, cohort retention, HITS,
     # --- stream-static join) ---
     "t23", "st09", "s07", "s08", "m02",
-    "ga14", "m07", "m08", "m09", "q64", "q65", "q66", "g17", "g18", "st11", "t31", "d06",
-    # --- 23 regression re-checks (all ever-green) ---
-    "ga01", "ga03", "ga11", "ga13",
-    "g02", "g05", "g07", "g11",
-    "q01", "q02", "q05", "q31", "q14",
-    "st01", "st03", "st05", "st08",
-    "t01", "t04", "t06", "d01", "s01", "m04",
+    "ga14", "m07", "m08", "m09", "q64", "q65", "q66", "q67",
+    "g17", "g18", "g19", "g20", "st11", "t31", "t32", "d06",
+    # --- 7 cross-surface regression re-checks (all ever-green; the
+    # --- long once-green tail keeps its credit from r1-r3 windows) ---
+    "ga01", "g02", "q01", "q05", "st01", "t04", "s01",
+    # --- next-round rotation continues here ---
+    "ga03", "ga11", "ga13", "g05", "g07", "g11",
+    "q02", "q31", "q14",
+    "st03", "st05", "st08",
+    "t01", "t06", "d01", "m04",
     # --- 51+: remaining ever-verified tail in coverage order ---
     *[f"ga{i:02d}" for i in range(1, 14)],
     *[f"g{i:02d}" for i in range(1, 13)],

@@ -76,3 +76,49 @@ def apply_changes(
         ],
         op.alias("op"),
     )
+
+
+def maintain_agg(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    n_col: str = "n",
+    sum_col: str = "sum_scaled",
+    value_col: str = "x",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental aggregate (materialized-view) maintenance: apply a
+    CDC change batch to a pre-aggregated (keys..., n, sum_scaled) base
+    WITHOUT rescanning the base fact table — the warehouse pattern that
+    turns an O(fact) refresh into O(delta).
+
+    ``changes`` rows carry ``op`` ∈ {'insert', 'delete'} and a
+    fixed-point LONG ``value_col``; count and sum deltas are signed
+    integer aggregates (map-combinable, exact — insert-then-delete of
+    the same row cancels bit-exactly, which float sums cannot
+    guarantee).  Keys whose count reaches zero drop out; new keys
+    appear via the full outer join.  Raises on any unknown op at plan
+    time via a guarded CASE (no silent row drops).
+
+    Scale shape: one groupBy over the DELTA only + one key-keyed outer
+    join against the (already small) aggregate table."""
+    s = F.when(F.col(op_col) == "insert", F.lit(1)).when(
+        F.col(op_col) == "delete", F.lit(-1)
+    ).otherwise(
+        F.raise_error(F.concat(F.lit("maintain_agg: unknown op "), F.col(op_col)))
+    )
+    delta = changes.groupBy(*keys).agg(
+        F.sum(s).alias("__dn"),
+        F.sum(s * F.col(value_col)).alias("__dsum"),
+    )
+    merged = base.join(delta, keys, "full_outer").select(
+        *keys,
+        (F.coalesce(F.col(n_col), F.lit(0)) + F.coalesce("__dn", F.lit(0)))
+        .cast("long")
+        .alias(n_col),
+        (F.coalesce(F.col(sum_col), F.lit(0)) + F.coalesce("__dsum", F.lit(0)))
+        .cast("long")
+        .alias(sum_col),
+    )
+    return merged.filter(F.col(n_col) > 0)

@@ -861,3 +861,115 @@ def clustering_coefficient(
             .alias("coeff"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the undirected simple
+    graph → one row (n, corr): the Pearson correlation of endpoint
+    degrees over all ordered edge endpoint pairs (each canonical edge
+    contributes both orientations, the standard symmetrization).
+
+    Delegates the statistic to :func:`..stats.exact_corr` (scale 1 —
+    degrees are already integers), so the moment sums are exact and
+    the final value is one mirrored double expression.
+
+    Scale shape: degree groupBy + two vertex-keyed joins to stamp
+    endpoint degrees + exact_corr's single map-combinable aggregate."""
+    from duckdb_graphar_spark.operators.stats import exact_corr
+
+    s, d = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    pairs = canon.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    du = deg.select(F.col("v").alias("__u"), F.col("d").alias("x"))
+    dw = deg.select(F.col("v").alias("__w"), F.col("d").alias("y"))
+    joined = (
+        pairs.join(du, pairs["u"] == du["__u"])
+        .join(dw, pairs["w"] == dw["__w"])
+        .select(F.col("x").cast("double").alias("x"), F.col("y").cast("double").alias("y"))
+    )
+    return exact_corr(joined, "x", "y", [], scale=1)
+
+
+def common_neighbor_candidates(
+    edges: DataFrame,
+    *,
+    k: int = 50,
+    max_center_degree: int | None = None,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Link prediction by common neighbors: the top-``k`` NON-adjacent
+    vertex pairs ranked by shared-neighbor count, with Jaccard
+    similarity → (u, w, n_common, jaccard), u < w, ordered by
+    (n_common desc, u, w).
+
+    Scale shape: the wedge join (neighbors ⋈ neighbors on the center)
+    is the classic Σdeg² enumeration — bounded by orienting u < w and,
+    on power-law graphs, by ``max_center_degree`` (drop hub centers,
+    the standard accuracy/cost dial: a celebrity node's wedge set adds
+    candidates that common-neighbor counts score badly anyway).  Then
+    one (u, w) groupBy, an anti-join against the edge set, and two
+    degree stamps; union size = deg(u)+deg(w)−cn, so no neighbor-set
+    materialization anywhere."""
+    s, d = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    nb = canon.select(F.col("a").alias("c"), F.col("b").alias("n")).unionAll(
+        canon.select(F.col("b").alias("c"), F.col("a").alias("n"))
+    )
+    deg = nb.groupBy(F.col("n").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    if max_center_degree is not None:
+        cdeg = nb.groupBy("c").agg(F.count(F.lit(1)).alias("__cd"))
+        nb = (
+            nb.join(cdeg.filter(F.col("__cd") <= max_center_degree), "c", "left_semi")
+        )
+    left = nb.select(F.col("c"), F.col("n").alias("u"))
+    right = nb.select(F.col("c").alias("c2"), F.col("n").alias("w"))
+    cn = (
+        left.join(right, (F.col("c") == F.col("c2")) & (F.col("u") < F.col("w")))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    non_edges = cn.join(
+        canon,
+        (cn["u"] == canon["a"]) & (cn["w"] == canon["b"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("v").alias("__u"), F.col("d").alias("__du"))
+    dw = deg.select(F.col("v").alias("__w"), F.col("d").alias("__dw"))
+    return (
+        non_edges.join(du, non_edges["u"] == du["__u"])
+        .join(dw, non_edges["w"] == dw["__w"])
+        .select(
+            "u",
+            "w",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("__du") + F.col("__dw") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("n_common").desc(), "u", "w")
+        .limit(k)
+    )

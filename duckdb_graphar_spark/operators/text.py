@@ -952,3 +952,62 @@ def bpe_apply(
             ).alias("compression"),
         )
     )
+
+
+_FH_MOD = 1_000_003  # prime modulus for the portable polynomial hash
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    *,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): fixed-``dim`` signed
+    bag-of-words features without a vocabulary — token t contributes
+    sign(t)·count(t) to bucket(t).  Emitted SPARSE as (id, bucket,
+    value) rows with zero buckets dropped; callers densify at the edge.
+
+    Engine-portable hash (no murmur dependency): h(t) = fold over
+    UTF-8-codepoint values, h = (h·31 + code) mod 1000003 — exact
+    integer arithmetic both engines replay; bucket = h mod dim,
+    sign = +1 if ((h − bucket)/dim) even else −1 (second-order bits,
+    independent of the bucket bits, which is what keeps collision bias
+    unbiased per Weinberger's sign trick).
+
+    Scale shape: explode → per-(doc, token) count (map-combinable) →
+    row-local hash → one (doc, bucket) groupBy; vocabulary size never
+    appears anywhere — the entire point of feature hashing at 100 TB."""
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("__t")),
+        lambda i: F.ascii(F.col("__t").substr(i, F.lit(1))).cast("long"),
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(_FH_MOD),
+    )
+    withh = toks.withColumn("__h", h)
+    bucket = F.col("__h") % dim
+    sign = F.when(
+        ((F.col("__h") - bucket) / dim).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        withh.select(
+            F.col(id_col),
+            bucket.cast("long").alias("bucket"),
+            (sign * F.col("__c")).cast("long").alias("__v"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__v").cast("long").alias("value"))
+        .filter(F.col("value") != 0)
+    )

@@ -306,3 +306,46 @@ def test_clustering_coefficient_hand_computed(spark):
     assert got[1] == (2, 1, 1.0)
     assert got[2] == (3, 1, round(2 / 6, 6))
     assert got[3] == (1, 0, 0.0)
+
+
+def test_assortativity_star_vs_clique(spark):
+    """A star is maximally disassortative (corr = -1); a clique has
+    zero degree variance (corr undefined -> NULL)."""
+    from duckdb_graphar_spark.operators.graph import degree_assortativity
+
+    kw = dict(src_col="src", dst_col="dst")
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    r = degree_assortativity(star, **kw).collect()[0]
+    assert r.n == 10 and r.corr == -1.0
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "src long, dst long"
+    )
+    r2 = degree_assortativity(clique, **kw).collect()[0]
+    assert r2.corr is None  # zero variance
+
+
+def test_link_prediction_square(spark):
+    """4-cycle 0-1-2-3-0: the two diagonals (0,2) and (1,3) each share
+    2 common neighbors and are non-edges; jaccard = 2/(2+2-2) = 1.0."""
+    from duckdb_graphar_spark.operators.graph import common_neighbor_candidates
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    got = [
+        (r.u, r.w, r.n_common, r.jaccard)
+        for r in common_neighbor_candidates(df, src_col="src", dst_col="dst").collect()
+    ]
+    assert got == [(0, 2, 2, 1.0), (1, 3, 2, 1.0)]
+
+
+def test_link_prediction_hub_cap_drops_celebrity_wedges(spark):
+    """With max_center_degree=1 every wedge center is dropped, so no
+    candidates survive."""
+    from duckdb_graphar_spark.operators.graph import common_neighbor_candidates
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = common_neighbor_candidates(
+        df, max_center_degree=1, src_col="src", dst_col="dst"
+    )
+    assert out.count() == 0

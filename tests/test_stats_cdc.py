@@ -189,3 +189,37 @@ def test_bootstrap_ci_rejects_small_b(spark):
     df = spark.createDataFrame([("g", 1, 1.0)], "grp string, id long, v double")
     with _pt.raises(ValueError, match="n_replicates"):
         bootstrap_mean_ci(df, "v", ["grp"], ["id"], n_replicates=3)
+
+
+def test_maintain_agg_insert_delete_cancellation(spark):
+    from duckdb_graphar_spark.operators.cdc import maintain_agg
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("a", 2, 300), ("b", 1, 50)], "k string, n long, sum_scaled long"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", 100, "insert"),
+            ("a", 100, "delete"),  # cancels bit-exactly
+            ("b", 50, "delete"),   # b drops to zero -> removed
+            ("c", 7, "insert"),    # new key appears
+        ],
+        "k string, x long, op string",
+    )
+    got = {
+        r.k: (r.n, r.sum_scaled)
+        for r in maintain_agg(base, changes, ["k"]).collect()
+    }
+    assert got == {"a": (2, 300), "c": (1, 7)}
+
+
+def test_maintain_agg_unknown_op_raises(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.cdc import maintain_agg
+
+    base = spark.createDataFrame([("a", 1, 1)], "k string, n long, sum_scaled long")
+    ch = spark.createDataFrame([("a", 1, "upsert")], "k string, x long, op string")
+    with _pt.raises(Exception, match="unknown op"):
+        maintain_agg(base, ch, ["k"]).collect()

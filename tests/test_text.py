@@ -314,3 +314,53 @@ def test_bpe_apply_rejects_bad_merge(spark):
 
     with _pt.raises(ValueError, match="merge"):
         bpe_apply(df, ["abc"])
+
+
+def test_feature_hashing_deterministic_and_signed(spark):
+    from duckdb_graphar_spark.operators.text import _FH_MOD, feature_hash_vectors
+
+    df = spark.createDataFrame(
+        [(0, "cat cat dog"), (1, "cat")], "doc_id long, text string"
+    )
+    rows1 = sorted(
+        (r.doc_id, r.bucket, r.value)
+        for r in feature_hash_vectors(df, dim=8).collect()
+    )
+    rows2 = sorted(
+        (r.doc_id, r.bucket, r.value)
+        for r in feature_hash_vectors(df, dim=8).collect()
+    )
+    assert rows1 == rows2
+
+    def href(w):
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % _FH_MOD
+        return h
+
+    def entry(w, c, dim=8):
+        h = href(w)
+        b = h % dim
+        s = 1 if ((h - b) // dim) % 2 == 0 else -1
+        return b, s * c
+
+    expect = {}
+    for did, text in [(0, "cat cat dog"), (1, "cat")]:
+        counts = {}
+        for w in text.split():
+            counts[w] = counts.get(w, 0) + 1
+        for w, c in counts.items():
+            b, v = entry(w, c)
+            expect[(did, b)] = expect.get((did, b), 0) + v
+    expect = sorted((d, b, v) for (d, b), v in expect.items() if v != 0)
+    assert rows1 == expect
+
+
+def test_feature_hashing_rejects_small_dim(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.text import feature_hash_vectors
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="dim"):
+        feature_hash_vectors(df, dim=1)
