@@ -5076,6 +5076,53 @@ def q67(spark, sf):
 
 
 @_q(
+    "q68_gapfill_interpolate",
+    # ORACLE: identical dense grid + IGNORE NULLS neighbor windows +
+    # the same mirrored interpolation expression over ROUND-6 actual
+    # endpoints (endpoint rounding makes interp independent of
+    # accumulation order on both engines).
+    """
+    WITH a AS (
+      SELECT user_id % 20 AS k, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS b,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(26,8))) AS DOUBLE), 6) AS v
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT k, unnest(generate_series(mn, mx)) AS b
+      FROM (SELECT k, MIN(b) AS mn, MAX(b) AS mx FROM a GROUP BY k)),
+    g AS (SELECT grid.k, grid.b, a.v FROM grid LEFT JOIN a USING (k, b)),
+    w AS (
+      SELECT k, b, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+      FROM g)
+    SELECT k AS series_key, CAST(to_timestamp(b * 3600) AS TIMESTAMP) AS bucket_start,
+           CASE WHEN v IS NOT NULL THEN 'actual' ELSE 'interp' END AS kind,
+           COALESCE(v, pv + (nv - pv)
+                       * (CAST(b - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))) AS value
+    FROM w
+    """,
+)
+def q68(spark, sf):
+    """Hypertable gap filling with linear interpolation (TimescaleDB's
+    time_bucket_gapfill + interpolate): dense per-series hourly grid
+    between first and last actual bucket, gaps interpolated between
+    the published neighboring actuals
+    (`operators/asof.py:gap_fill_interpolate`)."""
+    from duckdb_graphar_spark.operators.asof import gap_fill_interpolate
+
+    ev = _t(spark, sf, "events").select(
+        (F.col("user_id") % 20).alias("series_key"), "ts", "value"
+    )
+    return gap_fill_interpolate(ev, key_col="series_key")
+
+
+@_q(
     "g19_assortativity",
     # ORACLE: q65's exact-moment-sum recipe over both orientations of
     # every canonical edge; scale 1 (degrees are integers already).
@@ -5687,7 +5734,7 @@ _PRIORITY = [
     # --- stream-static join) ---
     "t23", "st09", "s07", "s08", "m02",
     "ga14", "m07", "m08", "m09", "q64", "q65", "q66", "q67",
-    "g17", "g18", "g19", "g20", "st11", "t31", "t32", "d06",
+    "g17", "g18", "g19", "g20", "st11", "t31", "t32", "d06", "q68",
     # --- 7 cross-surface regression re-checks (all ever-green; the
     # --- long once-green tail keeps its credit from r1-r3 windows) ---
     "ga01", "g02", "q01", "q05", "st01", "t04", "s01",

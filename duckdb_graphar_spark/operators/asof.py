@@ -131,3 +131,81 @@ def asof_join(
         F.col(f"__match.__p.{c}").alias(c) for c in right_cols
     ]
     return carried.select(*out_cols)
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Hypertable-style gap filling with linear interpolation
+    (TimescaleDB's time_bucket_gapfill + interpolate, re-expressed):
+    bucket each series, build the dense per-key grid between its first
+    and last actual bucket, and fill missing buckets by interpolating
+    between the ROUNDED neighboring actuals → (key, bucket_start, kind
+    'actual'|'interp', value).
+
+    Grid spans [min(actual), max(actual)] per key, so every gap has
+    both neighbors — no edge-extrapolation policy to pin.  Using the
+    published (round-6) actuals as interpolation endpoints makes the
+    result independent of accumulation order on BOTH engines.
+
+    Scale shape: one map-combinable bucket aggregate, a per-key bounds
+    aggregate + sequence explode for the grid (grid size = key's time
+    span, not row count), and per-key ordered windows for the
+    neighbor carry — windows partition on the series key, the accepted
+    time-series shape (per-key cardinality = buckets in range, bounded
+    by retention, never by corpus size)."""
+    sec = F.lit(int(bucket_seconds))
+    k, b = F.col("__k"), F.col("__b")
+    actual = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.floor(F.unix_timestamp(ts_col) / sec).alias("__b"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("__k", "__b")
+        .agg(
+            F.round(F.sum(F.col("__v").cast("decimal(26,8)")).cast("double"), 6).alias(
+                "__v"
+            )
+        )
+    )
+    grid = (
+        actual.groupBy("__k")
+        .agg(F.min("__b").alias("__mn"), F.max("__b").alias("__mx"))
+        .select("__k", F.explode(F.sequence("__mn", "__mx")).alias("__b"))
+    )
+    g = grid.join(actual, ["__k", "__b"], "left")
+    w_prev = (
+        Window.partitionBy("__k").orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("__k").orderBy("__b")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    hb = F.when(F.col("__v").isNotNull(), F.col("__b"))
+    pv = F.last("__v", ignorenulls=True).over(w_prev)
+    ph = F.last(hb, ignorenulls=True).over(w_prev)
+    nv = F.first("__v", ignorenulls=True).over(w_next)
+    nh = F.first(hb, ignorenulls=True).over(w_next)
+    frac = (b - ph).cast("double") / (nh - ph).cast("double")
+    # interp is published UNROUNDED: the endpoints are already round-6
+    # engine-identical doubles and the op sequence is mirrored, so the
+    # value is bit-identical across engines — while an engine-side
+    # ROUND(x, 6) would SPLIT on exact .5e-6 boundaries (Spark HALF_UP
+    # vs DuckDB's rounding of the same double disagreed on
+    # 65.4046875 in the fixture)
+    interp = pv + (nv - pv) * frac
+    return g.select(
+        F.col("__k").alias(key_col),
+        F.timestamp_seconds(b * sec).alias("bucket_start"),
+        F.when(F.col("__v").isNotNull(), F.lit("actual"))
+        .otherwise(F.lit("interp"))
+        .alias("kind"),
+        F.coalesce("__v", interp).alias("value"),
+    )

@@ -147,3 +147,43 @@ def test_asof_rejects_bad_direction(trades, quotes):
     with pytest.raises(ValueError, match="direction"):
         asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
                   right_cols=["px"], direction="sideways")
+
+
+def test_gapfill_interpolates_linear(spark):
+    """Series with buckets 0, 3 (values 10, 40): gaps at 1, 2 must be
+    20 and 30; no edge rows (grid spans actuals)."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.asof import gap_fill_interpolate
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+    df = spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(3), 40.0), (2, ts(5), 7.0)],
+        "k long, ts timestamp, value double",
+    )
+    got = {
+        (r.k, r.bucket_start.hour, r.kind): r.value
+        for r in gap_fill_interpolate(df, key_col="k").collect()
+    }
+    assert got[(1, 0, "actual")] == 10.0
+    assert got[(1, 1, "interp")] == 20.0
+    assert got[(1, 2, "interp")] == 30.0
+    assert got[(1, 3, "actual")] == 40.0
+    assert got[(2, 5, "actual")] == 7.0
+    assert len(got) == 5
+
+
+def test_gapfill_sums_within_bucket(spark):
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.asof import gap_fill_interpolate
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base, 1.5), (1, base + dt.timedelta(minutes=30), 2.5)],
+        "k long, ts timestamp, value double",
+    )
+    rows = gap_fill_interpolate(df, key_col="k").collect()
+    assert len(rows) == 1 and rows[0].value == 4.0 and rows[0].kind == "actual"
