@@ -5075,6 +5075,89 @@ def q67(spark, sf):
     )
 
 
+
+
+def _mrl_dist_cte(d: int) -> str:
+    return f"""dist{d} AS (
+      SELECT e.vec_id,
+             list_sum([CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                            AS DECIMAL(38,18))
+                       FOR i IN generate_series(1, {d})]) AS d2
+      FROM embeddings e CROSS JOIN q),
+    top{d} AS (SELECT vec_id FROM dist{d} ORDER BY d2, vec_id LIMIT 10)"""
+
+
+def _mrl_row(d: int) -> str:
+    ov = f"(SELECT COUNT(*) FROM top{d} JOIN top64 USING (vec_id))"
+    return (
+        f"SELECT CAST({d} AS BIGINT) AS prefix_dim,"
+        f" CAST({ov} AS BIGINT) AS n_overlap,"
+        f" ROUND(CAST({ov} AS DOUBLE) / 10, 6) AS recall"
+    )
+
+
+@_q(
+    "s13_matryoshka_recall",
+    # ORACLE: four decimal-exact top-10 searches (prefix slices of the
+    # same scan) + overlap counts against the full-dim set.
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),\n"
+    + ",\n".join(_mrl_dist_cte(d) for d in (8, 16, 32, 64))
+    + "\n"
+    + "\nUNION ALL ".join(_mrl_row(d) for d in (8, 16, 32)),
+)
+def s13(spark, sf):
+    """Matryoshka-representation QA (Kusupati et al. 2022): recall of
+    truncated-embedding exact top-10 vs the full 64-dim top-10, per
+    prefix dim — the measurement deciding how far MRL embeddings
+    truncate before retrieval pays.  Each search is the decimal-argmin
+    discipline over sliced vectors with a TakeOrdered(10) cut; driver
+    state is 4·k candidate ids (`operators/embeddings.py:
+    matryoshka_recall`)."""
+    from duckdb_graphar_spark.operators.embeddings import matryoshka_recall
+
+    e = _t(spark, sf, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return matryoshka_recall(e, q, k=10, prefix_dims=(8, 16, 32))
+
+
+@_q(
+    "t33_pmi_collocations",
+    # ORACLE: identical integer counts; the ln argument is assembled
+    # with the same cast/multiply order so both engines take ln of the
+    # identical double (F.log == Math.log vs DuckDB ln agreed post-
+    # round-6 on the q49 precedent); (w1, w2) breaks rounded-PMI ties.
+    """
+    WITH l AS (SELECT string_split(text, ' ') AS l FROM documents),
+    bg AS (SELECT l[i] || ' ' || l[i+1] AS g
+           FROM l, UNNEST(generate_series(1, len(l) - 1)) AS t(i)),
+    big AS (SELECT g, COUNT(*) AS cab FROM bg GROUP BY g),
+    uni AS (SELECT w, COUNT(*) AS c FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w),
+    tot AS (SELECT (SELECT SUM(c) FROM uni) AS n, (SELECT SUM(cab) FROM big) AS b)
+    SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+           CAST(cab AS BIGINT) AS n_pair,
+           ROUND(ln((CAST(cab AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                    / (CAST(b AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))),
+                 6) AS pmi
+    FROM big
+    JOIN uni ca ON ca.w = split_part(g, ' ', 1)
+    JOIN uni cb ON cb.w = split_part(g, ' ', 2)
+    CROSS JOIN tot
+    WHERE cab >= 3
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def t33(spark, sf):
+    """Collocations by PMI (Church & Hanks 1990): exact integer bigram
+    and unigram counts, one mirrored ln expression, top-50 with
+    deterministic tie-break (`operators/text.py:pmi_collocations`)."""
+    from duckdb_graphar_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf, "documents"))
+
+
 @_q(
     "q68_gapfill_interpolate",
     # ORACLE: identical dense grid + IGNORE NULLS neighbor windows +
@@ -5734,7 +5817,7 @@ _PRIORITY = [
     # --- stream-static join) ---
     "t23", "st09", "s07", "s08", "m02",
     "ga14", "m07", "m08", "m09", "q64", "q65", "q66", "q67",
-    "g17", "g18", "g19", "g20", "st11", "t31", "t32", "d06", "q68",
+    "g17", "g18", "g19", "g20", "st11", "t31", "t32", "t33", "d06", "q68", "s13",
     # --- 7 cross-surface regression re-checks (all ever-green; the
     # --- long once-green tail keeps its credit from r1-r3 windows) ---
     "ga01", "g02", "q01", "q05", "st01", "t04", "s01",

@@ -737,3 +737,63 @@ def ivfpq_topk(
         cand_rows, codebooks, query, k=k, id_col=id_col, vec_col=vec_col,
         table_mode=table_mode,
     )
+
+
+def matryoshka_recall(
+    df: DataFrame,
+    query: list[float],
+    *,
+    k: int = 10,
+    prefix_dims: tuple[int, ...] = (8, 16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-representation QA (Kusupati et al. 2022): for each
+    prefix dimensionality, how much of the FULL-dimension exact top-k
+    does a truncated-embedding search recover → (prefix_dim, n_overlap,
+    recall).  The measurement that decides how far MRL embeddings can
+    be truncated before retrieval quality pays.
+
+    Each per-dim search is :func:`kmeans_assign`'s decimal-argmin
+    discipline over the sliced vectors (exact, engine-replayable
+    distances; (distance, id) ordering), cut with TakeOrdered(k).
+    Driver state: the (#prefixes+1)·k candidate ids — the bounded
+    k-row pattern; the corpus is scanned once per dim, shuffle-free
+    except the top-k reduction."""
+    dim = len(query)
+    for d in prefix_dims:
+        if not 0 < d <= dim:
+            raise ValueError(f"prefix dim {d} outside (0, {dim}]")
+
+    def topk_ids(d: int) -> list[int]:
+        qarr = F.array(*[F.lit(float(x)) for x in query[:d]])
+        diff2 = F.zip_with(
+            F.slice(F.col(vec_col), 1, d),
+            qarr,
+            lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast(
+                "decimal(38,18)"
+            ),
+        )
+        dist = F.aggregate(
+            diff2,
+            F.lit(0).cast("decimal(38,18)"),
+            lambda a, x: (a + x).cast("decimal(38,18)"),
+        )
+        rows = (
+            df.select(F.col(id_col).alias("__id"), dist.alias("__d"))
+            .orderBy("__d", "__id")
+            .limit(k)
+            .collect()
+        )
+        return [int(r["__id"]) for r in rows]
+
+    full = set(topk_ids(dim))
+    out = []
+    for d in prefix_dims:
+        got = set(topk_ids(d))
+        n_overlap = len(full & got)
+        out.append((int(d), n_overlap, round(n_overlap / k, 6)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "prefix_dim long, n_overlap long, recall double"
+    )

@@ -1011,3 +1011,80 @@ def feature_hash_vectors(
         .agg(F.sum("__v").cast("long").alias("value"))
         .filter(F.col("value") != 0)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    k: int = 50,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990): the top-``k`` adjacent word pairs by
+    PMI = ln(p(ab) / (p(a)·p(b))), computed from exact integer counts —
+    (w1, w2, n_pair, pmi), pairs below ``min_count`` dropped (rare
+    pairs have divergent PMI; the standard floor).
+
+    Determinism: counts are map-combinable integer aggregates; the ln
+    argument is assembled from them with a mirrored cast/multiply
+    order, so both engines evaluate ln on the identical double;
+    ordering uses the published round-6 PMI with (w1, w2) tie-break.
+
+    Scale shape: one bigram groupBy + one unigram groupBy (the two
+    corpus shuffles), two vocabulary-keyed joins to stamp unigram
+    counts (AQE broadcasts the unigram table when it fits), scalar
+    totals ride a 1-row cross join; final cut is TakeOrdered(k)."""
+    toks = F.split(F.col(text_col), " ")
+    bigrams = (
+        df.select(F.explode(_word_ngrams(toks, 2)).alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__cab"))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = F.broadcast(
+        uni.agg(F.sum("__c").alias("__n")).crossJoin(
+            bigrams.agg(F.sum("__cab").alias("__b"))
+        )
+    )
+    ua = uni.select(F.col("__w").alias("__w1"), F.col("__c").alias("__ca"))
+    ub = uni.select(F.col("__w").alias("__w2"), F.col("__c").alias("__cb"))
+    g = bigrams.filter(F.col("__cab") >= min_count).select(
+        F.split(F.col("__g"), " ")[0].alias("__w1"),
+        F.split(F.col("__g"), " ")[1].alias("__w2"),
+        "__cab",
+    )
+    pmi = F.round(
+        F.log(
+            (
+                F.col("__cab").cast("double")
+                * F.col("__n").cast("double")
+                * F.col("__n").cast("double")
+            )
+            / (
+                F.col("__b").cast("double")
+                * F.col("__ca").cast("double")
+                * F.col("__cb").cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        g.join(ua, "__w1")
+        .join(ub, "__w2")
+        .crossJoin(totals)
+        .select(
+            F.col("__w1").alias("w1"),
+            F.col("__w2").alias("w2"),
+            F.col("__cab").cast("long").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

@@ -132,3 +132,43 @@ def test_kmeans_fit_empty_cluster_keeps_seed(spark):
     )
     final, hist = kmeans_fit(df, 3, 2)
     assert hist[-1]["n_clusters"] <= 3  # may collapse; must not crash
+
+
+def test_matryoshka_recall_full_dim_is_one(spark):
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.embeddings import matryoshka_recall
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 16)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    out = {
+        r.prefix_dim: (r.n_overlap, r.recall)
+        for r in matryoshka_recall(df, q, k=5, prefix_dims=(16, 4)).collect()
+    }
+    assert out[16] == (5, 1.0)  # full-dim prefix == full search
+    assert 0 <= out[4][0] <= 5
+
+    # numpy cross-check of the 4-dim prefix search
+    d4 = ((vecs[:, :4].astype(np.float32).astype(np.float64)
+           - np.array(q[:4])) ** 2).sum(axis=1)
+    top4 = set(np.lexsort((np.arange(40), d4))[:5])
+    dfull = ((vecs.astype(np.float32).astype(np.float64) - np.array(q)) ** 2).sum(axis=1)
+    topf = set(np.lexsort((np.arange(40), dfull))[:5])
+    assert out[4][0] == len(top4 & topf)
+
+
+def test_matryoshka_recall_rejects_bad_dim(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.embeddings import matryoshka_recall
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with _pt.raises(ValueError, match="prefix dim"):
+        matryoshka_recall(df, [1.0, 2.0], prefix_dims=(4,))

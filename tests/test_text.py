@@ -364,3 +364,24 @@ def test_feature_hashing_rejects_small_dim(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with _pt.raises(ValueError, match="dim"):
         feature_hash_vectors(df, dim=1)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """'new york' appears 3x as a bigram and nowhere independently ->
+    top PMI; 'the cat'/'the dog' mix -> lower PMI."""
+    import math
+
+    from duckdb_graphar_spark.operators.text import pmi_collocations
+
+    docs = [(i, "new york is big and the cat saw the dog") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pmi_collocations(df, min_count=3).collect()
+    got = {(r.w1, r.w2): (r.n_pair, r.pmi) for r in rows}
+    n = 30  # 10 tokens x 3 docs
+    b = 27  # 9 bigrams x 3 docs
+    cab, ca, cb = 3, 3, 3
+    expect = round(math.log((cab * n * n) / (b * ca * cb)), 6)
+    assert got[("new", "york")] == (3, expect)
+    # ranking deterministic: all pairs have same counts here, so PMI
+    # equal and (w1, w2) tie-break orders rows
+    assert rows == sorted(rows, key=lambda r: (-r.pmi, r.w1, r.w2))
