@@ -96,8 +96,13 @@ BENCH_QUERIES = [
     "q63_hll_sketch_union",
     "m06_audio_energy",
     # round-4: real baseline-JPEG codec round-trip (encode DCT+Huffman,
-    # decode Huffman+IDCT — two Arrow-batched Python stages, no shuffle)
+    # decode Huffman+IDCT — two Arrow-batched Python stages, no shuffle),
+    # vocabulary-free feature hashing, the wedge-join link predictor,
+    # and per-series gap-fill windows
     "m07_jpeg_roundtrip",
+    "t32_feature_hashing",
+    "g20_link_prediction",
+    "q68_gapfill_interpolate",
 ]
 
 
