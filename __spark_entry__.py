@@ -4556,19 +4556,24 @@ _QPROBS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 @_q(
     "q60_exact_quantiles",
-    # ORACLE: DuckDB's own quantile_disc per prob — an INDEPENDENT
-    # construction (its internal sorted-multiset selection vs our
-    # two-phase distributed rank scan).  target_rank replays the
-    # floor((n-1)·p)+1 selection in DuckDB's exact DECIMAL literal
-    # arithmetic, which the operator mirrors with Fraction on the
-    # driver.
-    " UNION ALL ".join(
+    # ORACLE: explicit row_number rank selection at floor((n−1)·p)+1 —
+    # an INDEPENDENT construction (one sorted window vs our two-phase
+    # distributed rank scan), with percentile_disc semantics spelled
+    # out rather than DuckDB's quantile_disc, whose cume_dist
+    # convention (ceil(n·p)) happens to agree on this fixture's (n, p)
+    # combinations but diverges at unlucky n (seen in q70 at n=15).
+    """
+    WITH d AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    o AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM d),
+    nn AS (SELECT COUNT(*) AS n FROM d)
+    """
+    + " UNION ALL ".join(
         f"""
         SELECT CAST({p} AS DOUBLE) AS prob,
-               quantile_disc(l_extendedprice, {p}) AS value,
-               CAST(FLOOR((COUNT(l_extendedprice) - 1) * {p}) + 1 AS BIGINT) AS target_rank,
-               COUNT(l_extendedprice) AS n
-        FROM lineitem
+               (SELECT x FROM o, nn
+                WHERE rn = CAST(FLOOR((n - 1) * {p}) AS BIGINT) + 1) AS value,
+               (SELECT CAST(FLOOR((n - 1) * {p}) AS BIGINT) + 1 FROM nn) AS target_rank,
+               (SELECT n FROM nn) AS n
         """
         for p in _QPROBS
     ),
@@ -5119,6 +5124,185 @@ def s13(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     return matryoshka_recall(e, q, k=10, prefix_dims=(8, 16, 32))
+
+
+@_q(
+    "q70_funnel_duration_quantiles",
+    # ORACLE: q58's staged-min funnel restricted to full converters,
+    # exact microsecond durations, then an explicit row_number rank
+    # selection at floor((n−1)·p)+1 — percentile_disc semantics spelled
+    # out, because DuckDB's quantile_disc uses the cume_dist convention
+    # (ceil(n·p)) which diverges at small n (n=15, p=0.9: rank 14 vs
+    # this operator's pinned rank 13).
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+    d AS (SELECT CAST(epoch_us(s3.t3) - epoch_us(s1.t1) AS BIGINT) AS dur
+          FROM s3 JOIN s1 USING (user_id)),
+    o AS (SELECT dur, row_number() OVER (ORDER BY dur) AS rn FROM d),
+    nn AS (SELECT COUNT(*) AS n FROM d)
+    """
+    + " UNION ALL ".join(
+        f"""
+        SELECT CAST({p} AS DOUBLE) AS prob,
+               (SELECT CAST(dur AS DOUBLE) FROM o, nn
+                WHERE rn = CAST(FLOOR((n - 1) * {p}) AS BIGINT) + 1) AS value,
+               (SELECT CAST(FLOOR((n - 1) * {p}) AS BIGINT) + 1 FROM nn) AS target_rank,
+               (SELECT n FROM nn) AS n
+        """
+        for p in (0.25, 0.5, 0.9)
+    ),
+)
+def q70(spark, sf):
+    """Composition entry: time-to-convert percentiles — q58's funnel
+    (full converters only), exact integer microsecond durations from
+    first 'view' to the purchase that completed the funnel, fed into
+    q60's exact distributed quantiles (`operators/events.py:funnel` →
+    `operators/quantiles.py:exact_quantiles`)."""
+    from duckdb_graphar_spark.operators.events import funnel
+    from duckdb_graphar_spark.operators.quantiles import exact_quantiles
+
+    ev = _t(spark, sf, "events")
+    f = funnel(ev, ["view", "click", "purchase"]).filter(
+        F.col("stages_completed") == 3
+    )
+    starts = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t1"))
+    )
+    # ntz → ltz cast for unix_micros (session TZ is UTC, so the epoch
+    # matches DuckDB's epoch_us over the naive-UTC timestamps)
+    durs = f.join(starts, "user_id").select(
+        (
+            F.unix_micros(F.col("completed_at").cast("timestamp"))
+            - F.unix_micros(F.col("__t1").cast("timestamp"))
+        ).alias("dur")
+    )
+    return exact_quantiles(durs, "dur", [0.25, 0.5, 0.9])
+
+
+@_q(
+    "t34_sentence_dedup",
+    # ORACLE: same portable sentence split (no lookbehind — RE2-safe),
+    # list_distinct counts; dup_frac published UNROUNDED (identical
+    # doubles by construction — the q68 boundary lesson).
+    r"""
+    SELECT doc_id,
+           CAST(len(l2) AS BIGINT) AS n_sentences,
+           CAST(len(list_distinct(l2)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(l2) > 0
+                THEN 1.0 - CAST(len(list_distinct(l2)) AS DOUBLE)
+                           / CAST(len(l2) AS DOUBLE)
+                ELSE 0.0 END AS dup_frac
+    FROM (SELECT doc_id,
+                 [x FOR x IN regexp_split_to_array(text, '\.\s+')
+                  IF trim(x) <> ''] AS l2
+          FROM documents)
+    """,
+)
+def t34(spark, sf):
+    """Intra-document boilerplate: repeated-sentence mass per document
+    (row-local split + array_distinct, zero shuffles —
+    `operators/text.py:sentence_dedup_stats`)."""
+    from duckdb_graphar_spark.operators.text import sentence_dedup_stats
+
+    return sentence_dedup_stats(_t(spark, sf, "documents"))
+
+
+@_q(
+    "st12_stream_hll_distinct",
+    # ORACLE: q63's tolerance pattern in streaming form — exact
+    # per-(hour, type) distinct users plus the in-band flag the
+    # streaming sketch estimate must clear.
+    """
+    SELECT CAST(to_timestamp(b * 3600) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(b * 3600 + 3600) AS TIMESTAMP) AS window_end,
+           event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tolerance
+    FROM (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS b, event_type, user_id
+          FROM events)
+    GROUP BY 1, 2, 3
+    """,
+)
+def st12(spark, sf):
+    """Streaming approximate distinct: per-(hour, event_type) HLL
+    sketches built INSIDE a running stream (O(kb) state per group —
+    exact streaming distinct would hold every id in the state store),
+    estimates asserted within 5% of a batch-exact twin
+    (`streaming/ops.py:windowed_hll_distinct`)."""
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        windowed_hll_distinct,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    approx = run_to_memory(windowed_hll_distinct(stream), "st12_out")
+    exact = (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "exact_users",
+        )
+    )
+    return approx.join(exact, ["window_start", "window_end", "event_type"]).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("within_tolerance"),
+    )
+
+
+@_q(
+    "g21_bipartiteness",
+    # ORACLE: the same double-cover reduction over recursive-CTE
+    # reachability (g11's recipe twice: base graph + double cover) —
+    # component bipartite iff no vertex's two cover copies share a
+    # double-cover component.
+    f"""
+    WITH RECURSIVE e AS ({_E_SQL}),
+    sym AS (SELECT src AS u, dst AS w FROM e UNION SELECT dst, src FROM e),
+    verts AS (SELECT DISTINCT u AS v FROM sym),
+    r(v, w) AS (SELECT v, v FROM verts
+                UNION SELECT r.v, s.w FROM r JOIN sym s ON s.u = r.w),
+    base AS (SELECT v, MIN(w) AS component FROM r GROUP BY v),
+    dc AS (SELECT u * 2 AS u, w * 2 + 1 AS w FROM sym
+           UNION SELECT u * 2 + 1, w * 2 FROM sym),
+    dverts AS (SELECT v * 2 AS v FROM verts UNION SELECT v * 2 + 1 FROM verts),
+    r2(v, w) AS (SELECT v, v FROM dverts
+                 UNION SELECT r2.v, s.w FROM r2 JOIN dc s ON s.u = r2.w),
+    dcomp AS (SELECT v, MIN(w) AS c FROM r2 GROUP BY v),
+    fused AS (SELECT CAST(v // 2 AS BIGINT) AS v,
+                     COUNT(DISTINCT c) = 1 AS fz FROM dcomp GROUP BY 1)
+    SELECT component, COUNT(*) AS n_vertices,
+           NOT MAX(fz) AS is_bipartite
+    FROM base JOIN fused USING (v) GROUP BY component
+    """,
+)
+def g21(spark, sf):
+    """Exact per-component bipartiteness by the double-cover reduction
+    — odd-cycle detection as two runs of connected components (each v
+    splits into v0/v1, edges cross copies; a component is bipartite iff
+    its cover splits in two), no coloring state or backtracking
+    (`operators/graph.py:bipartiteness`)."""
+    from duckdb_graphar_spark.operators.graph import bipartiteness
+
+    return bipartiteness(_edges(spark, sf), src_col="src", dst_col="dst")
 
 
 @_q(

@@ -973,3 +973,59 @@ def common_neighbor_candidates(
         .orderBy(F.col("n_common").desc(), "u", "w")
         .limit(k)
     )
+
+
+def bipartiteness(
+    edges: DataFrame,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Exact per-component bipartiteness via the BIPARTITE DOUBLE COVER
+    reduction → (component, n_vertices, is_bipartite): component C is
+    bipartite iff its double cover (each v splits into v₀/v₁; every
+    edge (u,v) becomes (u₀,v₁) and (u₁,v₀)) splits into TWO components
+    — an odd cycle is exactly what fuses the copies.  That turns an
+    odd-cycle search into two runs of the existing connected-components
+    operator: no coloring state, no backtracking, exact at any scale.
+    Self-loops count as odd cycles (v₀—v₁ directly).
+
+    Scale shape: CC on G (edge-incident vertices) + CC on the 2×-size
+    double cover + one copies-fused groupBy — all the CC operator's
+    min-label propagation rounds, bounded driver state throughout."""
+    from duckdb_graphar_spark.operators.dedup import connected_components
+
+    s, d = F.col(src_col), F.col(dst_col)
+    e = edges.select(s.alias("u"), d.alias("w"))
+    verts = (
+        e.select(F.col("u").alias("v"))
+        .unionAll(e.select(F.col("w").alias("v")))
+        .distinct()
+    )
+    base = connected_components(
+        e.select(F.col("u").alias("id_a"), F.col("w").alias("id_b")), verts
+    )
+    dc_edges = e.select(
+        (F.col("u") * 2).alias("id_a"), (F.col("w") * 2 + 1).alias("id_b")
+    ).unionAll(
+        e.select((F.col("u") * 2 + 1).alias("id_a"), (F.col("w") * 2).alias("id_b"))
+    )
+    dc_verts = verts.select((F.col("v") * 2).alias("v")).unionAll(
+        verts.select((F.col("v") * 2 + 1).alias("v"))
+    )
+    dc = connected_components(dc_edges, dc_verts)
+    # copies fused ⇔ v's two cover copies share a double-cover label
+    fused = (
+        dc.select((F.floor(F.col("v") / 2)).cast("long").alias("__v"), "label")
+        .groupBy("__v")
+        .agg((F.count_distinct("label") == 1).alias("__fused"))
+    )
+    return (
+        base.select(F.col("v").alias("__v"), F.col("label").alias("component"))
+        .join(fused, "__v")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            (~F.max("__fused")).alias("is_bipartite"),
+        )
+    )

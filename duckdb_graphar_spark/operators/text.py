@@ -1088,3 +1088,39 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def sentence_dedup_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document boilerplate signal: split each document into
+    sentences (period + whitespace; a portable RE2/Java-regex split —
+    no lookbehind) and report (id, n_sentences, n_distinct, dup_frac)
+    where dup_frac = 1 − distinct/total — repeated-sentence mass, the
+    page-boilerplate detector CCNet-style cleaners run per document.
+
+    Row-local: two bound array columns (the split and its
+    array_distinct — bound ONCE each per the interpreted-HOF rules),
+    zero shuffles."""
+    s = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), r"\.\s+"), lambda x: F.trim(x) != ""
+        ).alias("__sents"),
+    )
+    s = s.withColumn("__n", F.size("__sents"))
+    s = s.withColumn("__nd", F.size(F.array_distinct("__sents")))
+    return s.select(
+        F.col(id_col),
+        F.col("__n").cast("long").alias("n_sentences"),
+        F.col("__nd").cast("long").alias("n_distinct"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.lit(1.0) - F.col("__nd").cast("double") / F.col("__n").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

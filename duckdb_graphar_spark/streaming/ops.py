@@ -516,3 +516,30 @@ def stream_static_enrich_agg(
             "sum_value",
         )
     )
+
+
+def windowed_hll_distinct(
+    stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "365 days",
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Streaming approximate distinct: per (tumbling window, key) an
+    HLL sketch of ``id_col`` — the streaming form of the q63 mergeable-
+    sketch rollup, and the only way to count distincts in a stream
+    without unbounded state (exact distinct needs every id in the state
+    store; the sketch is O(kb) per group regardless of cardinality).
+    Returns (window_start, window_end, key, approx_distinct)."""
+    s = stream.withWatermark("ts", watermark) if stream.isStreaming else stream
+    return (
+        s.groupBy(F.window("ts", window).alias("w"), F.col(key_col))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg(id_col)).alias("approx_distinct"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "approx_distinct",
+        )
+    )

@@ -349,3 +349,32 @@ def test_link_prediction_hub_cap_drops_celebrity_wedges(spark):
         df, max_center_degree=1, src_col="src", dst_col="dst"
     )
     assert out.count() == 0
+
+
+def test_bipartiteness_cycles(spark):
+    """Even cycle bipartite; odd cycle not; pendant tree bipartite."""
+    from duckdb_graphar_spark.operators.graph import bipartiteness
+
+    kw = dict(src_col="src", dst_col="dst")
+    # component A: 4-cycle (bipartite); component B: triangle (not);
+    # component C: edge (bipartite)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0),
+             (10, 11), (11, 12), (12, 10),
+             (20, 21)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.component: (r.n_vertices, r.is_bipartite)
+        for r in bipartiteness(df, **kw).collect()
+    }
+    assert got == {0: (4, True), 10: (3, False), 20: (2, True)}
+
+
+def test_bipartiteness_self_loop_is_odd_cycle(spark):
+    from duckdb_graphar_spark.operators.graph import bipartiteness
+
+    df = spark.createDataFrame([(5, 5), (5, 6)], "src long, dst long")
+    got = {
+        r.component: r.is_bipartite
+        for r in bipartiteness(df, src_col="src", dst_col="dst").collect()
+    }
+    assert got == {5: False}

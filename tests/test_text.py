@@ -385,3 +385,19 @@ def test_pmi_collocations_hand_computed(spark):
     # ranking deterministic: all pairs have same counts here, so PMI
     # equal and (w1, w2) tie-break orders rows
     assert rows == sorted(rows, key=lambda r: (-r.pmi, r.w1, r.w2))
+
+
+def test_sentence_dedup_stats_hand_computed(spark):
+    from duckdb_graphar_spark.operators.text import sentence_dedup_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "Buy now. Great deal. Buy now. The end"),
+            (1, "One sentence only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in sentence_dedup_stats(df).collect()}
+    assert (got[0].n_sentences, got[0].n_distinct) == (4, 3)
+    assert abs(got[0].dup_frac - 0.25) < 1e-9
+    assert (got[1].n_sentences, got[1].n_distinct, got[1].dup_frac) == (1, 1, 0.0)
