@@ -5187,6 +5187,35 @@ def q70(spark, sf):
 
 
 @_q(
+    "q71_session_paths",
+    # ORACLE: st03's gaps-and-islands sessionization with (ts,
+    # event_id) ordering and exact microsecond gaps, ordered list
+    # prefix per session, map-combinable path counts.
+    """
+    WITH o AS (SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS ns
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+    p AS (SELECT array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+          FROM s GROUP BY user_id, sid)
+    SELECT path, COUNT(*) AS n_sessions
+    FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q71(spark, sf):
+    """User-journey analysis: top-20 session path prefixes (first 3
+    event types per gap-based session) — one user-keyed shuffle,
+    row-local ordered prefix, map-combinable counts
+    (`operators/events.py:session_paths`)."""
+    from duckdb_graphar_spark.operators.events import session_paths
+
+    return session_paths(_t(spark, sf, "events"))
+
+
+@_q(
     "t34_sentence_dedup",
     # ORACLE: same portable sentence split (no lookbehind — RE2-safe),
     # list_distinct counts; dup_frac published UNROUNDED (identical

@@ -158,3 +158,67 @@ def cohort_retention(
             "n_users",
         )
     )
+
+
+def session_paths(
+    df: DataFrame,
+    *,
+    k: int = 20,
+    prefix_len: int = 3,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-``k`` session journey prefixes: sessionize per user
+    (gap-based), take each session's first ``prefix_len`` event types
+    in (ts, event_id) order, and count the resulting path strings →
+    (path, n_sessions), ordered (n desc, path).  The product-analytics
+    "user journey" query.
+
+    Scale shape: ONE hash shuffle on the user key; session ids fall out
+    of a per-user ordered window (per-key cardinality is a user's
+    events — bounded by retention), the path prefix is a row-local
+    array_sort + slice over each session's collected (ts, id, type)
+    structs, and the count is map-combinable.  Ties inside a timestamp
+    break on event_id, so the path strings are deterministic."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # exact microsecond gap comparison (integer — no fractional-second
+    # epoch() divergence between engines)
+    gap = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        F.lag(ts_col).over(w).cast("timestamp")
+    )
+    new_sess = F.when(
+        F.lag(ts_col).over(w).isNull() | (gap >= gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__ty"),
+        F.sum(new_sess).over(
+            Window.partitionBy(user_col)
+            .orderBy(ts_col, id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__sid"),
+    )
+    paths = (
+        sess.groupBy("__u", "__sid")
+        .agg(F.collect_list(F.struct("__ts", "__id", "__ty")).alias("__evs"))
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort("__evs"), 1, prefix_len),
+                    lambda e: e["__ty"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )

@@ -156,3 +156,39 @@ def test_scd2_tie_breaks_on_event_id(spark):
 def test_scd2_single_state_single_row(spark):
     rows = [(7, _ts(0), "X", 1), (7, _ts(5), "X", 2)]
     assert _scd2(spark, rows) == [(7, "X", _ts(0), None, 2)]
+
+
+def test_session_paths_hand_computed(spark):
+    """User 1: two sessions (gap > 30 min) with paths view>click and
+    view; user 2: one session view>click."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.events import session_paths
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, ts(0), 1, "view"),
+        (1, ts(1), 2, "click"),
+        (1, ts(60), 3, "view"),       # new session (59 min gap)
+        (2, ts(0), 4, "view"),
+        (2, ts(2), 5, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = [(r.path, r.n_sessions) for r in session_paths(df).collect()]
+    assert got == [("view>click", 2), ("view", 1)]
+
+
+def test_session_paths_ties_break_on_event_id(spark):
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.events import session_paths
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(1, t, 9, "b"), (1, t, 3, "a")]  # same ts: id 3 first
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = [(r.path, r.n_sessions) for r in session_paths(df).collect()]
+    assert got == [("a>b", 1)]
