@@ -5734,6 +5734,96 @@ def q65(spark, sf):
 
 
 @_q(
+    "ga15_property_group_projection",
+    # ORACLE: the two projected columns straight from the source table
+    # — the written graph's other property group (comment-ish long
+    # text) must never be touched to produce this.
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS _graphArVertexIndex,
+           n_name AS name, CAST(n_regionkey AS INTEGER) AS regionkey
+    FROM nation
+    """,
+)
+def ga15(spark, sf):
+    """A4/B1 depth on a WRITER-produced graph: nation written with TWO
+    vertex property groups ([name, regionkey] | [comment]), re-read
+    with `columns=` selecting only the first — property-group pruning
+    means the comment group's chunk files are never opened
+    (`graphar/spark_writer.py` vertex_property_groups →
+    `graphar/reader.py` group pruning)."""
+    import shutil
+
+    from duckdb_graphar_spark.graphar import read_vertices
+    from duckdb_graphar_spark.graphar.spark_writer import write_graph_dist
+
+    v = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("_graphArVertexIndex"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("int").alias("regionkey"),
+        # synthesized second-group payload (the fixture nation table
+        # carries no comment column); its group's chunk files exist on
+        # disk but must never be opened by the pruned read below
+        F.concat(F.lit("nation-"), F.col("n_name")).alias("comment"),
+    )
+    out = tempfile.mkdtemp(prefix="ga15_pgroups_")
+    try:
+        gy = write_graph_dist(
+            out,
+            "NationPG",
+            {"Nation": v},
+            {},
+            vertex_chunk_size=8,
+            vertex_property_groups={"Nation": [["name", "regionkey"], ["comment"]]},
+        )
+        got = read_vertices(spark, gy, "Nation", columns=["name", "regionkey"])
+        rows = got.collect()  # bounded: nation is 25 rows at every SF
+        return spark.createDataFrame(
+            rows, "`_graphArVertexIndex` long, name string, regionkey int"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@_q(
+    "ga16_orc_roundtrip",
+    # ORACLE: full-scan equality against the source rows — every byte
+    # round-tripped through ORC chunk files written by executors and
+    # read back through the Arrow mapInPandas chunk reader.
+    """
+    SELECT CAST(r_regionkey AS BIGINT) AS _graphArVertexIndex,
+           r_name AS name
+    FROM region
+    """,
+)
+def ga16(spark, sf):
+    """A4 non-parquet chunk formats, driver-pinned: region written as
+    GraphAr ORC chunk files (file_type='orc'), re-read through the
+    distributed Arrow chunk reader (ORC lacks `_metadata.row_index`, so
+    rows are enumerated per file — `graphar/reader.py:_chunked_df`)."""
+    import shutil
+
+    from duckdb_graphar_spark.graphar import read_vertices
+    from duckdb_graphar_spark.graphar.spark_writer import write_graph_dist
+
+    v = _t(spark, sf, "region").select(
+        F.col("r_regionkey").cast("long").alias("_graphArVertexIndex"),
+        F.col("r_name").alias("name"),
+    )
+    out = tempfile.mkdtemp(prefix="ga16_orc_")
+    try:
+        gy = write_graph_dist(
+            out, "RegionOrc", {"Region": v}, {}, vertex_chunk_size=2,
+            file_type="orc",
+        )
+        rows = read_vertices(spark, gy, "Region").collect()  # 5 rows
+        return spark.createDataFrame(
+            rows, "`_graphArVertexIndex` long, name string"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@_q(
     "q64_cohort_retention",
     # ORACLE: first-event week per user, then DISTINCT (cohort, offset,
     # user) before the count — the same two-aggregate shape the operator
