@@ -1546,6 +1546,46 @@ def u03(spark, sf):
 
 
 @_q(
+    "u04_stream_source",
+    # ORACLE: the completed stream's final complete-mode state must
+    # equal the plain range() aggregate — a FULL value oracle for a
+    # custom DSv2 STREAMING source (exactly-replayable offsets).
+    """
+    SELECT CAST(range % 5 AS BIGINT) AS k, COUNT(*) AS n,
+           CAST(SUM(range) AS BIGINT) AS sum_n,
+           CAST(SUM(range * range) AS BIGINT) AS sum_sq
+    FROM range(0, 1000) GROUP BY 1
+    """,
+)
+def u04(spark, sf):
+    """Streaming source through the public Python Data Source V2 API:
+    a deterministic bounded counter emitting (n, n²) in 100-row
+    micro-batches with replayable offsets
+    (`datasources.py:CounterStreamDataSource`), aggregated statefully
+    in complete mode and driven to completion — the read-side twin of
+    u03's DSv2 sink."""
+    from duckdb_graphar_spark.datasources import CounterStreamDataSource
+    from duckdb_graphar_spark.streaming.ops import run_to_memory
+
+    try:
+        spark.dataSource.register(CounterStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = spark.readStream.format("counter_stream").load()
+    agg = stream.groupBy((F.col("n") % 5).alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n").alias("sum_n"),
+        F.sum("sq").alias("sum_sq"),
+    )
+    return run_to_memory(agg, "u04_out", mode="complete").select(
+        F.col("k").cast("long").alias("k"),
+        "n",
+        F.col("sum_n").cast("long").alias("sum_n"),
+        F.col("sum_sq").cast("long").alias("sum_sq"),
+    )
+
+
+@_q(
     "q49_string_agg",
     """
     SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names

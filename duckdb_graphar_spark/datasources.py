@@ -84,3 +84,52 @@ class ArrowParquetSinkDataSource(DataSource):
                 if f.endswith(".parquet") or f == "_MANIFEST.json":
                     os.remove(os.path.join(path, f))
         return _ArrowParquetWriter(path)
+
+
+class _CounterStreamReader:
+    """SimpleDataSourceStreamReader: a deterministic bounded counter —
+    each micro-batch advances the offset by ``step`` until ``limit``;
+    exhausted reads return an empty batch at the same offset, so
+    ``processAllAvailable`` converges.  ``readBetweenOffsets`` replays
+    any offset range exactly (the replayability contract that makes the
+    source usable with checkpoint recovery)."""
+
+    def __init__(self, step: int, limit: int) -> None:
+        self.step = step
+        self.limit = limit
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        hi = min(lo + self.step, self.limit)
+        return iter([(i, i * i) for i in range(lo, hi)]), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([(i, i * i) for i in range(int(start["offset"]), int(end["offset"]))])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class CounterStreamDataSource(DataSource):
+    """Streaming source through the public Python Data Source V2 API
+    (``spark.readStream.format("counter_stream")``): the read-side twin
+    of :class:`ArrowParquetSinkDataSource`, completing the DSv2 surface
+    (batch source u02, batch sink u03, streaming source here).  Exactly
+    replayable offsets make the declared query's final state equal a
+    plain ``range()`` SQL — a FULL value oracle for a custom streaming
+    source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "counter_stream"
+
+    def schema(self) -> str:
+        return "n long, sq long"
+
+    def simpleStreamReader(self, schema):
+        return _CounterStreamReader(
+            int(self.options.get("step", 100)), int(self.options.get("limit", 1000))
+        )
