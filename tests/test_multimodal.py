@@ -410,3 +410,81 @@ def test_png_rejects_malformed():
     # decode_image magic dispatch
     d = decode_image(png)
     assert (d["width"], d["height"]) == (3, 2) and d["mean_intensity"] == 7.0
+
+
+# ---------------------------------------------------------------------------
+# codec property tests (hypothesis, pure numpy — no Spark)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        wb=st.integers(1, 4),
+        hb=st.integers(1, 3),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_jpeg_flat_block_roundtrip_property(wb, hb, seed):
+        """ANY flat-block image round-trips bit-exactly — the m07
+        oracle's foundation, for arbitrary shapes and pixel values."""
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_gray_jpeg,
+        )
+
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, 256, size=(hb, wb)).astype(np.uint8)
+        px = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        d = decode_jpeg_gray(encode_gray_jpeg(px))
+        assert np.array_equal(d["pixels"].reshape(px.shape), px)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_roundtrip_property(w, h, seed):
+        """PNG is lossless for ANY image shape/content."""
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_png_gray,
+            encode_gray_png,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        d = decode_png_gray(encode_gray_png(px))
+        assert np.array_equal(d["pixels"].reshape(h, w), px)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w8=st.integers(1, 4),
+        h8=st.integers(1, 3),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_jpeg_arbitrary_content_bounded_error_property(w8, h8, seed):
+        """With the all-ones quant table, ANY content decodes within
+        ±2 of the source (coefficient rounding is the only loss)."""
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_gray_jpeg,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h8 * 8, w8 * 8)).astype(np.uint8)
+        d = decode_jpeg_gray(encode_gray_jpeg(px))
+        err = np.abs(d["pixels"].reshape(px.shape).astype(int) - px.astype(int)).max()
+        assert err <= 2
