@@ -6140,36 +6140,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order.
 _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
-    # --- window rotates.  Rounds 1–3 hard-verified 134 distinct entries
-    # --- (union of CORRECTNESS_r01/r02/r03 green rows).  The round-4
-    # --- window opens with the 22 entries that have NEVER been driver
-    # --- checked (round-3 wave-2/3/4 operators), then the 5 rows that
-    # --- were red in r3 (representation fixes: oracle SUM casts for
-    # --- t23/st09, string-serialized centroids for s07/s08, digested
-    # --- binary payload for m02), then regression re-checks spread over
-    # --- every surface (GraphAr, graph, relational, streaming, LLM
-    # --- pipeline, multimodal) fill the window to 50.
-    # --- 22 never-driver-verified entries ---
-    "t26", "q58", "q59", "s09", "s10", "s12", "s11",
-    "g13", "g14", "g15", "g16",
-    "t27", "t28", "t29", "t30",
-    "q60", "q61", "q62", "q63",
-    "d05", "st10", "m06",
-    # --- 5 r3-red rows, re-declared this round + round-4 new operators
-    # --- (A6 writer pin, JPEG codec, cohort retention, HITS,
-    # --- stream-static join) ---
+    # --- window rotates.  Rounds 1–4 hard-verified 180 distinct entries
+    # --- (union of CORRECTNESS_r01..r04 green rows; r4 was 50/50 green).
+    # --- The round-5 window opens with the 8 entries that have NEVER
+    # --- been driver checked (round-4 tail additions, absent from the
+    # --- r4 priority list), then round-5 new operators, then the 5 rows
+    # --- fixed in r4 (second-round confirmation of the representation
+    # --- fixes), then regression re-checks spread over every surface
+    # --- (GraphAr, graph, relational, streaming, LLM pipeline,
+    # --- multimodal) fill the window to 50.
+    # --- 8 never-driver-verified entries (r4 tail) ---
+    "u04", "q70", "q71", "t34", "st12", "g21", "ga15", "ga16",
+    # --- round-5 new operators ---
+    "m10", "m11", "ga17", "ga18", "q72", "q73", "s14", "t35", "g22", "st13",
+    # --- m01 migrated onto a real codec this round; re-verify ---
+    "m01",
+    # --- 5 r4-fixed rows, second-round confirmation ---
     "t23", "st09", "s07", "s08", "m02",
-    "ga14", "m07", "m08", "m09", "q64", "q65", "q66", "q67",
-    "g17", "g18", "g19", "g20", "st11", "t31", "t32", "t33", "d06", "q68", "s13",
-    # --- 7 cross-surface regression re-checks (all ever-green; the
-    # --- long once-green tail keeps its credit from r1-r3 windows) ---
-    "ga01", "g02", "q01", "q05", "st01", "t04", "s01",
-    # --- next-round rotation continues here ---
-    "ga03", "ga11", "ga13", "g05", "g07", "g11",
-    "q02", "q31", "q14",
-    "st03", "st05", "st08",
-    "t01", "t06", "d01", "m04",
+    # --- cross-surface regression re-checks to fill the window ---
+    "ga01", "ga03", "ga14", "g02", "g07", "g11", "g13", "g17", "g20",
+    "q01", "q05", "q31", "q47", "q58", "q60", "q63", "q64",
+    "st01", "st05", "st08", "st11",
+    "t01", "t04", "t06", "t17", "t26", "t30",
+    "d01", "d05", "s01", "s05", "s09", "s12",
+    "m04", "m07", "u01", "u03", "c01",
     # --- 51+: remaining ever-verified tail in coverage order ---
+    "m08", "m09", "q65", "q66", "q67", "q68", "s13",
+    "g18", "g19", "t31", "t32", "t33", "d06",
+    "s10", "s11", "q59", "q61", "q62", "st10", "m06",
+    "t27", "t28", "t29", "q02", "q14",
+    "ga11", "ga13", "g05", "st03",
     *[f"ga{i:02d}" for i in range(1, 14)],
     *[f"g{i:02d}" for i in range(1, 13)],
     "c01",
