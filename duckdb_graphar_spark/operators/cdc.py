@@ -121,4 +121,21 @@ def maintain_agg(
         .cast("long")
         .alias(sum_col),
     )
-    return merged.filter(F.col(n_col) > 0)
+    # A key whose merged count goes NEGATIVE means the CDC feed is
+    # corrupt (a delete without its matching insert) — surface it
+    # rather than silently dropping the key with the legitimate
+    # reached-zero rows.
+    checked = merged.withColumn(
+        n_col,
+        F.when(
+            F.col(n_col) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("maintain_agg: negative merged count "),
+                    F.col(n_col).cast("string"),
+                    F.lit(" (delete without matching insert)"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(n_col)),
+    )
+    return checked.filter(F.col(n_col) > 0)

@@ -600,6 +600,7 @@ def kcore(
         return both.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
 
     n_edges = e.count() if until_stable else None
+    converged = False
     for it in range(n_iters):
         alive = degs(e).filter(F.col("degree") >= k).select("v")
         e = e.join(alive, e["a"] == alive["v"], "left_semi")
@@ -612,8 +613,17 @@ def kcore(
             e = e.localCheckpoint(eager=True)
             now = e.count()
             if now == n_edges:
+                converged = True
                 break
             n_edges = now
+    if until_stable and not converged:
+        # the cap is a SAFETY bound, not a semantic one: exiting through
+        # it silently would hand back a non-fixpoint subgraph labeled
+        # "true k-core" — raise so the caller widens n_iters instead
+        raise RuntimeError(
+            f"kcore(until_stable=True) hit the n_iters={n_iters} safety "
+            "cap before the peel reached fixpoint; pass a larger n_iters"
+        )
     return degs(e).select(F.col("v").alias("id"), "degree")
 
 

@@ -63,6 +63,24 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _ascii_text_bytes(text: str, did) -> np.ndarray:
+    """Shared guard for the text-to-media encoders whose SQL oracles
+    reason in CHARACTER semantics (length(text), unicode(text[i])):
+    multibyte UTF-8 would make byte-derived dims/pixels silently diverge
+    from the oracle, so non-ASCII raises — mirroring the guard in
+    :func:`encode_text_pcm`."""
+    tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if tb.size == 0:
+        raise ValueError(f"empty text for doc {did}")
+    if int(tb.max()) >= 128:
+        raise ValueError(
+            f"text-to-media encoders require ASCII text "
+            f"(doc {did} has byte {int(tb.max())}); byte-derived image "
+            "dims/pixels would diverge from the character-semantics oracle"
+        )
+    return tb
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic fake decoder: derives a plausible image shape and a
     perceptual-hash-like fingerprint purely from the bytes.  Replace with
@@ -660,12 +678,16 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     w = h = None
     comp_q = comp_dc = comp_ac = None
     while pos < len(payload):
+        if pos + 2 > len(payload):
+            raise ValueError(f"truncated marker at {pos}")
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(payload):
+            raise ValueError(f"truncated segment header at {pos}")
         seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
         seg = payload[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -716,9 +738,15 @@ def decode_jpeg_gray(payload: bytes) -> dict:
         raise ValueError("missing SOF0/SOS")
     if h % 8 or w % 8:
         raise NotImplementedError("partial edge blocks not supported")
-    qt = qtables[comp_q]
-    dc_tbl = htables[(0, comp_dc)]
-    ac_tbl = htables[(1, comp_ac)]
+    try:
+        qt = qtables[comp_q]
+        dc_tbl = htables[(0, comp_dc)]
+        ac_tbl = htables[(1, comp_ac)]
+    except KeyError as ex:
+        # a scan referencing an undefined table id is structural
+        # corruption — keep the documented ValueError contract rather
+        # than leaking KeyError to mapInPandas callers
+        raise ValueError(f"scan references undefined quant/Huffman table {ex}")
 
     br = _BitReader(payload, pos)
     out = np.zeros((h, w), dtype=np.uint8)
@@ -772,9 +800,7 @@ def encode_text_jpeg(
         for pdf in it:
             payloads = []
             for did, text in zip(pdf["doc_id"], pdf["__text"]):
-                tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-                if tb.size == 0:
-                    raise ValueError(f"empty text for doc {did}")
+                tb = _ascii_text_bytes(text, did)
                 wb = 1 + (len(tb) % 4)
                 hb = 1 + (int(did) % 3)
                 vals = tb[np.arange(wb * hb) % len(tb)].reshape(hb, wb)
@@ -903,11 +929,21 @@ def decode_png_gray(payload: bytes) -> dict:
         length = struct.unpack(">I", payload[pos : pos + 4])[0]
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        crc = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])[0]
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(data) != length or len(crc_bytes) != 4:
+            # documented contract is ValueError on corruption; without
+            # this check a mid-chunk truncation leaks struct.error
+            raise ValueError(f"truncated {ctype!r} chunk at {pos}")
+        crc = struct.unpack(">I", crc_bytes)[0]
         if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            try:
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            except struct.error:
+                raise ValueError("malformed IHDR chunk")
             if depth != 8 or color != 0:
                 raise NotImplementedError("only 8-bit grayscale PNG")
             if interlace:
@@ -919,7 +955,10 @@ def decode_png_gray(payload: bytes) -> dict:
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = _zlib.decompress(bytes(idat))
+    try:
+        raw = _zlib.decompress(bytes(idat))
+    except _zlib.error as ex:
+        raise ValueError(f"corrupt IDAT stream: {ex}")
     if len(raw) != h * (w + 1):
         raise ValueError(f"inflated size {len(raw)} != {h}*({w}+1)")
     out = np.zeros((h, w), dtype=np.uint8)
@@ -975,9 +1014,7 @@ def encode_text_png(
         for pdf in it:
             payloads = []
             for did, text in zip(pdf["doc_id"], pdf["__text"]):
-                tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-                if tb.size == 0:
-                    raise ValueError(f"empty text for doc {did}")
+                tb = _ascii_text_bytes(text, did)
                 w = 1 + (len(tb) % 24)
                 h = 1 + (int(did) % 10)
                 px = tb[np.arange(w * h) % len(tb)].reshape(h, w)
@@ -1135,9 +1172,7 @@ def encode_text_mjpeg(
         for pdf in it:
             payloads = []
             for did, text in zip(pdf["doc_id"], pdf["__text"]):
-                tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-                if tb.size == 0:
-                    raise ValueError(f"empty text for doc {did}")
+                tb = _ascii_text_bytes(text, did)
                 wb = 1 + (len(tb) % 4)
                 hb = 1 + (int(did) % 3)
                 frames = []

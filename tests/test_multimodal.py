@@ -412,6 +412,61 @@ def test_png_rejects_malformed():
     assert (d["width"], d["height"]) == (3, 2) and d["mean_intensity"] == 7.0
 
 
+def test_corrupt_payloads_surface_as_valueerror():
+    """The documented contract is ValueError on structural corruption —
+    truncation and undefined-table references must not leak
+    struct.error/KeyError to mapInPandas callers."""
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_png_gray,
+        encode_gray_jpeg,
+        encode_gray_png,
+    )
+
+    png = encode_gray_png(np.full((2, 3), 7, np.uint8))
+    # truncated mid-IDAT (chunk header readable, data+CRC cut):
+    # previously struct.error from the CRC unpack
+    idat = png.find(b"IDAT")
+    assert idat > 0
+    with _pt.raises(ValueError, match="truncated"):
+        decode_png_gray(png[: idat + 7])
+
+    jpg = encode_gray_jpeg(np.full((8, 8), 100, np.uint8))
+    # truncated segment header
+    with _pt.raises(ValueError):
+        decode_jpeg_gray(jpg[:3])
+    # scan referencing an undefined quant table id: previously KeyError.
+    # SOF0's component quant-table id byte lives right after the 0xFFC0
+    # marker: [len_hi len_lo prec h h w w ncomp comp_id sampling qtab_id]
+    sof = jpg.find(b"\xff\xc0")
+    assert sof > 0
+    qid_off = sof + 2 + 10  # last byte of the 1-component SOF0 payload
+    bad = jpg[:qid_off] + b"\x03" + jpg[qid_off + 1 :]
+    with _pt.raises(ValueError, match="undefined quant/Huffman"):
+        decode_jpeg_gray(bad)
+
+
+def test_text_encoders_reject_non_ascii(spark):
+    """The three text-to-image encoders share encode_text_pcm's ASCII
+    guard: byte-derived dims would silently diverge from the
+    character-semantics oracles on multibyte UTF-8."""
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_jpeg,
+        encode_text_mjpeg,
+        encode_text_png,
+    )
+
+    df = spark.createDataFrame([(1, "café")], "doc_id long, text string")
+    for enc in (encode_text_jpeg, encode_text_png, encode_text_mjpeg):
+        with _pt.raises(Exception, match="ASCII"):
+            enc(df).collect()
+
+
 # ---------------------------------------------------------------------------
 # codec property tests (hypothesis, pure numpy — no Spark)
 # ---------------------------------------------------------------------------

@@ -362,3 +362,18 @@ def test_pq_adc_auto_picks_broadcast_above_budget(spark):
     q = [float(x) for x in vecs[0]]
     with pytest.raises(ValueError, match="table_mode"):
         pq_adc_topk(df, _books(df, 2, 4), q, table_mode="nope")
+
+
+def test_kcore_until_stable_cap_raises(spark):
+    """Exiting until_stable through the safety cap instead of the
+    fixpoint must raise — a non-converged subgraph must not masquerade
+    as the true k-core."""
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.graph import kcore
+
+    # a long chain peels one vertex per end per round: cap 1 cannot converge
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with _pt.raises(RuntimeError, match="safety cap"):
+        kcore(df, 2, n_iters=1, until_stable=True, src_col="src", dst_col="dst")

@@ -223,3 +223,18 @@ def test_maintain_agg_unknown_op_raises(spark):
     ch = spark.createDataFrame([("a", 1, "upsert")], "k string, x long, op string")
     with _pt.raises(Exception, match="unknown op"):
         maintain_agg(base, ch, ["k"]).collect()
+
+
+def test_maintain_agg_negative_count_raises(spark):
+    """A delete with no matching insert (corrupt CDC feed) must SURFACE,
+    not silently vanish with the legitimate reached-zero keys."""
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.cdc import maintain_agg
+
+    base = spark.createDataFrame([("a", 1, 10)], "k string, n long, sum_scaled long")
+    ch = spark.createDataFrame(
+        [("a", 10, "delete"), ("a", 10, "delete")], "k string, x long, op string"
+    )
+    with _pt.raises(Exception, match="negative merged count"):
+        maintain_agg(base, ch, ["k"]).collect()
