@@ -5070,6 +5070,88 @@ def m09(spark, sf):
 
 
 @_q(
+    "m10_color_jpeg",
+    # ORACLE: never sees the JPEG bytes — the fixture image is wm×hm
+    # FLAT 16×16 MCUs (MCU m's RGB = text bytes m, 2m+1, 3m+2 mod L),
+    # and a flat MCU survives the whole lossy 4:2:0 color pipeline
+    # bit-exactly (flat Y/Cb/Cr blocks have zero AC, all-ones quant
+    # keeps DC integral, the 2×2 chroma mean of equal values is exact,
+    # replication upsample of a flat plane is identity).  The decoded
+    # color is therefore precisely the fixed-point BT.601 round-trip
+    # of the source color, replayed here step for step: every constant
+    # is 16.16 fixed-point and every division is by 2^16, so
+    # FLOOR(x/65536.0) is exact in IEEE double and matches numpy's
+    # arithmetic right shift bit for bit.  Outputs are integer pixel
+    # SUMS — no float anywhere.
+    """
+    WITH docs AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 3 AS wm,
+             1 + doc_id % 2 AS hm, text
+      FROM documents
+    ),
+    mcus AS (
+      SELECT doc_id, wm, hm,
+             unicode(text[CAST(m % L AS INTEGER) + 1]) AS vr,
+             unicode(text[CAST((2 * m + 1) % L AS INTEGER) + 1]) AS vg,
+             unicode(text[CAST((3 * m + 2) % L AS INTEGER) + 1]) AS vb
+      FROM docs, UNNEST(generate_series(0, CAST(wm * hm AS BIGINT) - 1)) AS t(m)
+    ),
+    yc AS (
+      SELECT doc_id, wm, hm,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          (19595 * vr + 38470 * vg + 7471 * vb + 32768) / 65536.0) AS BIGINT)))
+          AS y,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          (-11059 * vr - 21709 * vg + 32768 * vb + 32768) / 65536.0) AS BIGINT)
+          + 128)) AS cb,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          (32768 * vr - 27439 * vg - 5329 * vb + 32768) / 65536.0) AS BIGINT)
+          + 128)) AS cr
+      FROM mcus
+    ),
+    rgb AS (
+      SELECT doc_id, wm, hm,
+        LEAST(255, GREATEST(0, y + CAST(FLOOR(
+          (91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS rr,
+        LEAST(255, GREATEST(0, y - CAST(FLOOR(
+          (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) / 65536.0)
+          AS BIGINT))) AS gg,
+        LEAST(255, GREATEST(0, y + CAST(FLOOR(
+          (116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS bb
+      FROM yc
+    )
+    SELECT doc_id,
+           CAST(16 * wm AS BIGINT) AS width,
+           CAST(16 * hm AS BIGINT) AS height,
+           CAST(256 * SUM(rr) AS BIGINT) AS sum_r,
+           CAST(256 * SUM(gg) AS BIGINT) AS sum_g,
+           CAST(256 * SUM(bb) AS BIGINT) AS sum_b
+    FROM rgb GROUP BY doc_id, wm, hm
+    """,
+)
+def m10(spark, sf):
+    """COLOR image modality over a REAL pure-numpy baseline 4:2:0 JPEG
+    codec: each document rendered as a genuine 3-component JFIF file
+    (fixed-point BT.601 RGB→YCbCr, 2×2-mean chroma subsampling,
+    interleaved MCU scan with per-component DC predictors and the four
+    Annex-K luma+chroma Huffman tables —
+    `operators/multimodal.py:encode_color_jpeg`), decoded back through
+    the general color pipeline (marker parse with per-component table
+    binding, interleaved entropy decode, IDCT, replication upsample,
+    fixed-point YCbCr→RGB — `decode_color_jpeg`) for per-channel
+    exact-integer pixel sums.  Closes the last material codec scope
+    gap: real-world multimodal corpora are color.  Two Arrow-batched
+    mapInPandas stages, no shuffle."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_color_jpeg,
+        jpeg_color_stats,
+    )
+
+    return jpeg_color_stats(encode_text_color_jpeg(_t(spark, sf, "documents")))
+
+
+@_q(
     "q67_delta_agg_maintenance",
     # ORACLE: state-equivalence, not mechanism replay — base is the
     # aggregate over orderkey%10<8, the delta inserts the %10=8 rows

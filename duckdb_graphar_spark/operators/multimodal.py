@@ -451,6 +451,27 @@ _JPEG_ZIGZAG = np.array(
 # T.81 Annex K.3 luminance Huffman specs: (BITS[1..16], HUFFVAL)
 _JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_DC_VALS = list(range(12))
+# T.81 Annex K.3 chrominance specs (Tables K.4/K.6)
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+assert sum(_JPEG_AC_BITS_C) == len(_JPEG_AC_VALS_C) == 162
 _JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 _JPEG_AC_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
@@ -527,6 +548,92 @@ def _jpeg_category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
+def _encode_jpeg_block(
+    bw: "_BitWriter",
+    block_f: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """Forward-DCT + all-ones quantize + zigzag + DPCM/RLE entropy-code
+    one level-shifted 8×8 float block; returns the new DC predictor.
+    Shared by the grayscale and interleaved-color encoders."""
+    coef = _JPEG_DCT_M @ block_f @ _JPEG_DCT_M.T
+    q = np.rint(coef).astype(np.int64)  # qtable is all ones
+    zz = q.reshape(-1)[_JPEG_ZIGZAG]
+    # DC: DPCM + category/amplitude bits
+    diff = int(zz[0]) - prev_dc
+    new_dc = int(zz[0])
+    s = _jpeg_category(diff)
+    code, length = dc_codes[s]
+    bw.put(code, length)
+    if s:
+        amp = diff if diff > 0 else diff + (1 << s) - 1
+        bw.put(amp, s)
+    # AC: run-length of zeros, ZRL for 16+, EOB for trailing zeros
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = int(nz[-1]) + 1 if nz.size else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.put(code, length)
+            run -= 16
+        s = _jpeg_category(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.put(code, length)
+        amp = v if v > 0 else v + (1 << s) - 1
+        bw.put(amp, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.put(code, length)
+    return new_dc
+
+
+def _decode_jpeg_block(
+    br: "_BitReader", dc_tbl: dict, ac_tbl: dict, prev_dc: int
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode one block's 64 zigzag coefficients (DPCM DC +
+    run-length AC); returns (zz int64[64], new DC predictor).  Shared by
+    the grayscale and interleaved-color decoders."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = br.huff(dc_tbl)
+    diff = _jpeg_extend(br.bits(s), s) if s else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = br.huff(ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError(f"bad AC symbol {sym:#x}")
+            i += 16  # ZRL
+            continue
+        i += run
+        if i > 63:
+            raise ValueError("AC run overflows block")
+        zz[i] = _jpeg_extend(br.bits(size), size)
+        i += 1
+    return zz, prev_dc
+
+
+def _idct_jpeg_block(zz: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Dequantize + dezigzag + full 64-coefficient float IDCT + level
+    shift → uint8 8×8 spatial block."""
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_JPEG_ZIGZAG] = (zz * qt[_JPEG_ZIGZAG]).astype(np.float64)
+    block = _JPEG_DCT_M.T @ coef.reshape(8, 8) @ _JPEG_DCT_M + 128.0
+    return np.clip(np.rint(block), 0, 255).astype(np.uint8)
+
+
 def encode_gray_jpeg(pixels: np.ndarray) -> bytes:
     """Encode an (h, w) uint8 grayscale array as a REAL baseline JFIF
     JPEG: genuine forward DCT per 8×8 block, all-ones quantization
@@ -575,41 +682,7 @@ def encode_gray_jpeg(pixels: np.ndarray) -> bytes:
     for by in range(h // 8):
         for bx in range(w // 8):
             block = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = _JPEG_DCT_M @ block @ _JPEG_DCT_M.T
-            q = np.rint(coef).astype(np.int64)  # qtable is all ones
-            zz = q.reshape(-1)[_JPEG_ZIGZAG]
-            # DC: DPCM + category/amplitude bits
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = _jpeg_category(diff)
-            code, length = dc_codes[s]
-            bw.put(code, length)
-            if s:
-                amp = diff if diff > 0 else diff + (1 << s) - 1
-                bw.put(amp, s)
-            # AC: run-length of zeros, ZRL for 16+, EOB for trailing zeros
-            run = 0
-            last_nz = 0
-            nz = np.nonzero(zz[1:])[0]
-            last_nz = int(nz[-1]) + 1 if nz.size else 0
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.put(code, length)
-                    run -= 16
-                s = _jpeg_category(v)
-                code, length = ac_codes[(run << 4) | s]
-                bw.put(code, length)
-                amp = v if v > 0 else v + (1 << s) - 1
-                bw.put(amp, s)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw.put(code, length)
+            prev_dc = _encode_jpeg_block(bw, block, dc_codes, ac_codes, prev_dc)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -753,33 +826,259 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     prev_dc = 0
     for by in range(h // 8):
         for bx in range(w // 8):
-            zz = np.zeros(64, dtype=np.int64)
-            s = br.huff(dc_tbl)
-            diff = _jpeg_extend(br.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = br.huff(ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(f"bad AC symbol {sym:#x}")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("AC run overflows block")
-                zz[i] = _jpeg_extend(br.bits(size), size)
-                i += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_JPEG_ZIGZAG] = (zz * qt[_JPEG_ZIGZAG]).astype(np.float64)
-            block = _JPEG_DCT_M.T @ coef.reshape(8, 8) @ _JPEG_DCT_M + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype(np.uint8)
+            zz, prev_dc = _decode_jpeg_block(br, dc_tbl, ac_tbl, prev_dc)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_jpeg_block(zz, qt)
+    return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
+
+
+def rgb_to_ycbcr_fixed(r, g, b):
+    """BT.601 RGB→YCbCr in libjpeg-style 16.16 fixed-point integer
+    arithmetic (arithmetic right shift = floor division, so the exact
+    chain is replayable in SQL as CAST(FLOOR(x / 65536.0) AS BIGINT)):
+
+        y  =  (19595 r + 38470 g +  7471 b + 32768) >> 16
+        cb = ((-11059 r - 21709 g + 32768 b + 32768) >> 16) + 128
+        cr = (( 32768 r - 27439 g -  5329 b + 32768) >> 16) + 128
+
+    each clipped to [0, 255].  Luma weights sum to 65536 and each
+    chroma row sums to 0, so any gray (r=g=b=v) maps to (v, 128, 128)
+    exactly.  Accepts scalars or numpy arrays (int64 math)."""
+    r = np.asarray(r, dtype=np.int64)
+    g = np.asarray(g, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    cb = ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128
+    cr = ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128
+    clip = lambda a: np.clip(a, 0, 255)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def ycbcr_to_rgb_fixed(y, cb, cr):
+    """BT.601 YCbCr→RGB in the same 16.16 fixed-point discipline as
+    :func:`rgb_to_ycbcr_fixed`:
+
+        r = y + ((91881 (cr-128) + 32768) >> 16)
+        g = y - ((22554 (cb-128) + 46802 (cr-128) + 32768) >> 16)
+        b = y + ((116130 (cb-128) + 32768) >> 16)
+
+    each clipped to [0, 255]; (v, 128, 128) maps back to gray v
+    exactly (the chroma terms are (+32768)>>16 = 0)."""
+    y = np.asarray(y, dtype=np.int64)
+    cb = np.asarray(cb, dtype=np.int64) - 128
+    cr = np.asarray(cr, dtype=np.int64) - 128
+    r = y + ((91881 * cr + 32768) >> 16)
+    g = y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+    b = y + ((116130 * cb + 32768) >> 16)
+    clip = lambda a: np.clip(a, 0, 255)  # noqa: E731
+    return clip(r), clip(g), clip(b)
+
+
+def encode_color_jpeg(pixels_rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a REAL baseline color
+    JFIF JPEG: fixed-point BT.601 color transform
+    (:func:`rgb_to_ycbcr_fixed`), 4:2:0 chroma subsampling (2×2 mean,
+    round-half-up), interleaved MCU scan (four Y blocks then Cb then
+    Cr per 16×16 MCU), two all-ones quantization tables and the four
+    Annex-K Huffman tables (luma + chroma).  h and w must be multiples
+    of 16 (one full MCU granule — no edge-block replication, keeping
+    encode/decode exactly inverse on flat MCUs)."""
+    h, w, c = pixels_rgb.shape
+    if c != 3:
+        raise ValueError("encode_color_jpeg expects (h, w, 3) RGB")
+    if h % 16 or w % 16:
+        raise ValueError(f"encode_color_jpeg needs multiple-of-16 dims, got {w}x{h}")
+    if h > 65535 or w > 65535:
+        raise ValueError("image too large for SOF0")
+    px = pixels_rgb.astype(np.int64)
+    yy, cbf, crf = rgb_to_ycbcr_fixed(px[..., 0], px[..., 1], px[..., 2])
+    # 4:2:0: each chroma sample is the round-half-up mean of its 2x2 cell
+    cb = (cbf[0::2, 0::2] + cbf[0::2, 1::2] + cbf[1::2, 0::2] + cbf[1::2, 1::2] + 2) >> 2
+    cr = (crf[0::2, 0::2] + crf[0::2, 1::2] + crf[1::2, 0::2] + crf[1::2, 1::2] + 2) >> 2
+
+    dc_l = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _huff_canonical(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _huff_canonical(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"  # APP0
+    # two all-ones DQTs in one segment (slot 0 luma, slot 1 chroma)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 2 * 65) + b"\x00" + bytes(
+        [1] * 64
+    ) + b"\x01" + bytes([1] * 64)
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * 3)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"  # 3 components
+        + b"\x01\x22\x00"  # Y:  id 1, sampling 2x2, qtable 0
+        + b"\x02\x11\x01"  # Cb: id 2, sampling 1x1, qtable 1
+        + b"\x03\x11\x01"  # Cr: id 3, sampling 1x1, qtable 1
+    )  # SOF0
+    for cls, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+        (0x01, _JPEG_DC_BITS_C, _JPEG_DC_VALS_C),
+        (0x11, _JPEG_AC_BITS_C, _JPEG_AC_VALS_C),
+    ):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 3 + 16 + len(vals))
+            + bytes([cls])
+            + bytes(bits)
+            + bytes(vals)
+        )  # DHT
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * 3) + b"\x03" + (
+        b"\x01\x00"  # Y  uses DC0/AC0
+        b"\x02\x11"  # Cb uses DC1/AC1
+        b"\x03\x11"  # Cr uses DC1/AC1
+    ) + b"\x00\x3f\x00"  # SOS
+
+    bw = _BitWriter()
+    fy = yy.astype(np.float64) - 128.0
+    fcb = cb.astype(np.float64) - 128.0
+    fcr = cr.astype(np.float64) - 128.0
+    dcs = [0, 0, 0]  # per-component DC predictors
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for by in range(2):  # four Y blocks, raster order within MCU
+                for bx in range(2):
+                    r0, c0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    dcs[0] = _encode_jpeg_block(
+                        bw, fy[r0 : r0 + 8, c0 : c0 + 8], dc_l, ac_l, dcs[0]
+                    )
+            r0, c0 = my * 8, mx * 8
+            dcs[1] = _encode_jpeg_block(
+                bw, fcb[r0 : r0 + 8, c0 : c0 + 8], dc_c, ac_c, dcs[1]
+            )
+            dcs[2] = _encode_jpeg_block(
+                bw, fcr[r0 : r0 + 8, c0 : c0 + 8], dc_c, ac_c, dcs[2]
+            )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_color_jpeg(payload: bytes) -> dict:
+    """Decode a baseline 3-component 4:2:0 JPEG with a GENERAL
+    pure-numpy pipeline (marker parse, per-component Huffman/quant
+    table binding from the stream, interleaved-MCU entropy decode with
+    per-component DC predictors, IDCT, chroma replication upsample,
+    fixed-point YCbCr→RGB).  Returns {width, height, pixels (h·w·3
+    uint8 row-major RGB)}.  Raises ValueError on structural corruption
+    and NotImplementedError on progressive streams or sampling other
+    than 4:2:0 luma 2×2 / chroma 1×1."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []  # (id, hsamp, vsamp, tq)
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (dc tid, ac tid)
+    while pos < len(payload):
+        if pos + 2 > len(payload):
+            raise ValueError(f"truncated marker at {pos}")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(payload):
+            raise ValueError(f"truncated segment header at {pos}")
+        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(seg, np.uint8, count=64, offset=off + 1).astype(
+                    np.int64
+                )
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_JPEG_ZIGZAG] = zz
+                qtables[tq] = tbl
+                off += 65
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xC0:  # SOF0
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit precision")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp != 3:
+                raise NotImplementedError("decode_color_jpeg needs 3 components")
+            for ci in range(ncomp):
+                cid = seg[6 + 3 * ci]
+                samp = seg[7 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0x0F, seg[8 + 3 * ci]))
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                cls, tid = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nvals])
+                dec = {
+                    (length, code): sym
+                    for sym, (code, length) in _huff_canonical(bits, vals).items()
+                }
+                htables[(cls, tid)] = dec
+                off += 17 + nvals
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 3:
+                raise NotImplementedError("only full interleaved 3-component scan")
+            for si in range(ns):
+                cid = seg[1 + 2 * si]
+                scan_tables[cid] = (seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 0x0F)
+            pos += seg_len
+            break
+        pos += seg_len
+    if w is None or not scan_tables:
+        raise ValueError("missing SOF0/SOS")
+    if [(hs, vs) for _, hs, vs, _ in comps] != [(2, 2), (1, 1), (1, 1)]:
+        raise NotImplementedError("only 4:2:0 (luma 2x2, chroma 1x1) sampling")
+    if h % 16 or w % 16:
+        raise NotImplementedError("partial MCUs not supported")
+    try:
+        qts = [qtables[tq] for _, _, _, tq in comps]
+        tbls = [
+            (htables[(0, scan_tables[cid][0])], htables[(1, scan_tables[cid][1])])
+            for cid, _, _, _ in comps
+        ]
+    except KeyError as ex:
+        raise ValueError(f"scan references undefined quant/Huffman table {ex}")
+
+    br = _BitReader(payload, pos)
+    yy = np.zeros((h, w), dtype=np.uint8)
+    cb = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    cr = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    dcs = [0, 0, 0]
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for by in range(2):
+                for bx in range(2):
+                    zz, dcs[0] = _decode_jpeg_block(br, *tbls[0], dcs[0])
+                    r0, c0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    yy[r0 : r0 + 8, c0 : c0 + 8] = _idct_jpeg_block(zz, qts[0])
+            r0, c0 = my * 8, mx * 8
+            zz, dcs[1] = _decode_jpeg_block(br, *tbls[1], dcs[1])
+            cb[r0 : r0 + 8, c0 : c0 + 8] = _idct_jpeg_block(zz, qts[1])
+            zz, dcs[2] = _decode_jpeg_block(br, *tbls[2], dcs[2])
+            cr[r0 : r0 + 8, c0 : c0 + 8] = _idct_jpeg_block(zz, qts[2])
+    # replication upsample (each chroma sample covers its 2x2 cell)
+    cbu = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cru = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    r, g, b = ycbcr_to_rgb_fixed(yy, cbu, cru)
+    out = np.stack([r, g, b], axis=-1).astype(np.uint8)
     return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
 
 
@@ -866,6 +1165,93 @@ def jpeg_gray_stats(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, JPEG_GRAY_STATS_SCHEMA)
+
+
+def encode_text_color_jpeg(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL baseline 4:2:0 COLOR JPEG whose
+    decoded pixels a SQL oracle can predict exactly: the image is
+    wm×hm flat 16×16 MCUs (wm = 1 + length mod 3, hm = 1 + id mod 2)
+    where MCU m (row-major) is the flat RGB color
+    (byte[m mod L], byte[(2m+1) mod L], byte[(3m+2) mod L]).  A flat
+    MCU survives the whole lossy pipeline bit-exactly (flat Y/Cb/Cr
+    blocks have zero AC, all-ones quant keeps DC integral, the 2×2
+    chroma mean of equal values is exact), so the decoded color is
+    precisely the fixed-point YCbCr round-trip of the source color —
+    replayable in SQL because every step is integer arithmetic with
+    power-of-two divisions."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                L = len(tb)
+                wm = 1 + (L % 3)
+                hm = 1 + (int(did) % 2)
+                m = np.arange(wm * hm)
+                cols_rgb = np.stack(
+                    [tb[m % L], tb[(2 * m + 1) % L], tb[(3 * m + 2) % L]],
+                    axis=-1,
+                ).reshape(hm, wm, 3)
+                img = np.repeat(np.repeat(cols_rgb, 16, axis=0), 16, axis=1)
+                payloads.append(encode_color_jpeg(img.astype(np.uint8)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+JPEG_COLOR_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def jpeg_color_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel SUMS from REAL color-JPEG-decoded pixels
+    (:func:`decode_color_jpeg`: interleaved Huffman → IDCT → chroma
+    upsample → fixed-point YCbCr→RGB).  Sums are exact BIGINTs — no
+    float anywhere in the output, the strongest oracle discipline.
+    Arrow-batched mapInPandas projection, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_color_jpeg(bytes(payload))
+                px = d["pixels"].reshape(-1, 3).astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["sum_r"].append(int(px[:, 0].sum()))
+                out["sum_g"].append(int(px[:, 1].sum()))
+                out["sum_b"].append(int(px[:, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, JPEG_COLOR_STATS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

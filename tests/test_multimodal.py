@@ -543,3 +543,127 @@ if _HYP:
         d = decode_jpeg_gray(encode_gray_jpeg(px))
         err = np.abs(d["pixels"].reshape(px.shape).astype(int) - px.astype(int)).max()
         assert err <= 2
+
+
+def test_color_jpeg_flat_mcu_roundtrip_exact():
+    """A flat-MCU color image decodes to EXACTLY the fixed-point BT.601
+    round-trip of the source colors (the m10 oracle foundation)."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_color_jpeg,
+        encode_color_jpeg,
+        rgb_to_ycbcr_fixed,
+        ycbcr_to_rgb_fixed,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        hm, wm = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        cols = rng.integers(0, 256, size=(hm, wm, 3))
+        img = np.repeat(np.repeat(cols, 16, axis=0), 16, axis=1).astype(np.uint8)
+        d = decode_color_jpeg(encode_color_jpeg(img))
+        assert (d["width"], d["height"]) == (16 * wm, 16 * hm)
+        got = d["pixels"].reshape(16 * hm, 16 * wm, 3)
+        y, cb, cr = rgb_to_ycbcr_fixed(cols[..., 0], cols[..., 1], cols[..., 2])
+        r, g, b = ycbcr_to_rgb_fixed(y, cb, cr)
+        pred = np.repeat(
+            np.repeat(np.stack([r, g, b], axis=-1), 16, axis=0), 16, axis=1
+        )
+        assert np.array_equal(got, pred)
+
+
+def test_color_jpeg_gray_input_is_lossless():
+    """Gray content (r=g=b) maps to (v, 128, 128) in the fixed-point
+    forward transform and back to v exactly — so a flat-MCU gray image
+    round-trips with zero error through the COLOR pipeline."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_color_jpeg,
+        encode_color_jpeg,
+    )
+
+    vals = np.array([[0, 77], [128, 255]])
+    img = np.repeat(
+        np.repeat(np.stack([vals] * 3, axis=-1), 16, axis=0), 16, axis=1
+    ).astype(np.uint8)
+    d = decode_color_jpeg(encode_color_jpeg(img))
+    assert np.array_equal(d["pixels"].reshape(32, 32, 3), img)
+
+
+def test_color_jpeg_luma_bounded_error_on_gray_noise():
+    """Arbitrary GRAY content (r=g=b per pixel, so chroma is flat 128
+    and 4:2:0 averaging is exact) exercises the full-resolution luma
+    path with non-flat blocks: the only loss is DCT coefficient
+    rounding, so every channel stays within a couple counts of the
+    source — the color twin of the gray ±2 bound."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_color_jpeg,
+        encode_color_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, size=(32, 48)).astype(np.uint8)
+    img = np.stack([g] * 3, axis=-1)
+    d = decode_color_jpeg(encode_color_jpeg(img))
+    got = d["pixels"].reshape(32, 48, 3).astype(np.int64)
+    assert np.abs(got - img.astype(np.int64)).max() <= 3
+
+
+def test_color_jpeg_rejects_bad_shapes():
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_color_jpeg,
+        encode_color_jpeg,
+        encode_gray_jpeg,
+    )
+
+    with _pt.raises(ValueError, match="multiple-of-16"):
+        encode_color_jpeg(np.zeros((8, 8, 3), np.uint8))
+    with _pt.raises(ValueError, match="RGB"):
+        encode_color_jpeg(np.zeros((16, 16, 4), np.uint8))
+    # a grayscale stream is not a 3-component stream
+    with _pt.raises(NotImplementedError, match="3 components"):
+        decode_color_jpeg(encode_gray_jpeg(np.zeros((8, 8), np.uint8)))
+    with _pt.raises(ValueError, match="SOI"):
+        decode_color_jpeg(b"nope")
+
+
+if _HYP:
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        wm=st.integers(1, 3),
+        hm=st.integers(1, 3),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_color_jpeg_flat_mcu_roundtrip_property(wm, hm, seed):
+        """Universal property: ANY flat-MCU color image decodes to the
+        fixed-point round-trip prediction, for arbitrary MCU grids and
+        colors — the m10 oracle as a property, not a fixture sample."""
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_color_jpeg,
+            encode_color_jpeg,
+            rgb_to_ycbcr_fixed,
+            ycbcr_to_rgb_fixed,
+        )
+
+        rng = np.random.default_rng(seed)
+        cols = rng.integers(0, 256, size=(hm, wm, 3))
+        img = np.repeat(np.repeat(cols, 16, axis=0), 16, axis=1).astype(np.uint8)
+        got = decode_color_jpeg(encode_color_jpeg(img))["pixels"].reshape(
+            16 * hm, 16 * wm, 3
+        )
+        y, cb, cr = rgb_to_ycbcr_fixed(cols[..., 0], cols[..., 1], cols[..., 2])
+        r, g, b = ycbcr_to_rgb_fixed(y, cb, cr)
+        pred = np.repeat(
+            np.repeat(np.stack([r, g, b], axis=-1), 16, axis=0), 16, axis=1
+        )
+        assert np.array_equal(got, pred)
