@@ -3029,44 +3029,79 @@ def s02(spark, sf):
 
 @_q(
     "m01_image_features",
-    # ORACLE: the fake decoder is pure byte arithmetic (documents.text is
-    # ASCII, so byte i == code point i) — width/height from byte sums,
-    # mean over the zero-padded first 256 bytes (/256 is exact in binary,
-    # so the doubles match bit-for-bit), phash = little-endian signed
-    # int64 of the first 8 bytes via HUGEINT two's complement.
+    # ORACLE: the fake tier is GONE — m01 now runs the REAL BMP path
+    # end to end (encode_text_bmp render → decode_image parse →
+    # average_hash), and the oracle recomputes every output straight
+    # from the text, never seeing the BMP bytes: w = 1+L%16,
+    # h = 1+id%12, pixel byte i (top-down BGR) = text byte i mod L;
+    # n_bytes = 54-byte header + 4-byte-padded stride × h;
+    # mean_intensity = exact byte sum / (3wh) (single IEEE division on
+    # both engines); phash = the integer-exact average hash — sample
+    # (i,j) of the 8×8 nearest-neighbor grid is the 3-channel byte sum
+    # at (y,x) = (i·h//8, j·w//8), bit set iff 64·sample > Σsamples
+    # (exact integer comparison, no float ties), packed MSB-first with
+    # the sign bit folded via two's complement.
     """
-    WITH x AS (
-      SELECT doc_id,
-             octet_length(encode(text)) AS nb,
-             [CASE WHEN i <= length(text) THEN unicode(text[i]) ELSE 0 END
-              FOR i IN generate_series(1, 256)] AS c
+    WITH d0 AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS L,
+             1 + (octet_length(encode(text)) % 16) AS w,
+             1 + (doc_id % 12) AS h
       FROM documents
     ),
-    y AS (
-      SELECT *,
-             CAST(c[1] AS HUGEINT) + CAST(c[2] AS HUGEINT)*256 + CAST(c[3] AS HUGEINT)*65536
-             + CAST(c[4] AS HUGEINT)*16777216 + CAST(c[5] AS HUGEINT)*4294967296
-             + CAST(c[6] AS HUGEINT)*1099511627776 + CAST(c[7] AS HUGEINT)*281474976710656
-             + CAST(c[8] AS HUGEINT)*72057594037927936 AS v
-      FROM x
+    px AS (
+      SELECT d0.doc_id,
+             SUM(ord(substring(text, CAST((t.i % L) + 1 AS INTEGER), 1))) AS s
+      FROM d0, UNNEST(generate_series(0, CAST(w AS BIGINT) * h * 3 - 1)) AS t(i)
+      GROUP BY d0.doc_id
+    ),
+    samp AS (
+      SELECT doc_id, k,
+             ord(substring(text, CAST((p % L) + 1 AS INTEGER), 1))
+             + ord(substring(text, CAST(((p + 1) % L) + 1 AS INTEGER), 1))
+             + ord(substring(text, CAST(((p + 2) % L) + 1 AS INTEGER), 1)) AS tri
+      FROM (
+        SELECT doc_id, text, L, t.k AS k,
+               ((((t.k // 8) * h) // 8) * w + (((t.k % 8) * w) // 8)) * 3 AS p
+        FROM d0, UNNEST(generate_series(0, 63)) AS t(k)
+      )
+    ),
+    tot AS (SELECT doc_id, SUM(tri) AS total FROM samp GROUP BY doc_id),
+    ph AS (
+      SELECT s.doc_id,
+             CAST(SUM(CASE
+               WHEN 64 * s.tri > o.total AND s.k = 0
+                 THEN CAST(-9223372036854775808 AS HUGEINT)
+               WHEN 64 * s.tri > o.total
+                 THEN CAST(CAST(1 AS BIGINT) << CAST(63 - s.k AS INTEGER) AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS phash
+      FROM samp s JOIN tot o USING (doc_id) GROUP BY s.doc_id
     )
-    SELECT doc_id,
-           CAST(64 + ((c[1]+c[2]+c[3]+c[4]) % 1024) AS INTEGER) AS width,
-           CAST(64 + ((c[5]+c[6]+c[7]+c[8]) % 1024) AS INTEGER) AS height,
-           CAST(nb AS BIGINT) AS n_bytes,
-           CAST(list_sum(c) AS DOUBLE) / 256.0 AS mean_intensity,
-           CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616 ELSE v END
-                AS BIGINT) AS phash
-    FROM y
+    SELECT d0.doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(54 + (((3 * w + 3) // 4) * 4) * h AS BIGINT) AS n_bytes,
+           CAST(px.s AS DOUBLE) / (3 * w * h) AS mean_intensity,
+           ph.phash AS phash
+    FROM d0 JOIN px USING (doc_id) JOIN ph USING (doc_id)
     """,
 )
 def m01(spark, sf):
-    from duckdb_graphar_spark.operators.multimodal import extract_image_features
-
-    d = _t(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    """Generic image-feature extraction over the REAL decode path (the
+    fake tier is retired): documents rendered as genuine 24-bpp BMPs
+    (`operators/multimodal.py:encode_text_bmp`), then
+    `extract_image_features` magic-dispatches to `decode_bmp` and
+    computes width/height/n_bytes/mean/average-hash from genuinely
+    decoded pixels.  The hash threshold is exact integer arithmetic
+    (64·sample vs Σsamples), so the 64-bit fingerprint is
+    SQL-replayable with zero float-tie hazard.  Two Arrow-batched
+    mapInPandas stages, no shuffle."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_bmp,
+        extract_image_features,
     )
-    return extract_image_features(d, fake=True)
+
+    return extract_image_features(encode_text_bmp(_t(spark, sf, "documents")))
 
 
 @_q(
@@ -3262,7 +3297,7 @@ def s03(spark, sf):
 
 @_q(
     "m02_frame_sample",
-    # ORACLE: fake frame sampling is deterministic — n_frames =
+    # ORACLE: the raw-stream windower is deterministic — n_frames =
     # 1 + octet_length % 5, frame payload = a 16-byte slice at the frame
     # index (ASCII text, so a VARCHAR slice re-encoded equals the byte
     # slice).  Expressed via an unnested per-row struct list because
@@ -3284,15 +3319,19 @@ def s03(spark, sf):
     """,
 )
 def m02(spark, sf):
-    """Frame sampling; the declared output digests the BINARY payload
-    (sha256 + byte length, the m03 pattern) because the driver's pandas
-    canonicalizer cannot hash bytearray cells (r3 ERR)."""
+    """Frame sampling over the RAW-stream branch of the container-aware
+    sampler (non-RIFF payloads are windowed deterministically — the
+    fixed-record-format pattern; RIFF AVIs take the real chunk walk,
+    exercised by m08/m11).  The declared output digests the BINARY
+    payload (sha256 + byte length, the m03 pattern) because the
+    driver's pandas canonicalizer cannot hash bytearray cells (r3
+    ERR)."""
     from duckdb_graphar_spark.operators.multimodal import sample_frames
 
     d = _t(spark, sf, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return sample_frames(d, fake=True).select(
+    return sample_frames(d).select(
         "doc_id",
         "frame_idx",
         "ts_ms",
@@ -5149,6 +5188,75 @@ def m10(spark, sf):
     )
 
     return jpeg_color_stats(encode_text_color_jpeg(_t(spark, sf, "documents")))
+
+
+@_q(
+    "m11_thumbnail_downsample",
+    # ORACLE: never sees any BMP bytes — the source image is the m04
+    # text render (pixel byte i = text byte i mod L, w = 1+L%16,
+    # h = 1+id%12), the 2× area-average downscale is integer-exact
+    # ((Σ 2×2 cell + 2) // 4 with odd trailing rows/cols
+    # edge-replicated, i.e. LEAST-clamped indices), and the channel
+    # means of the thumbnail are recomputed from the text through that
+    # same arithmetic.  A decode, resize, or re-encode bug on the
+    # Spark side breaks the match.
+    """
+    WITH d0 AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS L,
+             1 + (octet_length(encode(text)) % 16) AS w,
+             1 + (doc_id % 12) AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, L, text, w, h,
+             (w + 1) // 2 AS ow, (h + 1) // 2 AS oh,
+             (t.i // 3) // ((w + 1) // 2) AS y,
+             (t.i // 3) % ((w + 1) // 2) AS x,
+             t.i % 3 AS ch
+      FROM d0, UNNEST(generate_series(
+        0, CAST((w + 1) // 2 AS BIGINT) * ((h + 1) // 2) * 3 - 1)) AS t(i)
+    ),
+    vals AS (
+      SELECT doc_id, ow, oh, ch,
+        (  ord(substring(text, CAST(((LEAST(2*y,   h-1) * w + LEAST(2*x,   w-1)) * 3 + ch) % L + 1 AS INTEGER), 1))
+         + ord(substring(text, CAST(((LEAST(2*y,   h-1) * w + LEAST(2*x+1, w-1)) * 3 + ch) % L + 1 AS INTEGER), 1))
+         + ord(substring(text, CAST(((LEAST(2*y+1, h-1) * w + LEAST(2*x,   w-1)) * 3 + ch) % L + 1 AS INTEGER), 1))
+         + ord(substring(text, CAST(((LEAST(2*y+1, h-1) * w + LEAST(2*x+1, w-1)) * 3 + ch) % L + 1 AS INTEGER), 1))
+         + 2) // 4 AS v
+      FROM grid
+    )
+    SELECT doc_id,
+           CAST(MAX(ow) AS INTEGER) AS width,
+           CAST(MAX(oh) AS INTEGER) AS height,
+           ROUND(CAST(SUM(CASE WHEN ch = 0 THEN v END) AS DOUBLE)
+                 / (MAX(ow) * MAX(oh)), 6) AS mean_b,
+           ROUND(CAST(SUM(CASE WHEN ch = 1 THEN v END) AS DOUBLE)
+                 / (MAX(ow) * MAX(oh)), 6) AS mean_g,
+           ROUND(CAST(SUM(CASE WHEN ch = 2 THEN v END) AS DOUBLE)
+                 / (MAX(ow) * MAX(oh)), 6) AS mean_r
+    FROM vals GROUP BY doc_id
+    """,
+)
+def m11(spark, sf):
+    """REAL image resize (the `resize_stub` retirement): documents
+    rendered as genuine BMPs, decoded, 2× area-average downscaled with
+    integer-exact round-half-up arithmetic
+    (`operators/multimodal.py:box_downsample_2x`), re-encoded as BMPs,
+    then the thumbnails are parsed back for per-channel means
+    (`bmp_channel_stats`) — decode → transform → re-encode → decode,
+    all four codec passes real.  Three Arrow-batched mapInPandas
+    stages, no shuffle; the thumbnail payload column is the mipmap
+    primitive a media pipeline chains k times for 2^k pyramids."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        bmp_channel_stats,
+        downsample_images_2x,
+        encode_text_bmp,
+    )
+
+    return bmp_channel_stats(
+        downsample_images_2x(encode_text_bmp(_t(spark, sf, "documents")))
+    )
 
 
 @_q(

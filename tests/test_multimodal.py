@@ -1,4 +1,4 @@
-"""Multimodal plumbing tests (decode is stubbed; Spark-side shape real)."""
+"""Multimodal codec + Spark plumbing tests (all decode paths real)."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -8,31 +8,66 @@ from duckdb_graphar_spark.operators import multimodal as M
 
 @pytest.fixture(scope="module")
 def media(spark):
-    rows = [(i, bytes([i % 256]) * (100 + i)) for i in range(10)]
+    """Real 24-bpp BMP payloads: doc i is a flat (2+i%3)×(1+i%2) image
+    of channel value 10·i."""
+    import numpy as np
+
+    rows = [
+        (
+            i,
+            M.encode_bmp(
+                np.full((1 + i % 2, 2 + i % 3, 3), 10 * i, dtype=np.uint8)
+            ),
+        )
+        for i in range(10)
+    ]
     return spark.createDataFrame(rows, "doc_id long, payload binary")
 
 
 def test_extract_image_features(media):
-    out = M.extract_image_features(media, fake=True)
+    out = M.extract_image_features(media)
     rows = out.orderBy("doc_id").collect()
     assert len(rows) == 10
-    assert rows[0].n_bytes == 100
-    assert rows[0].width >= 64 and rows[0].height >= 64
+    for r in rows:
+        assert r.width == 2 + r.doc_id % 3 and r.height == 1 + r.doc_id % 2
+        assert r.mean_intensity == 10.0 * r.doc_id
+        assert r.phash == 0  # flat image: no sample exceeds the mean
     # determinism
-    again = M.extract_image_features(media, fake=True).orderBy("doc_id").collect()
+    again = M.extract_image_features(media).orderBy("doc_id").collect()
     assert rows == again
 
 
 def test_real_decode_raises():
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"xx", fake=False)
+        M.decode_image(b"xx")
 
 
-def test_sample_frames(media):
-    out = M.sample_frames(media, fake=True)
-    rows = out.collect()
-    assert all(r.ts_ms == r.frame_idx * 1000 for r in rows)
-    assert {r.doc_id for r in rows} == set(range(10))
+def test_sample_frames_raw_stream(spark):
+    """Non-RIFF payloads take the documented raw-byte windower."""
+    rows = [(i, bytes([i % 256]) * (100 + i)) for i in range(10)]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = M.sample_frames(media).collect()
+    assert all(r.ts_ms == r.frame_idx * 1000 for r in out)
+    assert {r.doc_id for r in out} == set(range(10))
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, frames in by_doc.items():
+        assert len(frames) == 1 + (100 + i) % 5
+
+
+def test_sample_frames_riff_real_walk(spark):
+    """RIFF AVI payloads yield the ACTUAL embedded JPEG frames."""
+    import numpy as np
+
+    f0 = M.encode_gray_jpeg(np.full((8, 8), 50, np.uint8))
+    f1 = M.encode_gray_jpeg(np.full((8, 8), 200, np.uint8))
+    avi = M.encode_mjpeg_avi([f0, f1], width=8, height=8)
+    media = spark.createDataFrame([(7, avi)], "doc_id long, payload binary")
+    out = sorted(M.sample_frames(media).collect(), key=lambda r: r.frame_idx)
+    assert len(out) == 2
+    assert bytes(out[0].frame_payload) == f0
+    assert bytes(out[1].frame_payload) == f1
 
 
 # --- real dependency-free codecs: BMP / PPM ---
@@ -667,3 +702,41 @@ if _HYP:
             np.repeat(np.stack([r, g, b], axis=-1), 16, axis=0), 16, axis=1
         )
         assert np.array_equal(got, pred)
+
+
+def test_box_downsample_2x_exact_arithmetic():
+    """Known cells: round-half-up means, odd trailing row/col clamped
+    (edge-replication equivalence)."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import box_downsample_2x
+
+    # 2x2 single cell: (1+2+3+4+2)//4 = 3
+    a = np.array([[[1], [2]], [[3], [4]]], dtype=np.uint8).repeat(3, axis=2)
+    assert box_downsample_2x(a).tolist() == [[[3, 3, 3]]]
+    # odd width: second output col covers the clamped 1-wide cell
+    b = np.array([[[10], [20], [7]], [[30], [40], [9]]], dtype=np.uint8).repeat(3, axis=2)
+    out = box_downsample_2x(b)
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0, 0] == (10 + 20 + 30 + 40 + 2) // 4 == 25
+    assert out[0, 1, 0] == (7 + 9 + 1) // 2 == 8
+    # 1x1: identity
+    c = np.full((1, 1, 3), 77, np.uint8)
+    assert box_downsample_2x(c).tolist() == [[[77, 77, 77]]]
+    # flat image stays flat at any odd/even shape
+    for shape in ((5, 7), (4, 4), (1, 9)):
+        f = np.full(shape + (3,), 123, np.uint8)
+        assert (box_downsample_2x(f) == 123).all()
+
+
+def test_average_hash_integer_threshold_ties():
+    """Exact-tie samples (64*tri == total) must NOT set a bit — the
+    integer threshold makes ties deterministic (the float version was
+    rounding-crumb dependent)."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import average_hash
+
+    # all pixels equal: every sample ties with the mean -> hash 0
+    px = np.full((16, 16, 3), 200, np.uint8).reshape(-1)
+    assert average_hash(16, 16, px) == 0
