@@ -20,6 +20,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_user: int = 1_000_000,
 ) -> DataFrame:
     """Ordered funnel conversion: per user, how far through ``stages``
     the event sequence progresses.  Stage i+1 counts only if an event of
@@ -35,13 +36,35 @@ def funnel(
     staged-min construction (t1 = first stage-0 event, t2 = first
     stage-1 event after t1, …) which is what the SQL oracle computes,
     but the fold reads the log ONCE instead of once per stage.
+
+    ``max_events_per_user`` is the hot-key safety valve: a pathological
+    user (bot, test account) with 10⁸ events would otherwise become a
+    single multi-GB collect_list row no salting can split — the
+    likeliest warehouse-family OOM at 100× scale.  Only the EARLIEST
+    ``max_events_per_user`` events per user (ts order, ties by event
+    type) are considered; the cap is enforced with a row_number filter
+    BEFORE the collect (same user-hash partitioning, so no extra
+    shuffle — the sort runs in the exchange Spark already plans), which
+    bounds the array as it is built rather than after.  The default is
+    far above any real user's event count, so normal results are
+    unchanged; capped users see a funnel over their first
+    ``max_events_per_user`` events.
     """
     if not stages:
         raise ValueError("stages must be non-empty")
+    if max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1")
     stage_arr = F.array(*[F.lit(s) for s in stages])
-    ev = df.select(
+    flat = df.select(
         F.col(user_col).alias("user_id"),
-        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")).alias("__e"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("et"),
+    )
+    wcap = Window.partitionBy("user_id").orderBy("ts", "et")
+    ev = (
+        flat.withColumn("__rn", F.row_number().over(wcap))
+        .filter(F.col("__rn") <= max_events_per_user)
+        .select("user_id", F.struct("ts", "et").alias("__e"))
     )
     seq = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list("__e")).alias("__seq")
@@ -182,7 +205,13 @@ def session_paths(
     events — bounded by retention), the path prefix is a row-local
     array_sort + slice over each session's collected (ts, id, type)
     structs, and the count is map-combinable.  Ties inside a timestamp
-    break on event_id, so the path strings are deterministic."""
+    break on event_id, so the path strings are deterministic.
+
+    Hot-key safety: only a session's FIRST ``prefix_len`` events can
+    affect its path, so a row_number filter per (user, session) drops
+    everything after them BEFORE the collect — semantically lossless,
+    and a gap-free bot session of 10⁸ events collects ``prefix_len``
+    structs instead of a multi-GB array."""
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     # exact microsecond gap comparison (integer — no fractional-second
     # epoch() divergence between engines)
@@ -203,8 +232,11 @@ def session_paths(
             .rowsBetween(Window.unboundedPreceding, 0)
         ).alias("__sid"),
     )
+    wsess = Window.partitionBy("__u", "__sid").orderBy("__ts", "__id")
     paths = (
-        sess.groupBy("__u", "__sid")
+        sess.withColumn("__rk", F.row_number().over(wsess))
+        .filter(F.col("__rk") <= prefix_len)
+        .groupBy("__u", "__sid")
         .agg(F.collect_list(F.struct("__ts", "__id", "__ty")).alias("__evs"))
         .select(
             F.array_join(

@@ -192,3 +192,57 @@ def test_session_paths_ties_break_on_event_id(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
     got = [(r.path, r.n_sessions) for r in session_paths(df).collect()]
     assert got == [("a>b", 1)]
+
+
+def test_funnel_hot_user_cap_completes_and_caps(spark):
+    """A synthetic hot user with 200k events completes under the cap,
+    and the capped semantics are pinned: with max_events_per_user=10,
+    an advancing event that only occurs after position 10 is invisible."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.events import funnel
+
+    base = dt.datetime(2024, 1, 1)
+    # hot user: 200k 'view' events, then the 'buy' at the very end
+    hot = spark.range(200_000).selectExpr(
+        "'bot' AS user_id",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "'view' AS event_type",
+    )
+    tail = spark.createDataFrame(
+        [("bot", base + dt.timedelta(days=30), "buy")],
+        "user_id string, ts timestamp, event_type string",
+    )
+    df = hot.unionByName(tail)
+    # uncapped-by-default: the full funnel sees the buy
+    full = funnel(df, ["view", "buy"]).collect()[0]
+    assert full.stages_completed == 2
+    # cap=10: only the first 10 views are considered -> no buy seen
+    capped = funnel(df, ["view", "buy"], max_events_per_user=10).collect()[0]
+    assert capped.stages_completed == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_events_per_user"):
+        funnel(df, ["view"], max_events_per_user=0)
+
+
+def test_session_paths_prefilter_is_lossless(spark):
+    """The per-session row_number prefilter keeps results identical:
+    only the first prefix_len events of a session shape its path."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.events import session_paths
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # one long gap-free session per user with distinct event tails
+    for u in ("a", "b"):
+        for i, ty in enumerate(["login", "browse", "search"] + ["scroll"] * 50):
+            rows.append((u, base + dt.timedelta(seconds=i), eid, ty))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, event_type string"
+    )
+    got = session_paths(df, k=5, prefix_len=3).collect()
+    assert [(r.path, r.n_sessions) for r in got] == [("login>browse>search", 2)]
