@@ -6054,6 +6054,90 @@ def ga16(spark, sf):
 
 
 @_q(
+    "ga17_csv_roundtrip",
+    # ORACLE: full-scan equality against the source rows — every value
+    # round-tripped through CSV chunk files written by executors and
+    # read back through the Arrow mapInPandas chunk reader (pyarrow
+    # csv parse with explicit column types).
+    """
+    SELECT CAST(r_regionkey AS BIGINT) AS _graphArVertexIndex,
+           r_name AS name
+    FROM region
+    """,
+)
+def ga17(spark, sf):
+    """A4 non-parquet chunk formats, driver-pinned (CSV): region
+    written as GraphAr CSV chunk files (file_type='csv', chunk_size 2
+    so 5 rows span 3 chunks), re-read through the distributed Arrow
+    chunk reader (`graphar/reader.py:_chunked_df` — CSV lacks
+    `_metadata.row_index`, so rows are enumerated per file).  With
+    ga16 (ORC) this closes A4's last soft cells: all four reference
+    chunk formats now carry writer-produced driver evidence."""
+    import shutil
+
+    from duckdb_graphar_spark.graphar import read_vertices
+    from duckdb_graphar_spark.graphar.spark_writer import write_graph_dist
+
+    v = _t(spark, sf, "region").select(
+        F.col("r_regionkey").cast("long").alias("_graphArVertexIndex"),
+        F.col("r_name").alias("name"),
+    )
+    out = tempfile.mkdtemp(prefix="ga17_csv_")
+    try:
+        gy = write_graph_dist(
+            out, "RegionCsv", {"Region": v}, {}, vertex_chunk_size=2,
+            file_type="csv",
+        )
+        rows = read_vertices(spark, gy, "Region").collect()  # 5 rows
+        return spark.createDataFrame(
+            rows, "`_graphArVertexIndex` long, name string"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@_q(
+    "ga18_json_roundtrip",
+    # ORACLE: full-scan equality against the source rows — every value
+    # round-tripped through JSON-lines chunk files written by executors
+    # and read back through the Arrow mapInPandas chunk reader.
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS _graphArVertexIndex,
+           n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS regionkey
+    FROM nation
+    """,
+)
+def ga18(spark, sf):
+    """A4 non-parquet chunk formats, driver-pinned (JSON): nation (two
+    properties, 25 rows over 4 chunks at chunk_size 7) written as
+    GraphAr JSON-lines chunk files and re-read through the distributed
+    Arrow chunk reader (pyarrow json parse)."""
+    import shutil
+
+    from duckdb_graphar_spark.graphar import read_vertices
+    from duckdb_graphar_spark.graphar.spark_writer import write_graph_dist
+
+    v = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("_graphArVertexIndex"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+    )
+    out = tempfile.mkdtemp(prefix="ga18_json_")
+    try:
+        gy = write_graph_dist(
+            out, "NationJson", {"Nation": v}, {}, vertex_chunk_size=7,
+            file_type="json",
+        )
+        rows = read_vertices(spark, gy, "Nation").collect()  # 25 rows
+        return spark.createDataFrame(
+            rows, "`_graphArVertexIndex` long, name string, regionkey long"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@_q(
     "q64_cohort_retention",
     # ORACLE: first-event week per user, then DISTINCT (cohort, offset,
     # user) before the count — the same two-aggregate shape the operator
