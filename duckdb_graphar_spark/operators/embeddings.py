@@ -242,6 +242,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bulk_assign: bool | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning made
     tractable by clustering — assign every embedding to its nearest
@@ -259,6 +260,20 @@ def semdedup(
 
     Returns one row per pruned pair: (cluster, id_keep, id_drop,
     cosine) with id_keep < id_drop (deterministic keep-lowest-id rule).
+
+    ``max_cluster_size`` is the 100 TB escape hatch (the SemDeDup
+    paper's appendix trick): clusters larger than the cap are split by
+    a SECONDARY k-means assignment step — ceil(size/cap) seed vectors
+    per oversized cluster (the members with the lowest ids), every
+    member assigned to its nearest seed (ties to the lowest seed), and
+    the pair join keyed on (cluster, sub) — bounding the quadratic
+    term to O(n·cap + n·n/cap) instead of O(Σ|cluster|²) when the
+    coarse clustering goes degenerate.  Pairs whose members land in
+    different sub-clusters are not compared (the documented
+    approximation; exact duplicates always co-locate because identical
+    vectors have identical seed distances).  ``None`` (default) keeps
+    the exact within-cluster sweep — declared driver entries use the
+    default, so their results are unchanged.
     """
     from duckdb_graphar_spark.operators.similarity import dot, norm
 
@@ -276,14 +291,64 @@ def semdedup(
         .join(asg, id_col)
         .withColumn("__nrm", norm(F.col(vec_col)))
     )
+    if max_cluster_size is not None:
+        if max_cluster_size < 1:
+            raise ValueError("max_cluster_size must be >= 1")
+        from pyspark.sql import Window
+
+        nsub = (
+            asg.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .select(
+                "cluster",
+                F.ceil(F.col("__sz") / F.lit(max_cluster_size))
+                .cast("int")
+                .alias("__nsub"),
+            )
+        )
+        # one row per coarse cluster: broadcastable by construction
+        seeded = e.join(F.broadcast(nsub), "cluster")
+        wr = Window.partitionBy("cluster").orderBy(id_col)
+        seeds = (
+            seeded.withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") <= F.col("__nsub"))
+            .select(
+                F.col("cluster").alias("__sc"),
+                F.col("__rn").alias("__seed"),
+                F.col(vec_col).alias("__sv"),
+            )
+        )
+        # secondary assignment: nearest seed within the cluster (squared
+        # euclidean, ties to the lowest seed index — deterministic)
+        cand = seeded.join(seeds, F.col("cluster") == F.col("__sc"))
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col("__sv"), lambda x, s: (x - s) * (x - s)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sub = (
+            cand.groupBy(id_col)
+            .agg(
+                F.min(F.struct(d2.alias("d"), F.col("__seed").alias("s")))[
+                    "s"
+                ].alias("__sub")
+            )
+        )
+        e = e.join(sub, id_col)
+    else:
+        e = e.withColumn("__sub", F.lit(1))
     a = e.select(
         F.col("cluster"),
+        F.col("__sub"),
         F.col(id_col).alias("id_keep"),
         F.col(vec_col).alias("__va"),
         F.col("__nrm").alias("__na"),
     )
     b = e.select(
         F.col("cluster").alias("__cb"),
+        F.col("__sub").alias("__subb"),
         F.col(id_col).alias("id_drop"),
         F.col(vec_col).alias("__vb"),
         F.col("__nrm").alias("__nb"),
@@ -299,6 +364,7 @@ def semdedup(
         a.join(
             b,
             (F.col("cluster") == F.col("__cb"))
+            & (F.col("__sub") == F.col("__subb"))
             & (F.col("id_keep") < F.col("id_drop")),
         )
         .withColumn("cosine", sim)

@@ -172,3 +172,38 @@ def test_matryoshka_recall_rejects_bad_dim(spark):
     )
     with _pt.raises(ValueError, match="prefix dim"):
         matryoshka_recall(df, [1.0, 2.0], prefix_dims=(4,))
+
+
+def test_semdedup_max_cluster_size_splits_and_keeps_exact_dups(spark):
+    """The capped variant: (1) default None is unchanged; (2) capped
+    output is a subset of the uncapped output; (3) exact duplicates are
+    ALWAYS retained (identical vectors have identical seed distances,
+    so they co-locate in the same sub-cluster)."""
+    from duckdb_graphar_spark.operators.embeddings import semdedup
+
+    # one coarse cluster around (1,0), 12 members: 6 pairs of exact
+    # duplicates spread across the id range, plus slight jitter dims
+    rows = []
+    for i in range(6):
+        v = [1.0, 0.01 * i]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, list(v)))  # exact duplicate
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+
+    uncapped = {
+        (r.id_keep, r.id_drop)
+        for r in semdedup(df, cents, threshold=0.999999).collect()
+    }
+    capped = {
+        (r.id_keep, r.id_drop)
+        for r in semdedup(
+            df, cents, threshold=0.999999, max_cluster_size=4
+        ).collect()
+    }
+    assert capped <= uncapped
+    # every exact-duplicate pair survives the split
+    for i in range(6):
+        assert (2 * i, 2 * i + 1) in capped
+    with __import__("pytest").raises(ValueError, match="max_cluster_size"):
+        semdedup(df, cents, max_cluster_size=0)
