@@ -2972,6 +2972,42 @@ def s01(spark, sf):
     return brute_force_topk(e, q, k=5)
 
 
+@_q(
+    "s14_mips_topk",
+    # ORACLE: exact inner-product ordering with the same rounded-score
+    # window discipline as s01 (round-6 score is also the sort key on
+    # both engines, ties by neighbor id).
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3)
+    SELECT query_id, neighbor_id, inner_product, rank FROM (
+      SELECT q.query_id,
+             e.vec_id AS neighbor_id,
+             ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS inner_product,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) DESC,
+                                         e.vec_id) AS rank
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    ) WHERE rank <= 5
+    """,
+)
+def s14(spark, sf):
+    """Maximum Inner Product Search top-k (the recommender-retrieval
+    metric — popularity lives in the norm, cosine would erase it):
+    broadcast queries, shuffle-free scoring map, per-query window
+    top-k.  The operator also carries the Shrivastava-Li MIPS→cosine
+    norm-augmentation reduction (method='augmented') so any cosine ANN
+    index serves MIPS unchanged at scale
+    (`operators/similarity.py:mips_topk`)."""
+    from duckdb_graphar_spark.operators.similarity import mips_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return mips_topk(e, q, k=5)
+
+
 _S_TOPK_ORACLE = """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3)
     SELECT query_id, neighbor_id, cosine_sim, rank, TRUE AS approx_ok FROM (
@@ -3804,6 +3840,88 @@ def st07(spark, sf):
 
 
 @_q(
+    "st13_stream_outer_join",
+    # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
+    # table (the far-future nudge rows exist only in the stream's temp
+    # dir and are filtered by event_type on both join sides).  The
+    # stream is driven through three micro-batches — real events, then
+    # two nudges — because unmatched left rows only materialize during
+    # state EVICTION: Spark's watermark for batch k comes from batches
+    # <= k-1, so the first nudge advances the watermark and the second
+    # triggers the eviction pass that emits the null-padded rows.
+    """
+    SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+           CAST(a.ts AS TIMESTAMP) AS a_ts, CAST(b.ts AS TIMESTAMP) AS b_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) >= epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+    """,
+)
+def st13(spark, sf):
+    """Stream-stream LEFT OUTER join with watermark-driven eviction of
+    unmatched rows — the outer shape st07's inner join can't show.
+    The fixture is staged as three mtime-ordered micro-batches (real
+    events + two far-future nudge events) so the final watermark
+    provably passes every left row's match horizon and the append-mode
+    output equals the batch left join EXACTLY — null-padded rows
+    included, fully oracle-checked."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_left_join,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st13_stream_")
+    try:
+        dst = os.path.join(stage, "events_000.parquet")
+        shutil.copyfile(f"{sf}/events.parquet", dst)
+        base = time.time() - 120
+        os.utime(dst, (base, base))
+        ev = _t(spark, sf, "events")
+        for i, days in enumerate((3650, 3660), start=1):
+            # the nudge rows must SURVIVE the join's event_type filters
+            # (one view + one purchase, impossible user) or the filter
+            # sits below the watermark node and the nudge never
+            # advances it — the max-ts real view would then never evict
+            one = ev.limit(1)
+            nudge = None
+            for j, ntype in enumerate(("view", "purchase")):
+                row = one.select(
+                    (F.lit(1_000_000_000) + F.lit(2 * i + j)).alias("event_id"),
+                    (
+                        F.col("ts") + F.expr(f"INTERVAL {days} DAYS")
+                    ).alias("ts"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    F.lit(ntype).alias("event_type"),
+                    F.col("value"),
+                    F.col("props"),
+                )
+                nudge = row if nudge is None else nudge.unionByName(row)
+            tmp = os.path.join(stage, f"__nudge{i}")
+            nudge.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        left = read_events_stream(spark, stage, max_files=1)
+        right = read_events_stream(spark, stage, max_files=1)
+        joined = stream_stream_left_join(left, right, within="10 minutes")
+        out = run_to_memory(joined, "st13_out", mode="append")
+        # drop the nudge pairs (user -1, ids >= 1e9) — staging artifacts,
+        # absent from the oracle's events table
+        return out.filter(F.col("a_id") < 1_000_000_000)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "t18_training_shuffle",
     # ORACLE: the rank of each doc under ORDER BY md5(seed || id) — md5
     # hex is engine-identical, so the permutation is too.  (The Spark
@@ -4367,6 +4485,82 @@ def g14(spark, sf):
     from duckdb_graphar_spark.operators.graph import kcore
 
     return kcore(_edges(spark, sf), 3, n_iters=3, src_col="src", dst_col="dst")
+
+
+@_q(
+    "t35_char_ngram_profile",
+    # ORACLE: exact trigram counts via generate_series + substring
+    # (1-based on both engines, spaces included), top-10 per language
+    # with (count desc, ngram asc) determinism.
+    """
+    WITH g AS (
+      SELECT lang, substring(text, CAST(i AS INTEGER), 3) AS ngram
+      FROM documents,
+           UNNEST(generate_series(1, length(text) - 2)) AS t(i)
+      WHERE length(text) >= 3
+    ),
+    c AS (SELECT lang, ngram, COUNT(*) AS cnt FROM g GROUP BY lang, ngram)
+    SELECT lang, ngram, cnt, rank FROM (
+      SELECT lang, ngram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, ngram ASC) AS rank
+      FROM c
+    ) WHERE rank <= 10
+    """,
+)
+def t35(spark, sf):
+    """Character-trigram frequency profiles per language — the
+    TRAINING side of n-gram language ID (t02 applies the heuristic;
+    this builds the model): row-local gram explode, ONE map-combinable
+    (lang, ngram) count (the vocabulary shuffles, never the corpus),
+    per-language top-10 window over the aggregate
+    (`operators/text.py:char_ngram_profile`)."""
+    from duckdb_graphar_spark.operators.text import char_ngram_profile
+
+    return char_ngram_profile(_t(spark, sf, "documents"), n=3, k=10)
+
+
+@_q(
+    "g22_ktruss",
+    # ORACLE: the 2 peel rounds + final support pass unrolled — support
+    # of edge (a,b) = common neighbors of a and b via the adjacency
+    # wedge join; k=3 keeps edges with support >= 1.  Edges closing
+    # zero triangles are absent from a support table, so the inner
+    # join IS the filter on both engines (identical semantics).
+    f"""
+    WITH raw AS ({_E_SQL}),
+    e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           FROM raw WHERE src <> dst),
+    adj0 AS (SELECT a AS u, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+    s0 AS (SELECT e.a, e.b, COUNT(*) AS sup FROM e0 e
+           JOIN adj0 x ON x.u = e.a
+           JOIN adj0 y ON y.u = e.b AND y.n = x.n
+           GROUP BY e.a, e.b),
+    e1 AS (SELECT a, b FROM s0 WHERE sup >= 1),
+    adj1 AS (SELECT a AS u, b AS n FROM e1 UNION ALL SELECT b, a FROM e1),
+    s1 AS (SELECT e.a, e.b, COUNT(*) AS sup FROM e1 e
+           JOIN adj1 x ON x.u = e.a
+           JOIN adj1 y ON y.u = e.b AND y.n = x.n
+           GROUP BY e.a, e.b),
+    e2 AS (SELECT a, b FROM s1 WHERE sup >= 1),
+    adj2 AS (SELECT a AS u, b AS n FROM e2 UNION ALL SELECT b, a FROM e2)
+    SELECT e.a, e.b, COUNT(*) AS support
+    FROM e2 e
+    JOIN adj2 x ON x.u = e.a
+    JOIN adj2 y ON y.u = e.b AND y.n = x.n
+    GROUP BY e.a, e.b
+    """,
+)
+def g22(spark, sf):
+    """Fixed-iteration k-truss peeling (k=3, 2 rounds) over the
+    undirected order graph — the EDGE-granularity sibling of g14's
+    vertex k-core: per round one adjacency wedge join (Σdeg² work, the
+    triangle-counting bound) + one map-combinable support count, edge
+    relation shrinking monotonically
+    (`operators/graph.py:ktruss`)."""
+    from duckdb_graphar_spark.operators.graph import ktruss
+
+    return ktruss(_edges(spark, sf), 3, n_iters=2, src_col="src", dst_col="dst")
 
 
 @_q(
@@ -6135,6 +6329,75 @@ def ga18(spark, sf):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@_q(
+    "q72_ohlc_resample",
+    # ORACLE: open/close via first/last row_number in (ts, event_id)
+    # order — the window formulation of the operator's min_by/max_by
+    # over the (ts, id) struct.  No arithmetic touches the double
+    # values (selection only), so every output is exact.
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events
+    )
+    SELECT event_type,
+           CAST(bucket AS TIMESTAMP) AS bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def q72(spark, sf):
+    """Time-series OHLC resampling (the metrics/financial downsample):
+    hourly open/high/low/close/count bars per event type in ONE
+    map-combinable groupBy — open/close are min_by/max_by over the
+    (ts, event_id) struct, so partials combine and no window sort or
+    second pass exists (`operators/events.py:ohlc_bars`)."""
+    from duckdb_graphar_spark.operators.events import ohlc_bars
+
+    return ohlc_bars(_t(spark, sf, "events"))
+
+
+@_q(
+    "q73_value_histogram",
+    # ORACLE: the bin expression replayed in the SAME IEEE operation
+    # order — (v-mn), ×20, ÷(mx-mn), FLOOR, LEAST(19) — so every value
+    # (boundary values included) lands in the same bucket on both
+    # engines; extrema are exact min/max, bins with no rows are absent
+    # on both sides.
+    """
+    WITH ext AS (
+      SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(CASE WHEN x.mx = x.mn THEN 0
+                ELSE LEAST(19, FLOOR(((e.value - x.mn) * 20) / (x.mx - x.mn)))
+                END AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM events e JOIN ext x USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def q73(spark, sf):
+    """EXACT equal-width histogram with data-derived bounds (the
+    profiling/BI shape approx sketches can't give exactly): per-key
+    min/max pass, then a fixed-operation-order double binning — two
+    map-combinable aggregates + one broadcast join of the k-row
+    extrema table, the data never shuffled by value
+    (`operators/stats.py:value_histogram`)."""
+    from duckdb_graphar_spark.operators.stats import value_histogram
+
+    return value_histogram(_t(spark, sf, "events"), n_bins=20)
 
 
 @_q(

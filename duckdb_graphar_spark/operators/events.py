@@ -254,3 +254,36 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(k)
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    *,
+    bucket: str = "hour",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-series resampling to OHLC bars (the financial/metrics
+    downsample): per (key, time bucket) emit open (value of the
+    earliest event), high, low, close (value of the latest event) and
+    the event count.  Ordering ties inside a timestamp break on the
+    unique event id, so open/close are deterministic.
+
+    Scale shape: ONE map-combinable groupBy — open/close are
+    ``min_by``/``max_by`` over the (ts, id) struct (partials combine:
+    each partition keeps its earliest/latest candidate, the merge picks
+    the global one), high/low/count are plain min/max/count.  No
+    window sort, no second pass: the log is touched once, unlike the
+    naive row_number formulation."""
+    ordk = F.struct(F.col(ts_col), F.col(id_col))
+    return df.groupBy(
+        F.col(key_col), F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.min_by(F.col(val_col), ordk).alias("open"),
+        F.max(val_col).alias("high"),
+        F.min(val_col).alias("low"),
+        F.max_by(F.col(val_col), ordk).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1039,3 +1039,62 @@ def bipartiteness(
             (~F.max("__fused")).alias("is_bipartite"),
         )
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    *,
+    n_iters: int = 2,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Fixed-iteration k-truss peeling over the undirected simple
+    graph: each round computes every edge's SUPPORT (the number of
+    triangles it closes = common neighbors of its endpoints) and drops
+    edges with support < k-2 — the edge-granularity sibling of
+    :func:`kcore`'s vertex peeling, and the standard cohesive-subgraph
+    primitive (a k-truss is a stricter community signal than a
+    k-core).  ``n_iters`` bounded rounds keep the result exactly
+    SQL-replayable as an unrolled CTE chain.
+
+    Returns (a, b, support): the surviving undirected edges (a < b)
+    with their support measured in the FINAL surviving subgraph (one
+    extra support pass after the last filter).
+
+    Scale shape per round: adjacency = 2·|E| rows; support is the
+    edge ⋈ adjacency ⋈ adjacency wedge join (shuffles keyed on vertex
+    then on the shared neighbor — Σdeg² work, the same bound as
+    triangle counting) + one map-combinable count.  The edge relation
+    shrinks monotonically; no driver state beyond the loop counter.
+    """
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3 (k-2 >= 1)")
+    s, d = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+
+    def support(e_df: DataFrame) -> DataFrame:
+        adj = e_df.select(F.col("a").alias("u"), F.col("b").alias("n")).unionAll(
+            e_df.select(F.col("b").alias("u"), F.col("a").alias("n"))
+        )
+        x = adj.select(F.col("u").alias("__xa"), F.col("n").alias("__xn"))
+        y = adj.select(F.col("u").alias("__yb"), F.col("n").alias("__yn"))
+        return (
+            e_df.join(x, e_df["a"] == x["__xa"])
+            .join(y, (e_df["b"] == y["__yb"]) & (x["__xn"] == y["__yn"]))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+
+    for it in range(n_iters):
+        sup = support(e)
+        # edges closing zero triangles are absent from `sup`: the inner
+        # join drops them, which is exactly support < k-2 for k >= 3
+        e = sup.filter(F.col("support") >= k - 2).select("a", "b")
+        if (it + 1) % 3 == 0 and it + 1 < n_iters:
+            e = e.localCheckpoint(eager=False)
+    return support(e)

@@ -275,3 +275,114 @@ def rrf_fuse(
         F.col("n_sources").cast("long").alias("n_sources"),
         "rank",
     )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    method: str = "exact",
+) -> DataFrame:
+    """Maximum Inner Product Search: exact top-k neighbors per query by
+    INNER PRODUCT (not cosine) — the recommender-serving retrieval
+    shape, where item popularity lives in the vector norm and cosine
+    would erase it.  Returns (query_id, neighbor_id, inner_product,
+    rank), ties broken by neighbor id.
+
+    ``method="exact"``: broadcast queries, shuffle-free scoring map
+    over corpus partitions, per-query top-k via window — the
+    brute-force baseline.
+
+    ``method="augmented"``: the Shrivastava-Li MIPS→NN reduction as
+    the scale path: with M = max corpus norm, append
+    sqrt(M²-|x|²) to every corpus vector and 0 to the query — then
+    inner-product order equals COSINE order on the augmented vectors,
+    so any cosine ANN index (LSH buckets, IVF cells) serves MIPS
+    unchanged.  Here the augmented route re-scores through the same
+    exact scan (this fixture has no index to reuse), verifying the
+    reduction: published inner products are identical to the exact
+    method, only the candidate ordering machinery differs.  M is one
+    map-combinable 1-row aggregate.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+    )
+    if method == "augmented":
+        m2 = (
+            corpus.select(
+                F.aggregate(
+                    F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x
+                ).alias("__n2")
+            )
+            .agg(F.max("__n2"))
+            .first()[0]
+        )
+        c = corpus.withColumn(
+            "__aug",
+            F.concat(
+                F.col(vec_col),
+                F.array(
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(0.0),
+                            F.lit(float(m2))
+                            - F.aggregate(
+                                F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x
+                            ),
+                        )
+                    )
+                ),
+            ),
+        )
+        qa = q.withColumn(
+            "__qa", F.concat(F.col("__qv"), F.array(F.lit(0.0)))
+        ).withColumn("__qn", norm(F.col("__qa")))
+        ca = c.withColumn("__cn", norm(F.col("__aug")))
+        denom = F.col("__cn") * F.col("__qn")
+        order_key = F.when(
+            denom > 0, dot(F.col("__aug"), F.col("__qa")) / denom
+        ).otherwise(F.lit(0.0))
+        scored = (
+            ca.crossJoin(F.broadcast(qa))
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                # published score is the TRUE inner product; the cosine
+                # of the augmented pair only orders the candidates
+                F.round(dot(F.col(vec_col), F.col("__qv")), 6).alias(
+                    "inner_product"
+                ),
+                order_key.alias("__ord"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__ord").desc(), F.col("neighbor_id").asc()
+        )
+    elif method == "exact":
+        scored = (
+            corpus.crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                F.round(dot(F.col(vec_col), F.col("__qv")), 6).alias(
+                    "inner_product"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("inner_product").desc(), F.col("neighbor_id").asc()
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "inner_product", "rank")
+    )

@@ -196,3 +196,50 @@ def bootstrap_mean_ci(
         F.round(F.element_at(arr, tail_rank), 6).alias("ci_lo"),
         F.round(F.element_at(arr, -tail_rank), 6).alias("ci_hi"),
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    *,
+    n_bins: int = 20,
+    key_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """EXACT equal-width histogram per key with data-derived bounds
+    (the BI/profiling shape `approx_percentile` sketches can't give
+    exactly): pass 1 computes per-key min/max (map-combinable), pass 2
+    bins every value into ``n_bins`` equal-width buckets over
+    [min, max] — bin = min(n_bins-1, floor((v-mn)·n_bins/(mx-mn))),
+    degenerate keys (mx == mn) collapse to bin 0.  Empty bins are
+    omitted (sparse output).
+
+    Exactness discipline: the bin expression is pure IEEE double
+    arithmetic in a FIXED operation order — (v-mn), ×n_bins, ÷(mx-mn),
+    floor — so any engine replaying the same order lands every value
+    in the same bin, boundary values included.
+
+    Scale shape: two map-combinable aggregates + one broadcast join of
+    the k-row extrema table; the data is scanned twice but never
+    shuffled by value."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    ext = df.groupBy(key_col).agg(
+        F.min(val_col).alias("__mn"), F.max(val_col).alias("__mx")
+    )
+    j = df.join(F.broadcast(ext), key_col)
+    bin_ = (
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    ((F.col(val_col) - F.col("__mn")) * F.lit(n_bins))
+                    / (F.col("__mx") - F.col("__mn"))
+                ),
+            )
+        )
+        .cast("long")
+    )
+    return j.groupBy(F.col(key_col), bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1124,3 +1124,46 @@ def sentence_dedup_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+def char_ngram_profile(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    k: int = 10,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character n-gram frequency profiles per language — the TRAINING
+    side of n-gram language identification (the applied heuristic is
+    t02): per (lang, n-gram) exact counts, top-``k`` per language by
+    (count desc, n-gram asc) → (lang, ngram, cnt, rank).  Spaces count
+    (real profiles keep them: word-boundary grams are the strongest
+    language signals).
+
+    Scale shape: the n-gram explode is row-local (length-n+1 grams per
+    doc), then ONE map-combinable (lang, ngram) count; only the
+    (lang, ngram) aggregate shuffles — the vocabulary, not the corpus.
+    The per-language top-k window runs over that aggregate (bounded by
+    distinct n-grams per language)."""
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
+    # NB: Spark's sequence(1, stop) is DESCENDING for stop < 1, so
+    # short texts need the explicit empty-array guard
+    positions = F.when(
+        F.length(text_col) >= n,
+        F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.transform(positions, lambda i: F.col(text_col).substr(i, F.lit(n)))
+        ).alias("ngram"),
+    )
+    counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "ngram", "cnt", "rank")
+    )

@@ -543,3 +543,53 @@ def windowed_hll_distinct(
             "approx_distinct",
         )
     )
+
+
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    left_type: str = "view",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with an event-time range condition
+    (SURVEY §2.E, the join shape :func:`stream_stream_join` can't
+    show): every ``left_type`` event pairs with the same user's
+    ``right_type`` events within ``within`` afterwards — and left rows
+    with NO match are still emitted (null right columns) once the
+    watermark proves no match can arrive.
+
+    The semantics outer joins add over inner: null-padded results are
+    NOT produced when the row is first seen — they materialize during
+    state EVICTION, when the global watermark passes
+    left.ts + within.  Spark's watermark for batch k is computed from
+    data seen through batch k-1, so the final unmatched rows need the
+    watermark to be advanced past them by LATER input (the st13 driver
+    entry appends two far-future nudge events in separate micro-batches
+    exactly for this).  In batch mode the same call degrades to a plain
+    left join — the oracle path."""
+    a = left.filter(F.col("event_type") == left_type).select(
+        F.col(on),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"),
+    )
+    b = right.filter(F.col("event_type") == right_type).select(
+        F.col(on).alias("__on_b"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"),
+    )
+    if left.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+    if right.isStreaming:
+        b = b.withWatermark("b_ts", watermark)
+    cond = (
+        (a[on] == b["__on_b"])
+        & (b["b_ts"] >= a["a_ts"])
+        & (b["b_ts"] <= a["a_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond, "leftOuter").select(
+        F.col(on), "a_id", "b_id", "a_ts", "b_ts"
+    )

@@ -246,3 +246,27 @@ def test_session_paths_prefilter_is_lossless(spark):
     )
     got = session_paths(df, k=5, prefix_len=3).collect()
     assert [(r.path, r.n_sessions) for r in got] == [("login>browse>search", 2)]
+
+
+def test_ohlc_bars_deterministic_open_close(spark):
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.events import ohlc_bars
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # same-timestamp tie at the open: event_id breaks it
+        ("m", base, 1, 5.0),
+        ("m", base, 0, 3.0),
+        ("m", base + dt.timedelta(minutes=30), 2, 9.0),
+        ("m", base + dt.timedelta(minutes=59), 3, 1.0),
+        ("m", base + dt.timedelta(hours=1), 4, 7.0),  # next bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    got = {r.bucket: r for r in ohlc_bars(df).collect()}
+    b0 = got[base]
+    assert (b0.open, b0.high, b0.low, b0.close, b0.n_events) == (3.0, 9.0, 1.0, 1.0, 4)
+    b1 = got[base + dt.timedelta(hours=1)]
+    assert (b1.open, b1.close, b1.n_events) == (7.0, 7.0, 1)

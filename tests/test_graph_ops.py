@@ -378,3 +378,32 @@ def test_bipartiteness_self_loop_is_odd_cycle(spark):
         for r in bipartiteness(df, src_col="src", dst_col="dst").collect()
     }
     assert got == {5: False}
+
+
+def test_ktruss_triangles_survive_chain_dropped(spark):
+    """Two triangles sharing an edge + a pendant chain: 3-truss keeps
+    exactly the triangle edges with their supports; the chain dies."""
+    from duckdb_graphar_spark.operators.graph import ktruss
+
+    edges = [(0, 1), (1, 2), (0, 2), (0, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.a, r.b): r.support
+        for r in ktruss(df, 3, n_iters=2, src_col="src", dst_col="dst").collect()
+    }
+    # shared edge (0,1) closes two triangles; the other four close one
+    assert got == {(0, 1): 2, (1, 2): 1, (0, 2): 1, (0, 3): 1, (1, 3): 1}
+
+
+def test_ktruss_k4_cascade_empties(spark):
+    """k=4 (support >= 2): only the shared edge survives round 1, its
+    support then collapses to zero -> the truss is empty (cascade)."""
+    from duckdb_graphar_spark.operators.graph import ktruss
+
+    edges = [(0, 1), (1, 2), (0, 2), (0, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert ktruss(df, 4, n_iters=2, src_col="src", dst_col="dst").count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k >= 3"):
+        ktruss(df, 2, src_col="src", dst_col="dst")

@@ -78,3 +78,42 @@ def test_rrf_fuse_hand_checked(spark):
     assert got[10] == (_pt.approx(round(1 / 61, 6), abs=1e-6), 1, 2)
     assert got[40][2] == 3  # 1/62 beats 1/63
     assert got[30][2] == 4
+
+
+def test_mips_augmented_reduction_matches_exact(spark):
+    """The Shrivastava-Li norm-augmentation must reproduce the exact
+    inner-product ranking: |x_aug| = M for every corpus vector, so
+    augmented-cosine order == dot-product order per query."""
+    from duckdb_graphar_spark.operators.similarity import mips_topk
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1 + i % 3, 8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    exact = [tuple(r) for r in mips_topk(df, q, k=5).collect()]
+    aug = [tuple(r) for r in mips_topk(df, q, k=5, method="augmented").collect()]
+    assert exact == aug
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown method"):
+        mips_topk(df, q, method="nope").collect()
+
+
+def test_mips_differs_from_cosine_when_norms_matter(spark):
+    """A long vector loses under cosine but wins under inner product —
+    the metric's whole point."""
+    from duckdb_graphar_spark.operators.similarity import mips_topk
+
+    rows = [
+        (0, [1.0, 0.0]),       # query
+        (1, [0.9, 0.1]),       # near-parallel, short
+        (2, [10.0, -3.0]),     # long, less aligned
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    got = {r.rank: r.neighbor_id for r in mips_topk(df, q, k=2).collect()}
+    assert got == {1: 2, 2: 1}  # inner product ranks the long vector first

@@ -238,3 +238,17 @@ def test_maintain_agg_negative_count_raises(spark):
     )
     with _pt.raises(Exception, match="negative merged count"):
         maintain_agg(base, ch, ["k"]).collect()
+
+
+def test_value_histogram_bins_and_degenerate_key(spark):
+    from duckdb_graphar_spark.operators.stats import value_histogram
+
+    rows = [("a", 0.0), ("a", 5.0), ("a", 10.0), ("a", 9.99), ("b", 3.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {(r.event_type, r.bin): r.n for r in value_histogram(df, n_bins=10).collect()}
+    # a: range [0,10] → width 1; 0.0→bin 0, 5.0→bin 5, 9.99→bin 9, 10.0→clamped to 9
+    assert got == {("a", 0): 1, ("a", 5): 1, ("a", 9): 2, ("b", 0): 2}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_bins"):
+        value_histogram(df, n_bins=0)

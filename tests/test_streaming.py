@@ -190,3 +190,24 @@ def test_trending_topk_ranks_finalized_windows(spark):
         (t0, "b", 1), (t0, "a", 2), (t0, "c", 3),  # tie a/c → a first
         (dt.datetime(2024, 1, 1, 0, 5), "x", 1),
     ]
+
+
+def test_stream_stream_left_join_batch_twin(spark):
+    """Batch mode degrades to a plain left join: unmatched views emit
+    null-padded immediately (no watermark machinery in batch)."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.streaming.ops import stream_stream_left_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7, "view", 0.0, ""),
+        (2, base + dt.timedelta(minutes=5), 7, "purchase", 0.0, ""),
+        (3, base + dt.timedelta(hours=2), 7, "view", 0.0, ""),  # no match
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {(r.a_id, r.b_id) for r in stream_stream_left_join(df, df).collect()}
+    assert got == {(1, 2), (3, None)}

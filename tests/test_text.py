@@ -401,3 +401,15 @@ def test_sentence_dedup_stats_hand_computed(spark):
     assert (got[0].n_sentences, got[0].n_distinct) == (4, 3)
     assert abs(got[0].dup_frac - 0.25) < 1e-9
     assert (got[1].n_sentences, got[1].n_distinct, got[1].dup_frac) == (1, 1, 0.0)
+
+
+def test_char_ngram_profile_counts_and_short_text_guard(spark):
+    from duckdb_graphar_spark.operators.text import char_ngram_profile
+
+    df = spark.createDataFrame(
+        [(0, "en", "ababa"), (1, "en", "ab"), (2, "fr", "zzz")],
+        "doc_id long, lang string, text string",
+    )
+    got = {(r.lang, r.ngram): (r.cnt, r.rank) for r in char_ngram_profile(df).collect()}
+    # 'ababa' → aba, bab, aba; 'ab' too short (no descending-sequence blowup)
+    assert got == {("en", "aba"): (2, 1), ("en", "bab"): (1, 2), ("fr", "zzz"): (1, 1)}
