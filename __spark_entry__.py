@@ -5121,7 +5121,12 @@ def q63(spark, sf):
     q31's single-level approx_count_distinct can't show: per
     (returnflag, linestatus) HLL sketches built once, then UNION-merged
     to the returnflag level (hll_union_agg) without touching the rows
-    again.  Estimate asserted within 5% of exact."""
+    again.  Estimate asserted within 5% of exact.
+
+    NB: the `exact` count_distinct branch below exists ONLY so the
+    oracle can assert the ±5% tolerance — in production the sketch
+    pass stands alone (sketch-only is the whole point: no Expand, no
+    second scan); don't copy the exact branch into a real rollup."""
     li = _t(spark, sf, "lineitem")
     sk = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.hll_sketch_agg("l_orderkey").alias("__sk")

@@ -103,6 +103,17 @@ BENCH_QUERIES = [
     "t32_feature_hashing",
     "g20_link_prediction",
     "q68_gapfill_interpolate",
+    # round-5: real color-JPEG codec round-trip (4 codec passes incl.
+    # fixed-point color transforms), real 2x thumbnail resize chain,
+    # edge-granularity k-truss peeling, one-scan OHLC bars, exact
+    # histogram, MIPS retrieval, char-trigram language profiles
+    "m10_color_jpeg",
+    "m11_thumbnail_downsample",
+    "g22_ktruss",
+    "q72_ohlc_resample",
+    "q73_value_histogram",
+    "s14_mips_topk",
+    "t35_char_ngram_profile",
 ]
 
 
