@@ -1546,6 +1546,52 @@ def u03(spark, sf):
 
 
 @_q(
+    "u05_source_pushdown",
+    # ORACLE: the synthetic payload is SQL-replayable — bucket 3's ids
+    # are 3000..3999 with value (i*i) mod 997; the pushdown itself is
+    # pinned by a plan/unit test (one planned partition), the values
+    # here pin the read path.
+    """
+    SELECT CAST(3 AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM((i * i) % 997) AS BIGINT) AS sum_value,
+           CAST(MIN(i) AS BIGINT) AS min_id,
+           CAST(MAX(i) AS BIGINT) AS max_id
+    FROM UNNEST(generate_series(3000, 3999)) AS t(i)
+    """,
+)
+def u05(spark, sf):
+    """Python Data Source batch reader WITH FILTER PUSHDOWN (Spark
+    4.1 `pushFilters` — the fourth DSv2 corner after u02/u03/u04): a
+    `bucket = 3` predicate reaches the reader as `EqualTo(("bucket",),
+    3)` and planning collapses from 8 partitions to ONE — the
+    Python-source analogue of GraphAr's chunk pruning; unsupported
+    predicates are yielded back for post-scan evaluation
+    (`duckdb_graphar_spark/datasources.py:BucketedRangeDataSource`)."""
+    from duckdb_graphar_spark.datasources import BucketedRangeDataSource
+
+    try:
+        spark.dataSource.register(BucketedRangeDataSource)
+    except Exception:
+        pass  # already registered in this session
+    # harness-proofing: a BARE session (the driver's) has this runtime
+    # conf at its false default, and Spark then REFUSES a reader that
+    # implements pushFilters rather than silently skipping pushdown
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    src = spark.read.format("bucketed_range").load()
+    return (
+        src.filter(F.col("bucket") == 3)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+    )
+
+
+@_q(
     "u04_stream_source",
     # ORACLE: the completed stream's final complete-mode state must
     # equal the plain range() aggregate — a FULL value oracle for a
@@ -6406,6 +6452,79 @@ def q73(spark, sf):
 
 
 @_q(
+    "q74_recursive_cte",
+    # ORACLE: the IDENTICAL recursive SQL text (modulo the edge-list
+    # CTE) — Spark 4 executes WITH RECURSIVE natively, so the bounded
+    # 3-hop reachability-with-distance runs as the same declarative
+    # query on both engines.  UNION ALL recursion + final MIN collapse
+    # = multiplicities don't affect the published distances.
+    f"""
+    WITH RECURSIVE edges AS ({_E_SQL}),
+    reach(v, d) AS (
+      SELECT CAST(0 AS BIGINT) AS v, 0 AS d
+      UNION ALL
+      SELECT e.dst, r.d + 1
+      FROM reach r JOIN edges e ON e.src = r.v
+      WHERE r.d < 3
+    )
+    SELECT v, CAST(MIN(d) AS BIGINT) AS dist FROM reach GROUP BY v
+    """,
+)
+def q74(spark, sf):
+    """Native WITH RECURSIVE execution (Spark 4): bounded 3-hop
+    reachability with hop distance from vertex 0 over the order graph
+    — the declarative sibling of g07's driver-looped BFS, run entirely
+    inside Catalyst's recursive-CTE operator (each iteration is a
+    distributed join on the frontier; the depth guard bounds state).
+    The oracle is the SAME query text on DuckDB — engine parity on the
+    newest relational surface, not a reimplementation."""
+    _edges(spark, sf).createOrReplaceTempView("q74_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(v, d) AS (
+          SELECT CAST(0 AS BIGINT) AS v, 0 AS d
+          UNION ALL
+          SELECT e.dst, r.d + 1
+          FROM reach r JOIN q74_edges e ON e.src = r.v
+          WHERE r.d < 3
+        )
+        SELECT v, CAST(MIN(d) AS BIGINT) AS dist FROM reach GROUP BY v
+        """
+    )
+
+
+@_q(
+    "q75_variant_json",
+    # ORACLE: DuckDB json_extract over the same props strings; the
+    # VARIANT path's typed accessor (variant_get '$.k' as int) equals
+    # CAST(json_extract(...) AS INTEGER) for integer payloads.
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) FILTER (CAST(json_extract(props, '$.k') AS INTEGER) > 50) AS BIGINT) AS n_high,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q75(spark, sf):
+    """Semi-structured VARIANT processing (Spark 4's open JSON type):
+    `parse_json` once into a VARIANT column, then typed
+    `variant_get` accessors feed ordinary map-combinable aggregates —
+    the shredded-JSON warehouse pattern (parse once, query many) vs
+    per-access string re-parsing.  All-integer outputs, exact
+    oracle."""
+    ev = _t(spark, sf, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(F.when(k > 50, 1)).cast("long").alias("n_high"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+@_q(
     "q64_cohort_retention",
     # ORACLE: first-event week per user, then DISTINCT (cohort, offset,
     # user) before the count — the same two-aggregate shape the operator
@@ -6694,7 +6813,8 @@ _PRIORITY = [
     # --- 8 never-driver-verified entries (r4 tail) ---
     "u04", "q70", "q71", "t34", "st12", "g21", "ga15", "ga16",
     # --- round-5 new operators ---
-    "m10", "m11", "ga17", "ga18", "q72", "q73", "s14", "t35", "g22", "st13",
+    "m10", "m11", "ga17", "ga18", "q72", "q73", "q74", "q75",
+    "s14", "t35", "g22", "st13", "u05",
     # --- m01 migrated onto a real codec this round; re-verify ---
     "m01",
     # --- 5 r4-fixed rows, second-round confirmation ---

@@ -20,6 +20,9 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -132,4 +135,66 @@ class CounterStreamDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return _CounterStreamReader(
             int(self.options.get("step", 100)), int(self.options.get("limit", 1000))
+        )
+
+
+class _BucketPartition(InputPartition):
+    def __init__(self, bucket: int) -> None:
+        self.bucket = bucket
+
+
+class _BucketedRangeReader(DataSourceReader):
+    """Batch reader WITH FILTER PUSHDOWN (Spark 4.1 `pushFilters`):
+    an `EqualTo(("bucket",), b)` predicate prunes planning down to the
+    single matching partition — the Python-DataSource analogue of
+    GraphAr's chunk-file pruning (SURVEY §2.B2).  Unsupported filters
+    are yielded back so Spark re-applies them after the scan (the
+    contract that keeps pushdown always-correct)."""
+
+    def __init__(self, n_buckets: int, rows_per_bucket: int) -> None:
+        self.n_buckets = n_buckets
+        self.rows_per_bucket = rows_per_bucket
+        self.bucket_eq: int | None = None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("bucket",):
+                self.bucket_eq = int(f.value)
+            else:
+                yield f  # unsupported: Spark evaluates it post-scan
+
+    def partitions(self):
+        buckets = (
+            [self.bucket_eq]
+            if self.bucket_eq is not None and 0 <= self.bucket_eq < self.n_buckets
+            else ([] if self.bucket_eq is not None else range(self.n_buckets))
+        )
+        return [_BucketPartition(b) for b in buckets]
+
+    def read(self, partition):
+        b = partition.bucket
+        base = b * self.rows_per_bucket
+        for i in range(base, base + self.rows_per_bucket):
+            # deterministic synthetic payload, SQL-replayable
+            yield (b, i, (i * i) % 997)
+
+
+class BucketedRangeDataSource(DataSource):
+    """Python Data Source batch READER with filter pushdown — the
+    fourth corner of the DSv2 surface (u03 batch sink, u04 streaming
+    source, u02 generator): `spark.read.format("bucketed_range")` with
+    a `bucket = b` predicate plans exactly ONE input partition.
+    Options: n_buckets (default 8), rows_per_bucket (default 1000)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bucketed_range"
+
+    def schema(self) -> str:
+        return "bucket int, id bigint, value bigint"
+
+    def reader(self, schema):
+        return _BucketedRangeReader(
+            int(self.options.get("n_buckets", 8)),
+            int(self.options.get("rows_per_bucket", 1000)),
         )

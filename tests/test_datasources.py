@@ -1,0 +1,50 @@
+"""Python Data Source V2 surface: reader-side filter pushdown."""
+
+
+def test_pushdown_prunes_to_one_partition():
+    """EqualTo(("bucket",), 3) collapses planning from 8 partitions to
+    ONE; an out-of-range bucket plans ZERO partitions; other filters
+    are yielded back as unsupported."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from duckdb_graphar_spark.datasources import _BucketedRangeReader
+
+    r = _BucketedRangeReader(8, 1000)
+    assert len(r.partitions()) == 8
+    unsupported = list(r.pushFilters([EqualTo(("bucket",), 3), GreaterThan(("id",), 10)]))
+    assert len(unsupported) == 1 and isinstance(unsupported[0], GreaterThan)
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].bucket == 3
+
+    r2 = _BucketedRangeReader(8, 1000)
+    list(r2.pushFilters([EqualTo(("bucket",), 99)]))
+    assert r2.partitions() == []
+
+
+def test_read_values_deterministic():
+    from duckdb_graphar_spark.datasources import _BucketedRangeReader, _BucketPartition
+
+    r = _BucketedRangeReader(8, 10)
+    rows = list(r.read(_BucketPartition(2)))
+    assert rows[0] == (2, 20, (20 * 20) % 997)
+    assert len(rows) == 10
+
+
+def test_end_to_end_pushdown_query(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.datasources import BucketedRangeDataSource
+
+    try:
+        spark.dataSource.register(BucketedRangeDataSource)
+    except Exception:
+        pass
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    got = (
+        spark.read.format("bucketed_range")
+        .load()
+        .filter(F.col("bucket") == 1)
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id"), F.max("id"))
+        .collect()[0]
+    )
+    assert tuple(got) == (1000, 1000, 1999)
