@@ -4567,6 +4567,41 @@ def t35(spark, sf):
 
 
 @_q(
+    "t36_weighted_sample",
+    # ORACLE: the A-Res key replayed exactly — u is integer md5
+    # arithmetic + ONE division by 2^52+1 (both exactly representable,
+    # identical IEEE quotient), ln over the identical double, divided
+    # by the integer weight.  Selection uses full precision with
+    # doc_id tie-breaks; the published score rounds to 6.
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars AS weight,
+             ln((CAST(concat('0x', substr(md5(concat('epoch0', chr(31),
+                   CAST(doc_id AS VARCHAR))), 1, 13)) AS UBIGINT) + 1)
+                / 4503599627370497.0) / n_chars AS score
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, ROUND(score, 6) AS score, rank FROM (
+      SELECT doc_id, weight, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM s
+    ) WHERE rank <= 50
+    """,
+)
+def t36(spark, sf):
+    """Weighted sampling without replacement (A-Res, Efraimidis &
+    Spirakis) with CONTENT-ADDRESSED randomness — the training-mixture
+    primitive: documents sampled proportionally to length with a
+    bit-reproducible md5-derived key instead of an RNG, so the sample
+    is stable across engines/partitionings/reruns.  Stateless scoring
+    + one TakeOrdered top-k, no global sort
+    (`operators/sampling.py:weighted_sample`)."""
+    from duckdb_graphar_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(_t(spark, sf, "documents"), 50)
+
+
+@_q(
     "g22_ktruss",
     # ORACLE: the 2 peel rounds + final support pass unrolled — support
     # of edge (a,b) = common neighbors of a and b via the adjacency
@@ -6814,7 +6849,7 @@ _PRIORITY = [
     "u04", "q70", "q71", "t34", "st12", "g21", "ga15", "ga16",
     # --- round-5 new operators ---
     "m10", "m11", "ga17", "ga18", "q72", "q73", "q74", "q75",
-    "s14", "t35", "g22", "st13", "u05",
+    "s14", "t35", "t36", "g22", "st13", "u05",
     # --- m01 migrated onto a real codec this round; re-verify ---
     "m01",
     # --- 5 r4-fixed rows, second-round confirmation ---

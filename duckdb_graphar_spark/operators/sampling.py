@@ -188,3 +188,65 @@ def training_shuffle(
         .withColumn("shuffle_rank", F.col("__pre") + F.row_number().over(w) - 1)
         .select(id_col, "shuffle_rank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Weighted sampling without replacement via A-Res (Efraimidis &
+    Spirakis): each row gets key u^(1/w) — equivalently ln(u)/w — with
+    ``u`` CONTENT-ADDRESSED from md5(seed ‖ id) instead of a RNG, so
+    the sample is bit-reproducible across engines, partitionings, and
+    reruns (the training-data mixture primitive: sample documents
+    proportionally to length/quality without a shuffle-order
+    dependency).  Returns the top-``k`` rows by key →
+    (id, weight, score, rank).
+
+    u = (first 13 md5 hex digits + 1) / (2^52 + 1) ∈ (0, 1] — integer
+    arithmetic and one IEEE division, exactly replayable in SQL; rows
+    with non-positive weight are excluded (ln(u)/w would flip sign).
+
+    Scale shape: stateless per-row scoring, then ONE TakeOrdered
+    top-k (per-partition heaps, no global sort, no single-task
+    window); the k-row rank stamp runs on the collected winners."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed), F.lit("\x1f"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(2**52 + 1))
+    score = F.log(u) / F.col(weight_col)
+    scored = (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            score.alias("__score"),
+        )
+        .orderBy(F.col("__score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("__score").desc(), F.col(id_col))
+    return scored.select(
+        id_col,
+        "weight",
+        F.round("__score", 6).alias("score"),
+        F.row_number().over(w).alias("rank"),
+    )

@@ -124,3 +124,35 @@ def test_training_shuffle_is_permutation(spark):
     assert {(r.doc_id, r.shuffle_rank) for r in other.collect()} != {
         (r.doc_id, r.shuffle_rank) for r in out.collect()
     }
+
+
+def test_weighted_sample_favors_heavy_and_is_deterministic(spark):
+    from duckdb_graphar_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000 if i < 50 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = weighted_sample(df, 20).collect()
+    assert [r.rank for r in got] == list(range(1, 21))
+    # weight 1000 vs 1: the heavy class should dominate the top-20
+    heavy = sum(1 for r in got if r.weight == 1000)
+    assert heavy >= 15
+    # bit-reproducible
+    again = weighted_sample(df, 20).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    # different seed -> different permutation (almost surely)
+    other = weighted_sample(df, 20, seed="epoch1").collect()
+    assert [r.doc_id for r in other] != [r.doc_id for r in got]
+
+
+def test_weighted_sample_excludes_nonpositive_and_guards_k(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, -5), (2, 10)], "doc_id long, n_chars long"
+    )
+    got = weighted_sample(df, 10).collect()
+    assert [r.doc_id for r in got] == [2]
+    with _pt.raises(ValueError, match="k must be"):
+        weighted_sample(df, 0)
