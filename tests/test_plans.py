@@ -528,3 +528,54 @@ def test_bpe_apply_folds_distinct_words_only(spark, qs):
     # aggregate) broadcasts into the doc join; doc sums combine map-side
     assert "BroadcastExchange" in plan
     assert "partial_sum" in plan
+
+
+def test_ohlc_single_aggregate_no_window(spark, qs):
+    """q72: min_by/max_by give one map-combinable aggregate — no
+    Window sort, no second scan of the event log."""
+    plan = _plan(qs["q72_ohlc_resample"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_count" in plan  # map-side partials
+    assert plan.count("Scan parquet") == 1
+
+
+def test_histogram_extrema_broadcast(spark, qs):
+    """q73: the k-row extrema table broadcasts — the fact side is
+    never shuffled by value."""
+    plan = _plan(qs["q73_value_histogram"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mips_queries_broadcast_no_global_sort(spark, qs):
+    """s14: queries broadcast into a shuffle-free scoring map; top-k is
+    the per-query window over scored rows, never a global sort."""
+    plan = _plan(qs["s14_mips_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan or "Window" in plan
+
+
+def test_weighted_sample_takeordered_no_single_task_window(spark, qs):
+    """t36: the top-k is TakeOrderedAndProject (per-partition heaps);
+    the only Window runs over the k collected winners, after the
+    limit."""
+    df = qs["t36_weighted_sample"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ktruss_no_cartesian(spark, qs):
+    """g22: the wedge join is equi-keyed (vertex, then shared
+    neighbor) — no nested-loop/cartesian anywhere."""
+    plan = _plan(qs["g22_ktruss"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_char_ngram_profile_vocabulary_keyed(spark, qs):
+    """t35: the only wide shuffle keys on (lang, ngram) — the
+    aggregate — and the window runs over the aggregate, not the
+    corpus."""
+    plan = _plan(qs["t35_char_ngram_profile"](spark, SF_DIR))
+    assert "partial_count" in plan  # map-side combine before the wire
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
