@@ -164,15 +164,20 @@ class _BucketedRangeReader(DataSourceReader):
                 yield f  # unsupported: Spark evaluates it post-scan
 
     def partitions(self):
-        buckets = (
-            [self.bucket_eq]
-            if self.bucket_eq is not None and 0 <= self.bucket_eq < self.n_buckets
-            else ([] if self.bucket_eq is not None else range(self.n_buckets))
-        )
+        if self.bucket_eq is None:
+            buckets = list(range(self.n_buckets))
+        elif 0 <= self.bucket_eq < self.n_buckets:
+            buckets = [self.bucket_eq]
+        else:
+            # Spark's reader contract needs >= 1 partition (an empty
+            # list makes it call read(None)) — plan one EMPTY sentinel
+            buckets = [-1]
         return [_BucketPartition(b) for b in buckets]
 
     def read(self, partition):
         b = partition.bucket
+        if not (0 <= b < self.n_buckets):
+            return  # the out-of-range sentinel: no rows
         base = b * self.rows_per_bucket
         for i in range(base, base + self.rows_per_bucket):
             # deterministic synthetic payload, SQL-replayable

@@ -18,7 +18,9 @@ def test_pushdown_prunes_to_one_partition():
 
     r2 = _BucketedRangeReader(8, 1000)
     list(r2.pushFilters([EqualTo(("bucket",), 99)]))
-    assert r2.partitions() == []
+    parts2 = r2.partitions()
+    # one EMPTY sentinel (Spark's contract forbids zero partitions)
+    assert len(parts2) == 1 and list(r2.read(parts2[0])) == []
 
 
 def test_read_values_deterministic():
