@@ -1592,6 +1592,47 @@ def u05(spark, sf):
 
 
 @_q(
+    "u06_map_in_arrow",
+    # ORACLE: byte/substring counts recomputed with SQL string
+    # functions — all-integer outputs, exact.
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER)
+             AS n_spaces
+    FROM documents
+    """,
+)
+def u06(spark, sf):
+    """`mapInArrow` — the LOWEST-overhead Python execution surface
+    (completing the set: pandas UDF/UDAF, UDTF, mapInPandas/
+    applyInPandas, DSv2 source/sink/stream): the generator receives raw
+    `pyarrow.RecordBatch`es and answers with RecordBatches built from
+    vectorized `pyarrow.compute` kernels — no pandas materialization,
+    no per-row Python, zero-copy both ways.  The right tier for
+    byte-level scans (codec sniffing, tokenizer front-ends) where even
+    the Arrow→pandas conversion of mapInPandas is measurable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def arrow_stats(it):
+        for batch in it:
+            txt = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.binary_length(pc.cast(txt, pa.binary())),
+                    pc.cast(pc.count_substring(txt, " "), pa.int32()),
+                ],
+                ["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    return d.mapInArrow(arrow_stats, "doc_id long, n_bytes int, n_spaces int")
+
+
+@_q(
     "u04_stream_source",
     # ORACLE: the completed stream's final complete-mode state must
     # equal the plain range() aggregate — a FULL value oracle for a
@@ -4770,6 +4811,108 @@ def q59(spark, sf):
     return scd2_intervals(_t(spark, sf, "events"))
 
 
+@_q(
+    "q76_pit_dimension_lookup",
+    # ORACLE: the SCD2 dimension rebuilt with q59's gaps-and-islands
+    # chain over the NON-click events, then DuckDB's native ASOF LEFT
+    # JOIN — interval containment equals backward as-of on valid_from
+    # because consecutive intervals partition each user's timeline.
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE event_type <> 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+          FROM o),
+    c AS (SELECT user_id, MIN(event_type) AS state, MIN(ts) AS valid_from
+          FROM r GROUP BY user_id, run)
+    SELECT e.event_id, e.user_id, c.state
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.valid_from
+    """,
+)
+def q76(spark, sf):
+    """Point-in-time DIMENSION lookup — the warehouse join q59 and q50
+    compose into: build the SCD2 state dimension from the non-click
+    events (gaps-and-islands), then resolve every click against the
+    state prevailing AT ITS TIMESTAMP via a backward as-of join on
+    valid_from (legal because consecutive intervals partition the
+    user's timeline — no range join needed).  One user-hash shuffle
+    for the dimension windows + one for the as-of carry-forward;
+    clicks before a user's first state row stay NULL (how='left')."""
+    from duckdb_graphar_spark.operators.asof import asof_join
+    from duckdb_graphar_spark.operators.events import scd2_intervals
+
+    ev = _t(spark, sf, "events")
+    dim = scd2_intervals(ev.filter(F.col("event_type") != "click")).select(
+        "user_id", "valid_from", "state"
+    )
+    fact = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        fact,
+        dim,
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols=["state"],
+    ).select("event_id", "user_id", "state")
+
+
+@_q(
+    "q77_dynamic_partition_pruning",
+    # ORACLE: the same filter+aggregate directly — the Spark side must
+    # produce identical values through the partitioned-fact ⋈ filtered-
+    # dim plan whose partition filter is INJECTED AT RUNTIME by DPP.
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users
+    FROM events WHERE event_type IN ('view', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def q77(spark, sf):
+    """Dynamic partition pruning — the scale feature static pushdown
+    can't give: the fact table is written PARTITIONED BY event_type,
+    the dimension's filter is only known at runtime, and Spark injects
+    a `dynamicpruning` subquery on the fact's partition column so only
+    the matching partition DIRECTORIES are ever read (at 100 TB this
+    is the difference between scanning 2 of 7 partitions and all of
+    them).  The plan shape is pinned in tests/test_plans.py; the
+    2-row result is collected before the staged fact is removed."""
+    import shutil
+
+    ev = _t(spark, sf, "events")
+    out = tempfile.mkdtemp(prefix="q77_dpp_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        fact = spark.read.parquet(out)
+        dim = (
+            ev.select("event_type")
+            .distinct()
+            .filter(F.col("event_type").isin("view", "purchase"))
+        )
+        rows = (
+            fact.join(dim, "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("user_id").cast("long").alias("sum_users"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "event_type string, n_events long, sum_users long"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 _BM25_Q = ["scan", "merge", "vector"]
 
 # BM25 CTE chain shared by t28 and the s11 hybrid oracle: raw RSJ ratio
@@ -6848,8 +6991,8 @@ _PRIORITY = [
     # --- 8 never-driver-verified entries (r4 tail) ---
     "u04", "q70", "q71", "t34", "st12", "g21", "ga15", "ga16",
     # --- round-5 new operators ---
-    "m10", "m11", "ga17", "ga18", "q72", "q73", "q74", "q75",
-    "s14", "t35", "t36", "g22", "st13", "u05",
+    "m10", "m11", "ga17", "ga18", "q72", "q73", "q74", "q75", "q76", "q77",
+    "s14", "t35", "t36", "g22", "st13", "u05", "u06",
     # --- m01 migrated onto a real codec this round; re-verify ---
     "m01",
     # --- 5 r4-fixed rows, second-round confirmation ---

@@ -579,3 +579,31 @@ def test_char_ngram_profile_vocabulary_keyed(spark, qs):
     plan = _plan(qs["t35_char_ngram_profile"](spark, SF_DIR))
     assert "partial_count" in plan  # map-side combine before the wire
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """q77's shape: a fact partitioned on the join column + a filtered
+    dim must plan a runtime `dynamicpruning` subquery on the fact scan
+    — only matching partition directories are read."""
+    import shutil
+    import tempfile
+
+    from duckdb_graphar_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = tempfile.mkdtemp(prefix="dpp_plan_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        fact = spark.read.parquet(out)
+        from pyspark.sql import functions as F
+
+        dim = (
+            ev.select("event_type")
+            .distinct()
+            .filter(F.col("event_type").isin("view", "purchase"))
+        )
+        j = fact.join(dim, "event_type").groupBy("event_type").count()
+        plan = _plan(j).lower()
+        assert "dynamicpruning" in plan
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
