@@ -5683,6 +5683,51 @@ def m11(spark, sf):
 
 
 @_q(
+    "m12_rgb_png",
+    # ORACLE: truecolor PNG is LOSSLESS, so every decoded byte equals
+    # the text render directly (channel c of pixel i = byte (3i+c) mod
+    # L) — per-channel exact integer sums, no float; a bpp=3 filter
+    # reconstruction bug on either side breaks the match.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 12 AS w,
+             1 + doc_id % 8 AS h, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h, t.j % 3 AS ch,
+             unicode(text[CAST(t.j % L AS INTEGER) + 1]) AS v
+      FROM g, UNNEST(generate_series(0, CAST(w AS BIGINT) * h * 3 - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
+    FROM b GROUP BY doc_id, w, h
+    """,
+)
+def m12(spark, sf):
+    """COLOR PNG modality (the last codec scope residual): each
+    document rendered as a genuine 8-bit truecolor PNG (Sub-filtered
+    scanlines with the spec's bpp=3 left reference —
+    `operators/multimodal.py:encode_rgb_png`), decoded back through
+    the general pipeline (CRC chunk walk, inflate, all-five-filter
+    reconstruction generalized over bytes-per-pixel —
+    `decode_png_rgb`) for per-channel exact-integer pixel sums.  With
+    m10 (color JPEG) the color story is complete: lossy AND lossless.
+    Two Arrow-batched mapInPandas stages, no shuffle."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_rgb_png,
+        png_rgb_stats,
+    )
+
+    return png_rgb_stats(encode_text_rgb_png(_t(spark, sf, "documents")))
+
+
+@_q(
     "q67_delta_agg_maintenance",
     # ORACLE: state-equivalence, not mechanism replay — base is the
     # aggregate over orderkey%10<8, the delta inserts the %10=8 rows
@@ -6991,8 +7036,8 @@ _PRIORITY = [
     # --- 8 never-driver-verified entries (r4 tail) ---
     "u04", "q70", "q71", "t34", "st12", "g21", "ga15", "ga16",
     # --- round-5 new operators ---
-    "m10", "m11", "ga17", "ga18", "q72", "q73", "q74", "q75", "q76", "q77",
-    "s14", "t35", "t36", "g22", "st13", "u05", "u06",
+    "m10", "m11", "m12", "ga17", "ga18", "q72", "q73", "q74", "q75",
+    "q76", "q77", "s14", "t35", "t36", "g22", "st13", "u05", "u06",
     # --- m01 migrated onto a real codec this round; re-verify ---
     "m01",
     # --- 5 r4-fixed rows, second-round confirmation ---

@@ -214,12 +214,17 @@ def decode_image(payload: bytes) -> dict:
             "pixels": np.repeat(j["pixels"], 3),
         }
     elif payload[:8] == _PNG_SIG:
-        p = decode_png_gray(payload)
-        d = {
-            "width": p["width"],
-            "height": p["height"],
-            "pixels": np.repeat(p["pixels"], 3),
-        }
+        # IHDR is mandatorily the first chunk: color type sits at a
+        # fixed offset (sig 8 + len 4 + type 4 + w/h/depth 9)
+        if len(payload) > 25 and payload[25] == 2:
+            d = decode_png_rgb(payload)
+        else:
+            p = decode_png_gray(payload)
+            d = {
+                "width": p["width"],
+                "height": p["height"],
+                "pixels": np.repeat(p["pixels"], 3),
+            }
     else:
         raise NotImplementedError(
             "unknown image magic (BMP/PPM/baseline-gray-JPEG/gray-PNG "
@@ -1176,6 +1181,67 @@ def jpeg_gray_stats(
     return cols.mapInPandas(batches, JPEG_GRAY_STATS_SCHEMA)
 
 
+def encode_text_rgb_png(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL truecolor PNG (lossless, so the
+    oracle predicts every pixel): w = 1 + length mod 12,
+    h = 1 + id mod 8, channel c of pixel i (row-major RGB) = text byte
+    ((3i + c) mod L)."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                w = 1 + (len(tb) % 12)
+                h = 1 + (int(did) % 8)
+                px = tb[np.arange(w * h * 3) % len(tb)].reshape(h, w, 3)
+                payloads.append(encode_rgb_png(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def png_rgb_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel SUMS from REAL truecolor-PNG-decoded pixels
+    (:func:`decode_png_rgb`): exact BIGINTs, no float anywhere —
+    the color twin of :func:`png_gray_stats` with the m10 sum
+    discipline.  Arrow-batched mapInPandas projection, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_png_rgb(bytes(payload))
+                px = d["pixels"].reshape(-1, 3).astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["sum_r"].append(int(px[:, 0].sum()))
+                out["sum_g"].append(int(px[:, 1].sum()))
+                out["sum_b"].append(int(px[:, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, JPEG_COLOR_STATS_SCHEMA)
+
+
 def encode_text_color_jpeg(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -1354,46 +1420,130 @@ def decode_png_gray(payload: bytes) -> dict:
         raw = _zlib.decompress(bytes(idat))
     except _zlib.error as ex:
         raise ValueError(f"corrupt IDAT stream: {ex}")
-    if len(raw) != h * (w + 1):
-        raise ValueError(f"inflated size {len(raw)} != {h}*({w}+1)")
-    out = np.zeros((h, w), dtype=np.uint8)
-    prev = np.zeros(w, dtype=np.int32)
+    out = _png_reconstruct(raw, w, h, 1)
+    return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
+
+
+def _png_reconstruct(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Full scanline filter reconstruction (all five types:
+    None/Sub/Up/Average/Paeth) generalized over bytes-per-pixel —
+    ``left``/``upper-left`` references are ``bpp`` bytes back, exactly
+    the PNG spec's per-channel filtering.  Returns (h, w·bpp) uint8."""
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"inflated size {len(raw)} != {h}*({stride}+1)")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        ftype = raw[y * (w + 1)]
-        line = np.frombuffer(raw, np.uint8, count=w, offset=y * (w + 1) + 1).astype(
-            np.int32
-        )
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
         if ftype == 0:
             rec = line
         elif ftype == 1:  # Sub
-            rec = np.empty(w, dtype=np.int32)
-            acc = 0
-            for x in range(w):
-                acc = (line[x] + acc) % 256
-                rec[x] = acc
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + left) % 256
         elif ftype == 2:  # Up
             rec = (line + prev) % 256
         elif ftype == 3:  # Average
-            rec = np.empty(w, dtype=np.int32)
-            left = 0
-            for x in range(w):
-                left = (line[x] + (left + prev[x]) // 2) % 256
-                rec[x] = left
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + (left + prev[x]) // 2) % 256
         elif ftype == 4:  # Paeth
-            rec = np.empty(w, dtype=np.int32)
-            left = 0
-            for x in range(w):
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
                 up = int(prev[x])
-                ul = int(prev[x - 1]) if x else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
                 p = left + up - ul
                 pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
                 pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
-                left = (line[x] + pred) % 256
-                rec[x] = left
+                rec[x] = (line[x] + pred) % 256
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)
         prev = rec
+    return out
+
+
+def encode_rgb_png(pixels: np.ndarray) -> bytes:
+    """Write a real 8-bit TRUECOLOR PNG (color type 2) from an
+    (h, w, 3) uint8 RGB array: Sub-filtered scanlines with the
+    spec's bpp=3 left reference, one zlib IDAT, CRC-stamped chunks."""
+    import zlib as _zlib
+
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_rgb_png expects (h, w, 3) RGB")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    raw = bytearray()
+    flat = pixels.reshape(h, w * 3).astype(np.int16)
+    for y in range(h):
+        row = flat[y]
+        sub = np.empty(w * 3, dtype=np.uint8)
+        sub[:3] = (row[:3] % 256).astype(np.uint8)
+        if w > 1:
+            sub[3:] = ((row[3:] - row[:-3]) % 256).astype(np.uint8)
+        raw.append(1)  # filter type: Sub
+        raw += sub.tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb(payload: bytes) -> dict:
+    """Decode an 8-bit truecolor (color type 2) PNG with the same
+    GENERAL pipeline as :func:`decode_png_gray` — chunk walk with CRC
+    verification, multi-IDAT inflate, all-five-filter reconstruction
+    at bpp=3.  Returns {width, height, pixels (h·w·3 uint8 RGB)}.
+    Raises ValueError on corruption, NotImplementedError on
+    non-truecolor/interlaced/16-bit."""
+    import zlib as _zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = struct.unpack(">I", payload[pos : pos + 4])[0]
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(data) != length or len(crc_bytes) != 4:
+            raise ValueError(f"truncated {ctype!r} chunk at {pos}")
+        crc = struct.unpack(">I", crc_bytes)[0]
+        if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            try:
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            except struct.error:
+                raise ValueError("malformed IHDR chunk")
+            if depth != 8 or color != 2:
+                raise NotImplementedError("only 8-bit truecolor (type 2) PNG")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    try:
+        raw = _zlib.decompress(bytes(idat))
+    except _zlib.error as ex:
+        raise ValueError(f"corrupt IDAT stream: {ex}")
+    out = _png_reconstruct(raw, w, h, 3)
     return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
 
 

@@ -740,3 +740,108 @@ def test_average_hash_integer_threshold_ties():
     # all pixels equal: every sample ties with the mean -> hash 0
     px = np.full((16, 16, 3), 200, np.uint8).reshape(-1)
     assert average_hash(16, 16, px) == 0
+
+
+def test_rgb_png_roundtrip_exact_and_all_filters():
+    """Truecolor PNG is lossless; the bpp=3 reconstruction must handle
+    all five filter types (hand-built IDAT, not this module's
+    encoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png_rgb,
+        encode_rgb_png,
+    )
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(5, 4, 3)).astype(np.uint8)
+    d = decode_png_rgb(encode_rgb_png(px))
+    assert (d["width"], d["height"]) == (4, 5)
+    assert np.array_equal(d["pixels"].reshape(5, 4, 3), px)
+
+    # hand-built stream: one row per filter type (None/Sub/Up/Avg/Paeth)
+    src = rng.integers(0, 256, size=(5, 2, 3)).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(6, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = src[y].reshape(-1)
+        line = np.empty(6, dtype=np.int32)
+        for x in range(6):
+            left = row[x - 3] if x >= 3 else 0
+            up = prev[x]
+            ul = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            line[x] = (row[x] - pred) % 256
+        raw.append(ftype)
+        raw += line.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", 2, 5, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    d2 = decode_png_rgb(payload)
+    assert np.array_equal(d2["pixels"].reshape(5, 2, 3), src.astype(np.uint8))
+
+
+def test_rgb_png_rejects_gray_and_vice_versa():
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_image,
+        decode_png_gray,
+        decode_png_rgb,
+        encode_gray_png,
+        encode_rgb_png,
+    )
+
+    gray = encode_gray_png(np.full((2, 2), 9, np.uint8))
+    rgb = encode_rgb_png(np.full((2, 2, 3), 9, np.uint8))
+    with _pt.raises(NotImplementedError, match="truecolor"):
+        decode_png_rgb(gray)
+    with _pt.raises(NotImplementedError, match="grayscale"):
+        decode_png_gray(rgb)
+    # decode_image routes by IHDR color type
+    d = decode_image(rgb)
+    assert d["mean_intensity"] == 9.0
+
+
+if _HYP:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 8),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_rgb_png_roundtrip_property(w, h, seed):
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_png_rgb,
+            encode_rgb_png,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        d = decode_png_rgb(encode_rgb_png(px))
+        assert np.array_equal(d["pixels"].reshape(h, w, 3), px)
