@@ -5728,6 +5728,45 @@ def m12(spark, sf):
 
 
 @_q(
+    "m13_wav_container",
+    # ORACLE: never sees the WAV bytes — sample values replay from the
+    # text ((byte-80)·256, the m06 waveform), the container adds the
+    # fixed 8 kHz rate and the integer-floor duration L·1000//8000.
+    """
+    WITH x AS (
+      SELECT doc_id, length(text) AS L,
+             [(unicode(text[i]) - 80) * 256
+              FOR i IN generate_series(1, length(text))] AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST((L * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(L AS BIGINT) AS n_samples,
+           CAST(list_sum([CAST(v * v AS BIGINT) FOR v IN s]) AS BIGINT)
+             AS total_energy,
+           CAST(list_max([abs(v) FOR v IN s]) AS BIGINT) AS peak
+    FROM x
+    """,
+)
+def m13(spark, sf):
+    """WAV container modality: the m06 PCM waveform wrapped in a REAL
+    RIFF/WAVE file (canonical fmt + data chunks —
+    `operators/multimodal.py:encode_wav`), decoded back by a GENERAL
+    RIFF chunk walk that validates the fmt chunk and skips unknown
+    chunks (`decode_wav`) — the container every audio pipeline
+    actually reads, completing the audio story the raw-PCM path
+    started.  All-integer outputs.  Two Arrow-batched mapInPandas
+    stages, no shuffle."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_wav,
+        wav_stats,
+    )
+
+    return wav_stats(encode_text_wav(_t(spark, sf, "documents")))
+
+
+@_q(
     "q67_delta_agg_maintenance",
     # ORACLE: state-equivalence, not mechanism replay — base is the
     # aggregate over orderkey%10<8, the delta inserts the %10=8 rows
@@ -7036,7 +7075,7 @@ _PRIORITY = [
     # --- 8 never-driver-verified entries (r4 tail) ---
     "u04", "q70", "q71", "t34", "st12", "g21", "ga15", "ga16",
     # --- round-5 new operators ---
-    "m10", "m11", "m12", "ga17", "ga18", "q72", "q73", "q74", "q75",
+    "m10", "m11", "m12", "m13", "ga17", "ga18", "q72", "q73", "q74", "q75",
     "q76", "q77", "s14", "t35", "t36", "g22", "st13", "u05", "u06",
     # --- m01 migrated onto a real codec this round; re-verify ---
     "m01",

@@ -845,3 +845,39 @@ if _HYP:
         px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
         d = decode_png_rgb(encode_rgb_png(px))
         assert np.array_equal(d["pixels"].reshape(h, w, 3), px)
+
+
+def test_wav_roundtrip_and_malformed():
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.array([100, -200, 32767, -32768, 0], dtype=np.int32)
+    wav = encode_wav(s, sample_rate=16000)
+    d = decode_wav(wav)
+    assert d["sample_rate"] == 16000
+    assert np.array_equal(d["samples"], s)
+    # unknown chunk between fmt and data is SKIPPED, not fatal
+    from duckdb_graphar_spark.operators.multimodal import _riff_chunk
+
+    body = (
+        b"WAVE"
+        + _riff_chunk(b"fmt ", struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))
+        + _riff_chunk(b"LIST", b"INFOjunk")
+        + _riff_chunk(b"data", np.array([7], dtype="<i2").tobytes())
+    )
+    tolerant = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_wav(tolerant)["samples"].tolist() == [7]
+    with _pt.raises(ValueError, match="RIFF WAVE"):
+        decode_wav(b"RIFFxxxxAVI " + b"\0" * 16)
+    with _pt.raises(ValueError, match="exceeds"):
+        decode_wav(wav[:4] + struct.pack("<I", 10**6) + wav[8:])
+    # stereo rejected
+    body2 = b"WAVE" + _riff_chunk(
+        b"fmt ", struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    ) + _riff_chunk(b"data", b"\0\0\0\0")
+    with _pt.raises(NotImplementedError, match="mono"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)
