@@ -114,6 +114,17 @@ BENCH_QUERIES = [
     "q73_value_histogram",
     "s14_mips_topk",
     "t35_char_ngram_profile",
+    # round-5 wave 2/3: native recursive CTE, VARIANT shredding,
+    # point-in-time dim lookup, dynamic partition pruning (includes the
+    # partitioned-fact staging write), weighted reservoir, truecolor
+    # PNG + WAV container codecs
+    "q74_recursive_cte",
+    "q75_variant_json",
+    "q76_pit_dimension_lookup",
+    "q77_dynamic_partition_pruning",
+    "t36_weighted_sample",
+    "m12_rgb_png",
+    "m13_wav_container",
 ]
 
 
