@@ -4009,6 +4009,47 @@ def st13(spark, sf):
 
 
 @_q(
+    "st14_streaming_ohlc",
+    # ORACLE: q72's window formulation — epoch-aligned 1-hour tumbling
+    # windows equal date_trunc('hour'); the completed stream's
+    # complete-mode state must match the batch bars exactly (min_by/
+    # max_by streaming state combines like batch partials).
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events
+    )
+    SELECT CAST(bucket AS TIMESTAMP) AS bucket, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def st14(spark, sf):
+    """STREAMING OHLC bars (q72's stateful twin): min_by/max_by
+    open/close state combines incrementally per micro-batch exactly
+    like batch partials — O(groups) state, no per-event retention, the
+    live-ticker pattern.  Single-file fixture → one micro-batch;
+    complete-mode output equals the batch bars, fully
+    oracle-checked (`streaming/ops.py:streaming_ohlc`)."""
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_ohlc,
+    )
+
+    s = read_events_stream(spark, f"{sf}/events.parquet")
+    return run_to_memory(streaming_ohlc(s), "st14_out", mode="complete")
+
+
+@_q(
     "t18_training_shuffle",
     # ORACLE: the rank of each doc under ORDER BY md5(seed || id) — md5
     # hex is engine-identical, so the permutation is too.  (The Spark
@@ -4683,6 +4724,46 @@ def g22(spark, sf):
     from duckdb_graphar_spark.operators.graph import ktruss
 
     return ktruss(_edges(spark, sf), 3, n_iters=2, src_col="src", dst_col="dst")
+
+
+@_q(
+    "g23_pseudo_diameter",
+    # ORACLE: the double sweep as two bounded recursive CTEs over the
+    # undirected edge set — per-vertex min depth, peripheral pick =
+    # (max dist, min id), second walk's max depth is the estimate.
+    f"""
+    WITH RECURSIVE raw AS ({_E_SQL}),
+    ue AS (SELECT src AS a, dst AS b FROM raw WHERE src <> dst
+           UNION SELECT dst, src FROM raw WHERE src <> dst),
+    w1(v, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION
+      SELECT ue.b, w1.d + 1 FROM w1 JOIN ue ON ue.a = w1.v WHERE w1.d < 6
+    ),
+    d1 AS (SELECT v, MIN(d) AS dist FROM w1 GROUP BY v),
+    per AS (SELECT v, dist FROM d1 ORDER BY dist DESC, v LIMIT 1),
+    w2(v, d) AS (
+      SELECT (SELECT v FROM per), 0
+      UNION
+      SELECT ue.b, w2.d + 1 FROM w2 JOIN ue ON ue.a = w2.v WHERE w2.d < 6
+    ),
+    d2 AS (SELECT v, MIN(d) AS dist FROM w2 GROUP BY v)
+    SELECT CAST(0 AS BIGINT) AS start,
+           (SELECT v FROM per) AS peripheral,
+           CAST((SELECT dist FROM per) AS INTEGER) AS first_ecc,
+           CAST((SELECT MAX(dist) FROM d2) AS INTEGER) AS pseudo_diameter
+    """,
+)
+def g23(spark, sf):
+    """Double-BFS pseudo-diameter (the standard diameter lower-bound
+    estimate graph tools seed with): BFS from vertex 0 over the
+    UNDIRECTED order graph, hop to the farthest vertex (ties to lowest
+    id), second BFS's eccentricity is the estimate — two
+    level-synchronous sweeps + one bounded 1-row collect between them
+    (`operators/graph.py:pseudo_diameter`, `bfs_distances`)."""
+    from duckdb_graphar_spark.operators.graph import pseudo_diameter
+
+    return pseudo_diameter(_edges(spark, sf), 0, src_col="src", dst_col="dst")
 
 
 @_q(
@@ -7076,7 +7157,7 @@ _PRIORITY = [
     "u04", "q70", "q71", "t34", "st12", "g21", "ga15", "ga16",
     # --- round-5 new operators ---
     "m10", "m11", "m12", "m13", "ga17", "ga18", "q72", "q73", "q74", "q75",
-    "q76", "q77", "s14", "t35", "t36", "g22", "st13", "u05", "u06",
+    "q76", "q77", "s14", "t35", "t36", "g22", "g23", "st13", "st14", "u05", "u06",
     # --- m01 migrated onto a real codec this round; re-verify ---
     "m01",
     # --- 5 r4-fixed rows, second-round confirmation ---

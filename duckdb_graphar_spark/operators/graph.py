@@ -1098,3 +1098,86 @@ def ktruss(
         if (it + 1) % 3 == 0 and it + 1 < n_iters:
             e = e.localCheckpoint(eager=False)
     return support(e)
+
+
+def bfs_distances(
+    edges: DataFrame,
+    src_vid: int,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+    max_depth: int = 6,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Per-vertex BFS depth from ``src_vid`` → (v, dist), dist 0 = the
+    source, capped at ``max_depth`` (unreached vertices are absent).
+    The per-vertex sibling of :func:`bfs_levels`' histogram — same
+    level-synchronous frontier machinery, same frontier-size-aware
+    broadcast; driver state is the loop counter."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")).persist()
+    pinned: list[DataFrame] = [e]
+    try:
+        frontier = spark.range(1).select(F.lit(src_vid).cast("long").alias("__v"))
+        visited = frontier
+        result = frontier.select(F.col("__v"), F.lit(0).alias("dist"))
+        frontier_n = 1
+        for depth in range(1, max_depth + 1):
+            nxt = _expand_frontier(
+                e, frontier, visited, broadcast=frontier_n <= broadcast_threshold
+            ).persist()
+            pinned.append(nxt)
+            n = nxt.count()
+            if n == 0:
+                break
+            result = result.unionAll(nxt.select("__v", F.lit(depth).alias("dist")))
+            visited = visited.unionAll(nxt)
+            frontier = nxt
+            frontier_n = n
+            if depth % 4 == 0:
+                frontier = frontier.localCheckpoint(eager=False)
+                visited = visited.localCheckpoint(eager=False)
+                result = result.localCheckpoint(eager=False)
+        return result.select(F.col("__v").alias("v"), "dist")
+    finally:
+        for df in pinned:
+            df.unpersist(blocking=False)
+
+
+def pseudo_diameter(
+    edges: DataFrame,
+    start: int = 0,
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Double-BFS pseudo-diameter over the UNDIRECTED graph (the
+    standard lower-bound estimate: BFS from ``start``, hop to the
+    farthest vertex — ties to the lowest id — and its eccentricity
+    from a second BFS is the estimate).  Both sweeps are capped at
+    ``max_depth``, making the result exactly replayable as two bounded
+    recursive CTEs.  Returns one row
+    (start, peripheral, first_ecc, pseudo_diameter).
+
+    Scale shape: two level-synchronous BFS runs (each a join per
+    level) + ONE bounded 1-row collect between them (the peripheral
+    pick) — the double-sweep pattern used by graph tools to seed
+    diameter computations."""
+    und = edges.filter(F.col(src_col) != F.col(dst_col)).select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    d1 = bfs_distances(
+        both, start, src_col="a", dst_col="b", max_depth=max_depth
+    )
+    far = d1.orderBy(F.col("dist").desc(), F.col("v")).limit(1).collect()[0]
+    d2 = bfs_distances(
+        both, int(far.v), src_col="a", dst_col="b", max_depth=max_depth
+    )
+    ecc = d2.agg(F.max("dist")).first()[0]
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(int(start), int(far.v), int(far.dist), int(ecc))],
+        "start long, peripheral long, first_ecc int, pseudo_diameter int",
+    )

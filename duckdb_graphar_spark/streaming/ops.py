@@ -593,3 +593,36 @@ def stream_stream_left_join(
     return a.join(b, cond, "leftOuter").select(
         F.col(on), "a_id", "b_id", "a_ts", "b_ts"
     )
+
+
+def streaming_ohlc(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming OHLC bars — the time-series downsample as a STATEFUL
+    streaming aggregate: per (tumbling window, event_type) the state
+    carries each partition's earliest/latest candidate (min_by/max_by
+    over the (ts, event_id) struct combine incrementally, exactly like
+    their batch partials) plus high/low/count.  O(groups) state, no
+    per-event retention — the pattern for live tickers.  In batch mode
+    the same call is the q72 shape on a window column."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by(F.col("value"), ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("value"), ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

@@ -407,3 +407,26 @@ def test_ktruss_k4_cascade_empties(spark):
 
     with _pt.raises(ValueError, match="k >= 3"):
         ktruss(df, 2, src_col="src", dst_col="dst")
+
+
+def test_pseudo_diameter_path_graph(spark):
+    """A 5-path from 0: BFS finds the far end (4) at dist 4; second
+    sweep from 4 reaches 0 at dist 4 — pseudo-diameter 4 (exact here)."""
+    from duckdb_graphar_spark.operators.graph import pseudo_diameter
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    r = pseudo_diameter(df, 0, src_col="src", dst_col="dst").collect()[0]
+    assert (r.start, r.peripheral, r.first_ecc, r.pseudo_diameter) == (0, 4, 4, 4)
+
+
+def test_bfs_distances_ties_and_cap(spark):
+    from duckdb_graphar_spark.operators.graph import bfs_distances
+
+    # star + chain: distances from 0, capped at 2
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.v: r.dist for r in bfs_distances(df, 0, src_col="src", dst_col="dst", max_depth=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}  # 4 beyond the cap

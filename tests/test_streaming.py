@@ -211,3 +211,25 @@ def test_stream_stream_left_join_batch_twin(spark):
     )
     got = {(r.a_id, r.b_id) for r in stream_stream_left_join(df, df).collect()}
     assert got == {(1, 2), (3, None)}
+
+
+def test_streaming_ohlc_batch_twin(spark):
+    """Batch mode: the q72 shape on a window column; deterministic
+    open/close via (ts, event_id) tie-breaks."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.streaming.ops import streaming_ohlc
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (1, base, 1, "m", 5.0, ""),
+        (0, base, 1, "m", 3.0, ""),  # same ts, lower id -> open
+        (2, base + dt.timedelta(minutes=50), 1, "m", 8.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = streaming_ohlc(df).collect()[0]
+    assert (r.open, r.high, r.low, r.close, r.n_events) == (3.0, 8.0, 3.0, 8.0, 3)
+    assert r.bucket == base
