@@ -3095,6 +3095,63 @@ def s14(spark, sf):
     return mips_topk(e, q, k=5)
 
 
+@_q(
+    "s15_knn_label_purity",
+    # ORACLE: s01's exact rounded-cosine top-k discipline + label joins
+    # — per label, how many of each probe's 5 nearest neighbors share
+    # its label (all-integer outputs, the embedding-quality QA metric).
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 50),
+    nn AS (
+      SELECT query_id, ql, neighbor_id FROM (
+        SELECT q.query_id, q.ql, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(q.qv AS DOUBLE[])), 6) DESC,
+                          e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT CAST(n.ql AS BIGINT) AS label,
+           CAST(COUNT(DISTINCT n.query_id) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN e.label = n.ql THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits
+    FROM nn n JOIN embeddings e ON e.vec_id = n.neighbor_id
+    GROUP BY n.ql
+    """,
+)
+def s15(spark, sf):
+    """k-NN label purity — the standard embedding-quality QA: for 50
+    probe vectors, how many of each probe's 5 exact nearest neighbors
+    share its class label, aggregated per label.  A collapsed or
+    poorly-separated embedding space scores near-chance; this is the
+    eval loop run after every retraining.  Reuses the broadcast-query
+    scoring map (`operators/similarity.py:brute_force_topk`) + two
+    broadcast label joins; all-integer outputs, exact oracle."""
+    from duckdb_graphar_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nn = brute_force_topk(e, q, k=5)
+    ql = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+    nl = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__nl"))
+    return (
+        nn.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .groupBy(F.col("__ql").cast("long").alias("label"))
+        .agg(
+            F.count_distinct("query_id").cast("long").alias("n_probes"),
+            F.sum(F.when(F.col("__nl") == F.col("__ql"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+
+
 _S_TOPK_ORACLE = """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3)
     SELECT query_id, neighbor_id, cosine_sim, rank, TRUE AS approx_ok FROM (
@@ -6795,6 +6852,42 @@ def q73(spark, sf):
 
 
 @_q(
+    "q78_join_view_maintenance",
+    # ORACLE: state equivalence, not mechanism replay — the maintained
+    # view must equal the DIRECT join of the updated tables (orders
+    # split 80/20 on orderkey, customer split 90/10 on custkey; the
+    # IVM identity covers the delta-delta cross term exactly once).
+    """
+    SELECT o_orderkey, o_custkey, CAST(c_nationkey AS BIGINT) AS nationkey
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q78(spark, sf):
+    """Incremental JOIN view maintenance (q67's aggregate IVM extended
+    to joins): Δ(A⋈B) = ΔA⋈B' ∪ A⋈ΔB — the maintained view refreshes
+    with two DELTA-sized joins (AQE broadcasts the small delta sides)
+    instead of re-joining the full tables, the O(increment) warehouse
+    refresh (`operators/cdc.py:maintain_join`)."""
+    from duckdb_graphar_spark.operators.cdc import maintain_join
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    )
+    a_old = o.filter(F.col("o_orderkey") % 10 < 8)
+    a_delta = o.filter(F.col("o_orderkey") % 10 >= 8)
+    b_old = c.filter(F.col("o_custkey") % 10 < 9)
+    b_delta = c.filter(F.col("o_custkey") % 10 >= 9)
+    view = a_old.join(b_old, "o_custkey").select(
+        "o_orderkey", "o_custkey", "nationkey"
+    )
+    return maintain_join(
+        view, a_old, a_delta, b_old.unionByName(b_delta), b_delta, "o_custkey"
+    )
+
+
+@_q(
     "q74_recursive_cte",
     # ORACLE: the IDENTICAL recursive SQL text (modulo the edge-list
     # CTE) — Spark 4 executes WITH RECURSIVE natively, so the bounded
@@ -7157,7 +7250,8 @@ _PRIORITY = [
     "u04", "q70", "q71", "t34", "st12", "g21", "ga15", "ga16",
     # --- round-5 new operators ---
     "m10", "m11", "m12", "m13", "ga17", "ga18", "q72", "q73", "q74", "q75",
-    "q76", "q77", "s14", "t35", "t36", "g22", "g23", "st13", "st14", "u05", "u06",
+    "q76", "q77", "q78", "s14", "s15", "t35", "t36", "g22", "g23", "st13", "st14",
+    "u05", "u06",
     # --- m01 migrated onto a real codec this round; re-verify ---
     "m01",
     # --- 5 r4-fixed rows, second-round confirmation ---

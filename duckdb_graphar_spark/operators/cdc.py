@@ -139,3 +139,32 @@ def maintain_agg(
         ).otherwise(F.col(n_col)),
     )
     return checked.filter(F.col(n_col) > 0)
+
+
+def maintain_join(
+    view: DataFrame,
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_full: DataFrame,
+    b_delta: DataFrame,
+    on: str | list[str],
+) -> DataFrame:
+    """Insert-only incremental JOIN view maintenance (the IVM identity
+    Δ(A⋈B) = ΔA⋈B' ∪ A⋈ΔB with B' = B∪ΔB — the ΔA⋈ΔB cross term
+    lands exactly once, inside the first delta join):
+
+        new_view = view ∪ (ΔA ⋈ B') ∪ (A ⋈ ΔB)
+
+    Refreshing A⋈B costs two DELTA-sized joins instead of re-joining
+    the full tables — at 100 TB the difference between touching the
+    day's increment and recomputing the warehouse.  All inputs must
+    share the view's projected columns after the join; deletes need
+    the signed-multiplicity generalization (see :func:`maintain_agg`
+    for the signed pattern) and are out of scope here.
+
+    Scale shape: the delta sides are small by construction — Spark's
+    planner (AQE) broadcasts them, so neither full table reshuffles."""
+    cols = view.columns
+    t1 = a_delta.join(b_full, on).select(*cols)
+    t2 = a_old.join(b_delta, on).select(*cols)
+    return view.unionByName(t1).unionByName(t2)

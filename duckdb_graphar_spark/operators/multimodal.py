@@ -1828,7 +1828,10 @@ def sample_frames(
             rows = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
             for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
                 payload = bytes(payload)
-                if payload[:4] == b"RIFF":
+                # route on the RIFF FORM TYPE, not just the RIFF magic —
+                # a RIFF/WAVE payload belongs to the raw windower, not
+                # the AVI frame walk (which would raise on it)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
                     frames = decode_mjpeg_avi(payload)
                 else:
                     n_frames = 1 + (len(payload) % 5)

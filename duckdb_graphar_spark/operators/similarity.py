@@ -322,6 +322,8 @@ def mips_topk(
             .agg(F.max("__n2"))
             .first()[0]
         )
+        if m2 is None:
+            raise ValueError("mips_topk(method='augmented'): empty corpus")
         c = corpus.withColumn(
             "__aug",
             F.concat(

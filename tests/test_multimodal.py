@@ -881,3 +881,16 @@ def test_wav_roundtrip_and_malformed():
     ) + _riff_chunk(b"data", b"\0\0\0\0")
     with _pt.raises(NotImplementedError, match="mono"):
         decode_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+
+
+def test_sample_frames_riff_wave_takes_raw_windower(spark):
+    """A RIFF/WAVE payload must route to the raw windower, not the AVI
+    frame walk (which would raise 'not a RIFF AVI')."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import encode_wav, sample_frames
+
+    wav = encode_wav(np.array([1, 2, 3], dtype=np.int32))
+    media = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    out = sample_frames(media).collect()
+    assert len(out) == 1 + len(wav) % 5

@@ -252,3 +252,20 @@ def test_value_histogram_bins_and_degenerate_key(spark):
 
     with _pt.raises(ValueError, match="n_bins"):
         value_histogram(df, n_bins=0)
+
+
+def test_maintain_join_equals_full_join(spark):
+    """The IVM identity must reproduce the direct join exactly,
+    including the delta-delta cross term (counted once)."""
+    from duckdb_graphar_spark.operators.cdc import maintain_join
+
+    a = spark.createDataFrame([(i, i % 4) for i in range(20)], "aid long, k long")
+    b = spark.createDataFrame([(k, 100 + k) for k in range(4)], "k long, payload long")
+    a_old, a_delta = a.filter("aid % 5 < 4"), a.filter("aid % 5 >= 4")
+    b_old, b_delta = b.filter("k < 3"), b.filter("k >= 3")
+    view = a_old.join(b_old, "k").select("aid", "k", "payload")
+    got = maintain_join(
+        view, a_old, a_delta, b_old.unionByName(b_delta), b_delta, "k"
+    )
+    want = a.join(b, "k").select("aid", "k", "payload")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
