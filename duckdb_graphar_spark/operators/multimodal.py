@@ -887,27 +887,40 @@ def ycbcr_to_rgb_fixed(y, cb, cr):
     return clip(r), clip(g), clip(b)
 
 
-def encode_color_jpeg(pixels_rgb: np.ndarray) -> bytes:
+def encode_color_jpeg(
+    pixels_rgb: np.ndarray, *, subsampling: str = "420"
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a REAL baseline color
     JFIF JPEG: fixed-point BT.601 color transform
-    (:func:`rgb_to_ycbcr_fixed`), 4:2:0 chroma subsampling (2×2 mean,
-    round-half-up), interleaved MCU scan (four Y blocks then Cb then
-    Cr per 16×16 MCU), two all-ones quantization tables and the four
-    Annex-K Huffman tables (luma + chroma).  h and w must be multiples
-    of 16 (one full MCU granule — no edge-block replication, keeping
-    encode/decode exactly inverse on flat MCUs)."""
+    (:func:`rgb_to_ycbcr_fixed`), chroma subsampling per
+    ``subsampling`` — '420' (2×2 round-half-up mean, 16×16 MCUs of
+    four Y blocks + Cb + Cr) or '444' (full-resolution chroma, 8×8
+    MCUs of one block per component) — two all-ones quantization
+    tables and the four Annex-K Huffman tables (luma + chroma).
+    Dims must be multiples of the MCU granule (16 for 4:2:0, 8 for
+    4:4:4 — no edge-block replication, keeping encode/decode exactly
+    inverse on flat MCUs)."""
     h, w, c = pixels_rgb.shape
     if c != 3:
         raise ValueError("encode_color_jpeg expects (h, w, 3) RGB")
-    if h % 16 or w % 16:
-        raise ValueError(f"encode_color_jpeg needs multiple-of-16 dims, got {w}x{h}")
+    if subsampling not in ("420", "444"):
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    granule = 16 if subsampling == "420" else 8
+    if h % granule or w % granule:
+        raise ValueError(
+            f"encode_color_jpeg needs multiple-of-{granule} dims for "
+            f"{subsampling}, got {w}x{h}"
+        )
     if h > 65535 or w > 65535:
         raise ValueError("image too large for SOF0")
     px = pixels_rgb.astype(np.int64)
     yy, cbf, crf = rgb_to_ycbcr_fixed(px[..., 0], px[..., 1], px[..., 2])
-    # 4:2:0: each chroma sample is the round-half-up mean of its 2x2 cell
-    cb = (cbf[0::2, 0::2] + cbf[0::2, 1::2] + cbf[1::2, 0::2] + cbf[1::2, 1::2] + 2) >> 2
-    cr = (crf[0::2, 0::2] + crf[0::2, 1::2] + crf[1::2, 0::2] + crf[1::2, 1::2] + 2) >> 2
+    if subsampling == "420":
+        # each chroma sample is the round-half-up mean of its 2x2 cell
+        cb = (cbf[0::2, 0::2] + cbf[0::2, 1::2] + cbf[1::2, 0::2] + cbf[1::2, 1::2] + 2) >> 2
+        cr = (crf[0::2, 0::2] + crf[0::2, 1::2] + crf[1::2, 0::2] + crf[1::2, 1::2] + 2) >> 2
+    else:
+        cb, cr = cbf, crf
 
     dc_l = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_l = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -923,13 +936,14 @@ def encode_color_jpeg(pixels_rgb: np.ndarray) -> bytes:
     out += b"\xff\xdb" + struct.pack(">H", 2 + 2 * 65) + b"\x00" + bytes(
         [1] * 64
     ) + b"\x01" + bytes([1] * 64)
+    y_samp = b"\x22" if subsampling == "420" else b"\x11"
     out += (
         b"\xff\xc0"
         + struct.pack(">H", 8 + 3 * 3)
         + b"\x08"
         + struct.pack(">HH", h, w)
         + b"\x03"  # 3 components
-        + b"\x01\x22\x00"  # Y:  id 1, sampling 2x2, qtable 0
+        + b"\x01" + y_samp + b"\x00"  # Y:  2x2 (4:2:0) or 1x1 (4:4:4), qtable 0
         + b"\x02\x11\x01"  # Cb: id 2, sampling 1x1, qtable 1
         + b"\x03\x11\x01"  # Cr: id 3, sampling 1x1, qtable 1
     )  # SOF0
@@ -957,11 +971,12 @@ def encode_color_jpeg(pixels_rgb: np.ndarray) -> bytes:
     fcb = cb.astype(np.float64) - 128.0
     fcr = cr.astype(np.float64) - 128.0
     dcs = [0, 0, 0]  # per-component DC predictors
-    for my in range(h // 16):
-        for mx in range(w // 16):
-            for by in range(2):  # four Y blocks, raster order within MCU
-                for bx in range(2):
-                    r0, c0 = my * 16 + by * 8, mx * 16 + bx * 8
+    n_y = 2 if subsampling == "420" else 1  # Y blocks per MCU side
+    for my in range(h // granule):
+        for mx in range(w // granule):
+            for by in range(n_y):  # Y blocks, raster order within MCU
+                for bx in range(n_y):
+                    r0, c0 = my * granule + by * 8, mx * granule + bx * 8
                     dcs[0] = _encode_jpeg_block(
                         bw, fy[r0 : r0 + 8, c0 : c0 + 8], dc_l, ac_l, dcs[0]
                     )
@@ -982,10 +997,12 @@ def decode_color_jpeg(payload: bytes) -> dict:
     pure-numpy pipeline (marker parse, per-component Huffman/quant
     table binding from the stream, interleaved-MCU entropy decode with
     per-component DC predictors, IDCT, chroma replication upsample,
-    fixed-point YCbCr→RGB).  Returns {width, height, pixels (h·w·3
-    uint8 row-major RGB)}.  Raises ValueError on structural corruption
-    and NotImplementedError on progressive streams or sampling other
-    than 4:2:0 luma 2×2 / chroma 1×1."""
+    fixed-point YCbCr→RGB).  Handles BOTH baseline color samplings:
+    4:2:0 (luma 2×2, 16×16 MCUs, replication upsample) and 4:4:4
+    (all 1×1, 8×8 MCUs, full-resolution chroma).  Returns {width,
+    height, pixels (h·w·3 uint8 row-major RGB)}.  Raises ValueError on
+    structural corruption and NotImplementedError on progressive
+    streams or other samplings."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1058,9 +1075,14 @@ def decode_color_jpeg(payload: bytes) -> dict:
         pos += seg_len
     if w is None or not scan_tables:
         raise ValueError("missing SOF0/SOS")
-    if [(hs, vs) for _, hs, vs, _ in comps] != [(2, 2), (1, 1), (1, 1)]:
-        raise NotImplementedError("only 4:2:0 (luma 2x2, chroma 1x1) sampling")
-    if h % 16 or w % 16:
+    samp = [(hs, vs) for _, hs, vs, _ in comps]
+    if samp == [(2, 2), (1, 1), (1, 1)]:
+        granule = 16  # 4:2:0
+    elif samp == [(1, 1), (1, 1), (1, 1)]:
+        granule = 8  # 4:4:4
+    else:
+        raise NotImplementedError("only 4:2:0 or 4:4:4 sampling")
+    if h % granule or w % granule:
         raise NotImplementedError("partial MCUs not supported")
     try:
         qts = [qtables[tq] for _, _, _, tq in comps]
@@ -1072,26 +1094,28 @@ def decode_color_jpeg(payload: bytes) -> dict:
         raise ValueError(f"scan references undefined quant/Huffman table {ex}")
 
     br = _BitReader(payload, pos)
+    sub = granule // 8  # 2 for 4:2:0, 1 for 4:4:4
     yy = np.zeros((h, w), dtype=np.uint8)
-    cb = np.zeros((h // 2, w // 2), dtype=np.uint8)
-    cr = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    cb = np.zeros((h // sub, w // sub), dtype=np.uint8)
+    cr = np.zeros((h // sub, w // sub), dtype=np.uint8)
     dcs = [0, 0, 0]
-    for my in range(h // 16):
-        for mx in range(w // 16):
-            for by in range(2):
-                for bx in range(2):
+    for my in range(h // granule):
+        for mx in range(w // granule):
+            for by in range(sub):
+                for bx in range(sub):
                     zz, dcs[0] = _decode_jpeg_block(br, *tbls[0], dcs[0])
-                    r0, c0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    r0, c0 = my * granule + by * 8, mx * granule + bx * 8
                     yy[r0 : r0 + 8, c0 : c0 + 8] = _idct_jpeg_block(zz, qts[0])
             r0, c0 = my * 8, mx * 8
             zz, dcs[1] = _decode_jpeg_block(br, *tbls[1], dcs[1])
             cb[r0 : r0 + 8, c0 : c0 + 8] = _idct_jpeg_block(zz, qts[1])
             zz, dcs[2] = _decode_jpeg_block(br, *tbls[2], dcs[2])
             cr[r0 : r0 + 8, c0 : c0 + 8] = _idct_jpeg_block(zz, qts[2])
-    # replication upsample (each chroma sample covers its 2x2 cell)
-    cbu = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
-    cru = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
-    r, g, b = ycbcr_to_rgb_fixed(yy, cbu, cru)
+    if sub > 1:
+        # replication upsample (each chroma sample covers its 2x2 cell)
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    r, g, b = ycbcr_to_rgb_fixed(yy, cb, cr)
     out = np.stack([r, g, b], axis=-1).astype(np.uint8)
     return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
 

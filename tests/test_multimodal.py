@@ -894,3 +894,59 @@ def test_sample_frames_riff_wave_takes_raw_windower(spark):
     media = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
     out = sample_frames(media).collect()
     assert len(out) == 1 + len(wav) % 5
+
+
+def test_color_jpeg_444_near_lossless_on_arbitrary_content():
+    """4:4:4 keeps full-resolution chroma, so ARBITRARY content decodes
+    within a few counts of the fixed-point color round-trip (DCT
+    rounding is the only extra loss) — the bound 4:2:0 can't offer."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_color_jpeg,
+        encode_color_jpeg,
+        rgb_to_ycbcr_fixed,
+        ycbcr_to_rgb_fixed,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    got = decode_color_jpeg(encode_color_jpeg(img, subsampling="444"))[
+        "pixels"
+    ].reshape(16, 24, 3).astype(np.int64)
+    y, cb, cr = rgb_to_ycbcr_fixed(
+        img[..., 0].astype(np.int64), img[..., 1], img[..., 2]
+    )
+    pred = np.stack(ycbcr_to_rgb_fixed(y, cb, cr), axis=-1)
+    assert np.abs(got - pred).max() <= 4
+
+
+def test_color_jpeg_444_flat_blocks_exact_and_guards():
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_color_jpeg,
+        encode_color_jpeg,
+        rgb_to_ycbcr_fixed,
+        ycbcr_to_rgb_fixed,
+    )
+
+    # flat 8x8 blocks (the 4:4:4 MCU) round-trip to the fixed-point
+    # prediction exactly
+    cols = np.array([[[10, 200, 30], [250, 5, 120]]])
+    img = np.repeat(np.repeat(cols, 8, axis=0), 8, axis=1).astype(np.uint8)
+    got = decode_color_jpeg(encode_color_jpeg(img, subsampling="444"))[
+        "pixels"
+    ].reshape(8, 16, 3)
+    y, cb, cr = rgb_to_ycbcr_fixed(cols[..., 0], cols[..., 1], cols[..., 2])
+    pred = np.repeat(
+        np.repeat(np.stack(ycbcr_to_rgb_fixed(y, cb, cr), axis=-1), 8, axis=0),
+        8,
+        axis=1,
+    )
+    assert np.array_equal(got, pred)
+    with _pt.raises(ValueError, match="multiple-of-8"):
+        encode_color_jpeg(np.zeros((4, 8, 3), np.uint8), subsampling="444")
+    with _pt.raises(ValueError, match="unknown subsampling"):
+        encode_color_jpeg(np.zeros((16, 16, 3), np.uint8), subsampling="422")
