@@ -6888,6 +6888,46 @@ def q78(spark, sf):
 
 
 @_q(
+    "q79_null_semantics",
+    # ORACLE: IS NOT DISTINCT FROM mirrors eqNullSafe (NULL matches
+    # NULL, exactly once per side at the aggregate level), and the rank
+    # spells NULLS FIRST explicitly — engines disagree on the default
+    # null sort order, so pinned semantics are the whole point.
+    """
+    WITH a AS (SELECT NULLIF(o_orderkey % 5, 4) AS k, COUNT(*) AS n_orders
+               FROM orders GROUP BY 1),
+    b AS (SELECT NULLIF(l_orderkey % 5, 4) AS k, COUNT(*) AS n_items
+          FROM lineitem GROUP BY 1)
+    SELECT a.k, a.n_orders, b.n_items,
+           CAST(ROW_NUMBER() OVER (ORDER BY a.k ASC NULLS FIRST) AS BIGINT)
+             AS rank
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q79(spark, sf):
+    """NULL-semantics pin: the null-safe equality join (`eqNullSafe` /
+    IS NOT DISTINCT FROM — NULL keys MATCH, unlike plain `=` which
+    silently drops them) plus explicit NULLS FIRST ordering — the two
+    null corners that differ across engines and quietly corrupt
+    warehouse rollups when left to defaults.  Joined at the aggregate
+    level so the null group is one row per side (never the O(nulls²)
+    row blowup a raw null-safe join invites)."""
+    o = (
+        _t(spark, sf, "orders")
+        .groupBy(F.nullif(F.col("o_orderkey") % 5, F.lit(4)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    li = (
+        _t(spark, sf, "lineitem")
+        .groupBy(F.nullif(F.col("l_orderkey") % 5, F.lit(4)).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    j = o.join(li, o["k"].eqNullSafe(li["__k"])).select("k", "n_orders", "n_items")
+    w = Window.orderBy(F.col("k").asc_nulls_first())
+    return j.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@_q(
     "q74_recursive_cte",
     # ORACLE: the IDENTICAL recursive SQL text (modulo the edge-list
     # CTE) — Spark 4 executes WITH RECURSIVE natively, so the bounded
@@ -7250,8 +7290,8 @@ _PRIORITY = [
     "u04", "q70", "q71", "t34", "st12", "g21", "ga15", "ga16",
     # --- round-5 new operators ---
     "m10", "m11", "m12", "m13", "ga17", "ga18", "q72", "q73", "q74", "q75",
-    "q76", "q77", "q78", "s14", "s15", "t35", "t36", "g22", "g23", "st13", "st14",
-    "u05", "u06",
+    "q76", "q77", "q78", "q79", "s14", "s15", "t35", "t36", "g22", "g23",
+    "st13", "st14", "u05", "u06",
     # --- m01 migrated onto a real codec this round; re-verify ---
     "m01",
     # --- 5 r4-fixed rows, second-round confirmation ---
