@@ -1576,19 +1576,32 @@ def u05(spark, sf):
         pass  # already registered in this session
     # harness-proofing: a BARE session (the driver's) has this runtime
     # conf at its false default, and Spark then REFUSES a reader that
-    # implements pushFilters rather than silently skipping pushdown
+    # implements pushFilters rather than silently skipping pushdown.
+    # The conf is consulted at EXECUTION time (worker init), so a lazy
+    # return + restore would fail when the caller collects — instead
+    # run the (1-row) aggregate inside the guarded window and hand back
+    # a local DataFrame, restoring the caller's prior value in finally
+    # so the flag never leaks into later entries in a shared session.
+    prior = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    src = spark.read.format("bucketed_range").load()
-    return (
-        src.filter(F.col("bucket") == 3)
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("sum_value"),
-            F.min("id").alias("min_id"),
-            F.max("id").alias("max_id"),
+    try:
+        src = spark.read.format("bucketed_range").load()
+        agg = (
+            src.filter(F.col("bucket") == 3)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_value"),
+                F.min("id").alias("min_id"),
+                F.max("id").alias("max_id"),
+            )
         )
-    )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prior)
 
 
 @_q(
@@ -4744,9 +4757,13 @@ def t36(spark, sf):
     "g22_ktruss",
     # ORACLE: the 2 peel rounds + final support pass unrolled — support
     # of edge (a,b) = common neighbors of a and b via the adjacency
-    # wedge join; k=3 keeps edges with support >= 1.  Edges closing
-    # zero triangles are absent from a support table, so the inner
-    # join IS the filter on both engines (identical semantics).
+    # wedge join; k=3 keeps edges with support >= 1.  During PEELING,
+    # edges closing zero triangles are absent from a support table, so
+    # the inner join IS the filter on both engines; the FINAL pass
+    # left-joins support back so survivors at 0 still appear (the Spark
+    # side enumerates triangles degree-ordered, but the support VALUES
+    # are orientation-independent, so the adjacency formulation here is
+    # the same function).
     f"""
     WITH raw AS ({_E_SQL}),
     e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -4763,20 +4780,22 @@ def t36(spark, sf):
            JOIN adj1 y ON y.u = e.b AND y.n = x.n
            GROUP BY e.a, e.b),
     e2 AS (SELECT a, b FROM s1 WHERE sup >= 1),
-    adj2 AS (SELECT a AS u, b AS n FROM e2 UNION ALL SELECT b, a FROM e2)
-    SELECT e.a, e.b, COUNT(*) AS support
-    FROM e2 e
-    JOIN adj2 x ON x.u = e.a
-    JOIN adj2 y ON y.u = e.b AND y.n = x.n
-    GROUP BY e.a, e.b
+    adj2 AS (SELECT a AS u, b AS n FROM e2 UNION ALL SELECT b, a FROM e2),
+    s2 AS (SELECT e.a, e.b, COUNT(*) AS sup FROM e2 e
+           JOIN adj2 x ON x.u = e.a
+           JOIN adj2 y ON y.u = e.b AND y.n = x.n
+           GROUP BY e.a, e.b)
+    SELECT e2.a, e2.b, CAST(COALESCE(s2.sup, 0) AS BIGINT) AS support
+    FROM e2 LEFT JOIN s2 ON e2.a = s2.a AND e2.b = s2.b
     """,
 )
 def g22(spark, sf):
     """Fixed-iteration k-truss peeling (k=3, 2 rounds) over the
     undirected order graph — the EDGE-granularity sibling of g14's
-    vertex k-core: per round one adjacency wedge join (Σdeg² work, the
-    triangle-counting bound) + one map-combinable support count, edge
-    relation shrinking monotonically
+    vertex k-core: per round one DEGREE-ORDERED oriented triangle
+    enumeration (compact-forward, Σ|N⁺|² ≤ O(E^1.5) — hub-robust on
+    power-law graphs without an approximation cap) + one map-combinable
+    support count, edge relation shrinking monotonically
     (`operators/graph.py:ktruss`)."""
     from duckdb_graphar_spark.operators.graph import ktruss
 
@@ -6359,12 +6378,23 @@ def g19(spark, sf):
 def g20(spark, sf):
     """Common-neighbor link prediction: top-50 non-adjacent pairs by
     shared-neighbor count with Jaccard scores — wedge join bounded by
-    u<w orientation (hub cap knob for power-law graphs), one (u,w)
-    groupBy, edge anti-join, degree stamps
+    u<w orientation AND the ENGAGED hub cap (`max_center_degree=1000`):
+    the per-center wedge OUTPUT is inherently Σdeg(c)², so on power-law
+    graphs centers above the cap are dropped (the standard
+    accuracy/cost dial — a celebrity's wedge candidates score badly
+    anyway).  The fixture graphs' max degree is ~35 at every SF
+    (closed-world replication preserves it), so the declared entry
+    stays oracle-EXACT while the same code path is hub-safe at 100 TB
     (`operators/graph.py:common_neighbor_candidates`)."""
     from duckdb_graphar_spark.operators.graph import common_neighbor_candidates
 
-    return common_neighbor_candidates(_edges(spark, sf), k=50, src_col="src", dst_col="dst")
+    return common_neighbor_candidates(
+        _edges(spark, sf),
+        k=50,
+        max_center_degree=1000,
+        src_col="src",
+        dst_col="dst",
+    )
 
 
 @_q(
@@ -6882,9 +6912,7 @@ def q78(spark, sf):
     view = a_old.join(b_old, "o_custkey").select(
         "o_orderkey", "o_custkey", "nationkey"
     )
-    return maintain_join(
-        view, a_old, a_delta, b_old.unionByName(b_delta), b_delta, "o_custkey"
-    )
+    return maintain_join(view, a_old, a_delta, b_old, b_delta, "o_custkey")
 
 
 @_q(

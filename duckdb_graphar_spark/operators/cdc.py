@@ -145,7 +145,7 @@ def maintain_join(
     view: DataFrame,
     a_old: DataFrame,
     a_delta: DataFrame,
-    b_full: DataFrame,
+    b_old: DataFrame,
     b_delta: DataFrame,
     on: str | list[str],
 ) -> DataFrame:
@@ -153,7 +153,12 @@ def maintain_join(
     Δ(A⋈B) = ΔA⋈B' ∪ A⋈ΔB with B' = B∪ΔB — the ΔA⋈ΔB cross term
     lands exactly once, inside the first delta join):
 
-        new_view = view ∪ (ΔA ⋈ B') ∪ (A ⋈ ΔB)
+        new_view = view ∪ (ΔA ⋈ (B ∪ ΔB)) ∪ (A ⋈ ΔB)
+
+    Callers pass the PRE-update ``b_old`` and its delta; the post-update
+    B' union happens here, so the identity cannot be misapplied (passing
+    a stale B would silently lose every ΔA⋈ΔB cross-term row, with no
+    error to catch it).
 
     Refreshing A⋈B costs two DELTA-sized joins instead of re-joining
     the full tables — at 100 TB the difference between touching the
@@ -165,6 +170,6 @@ def maintain_join(
     Scale shape: the delta sides are small by construction — Spark's
     planner (AQE) broadcasts them, so neither full table reshuffles."""
     cols = view.columns
-    t1 = a_delta.join(b_full, on).select(*cols)
+    t1 = a_delta.join(b_old.unionByName(b_delta), on).select(*cols)
     t2 = a_old.join(b_delta, on).select(*cols)
     return view.unionByName(t1).unionByName(t2)

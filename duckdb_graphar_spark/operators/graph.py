@@ -1058,14 +1058,24 @@ def ktruss(
     k-core).  ``n_iters`` bounded rounds keep the result exactly
     SQL-replayable as an unrolled CTE chain.
 
-    Returns (a, b, support): the surviving undirected edges (a < b)
+    Returns (a, b, support): ALL surviving undirected edges (a < b)
     with their support measured in the FINAL surviving subgraph (one
-    extra support pass after the last filter).
+    extra support pass after the last filter, left-joined back so
+    survivors whose support dropped to 0 in the final subgraph still
+    appear — with support 0 — rather than being silently omitted).
 
-    Scale shape per round: adjacency = 2·|E| rows; support is the
-    edge ⋈ adjacency ⋈ adjacency wedge join (shuffles keyed on vertex
-    then on the shared neighbor — Σdeg² work, the same bound as
-    triangle counting) + one map-combinable count.  The edge relation
+    Scale shape per round: support counting is DEGREE-ORDERED oriented
+    triangle enumeration (the compact-forward plan): orient every edge
+    from its lower-(degree, id) endpoint to the higher, enumerate
+    wedges only among each vertex's OUT-neighbors, close them against
+    the oriented edge set, and explode each triangle onto its 3 edges
+    for one map-combinable count.  Work is Σ|N⁺(v)|² ≤ O(|E|^1.5)
+    instead of the naive Σdeg² — hub-robust by construction: a
+    power-law hub's neighbors are mostly lower-degree, so its
+    out-degree (and its wedge contribution) stays small, which is why
+    no ``max_degree`` cap is needed for exactness OR scale (unlike
+    :func:`common_neighbor_candidates`, whose per-center wedge OUTPUT
+    is inherently Σdeg(c)² and needs the cap dial).  The edge relation
     shrinks monotonically; no driver state beyond the loop counter.
     """
     if k < 3:
@@ -1078,14 +1088,62 @@ def ktruss(
     )
 
     def support(e_df: DataFrame) -> DataFrame:
-        adj = e_df.select(F.col("a").alias("u"), F.col("b").alias("n")).unionAll(
-            e_df.select(F.col("b").alias("u"), F.col("a").alias("n"))
+        # degree over the CURRENT subgraph (canonical distinct edges)
+        dg = (
+            e_df.select(F.col("a").alias("v"))
+            .unionAll(e_df.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("__dg"))
         )
-        x = adj.select(F.col("u").alias("__xa"), F.col("n").alias("__xn"))
-        y = adj.select(F.col("u").alias("__yb"), F.col("n").alias("__yn"))
+        da = dg.select(F.col("v").alias("__va"), F.col("__dg").alias("__da"))
+        db = dg.select(F.col("v").alias("__vb"), F.col("__dg").alias("__db"))
+        stamped = e_df.join(da, e_df["a"] == da["__va"]).join(
+            db, e_df["b"] == db["__vb"]
+        )
+        a_first = (F.col("__da") < F.col("__db")) | (
+            (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+        )
+        # oriented edge u→v, u strictly lower in (degree, id) order;
+        # carry v's degree so out-neighbor PAIRS order without a re-join
+        oriented = stamped.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("dv"),
+        )
+        o1 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+        o2 = oriented.select(
+            F.col("u").alias("u2"), F.col("v").alias("z"), F.col("dv").alias("dz")
+        )
+        wedges = o1.join(
+            o2,
+            (F.col("u") == F.col("u2"))
+            & (
+                (F.col("dy") < F.col("dz"))
+                | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+            ),
+        ).select("u", "y", "z")
+        closing = oriented.select(F.col("u").alias("__cy"), F.col("v").alias("__cz"))
+        tri = wedges.join(
+            closing, (F.col("y") == F.col("__cy")) & (F.col("z") == F.col("__cz"))
+        )
+        # each triangle supports all 3 of its (canonical a<b) edges
         return (
-            e_df.join(x, e_df["a"] == x["__xa"])
-            .join(y, (e_df["b"] == y["__yb"]) & (x["__xn"] == y["__yn"]))
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("u", "y").alias("a"), F.greatest("u", "y").alias("b")
+                        ),
+                        F.struct(
+                            F.least("u", "z").alias("a"), F.greatest("u", "z").alias("b")
+                        ),
+                        F.struct(
+                            F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")
+                        ),
+                    )
+                ).alias("__e")
+            )
+            .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("support"))
         )
@@ -1097,7 +1155,14 @@ def ktruss(
         e = sup.filter(F.col("support") >= k - 2).select("a", "b")
         if (it + 1) % 3 == 0 and it + 1 < n_iters:
             e = e.localCheckpoint(eager=False)
-    return support(e)
+    # the final pass re-reads `e` twice (left side + support's input);
+    # bound the peel-chain re-execution before fanning out
+    e = e.localCheckpoint(eager=False)
+    return e.join(support(e), ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+    )
 
 
 def bfs_distances(
@@ -1138,7 +1203,13 @@ def bfs_distances(
                 frontier = frontier.localCheckpoint(eager=False)
                 visited = visited.localCheckpoint(eager=False)
                 result = result.localCheckpoint(eager=False)
-        return result.select(F.col("__v").alias("v"), "dist")
+        # EAGER checkpoint before the finally unpersists the edge/frontier
+        # caches: the returned DataFrame must not recompute every BFS
+        # level from raw lineage at the caller's first action (the result
+        # is O(reached vertices) rows — checkpoint-sized by construction)
+        return result.select(F.col("__v").alias("v"), "dist").localCheckpoint(
+            eager=True
+        )
     finally:
         for df in pinned:
             df.unpersist(blocking=False)

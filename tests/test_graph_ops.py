@@ -430,3 +430,35 @@ def test_bfs_distances_ties_and_cap(spark):
     )
     got = {r.v: r.dist for r in bfs_distances(df, 0, src_col="src", dst_col="dst", max_depth=2).collect()}
     assert got == {0: 0, 1: 1, 2: 1, 3: 2}  # 4 beyond the cap
+
+
+def test_ktruss_zero_support_survivor_reported(spark):
+    """Two triangles sharing edge (1,2): with k=4 only (1,2) survives
+    round 1 (support 2), and the FINAL support pass measures it at 0 in
+    the surviving subgraph — it must still appear, with support 0, not
+    be silently dropped (the left-join-back contract)."""
+    from duckdb_graphar_spark.operators.graph import ktruss
+
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    got = [
+        (r.a, r.b, r.support)
+        for r in ktruss(df, 4, n_iters=1, src_col="src", dst_col="dst").collect()
+    ]
+    assert got == [(1, 2, 0)]
+
+
+def test_ktruss_oriented_matches_uniform_support(spark):
+    """K4: every edge sits in 2 triangles — the degree-ordered oriented
+    enumeration must attribute each triangle to all 3 edges exactly
+    once (6 edges, support 2 each)."""
+    from duckdb_graphar_spark.operators.graph import ktruss
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = sorted(
+        (r.a, r.b, r.support)
+        for r in ktruss(df, 3, n_iters=2, src_col="src", dst_col="dst").collect()
+    )
+    assert got == [(a, b, 2) for a, b in k4]

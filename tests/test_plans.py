@@ -607,3 +607,25 @@ def test_dynamic_partition_pruning_fires(spark):
         assert "dynamicpruning" in plan
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_g20_declared_entry_engages_hub_cap(spark, qs):
+    """g20: the declared path runs WITH max_center_degree engaged — the
+    cap's left-semi join against the filtered center-degree table must
+    be in the plan (on power-law data this is what bounds the Σdeg(c)²
+    wedge output; on the uniform fixtures the cap is above every degree
+    so results stay oracle-exact)."""
+    plan = _plan(qs["g20_link_prediction"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ktruss_degree_ordered_generate(spark, qs):
+    """g22: support counting is the degree-ordered oriented triangle
+    enumeration — the triangle→3-edges explode (Generate) is the
+    signature of the compact-forward plan (Σ|N⁺|² ≤ O(E^1.5) work),
+    replacing the naive Σdeg² adjacency wedge join."""
+    plan = _plan(qs["g22_ktruss"](spark, SF_DIR))
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

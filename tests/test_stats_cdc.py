@@ -264,8 +264,6 @@ def test_maintain_join_equals_full_join(spark):
     a_old, a_delta = a.filter("aid % 5 < 4"), a.filter("aid % 5 >= 4")
     b_old, b_delta = b.filter("k < 3"), b.filter("k >= 3")
     view = a_old.join(b_old, "k").select("aid", "k", "payload")
-    got = maintain_join(
-        view, a_old, a_delta, b_old.unionByName(b_delta), b_delta, "k"
-    )
+    got = maintain_join(view, a_old, a_delta, b_old, b_delta, "k")
     want = a.join(b, "k").select("aid", "k", "payload")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
