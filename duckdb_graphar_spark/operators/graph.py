@@ -415,6 +415,54 @@ def pagerank(
     return ranks.select(F.col("__v").alias(id_col), F.col("__r").alias("pagerank"))
 
 
+def _oriented_triangles(e_df: DataFrame) -> DataFrame:
+    """Every triangle of the canonical (a < b, distinct, loop-free) edge
+    set ``e_df`` EXACTLY ONCE as (u, y, z), via degree-ordered oriented
+    enumeration (the compact-forward plan): orient each edge from its
+    lower-(degree, id) endpoint to the higher, enumerate wedges only
+    among each vertex's OUT-neighbors, close them against the oriented
+    edge set.  Work is Σ|N⁺(v)|² ≤ O(|E|^1.5) instead of the naive
+    Σdeg² — hub-robust by construction (a power-law hub's neighbors are
+    mostly lower-degree, so its out-degree stays small), and immune to
+    WHERE the hub's id happens to fall, unlike id-ordered a<b<c plans
+    (a hub at a mid-range id has ~deg²/4 id-ordered wedges)."""
+    dg = (
+        e_df.select(F.col("a").alias("v"))
+        .unionAll(e_df.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("__dg"))
+    )
+    da = dg.select(F.col("v").alias("__va"), F.col("__dg").alias("__da"))
+    db = dg.select(F.col("v").alias("__vb"), F.col("__dg").alias("__db"))
+    stamped = e_df.join(da, e_df["a"] == da["__va"]).join(db, e_df["b"] == db["__vb"])
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    # oriented edge u→v, u strictly lower in (degree, id) order; carry
+    # v's degree so out-neighbor PAIRS order without a re-join
+    oriented = stamped.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("dv"),
+    )
+    o1 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    o2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("z"), F.col("dv").alias("dz")
+    )
+    wedges = o1.join(
+        o2,
+        (F.col("u") == F.col("u2"))
+        & (
+            (F.col("dy") < F.col("dz"))
+            | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+        ),
+    ).select("u", "y", "z")
+    closing = oriented.select(F.col("u").alias("__cy"), F.col("v").alias("__cz"))
+    return wedges.join(
+        closing, (F.col("y") == F.col("__cy")) & (F.col("z") == F.col("__cz"))
+    ).select("u", "y", "z")
+
+
 def triangle_count(
     edges: DataFrame,
     *,
@@ -423,17 +471,16 @@ def triangle_count(
 ) -> DataFrame:
     """Global triangle count of the UNDIRECTED simple graph underlying a
     directed multigraph edge list: parallel edges collapse, self-loops
-    drop, and each edge is canonicalized to (lo, hi).  A triangle
-    {a<b<c} is counted once via the standard oriented two-join plan —
-    the a<b orientation halves every join input and guarantees no
-    triangle is double-counted, which is also what keeps the join sizes
-    bounded on skewed degree distributions (every path enumerated runs
-    low→high vertex id).
+    drop, and each edge is canonicalized to (lo, hi).  Each triangle is
+    counted once via :func:`_oriented_triangles` — DEGREE-ordered
+    compact-forward enumeration, which keeps join sizes bounded under
+    power-law degree skew wherever the hub's id falls (an id-ordered
+    a<b<c plan blows up ~deg²/4 on a mid-id hub).
 
     Returns a single row (n_triangles).  Scale shape: one distinct
-    (shuffle) to build the canonical edge set, then two shuffled
-    equi-joins; no broadcast assumptions — AQE may still broadcast a
-    small canonical edge set on its own.
+    (shuffle) for the canonical edge set, one degree groupBy, two
+    shuffled equi-joins; no broadcast assumptions — AQE may still
+    broadcast a small canonical edge set on its own.
     """
     s, d = F.col(src_col), F.col(dst_col)
     canon = (
@@ -441,14 +488,7 @@ def triangle_count(
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
     )
-    e1 = canon
-    e2 = canon.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    e3 = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    wedges = e1.join(e2, e1["b"] == e2["b2"])  # a < b < c
-    tris = wedges.join(
-        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
-    )
-    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return _oriented_triangles(canon).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def bfs_levels(
@@ -818,15 +858,17 @@ def clustering_coefficient(
     simple graph → (id, degree, n_triangles, coeff) with
     coeff = 2·T(v) / (deg(v)·(deg(v)−1)), 0.0 for degree < 2.
 
-    Triangles come from the same oriented a<b<c two-join enumeration as
-    :func:`triangle_count` (each triangle materializes ONCE), then fan
-    out to their three corners with one explode — integer counts all
-    the way, one double division at the end (engine-mirrorable).
+    Triangles come from the same degree-ordered compact-forward
+    enumeration as :func:`triangle_count` (:func:`_oriented_triangles`,
+    each triangle materializes ONCE — hub-robust under power-law skew),
+    then fan out to their three corners with one explode — integer
+    counts all the way, one double division at the end
+    (engine-mirrorable).
 
-    Scale shape: one distinct for the canonical edge set, two shuffled
-    equi-joins for the triangles (oriented — join inputs stay bounded
-    under degree skew), one explode+groupBy for corner counts, one
-    degree groupBy, one join; everything keyed on vertex ids.
+    Scale shape: one distinct for the canonical edge set, one degree
+    groupBy, two shuffled equi-joins for the triangles, one
+    explode+groupBy for corner counts, one join; everything keyed on
+    vertex ids.
     """
     s, d = F.col(src_col), F.col(dst_col)
     canon = (
@@ -840,15 +882,9 @@ def clustering_coefficient(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    e2 = canon.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    e3 = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    tris = (
-        canon.join(e2, canon["b"] == e2["b2"])
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
-    )
     tri_per_v = (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        _oriented_triangles(canon)
+        .select(F.explode(F.array("u", "y", "z")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -1088,47 +1124,11 @@ def ktruss(
     )
 
     def support(e_df: DataFrame) -> DataFrame:
-        # degree over the CURRENT subgraph (canonical distinct edges)
-        dg = (
-            e_df.select(F.col("a").alias("v"))
-            .unionAll(e_df.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("__dg"))
-        )
-        da = dg.select(F.col("v").alias("__va"), F.col("__dg").alias("__da"))
-        db = dg.select(F.col("v").alias("__vb"), F.col("__dg").alias("__db"))
-        stamped = e_df.join(da, e_df["a"] == da["__va"]).join(
-            db, e_df["b"] == db["__vb"]
-        )
-        a_first = (F.col("__da") < F.col("__db")) | (
-            (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
-        )
-        # oriented edge u→v, u strictly lower in (degree, id) order;
-        # carry v's degree so out-neighbor PAIRS order without a re-join
-        oriented = stamped.select(
-            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-            F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("dv"),
-        )
-        o1 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
-        o2 = oriented.select(
-            F.col("u").alias("u2"), F.col("v").alias("z"), F.col("dv").alias("dz")
-        )
-        wedges = o1.join(
-            o2,
-            (F.col("u") == F.col("u2"))
-            & (
-                (F.col("dy") < F.col("dz"))
-                | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
-            ),
-        ).select("u", "y", "z")
-        closing = oriented.select(F.col("u").alias("__cy"), F.col("v").alias("__cz"))
-        tri = wedges.join(
-            closing, (F.col("y") == F.col("__cy")) & (F.col("z") == F.col("__cz"))
-        )
-        # each triangle supports all 3 of its (canonical a<b) edges
+        # each triangle (degree-ordered enumeration, exactly once)
+        # supports all 3 of its (canonical a<b) edges
         return (
-            tri.select(
+            _oriented_triangles(e_df)
+            .select(
                 F.explode(
                     F.array(
                         F.struct(
