@@ -4346,6 +4346,98 @@ def s06(spark, sf):
 
 
 @_q(
+    "s16_semdedup_capped",
+    # ORACLE: the s06 chain + the secondary split replayed exactly —
+    # per-cluster seed count ceil(size/10), seeds = the lowest-id
+    # members (row_number), nearest-seed assignment with DECIMAL(38,18)
+    # distances (order-independent, ties to the lowest seed index), and
+    # the pair join keyed on (cluster, sub).  Pairs split across
+    # sub-clusters are NOT compared — the documented approximation, and
+    # the oracle models it identically.
+    """
+    WITH c AS (
+      SELECT embedding AS cv,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+      FROM (SELECT * FROM embeddings ORDER BY vec_id
+            LIMIT CAST(ceil(sqrt((SELECT COUNT(*) FROM embeddings))) AS BIGINT))
+    ),
+    d AS (
+      SELECT e.vec_id, c.cidx,
+             list_sum([CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            AS DECIMAL(38,18))
+                       FOR i IN generate_series(1, len(e.embedding))]) AS d2
+      FROM embeddings e CROSS JOIN c
+    ),
+    asg AS (
+      SELECT vec_id, cidx AS cluster
+      FROM (SELECT vec_id, cidx,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cidx ASC) AS rn
+            FROM d)
+      WHERE rn = 1
+    ),
+    m AS (SELECT asg.cluster, e.vec_id, e.embedding
+          FROM asg JOIN embeddings e USING (vec_id)),
+    ns AS (SELECT cluster, CAST(ceil(COUNT(*) / 10.0) AS INTEGER) AS nsub
+           FROM m GROUP BY cluster),
+    mr AS (SELECT m.*, row_number() OVER (PARTITION BY cluster
+                                          ORDER BY vec_id) AS rn FROM m),
+    seeds AS (SELECT mr.cluster, mr.rn AS seed, mr.embedding AS sv
+              FROM mr JOIN ns USING (cluster) WHERE mr.rn <= ns.nsub),
+    sd AS (
+      SELECT m.cluster, m.vec_id, s.seed,
+             list_sum([CAST((CAST(m.embedding[i] AS DOUBLE) - CAST(s.sv[i] AS DOUBLE))
+                            * (CAST(m.embedding[i] AS DOUBLE) - CAST(s.sv[i] AS DOUBLE))
+                            AS DECIMAL(38,18))
+                       FOR i IN generate_series(1, len(m.embedding))]) AS d2
+      FROM m JOIN seeds s USING (cluster)
+    ),
+    sub AS (
+      SELECT cluster, vec_id, seed AS sub
+      FROM (SELECT cluster, vec_id, seed,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, seed ASC) AS rr
+            FROM sd)
+      WHERE rr = 1
+    ),
+    mm AS (SELECT m.cluster, sub.sub, m.vec_id, m.embedding
+           FROM m JOIN sub ON m.vec_id = sub.vec_id)
+    SELECT a.cluster, a.vec_id AS id_keep, b.vec_id AS id_drop,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM mm a JOIN mm b ON a.cluster = b.cluster AND a.sub = b.sub
+                       AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    """,
+)
+def s16(spark, sf):
+    """SemDeDup with the `max_cluster_size` escape hatch ENGAGED — the
+    production 100 TB shape (s06 is the exact-QA twin): clusters larger
+    than 10 members are split by a secondary nearest-seed assignment
+    (ceil(size/10) lowest-id seed vectors, decimal-exact distances) and
+    the pair sweep keys on (cluster, sub) — bounding the quadratic term
+    to O(n·cap) however degenerate the coarse clustering gets.  The cap
+    deliberately BINDS at every fixture SF (mean cluster size ≈ √n ≥
+    20), so the driver verifies the split path itself, not the
+    trivially-uncapped fallthrough
+    (`operators/embeddings.py:semdedup`)."""
+    import math
+
+    from duckdb_graphar_spark.operators.embeddings import semdedup, seed_centroids
+
+    e = _t(spark, sf, "embeddings")
+    k = math.ceil(math.sqrt(e.count()))
+    # threshold 0.3, not s06's 0.9: the synthetic embeddings have no
+    # >=0.9 pairs at ANY fixture SF (s06's check is legitimately 0-row;
+    # the exact sweep is what it pins), and a 0-row capped entry would
+    # never value-check the split path.  At 0.3 the driver compares
+    # real (cluster, sub)-keyed pairs with real cosines.
+    return semdedup(e, seed_centroids(e, k), threshold=0.3, max_cluster_size=10)
+
+
+@_q(
     "s07_kmeans_update",
     # ORACLE: s05's assignment CTE, then per-(cluster, dim) DECIMAL sums
     # → means → ordered list per cluster (list(... ORDER BY) mirrors the
@@ -5924,6 +6016,53 @@ def m13(spark, sf):
 
 
 @_q(
+    "m14_palette_png",
+    # ORACLE: indexed PNG is LOSSLESS, so every decoded channel equals
+    # the palette formula applied to the predicted index — idx of pixel
+    # j = byte (j mod L) mod p, entry k = ((37k+11), (59k+23), (83k+5))
+    # mod 256.  Per-channel exact integer sums; a PLTE-lookup or bpp=1
+    # filter bug on either side breaks all three channels.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 11 AS w,
+             1 + doc_id % 6 AS h,
+             2 + doc_id % 15 AS p, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h, p,
+             unicode(text[CAST(t.j % L AS INTEGER) + 1]) % p AS idx
+      FROM g, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(p AS BIGINT) AS palette_size,
+           CAST(SUM((37 * idx + 11) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((59 * idx + 23) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((83 * idx + 5) % 256) AS BIGINT) AS sum_b
+    FROM b GROUP BY doc_id, w, h, p
+    """,
+)
+def m14(spark, sf):
+    """PALETTE PNG modality (color type 3 — the most common real-corpus
+    PNG residual after truecolor): each document rendered as a genuine
+    indexed-color PNG (PLTE palette + Sub-filtered INDEX scanlines at
+    the spec's bpp=1 — `operators/multimodal.py:encode_palette_png`),
+    decoded back through the general pipeline (CRC chunk walk, inflate,
+    all-five-filter reconstruction, PLTE lookup with range validation —
+    `decode_png_palette`) for per-channel exact-integer pixel sums.
+    Two Arrow-batched mapInPandas stages, no shuffle."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_palette_png,
+        png_palette_stats,
+    )
+
+    return png_palette_stats(encode_text_palette_png(_t(spark, sf, "documents")))
+
+
+@_q(
     "q67_delta_agg_maintenance",
     # ORACLE: state-equivalence, not mechanism replay — base is the
     # aggregate over orderkey%10<8, the delta inserts the %10=8 rows
@@ -7305,49 +7444,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order.
 _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
-    # --- window rotates.  Rounds 1–4 hard-verified 180 distinct entries
-    # --- (union of CORRECTNESS_r01..r04 green rows; r4 was 50/50 green).
-    # --- The round-5 window opens with the 8 entries that have NEVER
-    # --- been driver checked (round-4 tail additions, absent from the
-    # --- r4 priority list), then round-5 new operators, then the 5 rows
-    # --- fixed in r4 (second-round confirmation of the representation
-    # --- fixes), then regression re-checks spread over every surface
-    # --- (GraphAr, graph, relational, streaming, LLM pipeline,
-    # --- multimodal) fill the window to 50.
-    # --- 8 never-driver-verified entries (r4 tail) ---
-    "u04", "q70", "q71", "t34", "st12", "g21", "ga15", "ga16",
-    # --- round-5 new operators ---
-    "m10", "m11", "m12", "m13", "ga17", "ga18", "q72", "q73", "q74", "q75",
-    "q76", "q77", "q78", "q79", "s14", "s15", "t35", "t36", "g22", "g23",
-    "st13", "st14", "u05", "u06",
-    # --- m01 migrated onto a real codec this round; re-verify ---
-    "m01",
-    # --- 5 r4-fixed rows, second-round confirmation ---
-    "t23", "st09", "s07", "s08", "m02",
-    # --- cross-surface regression re-checks to fill the window ---
-    "ga01", "ga03", "ga14", "g02", "g07", "g11", "g13", "g17", "g20",
-    "q01", "q05", "q31", "q47", "q58", "q60", "q63", "q64",
-    "st01", "st05", "st08", "st11",
-    "t01", "t04", "t06", "t17", "t26", "t30",
-    "d01", "d05", "s01", "s05", "s09", "s12",
-    "m04", "m07", "u01", "u03", "c01",
-    # --- 51+: remaining ever-verified tail in coverage order ---
-    "m08", "m09", "q65", "q66", "q67", "q68", "s13",
-    "g18", "g19", "t31", "t32", "t33", "d06",
-    "s10", "s11", "q59", "q61", "q62", "st10", "m06",
-    "t27", "t28", "t29", "q02", "q14",
-    "ga11", "ga13", "g05", "st03",
-    *[f"ga{i:02d}" for i in range(1, 14)],
-    *[f"g{i:02d}" for i in range(1, 13)],
-    "c01",
-    "q03", "q24", "q26", "q35", "q47", "q48", "q49", "q50", "q51", "q52",
-    "q53", "q54", "q55", "q56", "q57",
-    "st02", "st04", "st06", "st07",
-    "t02", "t03", "t05", "t07", "t08", "t09", "t10", "t11", "t12", "t13",
-    "t14", "t15", "t16", "t17", "t18", "t19", "t20", "t21", "t22", "t24", "t25",
-    "d02", "d03", "d04", "s02", "s03", "s04", "s05", "s06",
-    "u01", "u02", "u03", "m01", "m03", "m05",
-    "q45", "q46", "q00", "q04", "q10", "q18", "q33", "q36",
+    # --- window rotates.  After round 5 every one of the 212 entries has
+    # --- a green driver check (union of CORRECTNESS_r01..r05); the only
+    # --- freshness debt is AGE.  The round-6 window therefore opens with
+    # --- the round-6 additions (capped SemDeDup, palette PNG, the
+    # --- multi-edge-type GraphAr pin), then rotates onto the 39 entries
+    # --- whose LAST driver check is round 1 (the q00–q46 relational band
+    # --- + t11 — mirrored in-repo by test_oracle every round, but four
+    # --- rounds of driver drift is the agreed ceiling), and fills to 50
+    # --- with round-2-stale regression re-checks spread across surfaces.
+    # --- round-6 new operators ---
+    "s16", "m14", "ga19",
+    # --- 39 entries last driver-checked in round 1 ---
+    "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
+    "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",
+    "q27", "q28", "q29", "q30", "q32", "q33", "q34", "q36", "q37", "q38",
+    "q39", "q40", "q41", "q42", "q43", "q44", "q45", "q46", "t11",
+    # --- round-2-stale re-checks, one per surface family, to fill 50 ---
+    "c01", "d01", "ga04", "g03", "m03", "st02", "t12", "q25",
+    # --- 51+: everything else follows in registry definition order ---
 ]
 
 

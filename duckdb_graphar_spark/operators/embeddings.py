@@ -319,14 +319,22 @@ def semdedup(
             )
         )
         # secondary assignment: nearest seed within the cluster (squared
-        # euclidean, ties to the lowest seed index — deterministic)
+        # euclidean, ties to the lowest seed index).  DECIMAL(38,18)
+        # accumulation — the kmeans_assign discipline — makes the sum
+        # order-independent and the argmin engine-deterministic, so a
+        # SQL oracle can verify the capped path bit-for-bit.
         cand = seeded.join(seeds, F.col("cluster") == F.col("__sc"))
         d2 = F.aggregate(
             F.zip_with(
-                F.col(vec_col), F.col("__sv"), lambda x, s: (x - s) * (x - s)
+                F.col(vec_col),
+                F.col("__sv"),
+                lambda x, s: (
+                    (x.cast("double") - s.cast("double"))
+                    * (x.cast("double") - s.cast("double"))
+                ).cast("decimal(38,18)"),
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+            F.lit(0).cast("decimal(38,18)"),
+            lambda acc, v: (acc + v).cast("decimal(38,18)"),
         )
         sub = (
             cand.groupBy(id_col)

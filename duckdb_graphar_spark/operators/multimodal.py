@@ -218,6 +218,8 @@ def decode_image(payload: bytes) -> dict:
         # fixed offset (sig 8 + len 4 + type 4 + w/h/depth 9)
         if len(payload) > 25 and payload[25] == 2:
             d = decode_png_rgb(payload)
+        elif len(payload) > 25 and payload[25] == 3:
+            d = decode_png_palette(payload)
         else:
             p = decode_png_gray(payload)
             d = {
@@ -1569,6 +1571,197 @@ def decode_png_rgb(payload: bytes) -> dict:
         raise ValueError(f"corrupt IDAT stream: {ex}")
     out = _png_reconstruct(raw, w, h, 3)
     return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
+
+
+def encode_palette_png(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Write a real 8-bit INDEXED-COLOR PNG (color type 3 — the most
+    common real-corpus PNG after truecolor): PLTE chunk with the RGB
+    palette, Sub-filtered scanlines of palette INDICES (bpp=1 — type-3
+    filtering runs over index bytes, not channels), CRC-stamped.
+    ``indices`` is (h, w) uint8, ``palette`` is (n, 3) uint8, n ≤ 256."""
+    import zlib as _zlib
+
+    h, w = indices.shape
+    n = palette.shape[0]
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= n <= 256:
+        raise ValueError("palette must be (n, 3) with 1 <= n <= 256")
+    if indices.max(initial=0) >= n:
+        raise ValueError("palette index out of range")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)  # 8-bit indexed
+    raw = bytearray()
+    for y in range(h):
+        row = indices[y].astype(np.int16)
+        sub = np.empty(w, dtype=np.uint8)
+        sub[0] = row[0] % 256
+        if w > 1:
+            sub[1:] = ((row[1:] - row[:-1]) % 256).astype(np.uint8)
+        raw.append(1)  # filter type: Sub
+        raw += sub.tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_palette(payload: bytes) -> dict:
+    """Decode an 8-bit indexed-color (type 3) PNG with the same GENERAL
+    pipeline as :func:`decode_png_gray` — CRC chunk walk, multi-IDAT
+    inflate, all-five-filter reconstruction at bpp=1 — plus the PLTE
+    lookup that maps index scanlines to RGB.  Returns {width, height,
+    palette_size, pixels (h·w·3 uint8 RGB)}.  Raises ValueError on
+    corruption (missing/ragged PLTE, index beyond the palette),
+    NotImplementedError on non-type-3/interlaced/16-bit and on tRNS
+    (palette alpha would be silently dropped otherwise)."""
+    import zlib as _zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    plte: bytes | None = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = struct.unpack(">I", payload[pos : pos + 4])[0]
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(data) != length or len(crc_bytes) != 4:
+            raise ValueError(f"truncated {ctype!r} chunk at {pos}")
+        crc = struct.unpack(">I", crc_bytes)[0]
+        if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            try:
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            except struct.error:
+                raise ValueError("malformed IHDR chunk")
+            if depth != 8 or color != 3:
+                raise NotImplementedError("only 8-bit indexed (type 3) PNG")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+        elif ctype == b"PLTE":
+            if length == 0 or length % 3 != 0 or length > 256 * 3:
+                raise ValueError(f"invalid PLTE length {length}")
+            plte = data
+        elif ctype == b"tRNS":
+            raise NotImplementedError("palette transparency (tRNS)")
+        elif ctype == b"IDAT":
+            if plte is None:
+                # spec: PLTE must precede IDAT for color type 3
+                raise ValueError("IDAT before PLTE in indexed PNG")
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or plte is None or not idat:
+        raise ValueError("missing IHDR/PLTE/IDAT")
+    try:
+        raw = _zlib.decompress(bytes(idat))
+    except _zlib.error as ex:
+        raise ValueError(f"corrupt IDAT stream: {ex}")
+    idx = _png_reconstruct(raw, w, h, 1)
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if idx.max(initial=0) >= pal.shape[0]:
+        raise ValueError("palette index beyond PLTE size")
+    rgb = pal[idx.reshape(-1)]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "palette_size": int(pal.shape[0]),
+        "pixels": rgb.reshape(-1),
+    }
+
+
+def encode_text_palette_png(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL indexed-color PNG (lossless, so
+    the oracle predicts every pixel): w = 1 + length mod 11,
+    h = 1 + id mod 6, palette size p = 2 + id mod 15 with entry k =
+    ((37k+11) mod 256, (59k+23) mod 256, (83k+5) mod 256), index of
+    pixel i = text byte (i mod L) mod p."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                w = 1 + (len(tb) % 11)
+                h = 1 + (int(did) % 6)
+                p = 2 + (int(did) % 15)
+                k = np.arange(p, dtype=np.int64)
+                pal = np.stack(
+                    [(37 * k + 11) % 256, (59 * k + 23) % 256, (83 * k + 5) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = (tb[np.arange(w * h) % len(tb)] % p).astype(np.uint8)
+                payloads.append(encode_palette_png(idx.reshape(h, w), pal))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+PALETTE_PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("palette_size", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def png_palette_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel SUMS from REAL indexed-PNG-decoded pixels
+    (:func:`decode_png_palette`): exact BIGINTs through the PLTE
+    lookup — an index-mapping bug on either side breaks every channel.
+    Arrow-batched mapInPandas projection, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "palette_size",
+                    "sum_r", "sum_g", "sum_b",
+                )
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_png_palette(bytes(payload))
+                px = d["pixels"].reshape(-1, 3).astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["palette_size"].append(int(d["palette_size"]))
+                out["sum_r"].append(int(px[:, 0].sum()))
+                out["sum_g"].append(int(px[:, 1].sum()))
+                out["sum_b"].append(int(px[:, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, PALETTE_PNG_STATS_SCHEMA)
 
 
 def encode_text_png(

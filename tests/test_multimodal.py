@@ -950,3 +950,149 @@ def test_color_jpeg_444_flat_blocks_exact_and_guards():
         encode_color_jpeg(np.zeros((4, 8, 3), np.uint8), subsampling="444")
     with _pt.raises(ValueError, match="unknown subsampling"):
         encode_color_jpeg(np.zeros((16, 16, 3), np.uint8), subsampling="422")
+
+
+def test_palette_png_roundtrip_and_hand_built_stream():
+    """Indexed PNG round-trips exactly; a hand-built stream (not this
+    module's encoder) with mixed filter types and an explicit PLTE
+    exercises the general decode path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png_palette,
+        encode_palette_png,
+    )
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(6, 5)).astype(np.uint8)
+    d = decode_png_palette(encode_palette_png(idx, pal))
+    assert (d["width"], d["height"], d["palette_size"]) == (5, 6, 16)
+    assert np.array_equal(d["pixels"].reshape(6, 5, 3), pal[idx])
+
+    # hand-built: 3-entry palette, rows filtered None/Up/Paeth at bpp=1
+    pal3 = np.array([[1, 2, 3], [40, 50, 60], [200, 210, 220]], np.uint8)
+    src = np.array([[0, 1, 2], [2, 0, 1], [1, 2, 0]], np.int32)
+    raw = bytearray()
+    prev = np.zeros(3, dtype=np.int32)
+    for y, ftype in enumerate([0, 2, 4]):
+        row = src[y]
+        line = np.empty(3, dtype=np.int32)
+        for x in range(3):
+            left = row[x - 1] if x >= 1 else 0
+            up = prev[x]
+            ul = prev[x - 1] if x >= 1 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 2:
+                pred = up
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            line[x] = (row[x] - pred) % 256
+        raw.append(ftype)
+        raw += line.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 3, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal3.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    d2 = decode_png_palette(payload)
+    assert np.array_equal(d2["pixels"].reshape(3, 3, 3), pal3[src])
+
+
+def test_palette_png_guards():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_image,
+        decode_png_palette,
+        encode_gray_png,
+        encode_palette_png,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    idx = np.zeros((2, 2), np.uint8)
+    ok = encode_palette_png(idx, pal)
+
+    # wrong color type routes to the type-3 guard
+    with _pt.raises(NotImplementedError, match="indexed"):
+        decode_png_palette(encode_gray_png(np.zeros((2, 2), np.uint8)))
+    # encoder-side index range check
+    with _pt.raises(ValueError, match="index out of range"):
+        encode_palette_png(np.full((1, 1), 7, np.uint8), pal)
+    # missing PLTE: strip the chunk (IDAT arrives first)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = b"\x00\x00\x00" * 2  # 2 rows: filter 0 + 2 index bytes
+    no_plte = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pt.raises(ValueError, match="PLTE"):
+        decode_png_palette(no_plte)
+    # index beyond PLTE size in the decoded stream
+    small_pal = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", b"\x01\x02\x03")  # 1 entry
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x01" * 2))  # idx 1
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pt.raises(ValueError, match="beyond PLTE"):
+        decode_png_palette(small_pal)
+    # tRNS is an explicit scope guard, not silently-ignored alpha
+    trns = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"tRNS", b"\x00")
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pt.raises(NotImplementedError, match="tRNS"):
+        decode_png_palette(trns)
+    # decode_image routes color type 3 natively
+    assert decode_image(ok)["mean_intensity"] == 0.0
+
+
+if _HYP:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 8),
+        p=st.integers(1, 256),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_palette_png_roundtrip_property(w, h, p, seed):
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_png_palette,
+            encode_palette_png,
+        )
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(p, 3)).astype(np.uint8)
+        idx = rng.integers(0, p, size=(h, w)).astype(np.uint8)
+        d = decode_png_palette(encode_palette_png(idx, pal))
+        assert d["palette_size"] == p
+        assert np.array_equal(d["pixels"].reshape(h, w, 3), pal[idx])
