@@ -6951,6 +6951,117 @@ def ga18(spark, sf):
         shutil.rmtree(out, ignore_errors=True)
 
 
+_MULTI_EDGE_CACHE: dict[str, str] = {}
+
+
+def _multi_edge_graphar(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) a GraphAr graph with TWO edge types over
+    the same Customer vertex set — the corner no other fixture covers.
+    The reference's BFS scalar silently pins edge type 0 on multi-type
+    graphs (`src/functions/scalar/bfs.cpp:61-70`, the documented quirk
+    in SURVEY §3.3); this repo's contract is the opposite: every
+    read/traversal names its (src, edge, dst) triple EXPLICITLY, and the
+    two types here have different cardinalities/derivations so a
+    type-0 fallback would be caught by value, not just by count.
+
+    ordered:  src = o_custkey,  dst = o_orderkey % n          (all orders)
+    referred: src = o_custkey,  dst = (o_orderkey*7 + 3) % n  (orderkey%5=0)
+    """
+    if sf_dir in _MULTI_EDGE_CACHE:
+        return _MULTI_EDGE_CACHE[sf_dir]
+    from duckdb_graphar_spark.graphar.spark_writer import write_graph_dist
+
+    out = os.path.join(
+        tempfile.gettempdir(), "graphar_multi_" + re.sub(r"\W", "_", sf_dir)
+    )
+    gy = os.path.join(out, "MultiEdgeGraph.yaml")
+    sentinel = os.path.join(out, ".complete")
+    if os.path.exists(gy) and os.path.exists(sentinel):
+        _MULTI_EDGE_CACHE[sf_dir] = gy
+        return gy
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("_graphArVertexIndex"),
+        F.col("c_name").alias("name"),
+    ).cache()
+    n = cust.count()
+    orders = _t(spark, sf_dir, "orders")
+    ordered = orders.select(
+        F.col("o_custkey").cast("long").alias("_graphArSrcIndex"),
+        (F.col("o_orderkey").cast("long") % n).alias("_graphArDstIndex"),
+    )
+    referred = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_custkey").cast("long").alias("_graphArSrcIndex"),
+        ((F.col("o_orderkey").cast("long") * 7 + 3) % n).alias("_graphArDstIndex"),
+    )
+    try:
+        gy = write_graph_dist(
+            out,
+            "MultiEdgeGraph",
+            {"Customer": cust},
+            {
+                ("Customer", "ordered", "Customer"): ordered,
+                ("Customer", "referred", "Customer"): referred,
+            },
+            vertex_chunk_size=512,
+            edge_chunk_size=2048,
+            aligned_chunk_size=512,
+        )
+    finally:
+        cust.unpersist(blocking=False)
+    with open(sentinel, "w") as f:
+        f.write("ok")
+    _MULTI_EDGE_CACHE[sf_dir] = gy
+    return gy
+
+
+@_q(
+    "ga19_multi_edge_types",
+    # ORACLE: per-type count + endpoint checksums recomputed from the
+    # source derivations — the two types differ in BOTH cardinality and
+    # dst formula, so a reference-style silent type-0 fallback (or any
+    # cross-type chunk mixup in the per-type CSR layouts) breaks the
+    # 'referred' row's every column, not just its count.
+    """
+    WITH n AS (SELECT COUNT(*) AS n FROM customer),
+    o AS (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM n) AS dst
+          FROM orders),
+    r AS (SELECT o_custkey AS src, (o_orderkey * 7 + 3) % (SELECT n FROM n) AS dst
+          FROM orders WHERE o_orderkey % 5 = 0)
+    SELECT 'ordered' AS edge_type, COUNT(*) AS n_edges,
+           CAST(SUM(src) AS BIGINT) AS sum_src,
+           CAST(SUM(dst) AS BIGINT) AS sum_dst
+    FROM o
+    UNION ALL
+    SELECT 'referred', COUNT(*), CAST(SUM(src) AS BIGINT),
+           CAST(SUM(dst) AS BIGINT)
+    FROM r
+    """,
+)
+def ga19(spark, sf):
+    """Multi-edge-type GraphAr pin (A2/A3 corner): one graph, two edge
+    types over the same vertex set, each read by its EXPLICIT
+    (src, edge, dst) triple through the per-type CSR chunk layout.
+    The reference's BFS silently uses edge type 0 on such graphs
+    (`src/functions/scalar/bfs.cpp:61-70`); this engine's traversals
+    take the edge relation as an argument, so type selection is always
+    explicit — the checksums here prove the two types read back
+    distinct, correctly-routed edge sets."""
+    from duckdb_graphar_spark.graphar import read_edges
+
+    gy = _multi_edge_graphar(spark, sf)
+
+    def summ(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("_graphArSrcIndex").alias("sum_src"),
+            F.sum("_graphArDstIndex").alias("sum_dst"),
+        ).select(F.lit(label).alias("edge_type"), "n_edges", "sum_src", "sum_dst")
+
+    e1 = read_edges(spark, gy, "Customer", "ordered", "Customer")
+    e2 = read_edges(spark, gy, "Customer", "referred", "Customer")
+    return summ("ordered", e1).unionByName(summ("referred", e2))
+
+
 @_q(
     "q72_ohlc_resample",
     # ORACLE: open/close via first/last row_number in (ts, event_id)

@@ -125,6 +125,36 @@ BENCH_QUERIES = [
     "t36_weighted_sample",
     "m12_rgb_png",
     "m13_wav_container",
+    # round-6: capped SemDeDup (the production scale path next to s06's
+    # exact-QA twin), indexed-color PNG codec, multi-edge-type GraphAr
+    "s16_semdedup_capped",
+    "m14_palette_png",
+    "ga19_multi_edge_types",
+]
+
+# Streaming lane (round 6): every st entry runs its real micro-batch
+# pipeline to completion inside the registry callable (memory sink,
+# run_to_memory blocks), so wall-clock over the CALL measures source
+# staging + state management + sink — the lane a watermark-eviction or
+# state-store regression would show up in (previously these 14 entries
+# had value oracles but zero timing history).  Kept out of the headline
+# total so round-over-round comparisons of `value` stay apples-to-apples;
+# reported under "streaming"/"streaming_total".
+ST_QUERIES = [
+    "st01_stream_tumbling",
+    "st02_stream_dedup",
+    "st03_session_window",
+    "st04_sliding_window",
+    "st05_stateful_totals",
+    "st06_stream_static_join",
+    "st07_stream_stream_join",
+    "st08_foreach_batch_sink",
+    "st09_chained_windows",
+    "st10_trending_topk",
+    "st11_stream_static_join",
+    "st12_stream_hll_distinct",
+    "st13_stream_outer_join",
+    "st14_streaming_ohlc",
 ]
 
 
@@ -169,6 +199,25 @@ def main() -> None:
         results[name] = round(times[len(times) // 2], 3)
         results_min[name] = round(times[0], 3)
 
+    # streaming lane: the work happens inside the call (run_to_memory
+    # drives the stream to completion), so time the call itself; one
+    # untimed warm rep covers source staging + codegen like the batch lane
+    st_reps = int(os.environ.get("SPARK_GRAFT_BENCH_ST_REPS", "3"))
+    st_results: dict[str, float] = {}
+    st_results_min: dict[str, float] = {}
+    for name in ST_QUERIES:
+        print(f"[bench:st] {name}", file=sys.stderr, flush=True)
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times = []
+        for _ in range(st_reps):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            times.append(time.time() - t0)
+        times.sort()
+        st_results[name] = round(times[len(times) // 2], 3)
+        st_results_min[name] = round(times[0], 3)
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -178,6 +227,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "queries_min": results_min,
+                "streaming": st_results,
+                "streaming_min": st_results_min,
+                "streaming_total": round(sum(st_results.values()), 3),
                 "sf": sf,
             }
         )

@@ -291,13 +291,22 @@ def semdedup(
         .join(asg, id_col)
         .withColumn("__nrm", norm(F.col(vec_col)))
     )
+    # The O(n·k·d) coarse assignment is the single most expensive
+    # subtree here, and it appears on BOTH sides of the pair self-join
+    # (plus 4 more times through the capped split's seed/sub lineage) —
+    # Spark does not CSE across joins, so without pinning it would
+    # re-execute per appearance.  A lazy localCheckpoint materializes
+    # it once at first action and every other branch reads the cache;
+    # n·(d+3) rows of executor-local storage, the standard iterative-
+    # pipeline trade.
+    e = e.localCheckpoint(eager=False)
     if max_cluster_size is not None:
         if max_cluster_size < 1:
             raise ValueError("max_cluster_size must be >= 1")
         from pyspark.sql import Window
 
         nsub = (
-            asg.groupBy("cluster")
+            e.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("__sz"))
             .select(
                 "cluster",
@@ -344,7 +353,9 @@ def semdedup(
                 ].alias("__sub")
             )
         )
-        e = e.join(sub, id_col)
+        # pin the (id, sub) assignment too: the pair join's two sides
+        # would otherwise each re-run the n×nsub secondary sweep
+        e = e.join(sub, id_col).localCheckpoint(eager=False)
     else:
         e = e.withColumn("__sub", F.lit(1))
     a = e.select(

@@ -303,3 +303,51 @@ def test_uri_addressed_graph(spark, graph_fixture):
 
     g = GraphInfo.load(uri)
     assert g.vertex_count("Person") == graph_fixture["n"]
+
+
+def test_multi_edge_type_attach_and_explicit_selection(spark, tmp_path):
+    """Two edge types over one vertex set: attach registers BOTH edge
+    views, per-triple reads return DISTINCT edge sets, and traversal
+    type selection is EXPLICIT (the reference's BFS silently pins edge
+    type 0 on such graphs, src/functions/scalar/bfs.cpp:61-70 — this
+    engine takes the edge relation as an argument, so the quirk cannot
+    exist here; this test pins the contract)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from duckdb_graphar_spark.graphar.writer import EdgeSpec, VertexSpec, write_graph
+
+    # knows: 0->1->2->3 chain; follows: 0->3 shortcut
+    y = write_graph(
+        str(tmp_path), "MG",
+        {"Person": VertexSpec(table=pa.table({"name": ["a", "b", "c", "d"]}))},
+        {
+            ("Person", "knows", "Person"): EdgeSpec(
+                src=np.array([0, 1, 2]), dst=np.array([1, 2, 3])
+            ),
+            ("Person", "follows", "Person"): EdgeSpec(
+                src=np.array([0]), dst=np.array([3])
+            ),
+        },
+    )
+    views = graphar.attach(spark, y, naming="underscore")
+    assert set(views) == {
+        "Person_vertex",
+        "Person_knows_Person_edge",
+        "Person_follows_Person_edge",
+    }
+    k = graphar.read_edges(spark, y, "Person", "knows", "Person")
+    f = graphar.read_edges(spark, y, "Person", "follows", "Person")
+    assert k.count() == 3 and f.count() == 1
+    # explicit type selection changes the traversal answer: 0->3 is 3
+    # hops over `knows`, 1 hop over `follows`
+    from duckdb_graphar_spark.operators.graph import bfs_length
+
+    assert (
+        bfs_length(k, 0, 3, src_col="_graphArSrcIndex", dst_col="_graphArDstIndex")
+        == 3
+    )
+    assert (
+        bfs_length(f, 0, 3, src_col="_graphArSrcIndex", dst_col="_graphArDstIndex")
+        == 1
+    )
