@@ -4347,13 +4347,12 @@ def s06(spark, sf):
 
 @_q(
     "s16_semdedup_capped",
-    # ORACLE: the s06 chain + the secondary split replayed exactly —
-    # per-cluster seed count ceil(size/10), seeds = the lowest-id
-    # members (row_number), nearest-seed assignment with DECIMAL(38,18)
-    # distances (order-independent, ties to the lowest seed index), and
-    # the pair join keyed on (cluster, sub).  Pairs split across
-    # sub-clusters are NOT compared — the documented approximation, and
-    # the oracle models it identically.
+    # ORACLE: the s06 chain + the projection-slice split replayed
+    # exactly — per-member decimal projection (integer weights
+    # (j·2654435761 mod 97) − 48 over 0-based dims), per-cluster
+    # (proj, vec_id) rank, slice = (rank−1) // 10, and the pair join
+    # keyed on (cluster, sub).  Pairs straddling a slice cut are NOT
+    # compared — the documented approximation, modeled identically.
     """
     WITH c AS (
       SELECT embedding AS cv,
@@ -4379,30 +4378,22 @@ def s06(spark, sf):
     ),
     m AS (SELECT asg.cluster, e.vec_id, e.embedding
           FROM asg JOIN embeddings e USING (vec_id)),
-    ns AS (SELECT cluster, CAST(ceil(COUNT(*) / 10.0) AS INTEGER) AS nsub
-           FROM m GROUP BY cluster),
-    mr AS (SELECT m.*, row_number() OVER (PARTITION BY cluster
-                                          ORDER BY vec_id) AS rn FROM m),
-    seeds AS (SELECT mr.cluster, mr.rn AS seed, mr.embedding AS sv
-              FROM mr JOIN ns USING (cluster) WHERE mr.rn <= ns.nsub),
-    sd AS (
-      SELECT m.cluster, m.vec_id, s.seed,
-             list_sum([CAST((CAST(m.embedding[i] AS DOUBLE) - CAST(s.sv[i] AS DOUBLE))
-                            * (CAST(m.embedding[i] AS DOUBLE) - CAST(s.sv[i] AS DOUBLE))
-                            AS DECIMAL(38,18))
-                       FOR i IN generate_series(1, len(m.embedding))]) AS d2
-      FROM m JOIN seeds s USING (cluster)
+    pr AS (
+      SELECT cluster, vec_id, embedding,
+             list_sum([CAST(CAST(embedding[i] AS DOUBLE)
+                            * (((i - 1) * 2654435761) % 97 - 48)
+                            AS DECIMAL(38,12))
+                       FOR i IN generate_series(1, len(embedding))]) AS proj
+      FROM m
     ),
-    sub AS (
-      SELECT cluster, vec_id, seed AS sub
-      FROM (SELECT cluster, vec_id, seed,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d2 ASC, seed ASC) AS rr
-            FROM sd)
-      WHERE rr = 1
-    ),
-    mm AS (SELECT m.cluster, sub.sub, m.vec_id, m.embedding
-           FROM m JOIN sub ON m.vec_id = sub.vec_id)
+    mm AS (
+      SELECT cluster,
+             CAST((row_number() OVER (PARTITION BY cluster
+                                      ORDER BY proj, vec_id) - 1) // 10
+                  AS BIGINT) AS sub,
+             vec_id, embedding
+      FROM pr
+    )
     SELECT a.cluster, a.vec_id AS id_keep, b.vec_id AS id_drop,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
@@ -4414,15 +4405,16 @@ def s06(spark, sf):
 )
 def s16(spark, sf):
     """SemDeDup with the `max_cluster_size` escape hatch ENGAGED — the
-    production 100 TB shape (s06 is the exact-QA twin): clusters larger
-    than 10 members are split by a secondary nearest-seed assignment
-    (ceil(size/10) lowest-id seed vectors, decimal-exact distances) and
-    the pair sweep keys on (cluster, sub) — bounding the quadratic term
-    to O(n·cap) however degenerate the coarse clustering gets.  The cap
-    deliberately BINDS at every fixture SF (mean cluster size ≈ √n ≥
-    20), so the driver verifies the split path itself, not the
-    trivially-uncapped fallthrough
-    (`operators/embeddings.py:semdedup`)."""
+    production 100 TB shape (s06 is the exact-QA twin): every cluster
+    is ranked along one deterministic decimal projection and cut into
+    contiguous slices of ≤ 10 members, and the pair sweep keys on
+    (cluster, slice) — O(n·cap·d) pairs + an O(n·d) split, however
+    degenerate the coarse clustering gets (a secondary nearest-seed
+    split would cost O(Σ|cluster|²/cap·d) — quadratic again — on
+    exactly the inputs the cap exists for).  The cap deliberately
+    BINDS at every fixture SF (mean cluster size ≈ √n ≥ 20), so the
+    driver verifies the split path itself, not the trivially-uncapped
+    fallthrough (`operators/embeddings.py:semdedup`)."""
     import math
 
     from duckdb_graphar_spark.operators.embeddings import semdedup, seed_centroids

@@ -261,19 +261,20 @@ def semdedup(
     Returns one row per pruned pair: (cluster, id_keep, id_drop,
     cosine) with id_keep < id_drop (deterministic keep-lowest-id rule).
 
-    ``max_cluster_size`` is the 100 TB escape hatch (the SemDeDup
-    paper's appendix trick): clusters larger than the cap are split by
-    a SECONDARY k-means assignment step — ceil(size/cap) seed vectors
-    per oversized cluster (the members with the lowest ids), every
-    member assigned to its nearest seed (ties to the lowest seed), and
-    the pair join keyed on (cluster, sub) — bounding the quadratic
-    term to O(n·cap + n·n/cap) instead of O(Σ|cluster|²) when the
-    coarse clustering goes degenerate.  Pairs whose members land in
-    different sub-clusters are not compared (the documented
-    approximation; exact duplicates always co-locate because identical
-    vectors have identical seed distances).  ``None`` (default) keeps
-    the exact within-cluster sweep — declared driver entries use the
-    default, so their results are unchanged.
+    ``max_cluster_size`` is the 100 TB escape hatch: every cluster is
+    ranked along ONE deterministic projection direction (decimal-exact,
+    engine-reproducible) and cut into contiguous slices of at most
+    ``cap`` members; the pair join keys on (cluster, slice).  The pair
+    sweep is bounded to O(n·cap·d) and the split itself costs O(n·d) +
+    one per-cluster window sort — crucially NOT a secondary
+    nearest-seed assignment, whose members×seeds work is
+    O(Σ|cluster|²/cap·d) and merely re-buys the quadratic term on the
+    degenerate giant-cluster inputs the cap exists for.  Documented
+    approximation: pairs straddling a slice boundary are not compared
+    (including exact duplicates that land either side of a cut — run
+    hash dedup upstream, as SemDeDup deployments do anyway).  ``None``
+    (default) keeps the exact within-cluster sweep — s06 uses the
+    default, so its results are unchanged.
     """
     from duckdb_graphar_spark.operators.similarity import dot, norm
 
@@ -305,57 +306,49 @@ def semdedup(
             raise ValueError("max_cluster_size must be >= 1")
         from pyspark.sql import Window
 
-        nsub = (
-            e.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("__sz"))
-            .select(
-                "cluster",
-                F.ceil(F.col("__sz") / F.lit(max_cluster_size))
-                .cast("int")
-                .alias("__nsub"),
-            )
-        )
-        # one row per coarse cluster: broadcastable by construction
-        seeded = e.join(F.broadcast(nsub), "cluster")
-        wr = Window.partitionBy("cluster").orderBy(id_col)
-        seeds = (
-            seeded.withColumn("__rn", F.row_number().over(wr))
-            .filter(F.col("__rn") <= F.col("__nsub"))
-            .select(
-                F.col("cluster").alias("__sc"),
-                F.col("__rn").alias("__seed"),
-                F.col(vec_col).alias("__sv"),
-            )
-        )
-        # secondary assignment: nearest seed within the cluster (squared
-        # euclidean, ties to the lowest seed index).  DECIMAL(38,18)
-        # accumulation — the kmeans_assign discipline — makes the sum
-        # order-independent and the argmin engine-deterministic, so a
-        # SQL oracle can verify the capped path bit-for-bit.
-        cand = seeded.join(seeds, F.col("cluster") == F.col("__sc"))
-        d2 = F.aggregate(
+        # PROJECTION-SLICE split, O(n·d): rank each cluster's members
+        # along ONE deterministic direction (integer weights
+        # w_j = (j·2654435761 mod 97) − 48, accumulated as DECIMAL so
+        # the order — and therefore the slicing — is engine-exact) and
+        # cut contiguous slices of exactly ≤ cap.  Similar vectors
+        # project closely (1-D random-hyperplane locality), so slices
+        # approximate semantic sub-clusters at a LINEAR cost — unlike a
+        # secondary nearest-seed k-means, whose members×seeds work is
+        # O(Σ|cluster|²/cap·d): on the degenerate giant-cluster inputs
+        # this cap exists for, that merely re-buys the quadratic term.
+        # Documented approximation: pairs straddling a slice boundary
+        # are not compared (including an exact duplicate unlucky enough
+        # to land either side of a cut — run hash dedup (t04/d05)
+        # upstream, as every SemDeDup deployment does anyway).  A
+        # degenerate cluster's sort is one window task; at 100 TB slice
+        # the coarse k up first (this dial bounds memory, not sort).
+        proj = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.col("__sv"),
-                lambda x, s: (
-                    (x.cast("double") - s.cast("double"))
-                    * (x.cast("double") - s.cast("double"))
-                ).cast("decimal(38,18)"),
+                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                lambda x, j: (
+                    x.cast("double")
+                    * (
+                        F.pmod(j.cast("bigint") * F.lit(2654435761), F.lit(97))
+                        - 48
+                    ).cast("double")
+                ).cast("decimal(38,12)"),
             ),
-            F.lit(0).cast("decimal(38,18)"),
-            lambda acc, v: (acc + v).cast("decimal(38,18)"),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda acc, v: (acc + v).cast("decimal(38,12)"),
         )
-        sub = (
-            cand.groupBy(id_col)
-            .agg(
-                F.min(F.struct(d2.alias("d"), F.col("__seed").alias("s")))[
-                    "s"
-                ].alias("__sub")
+        wr = Window.partitionBy("cluster").orderBy("__proj", id_col)
+        e = (
+            e.withColumn("__proj", proj)
+            .withColumn(
+                "__sub",
+                F.floor(
+                    (F.row_number().over(wr) - 1) / F.lit(max_cluster_size)
+                ).cast("long"),
             )
+            .drop("__proj")
+            .localCheckpoint(eager=False)
         )
-        # pin the (id, sub) assignment too: the pair join's two sides
-        # would otherwise each re-run the n×nsub secondary sweep
-        e = e.join(sub, id_col).localCheckpoint(eager=False)
     else:
         e = e.withColumn("__sub", F.lit(1))
     a = e.select(

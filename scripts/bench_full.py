@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Full-registry latency sweep: time EVERY registry entry once (reps=1,
+one untimed warm rep) at an sf dir — the safety net that catches
+pathological latencies hiding outside bench.py's headline list (e.g. a
+state-equivalence double-join or a double-BFS that quietly went
+quadratic).  Streaming entries run their real micro-batch pipelines
+inside the call, so they are timed like everything else.
+
+Usage: python scripts/bench_full.py [SF_DIR] [> BENCH_full.json]
+Prints one JSON line: {"sf_dir": ..., "n": N, "total_sec": T,
+"queries": {name: sec}, "slowest": [[name, sec] x 10]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import __spark_entry__ as E
+    from duckdb_graphar_spark.session import get_spark
+
+    spark = get_spark("bench-full")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    # pre-build shared GraphAr layouts so ga* rows time reads, not writes
+    E._orders_graphar(spark, sf_dir)
+    E._multi_edge_graphar(spark, sf_dir)
+
+    results: dict[str, float] = {}
+    for name in qs:
+        print(f"[bench-full] {name}", file=sys.stderr, flush=True)
+        try:
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            results[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # a sweep must report, not die
+            print(f"[bench-full] {name} FAILED: {ex}", file=sys.stderr, flush=True)
+            results[name] = -1.0
+    ok = {k: v for k, v in results.items() if v >= 0}
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n": len(results),
+                "failed": sorted(k for k, v in results.items() if v < 0),
+                "total_sec": round(sum(ok.values()), 3),
+                "queries": results,
+                "slowest": sorted(ok.items(), key=lambda kv: -kv[1])[:10],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -175,10 +175,14 @@ def test_matryoshka_recall_rejects_bad_dim(spark):
 
 
 def test_semdedup_max_cluster_size_splits_and_keeps_exact_dups(spark):
-    """The capped variant: (1) default None is unchanged; (2) capped
-    output is a subset of the uncapped output; (3) exact duplicates are
-    ALWAYS retained (identical vectors have identical seed distances,
-    so they co-locate in the same sub-cluster)."""
+    """The capped variant (projection-slice split): (1) default None is
+    unchanged; (2) capped output is a subset of the uncapped output;
+    (3) exact duplicates share a projection value, so they sit adjacent
+    in the (proj, id) slice order and co-locate unless a cut lands
+    between them — in this fixture (12 members, cap 4, cuts at ranks
+    4|5 and 8|9, dup pairs at ranks 1-2/3-4/…/11-12) every pair lands
+    inside a slice, deterministically.  The general boundary-loss
+    approximation is the operator's documented contract."""
     from duckdb_graphar_spark.operators.embeddings import semdedup
 
     # one coarse cluster around (1,0), 12 members: 6 pairs of exact
