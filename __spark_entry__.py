@@ -4927,6 +4927,55 @@ def g23(spark, sf):
 
 
 @_q(
+    "g24_scc",
+    # ORACLE: ground truth by definition — the full transitive closure
+    # (recursive CTE, feasible at fixture scale), mutual = reach both
+    # ways, label(v) = min({v} ∪ {m : v↔m}).  The Spark side never
+    # materializes a closure; matching it vertex-for-vertex proves the
+    # FW-BW peeling exact.
+    f"""
+    WITH RECURSIVE raw AS ({_E_SQL}),
+    e AS (SELECT DISTINCT src AS u, dst AS w FROM raw WHERE src <> dst),
+    reach(u, w) AS (
+      SELECT u, w FROM e
+      UNION
+      SELECT r.u, e.w FROM reach r JOIN e ON e.u = r.w
+    ),
+    mutual AS (
+      SELECT r1.u AS v, r1.w AS m
+      FROM reach r1 JOIN reach r2 ON r1.u = r2.w AND r1.w = r2.u
+    ),
+    verts AS (
+      -- explicit outer DISTINCT: inside WITH RECURSIVE, DuckDB does not
+      -- deduplicate this chained UNION (150 distinct arrived as 157)
+      SELECT DISTINCT v FROM (
+        SELECT u AS v FROM e
+        UNION ALL SELECT w FROM e
+        UNION ALL SELECT src FROM raw WHERE src = dst
+      )
+    )
+    SELECT verts.v,
+           CAST(LEAST(verts.v, COALESCE(mm.mn, verts.v)) AS BIGINT) AS label
+    FROM verts LEFT JOIN (SELECT v, MIN(m) AS mn FROM mutual GROUP BY v) mm
+      ON verts.v = mm.v
+    """,
+)
+def g24(spark, sf):
+    """Strongly connected components of the DIRECTED order graph —
+    the directed sibling of g11's union-find CC and the classic graph-
+    engine primitive the undirected operators can't express: FW-BW
+    coloring (per peel round, forward + backward min-label fixpoints;
+    F(v)=B(v)=r ⟺ v mutually reaches r, so the matches form exactly
+    SCC(r); peel and repeat).  EXACT — raises rather than returning a
+    partial partition.  No closure materialization anywhere: every step
+    is (v, label) joins + min-aggregates, O(|E|) shuffle per pass
+    (`operators/graph.py:scc`)."""
+    from duckdb_graphar_spark.operators.graph import scc
+
+    return scc(_edges(spark, sf), src_col="src", dst_col="dst")
+
+
+@_q(
     "t26_heavy_hitters",
     # ORACLE: exact token frequencies with the integer threshold
     # freq*k > n.  The operator's Misra-Gries candidate phase is a
@@ -6052,6 +6101,50 @@ def m14(spark, sf):
     )
 
     return png_palette_stats(encode_text_palette_png(_t(spark, sf, "documents")))
+
+
+@_q(
+    "m15_stereo_wav",
+    # ORACLE: never sees the WAV bytes — left replays the m13 waveform
+    # ((byte i − 80)·256), right replays (byte (2i mod L) − 80)·256;
+    # per-channel integer energy and peak, so a channel interleave or
+    # de-interleave mixup flips exactly one column pair.
+    """
+    WITH x AS (
+      SELECT doc_id, length(text) AS L,
+             [(unicode(text[i]) - 80) * 256
+              FOR i IN generate_series(1, length(text))] AS sl,
+             [(unicode(text[CAST((2 * (i - 1)) % length(text) AS INTEGER) + 1])
+               - 80) * 256
+              FOR i IN generate_series(1, length(text))] AS sr
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(L AS BIGINT) AS n_frames,
+           CAST(list_sum([CAST(v * v AS BIGINT) FOR v IN sl]) AS BIGINT)
+             AS energy_l,
+           CAST(list_sum([CAST(v * v AS BIGINT) FOR v IN sr]) AS BIGINT)
+             AS energy_r,
+           CAST(list_max([abs(v) FOR v IN sl]) AS BIGINT) AS peak_l,
+           CAST(list_max([abs(v) FOR v IN sr]) AS BIGINT) AS peak_r
+    FROM x
+    """,
+)
+def m15(spark, sf):
+    """STEREO WAV modality (the last WAV scope residual): per-document
+    2-channel RIFF/WAVE with DIFFERENT waveforms per channel, written
+    frame-interleaved (the spec's L R order) and decoded back through
+    the general RIFF walk with de-interleaving — per-channel exact
+    integer energy/peak.  Two Arrow-batched mapInPandas stages, no
+    shuffle (`operators/multimodal.py:encode_wav/decode_wav`, now
+    mono+stereo)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_stereo_wav,
+        stereo_wav_stats,
+    )
+
+    return stereo_wav_stats(encode_text_stereo_wav(_t(spark, sf, "documents")))
 
 
 @_q(
@@ -7557,7 +7650,7 @@ _PRIORITY = [
     # --- rounds of driver drift is the agreed ceiling), and fills to 50
     # --- with round-2-stale regression re-checks spread across surfaces.
     # --- round-6 new operators ---
-    "s16", "m14", "ga19",
+    "s16", "m14", "ga19", "g24", "m15",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

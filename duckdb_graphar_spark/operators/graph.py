@@ -1165,6 +1165,120 @@ def ktruss(
     )
 
 
+def _min_label_fixpoint(
+    edges: DataFrame,
+    labels: DataFrame,
+    *,
+    max_iters: int,
+) -> DataFrame:
+    """Directed min-label propagation to FIXPOINT: lab(v) ← min(lab(v),
+    min lab(w) over edges v→w), iterated until a full pass changes no
+    label — so lab(v) converges to min(id(u) : u reachable FROM v,
+    including v).  ``edges`` is (u, w); ``labels`` is (v, lab) seeding
+    lab(v)=v.  One join + one groupBy per round, lineage cut by
+    localCheckpoint; convergence detected by a per-round changed-count
+    aggregate (O(1) driver state).  Raises RuntimeError if ``max_iters``
+    passes don't converge — the caller gets exact results or an error,
+    never a silently-partial closure (the kcore(until_stable)
+    discipline)."""
+    lab = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        succ = edges.join(
+            lab.select(F.col("v").alias("__w"), F.col("lab").alias("__wl")),
+            edges["w"] == F.col("__w"),
+        ).select(F.col("u").alias("v"), F.col("__wl").alias("__cand"))
+        pulled = (
+            lab.join(succ.groupBy("v").agg(F.min("__cand").alias("__m")), "v", "left")
+            .select(
+                "v",
+                F.least(F.col("lab"), F.coalesce("__m", F.col("lab"))).alias("__new"),
+                F.col("lab"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = pulled.filter(F.col("__new") < F.col("lab")).count()
+        lab = pulled.select("v", F.col("__new").alias("lab")).localCheckpoint(
+            eager=True
+        )
+        if changed == 0:
+            return lab
+    raise RuntimeError(
+        f"_min_label_fixpoint: no fixpoint within {max_iters} rounds "
+        "(raise max_iters; propagation needs O(longest shortest path) passes)"
+    )
+
+
+def scc(
+    edges: DataFrame,
+    *,
+    max_rounds: int = 10,
+    max_iters: int = 30,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED graph → (v, label),
+    label = the smallest vertex id in v's SCC.  EXACT — returns only at
+    full convergence, else raises (no silently-approximate partition).
+
+    The FW-BW coloring scheme, set-free: per peel round compute
+    F(v) = min id reachable FROM v (forward min-label fixpoint) and
+    B(v) = min id that REACHES v (the same fixpoint on reversed edges).
+    F(v)=B(v)=r means v→r and r→v, so all such v are mutually reachable
+    THROUGH r — exactly SCC(r).  Assign them, peel them out, repeat on
+    the remainder (whose F/B minima were polluted by the peeled
+    vertices).  Random/fixture graphs peel in 1–2 rounds (one giant SCC
+    + trivial ones); ``max_rounds`` bounds adversarial chains.
+
+    Scale shape: every step is joins + min-aggregates over (v, lab)
+    pairs — no closure materialization, no driver state beyond loop
+    counters and O(1) convergence aggregates; each fixpoint pass costs
+    O(|E|) shuffle like one connected-components round."""
+    s, d = F.col(src_col), F.col(dst_col)
+    e = edges.select(s.alias("u"), d.alias("w")).filter(F.col("u") != F.col("w")).distinct()
+    verts = (
+        e.select(F.col("u").alias("v"))
+        .unionAll(e.select(F.col("w").alias("v")))
+        .distinct()
+    )
+    # self-loop-only vertices are their own SCCs; they're in verts via
+    # the pre-filter union below
+    loops = (
+        edges.filter(s == d).select(s.alias("v")).distinct()
+    )
+    verts = verts.unionAll(loops).distinct().localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    assigned = spark.createDataFrame([], "v long, label long")
+    for _ in range(max_rounds):
+        if verts.limit(1).count() == 0:
+            return assigned
+        seed = verts.select("v", F.col("v").alias("lab"))
+        fwd = _min_label_fixpoint(e, seed, max_iters=max_iters)
+        rev = e.select(F.col("w").alias("u"), F.col("u").alias("w"))
+        bwd = _min_label_fixpoint(rev, seed, max_iters=max_iters)
+        done = (
+            fwd.join(bwd.select(F.col("v").alias("__v"), F.col("lab").alias("__b")),
+                     fwd["v"] == F.col("__v"))
+            .filter(F.col("lab") == F.col("__b"))
+            .select("v", F.col("lab").cast("long").alias("label"))
+        ).localCheckpoint(eager=True)
+        assigned = assigned.unionAll(done).localCheckpoint(eager=True)
+        verts = verts.join(done.select("v"), "v", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(done.select(F.col("v").alias("u")), "u", "left_anti")
+            .join(done.select(F.col("v").alias("w")), "w", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if verts.limit(1).count() == 0:
+        return assigned
+    raise RuntimeError(
+        f"scc: {verts.count()} vertices unassigned after {max_rounds} peel "
+        "rounds (raise max_rounds; adversarial SCC-chain graphs peel one "
+        "condensation level per round)"
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     src_vid: int,

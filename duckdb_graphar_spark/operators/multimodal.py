@@ -2146,12 +2146,22 @@ def encode_text_pcm(
 
 
 def encode_wav(samples: np.ndarray, *, sample_rate: int = 8000) -> bytes:
-    """Write a real RIFF/WAVE file around little-endian int16 mono PCM:
-    canonical 'fmt ' chunk (PCM format 1, block align 2, byte rate
-    rate·2) + 'data' chunk, word-aligned — the container every audio
-    pipeline actually reads."""
-    data = samples.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    """Write a real RIFF/WAVE file around little-endian int16 PCM:
+    canonical 'fmt ' chunk (PCM format 1, block align 2·ch, byte rate
+    rate·2·ch) + 'data' chunk, word-aligned — the container every audio
+    pipeline actually reads.  ``samples`` 1-D = mono; (n, 2) = stereo
+    (frames interleaved L R L R …, the spec's channel order)."""
+    if samples.ndim == 1:
+        nch = 1
+        data = samples.astype("<i2").tobytes()
+    elif samples.ndim == 2 and samples.shape[1] == 2:
+        nch = 2
+        data = samples.astype("<i2").tobytes()  # C-order rows == interleaved
+    else:
+        raise ValueError("samples must be 1-D (mono) or (n, 2) (stereo)")
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * 2 * nch, 2 * nch, 16
+    )
     body = (
         b"WAVE"
         + _riff_chunk(b"fmt ", fmt)
@@ -2163,9 +2173,10 @@ def encode_wav(samples: np.ndarray, *, sample_rate: int = 8000) -> bytes:
 def decode_wav(payload: bytes) -> dict:
     """Parse a RIFF/WAVE file with a GENERAL chunk walk (fourcc + size
     + word alignment — unknown chunks are skipped, not assumed away):
-    validates the fmt chunk is 16-bit mono PCM, returns
-    {sample_rate, samples (int32 numpy)}.  Raises ValueError on
-    structural corruption, NotImplementedError on non-PCM/stereo."""
+    validates the fmt chunk is 16-bit mono OR stereo PCM, returns
+    {sample_rate, n_channels, samples} — samples int32, 1-D for mono,
+    (frames, 2) de-interleaved for stereo.  Raises ValueError on
+    structural corruption, NotImplementedError on non-PCM/>2-channel."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF WAVE")
     total = struct.unpack("<I", payload[4:8])[0]
@@ -2174,6 +2185,7 @@ def decode_wav(payload: bytes) -> dict:
     pos, end = 12, 8 + total
     rate = None
     data = None
+    channels = None
     while pos + 8 <= end:
         fourcc = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
@@ -2188,19 +2200,26 @@ def decode_wav(payload: bytes) -> dict:
             )
             if afmt != 1 or bits != 16:
                 raise NotImplementedError("only 16-bit PCM WAV")
-            if nch != 1:
-                raise NotImplementedError("only mono WAV")
+            if nch not in (1, 2):
+                raise NotImplementedError("only mono/stereo WAV")
+            channels = nch
         elif fourcc == b"data":
             if size % 2:
                 raise ValueError("odd data chunk for 16-bit samples")
             data = payload[start : start + size]
         pos = start + size + (size % 2)
-    if rate is None or data is None:
+    if rate is None or data is None or channels is None:
         raise ValueError("missing fmt /data chunk")
-    return {
-        "sample_rate": int(rate),
-        "samples": np.frombuffer(data, dtype="<i2").astype(np.int32),
-    }
+    flat = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    if channels == 2:
+        if flat.size % 2:
+            raise ValueError("stereo data chunk with an odd sample count")
+        return {
+            "sample_rate": int(rate),
+            "n_channels": 2,
+            "samples": flat.reshape(-1, 2),
+        }
+    return {"sample_rate": int(rate), "n_channels": 1, "samples": flat}
 
 
 def encode_text_wav(
@@ -2231,6 +2250,90 @@ def encode_text_wav(
             ]
         ),
     )
+
+
+def encode_text_stereo_wav(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL STEREO WAV: L frames; left
+    channel sample i = (byte i − 80)·256 (the m06/m13 waveform), right
+    channel sample i = (byte (2i mod L) − 80)·256 — different
+    derivations per channel, so any interleave/de-interleave mixup
+    breaks exactly one channel's oracle."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                n = len(tb)
+                left = (tb.astype(np.int32) - 80) * 256
+                right = (tb[(2 * np.arange(n)) % n].astype(np.int32) - 80) * 256
+                payloads.append(encode_wav(np.stack([left, right], axis=1)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+STEREO_WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("energy_l", T.LongType(), False),
+        T.StructField("energy_r", T.LongType(), False),
+        T.StructField("peak_l", T.LongType(), False),
+        T.StructField("peak_r", T.LongType(), False),
+    ]
+)
+
+
+def stereo_wav_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel audio features from REAL stereo-WAV-decoded frames
+    (:func:`decode_wav` de-interleaves): integer energy and peak per
+    channel — exact oracle, a channel-order bug flips the columns.
+    Arrow-batched mapInPandas projection, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "sample_rate", "n_frames",
+                    "energy_l", "energy_r", "peak_l", "peak_r",
+                )
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_wav(bytes(payload))
+                if d["n_channels"] != 2:
+                    raise ValueError("stereo_wav_stats needs a 2-channel WAV")
+                ch = d["samples"].astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["sample_rate"].append(int(d["sample_rate"]))
+                out["n_frames"].append(int(ch.shape[0]))
+                out["energy_l"].append(int((ch[:, 0] ** 2).sum()))
+                out["energy_r"].append(int((ch[:, 1] ** 2).sum()))
+                out["peak_l"].append(int(np.abs(ch[:, 0]).max(initial=0)))
+                out["peak_r"].append(int(np.abs(ch[:, 1]).max(initial=0)))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, STEREO_WAV_STATS_SCHEMA)
 
 
 WAV_STATS_SCHEMA = T.StructType(

@@ -462,3 +462,40 @@ def test_ktruss_oriented_matches_uniform_support(spark):
         for r in ktruss(df, 3, n_iters=2, src_col="src", dst_col="dst").collect()
     )
     assert got == [(a, b, 2) for a, b in k4]
+
+
+def test_scc_textbook_shapes(spark):
+    """Two 3-cycles bridged by a one-way edge (distinct SCCs), a DAG
+    chain (all singletons), a self-loop vertex, and mutual reachability
+    that must NOT leak across the bridge."""
+    from duckdb_graphar_spark.operators.graph import scc
+
+    pairs = [
+        # SCC A: 0->1->2->0 ; SCC B: 10->11->12->10 ; bridge A->B
+        (0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10),
+        # DAG chain: 20->21->22
+        (20, 21), (21, 22),
+        # self-loop singleton
+        (30, 30),
+    ]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.v: r.label for r in scc(df, src_col="src", dst_col="dst").collect()}
+    assert got == {
+        0: 0, 1: 0, 2: 0,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 21, 22: 22,
+        30: 30,
+    }
+
+
+def test_scc_peel_rounds_exhausted_raises(spark):
+    """A condensation chain longer than max_rounds must raise, never
+    return a partial partition."""
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.graph import scc
+
+    chain = [(i, i + 1) for i in range(5)]  # 6-vertex DAG chain
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with _pt.raises(RuntimeError, match="unassigned"):
+        scc(df, max_rounds=2, src_col="src", dst_col="dst")

@@ -875,12 +875,13 @@ def test_wav_roundtrip_and_malformed():
         decode_wav(b"RIFFxxxxAVI " + b"\0" * 16)
     with _pt.raises(ValueError, match="exceeds"):
         decode_wav(wav[:4] + struct.pack("<I", 10**6) + wav[8:])
-    # stereo rejected
+    # stereo now DECODES (scope residual closed in round 6): one frame
+    # per two int16 words, de-interleaved
     body2 = b"WAVE" + _riff_chunk(
         b"fmt ", struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
-    ) + _riff_chunk(b"data", b"\0\0\0\0")
-    with _pt.raises(NotImplementedError, match="mono"):
-        decode_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+    ) + _riff_chunk(b"data", b"\x01\0\x02\0")
+    d2 = decode_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+    assert d2["n_channels"] == 2 and d2["samples"].tolist() == [[1, 2]]
 
 
 def test_sample_frames_riff_wave_takes_raw_windower(spark):
@@ -1096,3 +1097,32 @@ if _HYP:
         d = decode_png_palette(encode_palette_png(idx, pal))
         assert d["palette_size"] == p
         assert np.array_equal(d["pixels"].reshape(h, w, 3), pal[idx])
+
+
+def test_stereo_wav_roundtrip_and_guards():
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    st = rng.integers(-32768, 32768, size=(7, 2)).astype(np.int32)
+    d = decode_wav(encode_wav(st, sample_rate=44100))
+    assert d["sample_rate"] == 44100 and d["n_channels"] == 2
+    assert np.array_equal(d["samples"], st)
+    # mono path unchanged
+    mono = rng.integers(-32768, 32768, size=9).astype(np.int32)
+    dm = decode_wav(encode_wav(mono))
+    assert dm["n_channels"] == 1 and np.array_equal(dm["samples"], mono)
+    # 3-channel fmt is a scope guard
+    import struct
+
+    from duckdb_graphar_spark.operators.multimodal import _riff_chunk
+
+    fmt = struct.pack("<HHIIHH", 1, 3, 8000, 8000 * 6, 6, 16)
+    body = b"WAVE" + _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"data", b"\x00" * 6)
+    with _pt.raises(NotImplementedError, match="mono/stereo"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # bad-shape encoder input
+    with _pt.raises(ValueError, match="stereo"):
+        encode_wav(np.zeros((4, 3), np.int32))
