@@ -5822,6 +5822,45 @@ def m09(spark, sf):
 
 
 @_q(
+    "m16_interlaced_png",
+    # ORACLE: identical to m09's — Adam7 changes the WIRE layout, not
+    # the pixels, so the same lossless per-pixel prediction verifies
+    # the seven-pass reassembly (any pass-grid offset/stride/scatter
+    # bug redistributes pixels and breaks mean/min/max per doc).
+    """
+    WITH g AS (SELECT doc_id, length(text) AS L,
+                      1 + length(text) % 24 AS w, 1 + doc_id % 10 AS h, text
+               FROM documents),
+    b AS (SELECT doc_id, w, h,
+                 unicode(text[CAST(j % L AS INTEGER) + 1]) AS v
+          FROM g, UNNEST(generate_series(0, CAST(w * h AS BIGINT) - 1)) AS t(j))
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           ROUND(CAST(SUM(v) AS DOUBLE) / (w * h), 6) AS mean_gray,
+           CAST(MIN(v) AS BIGINT) AS min_gray, CAST(MAX(v) AS BIGINT) AS max_gray
+    FROM b GROUP BY doc_id, w, h
+    """,
+)
+def m16(spark, sf):
+    """ADAM7 INTERLACED PNG (the progressive-rendering wire layout —
+    the last PNG scope residual after palette): each document written
+    as seven pass-ordered independently-Sub-filtered sub-images
+    (`encode_gray_png(interlace=True)`) and reassembled by the general
+    decoder's pass-grid scatter (`_png_reconstruct_interlaced` —
+    offsets/strides per the spec's 8×8 pattern, empty passes skipped).
+    Same pixels as m09, different wire layout: the shared oracle pins
+    the reassembly.  Two Arrow-batched mapInPandas stages, no
+    shuffle."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_png,
+        png_gray_stats,
+    )
+
+    return png_gray_stats(
+        encode_text_png(_t(spark, sf, "documents"), interlace=True)
+    )
+
+
+@_q(
     "m10_color_jpeg",
     # ORACLE: never sees the JPEG bytes — the fixture image is wm×hm
     # FLAT 16×16 MCUs (MCU m's RGB = text bytes m, 2m+1, 3m+2 mod L),
@@ -7650,7 +7689,7 @@ _PRIORITY = [
     # --- rounds of driver drift is the agreed ceiling), and fills to 50
     # --- with round-2-stale regression re-checks spread across surfaces.
     # --- round-6 new operators ---
-    "s16", "m14", "ga19", "g24", "m15",
+    "s16", "m14", "ga19", "g24", "m15", "m16",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

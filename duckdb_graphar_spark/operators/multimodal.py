@@ -1373,24 +1373,86 @@ def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_gray_png(pixels: np.ndarray) -> bytes:
+# Adam7 interlace pass grid: (x_offset, y_offset, x_stride, y_stride),
+# spec order — each pass is an independently-filtered sub-image
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _filter_sub_rows(rows: np.ndarray, bpp: int) -> bytes:
+    """Sub-filter (type 1) a (rows, width·bpp) uint8 block — the spec's
+    left reference is ``bpp`` bytes back — returning filter-byte-prefixed
+    scanlines."""
+    out = bytearray()
+    for y in range(rows.shape[0]):
+        row = rows[y].astype(np.int16)
+        sub = np.empty(row.shape[0], dtype=np.uint8)
+        sub[:bpp] = (row[:bpp] % 256).astype(np.uint8)
+        if row.shape[0] > bpp:
+            sub[bpp:] = ((row[bpp:] - row[:-bpp]) % 256).astype(np.uint8)
+        out.append(1)
+        out += sub.tobytes()
+    return bytes(out)
+
+
+def _interlace_passes(flat: np.ndarray, w: int, h: int, bpp: int) -> bytes:
+    """Serialize an (h, w·bpp) image as Adam7 pass-ordered Sub-filtered
+    scanlines (the raw stream an interlaced IDAT inflates to)."""
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        xs = x0 + dx * np.arange(pw)
+        cols = (xs[:, None] * bpp + np.arange(bpp)).reshape(-1)
+        sub = flat[y0::dy][:, cols]
+        raw += _filter_sub_rows(sub, bpp)
+    return bytes(raw)
+
+
+def _png_reconstruct_interlaced(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Adam7 reconstruction: seven independently-filtered sub-images
+    consumed sequentially from the inflated stream, each unfiltered by
+    the ordinary five-type pass (:func:`_png_reconstruct`) and scattered
+    onto its (offset, stride) grid.  Returns (h, w·bpp) uint8."""
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        need = ph * (pw * bpp + 1)
+        if pos + need > len(raw):
+            raise ValueError("interlaced stream shorter than the pass grid")
+        sub = _png_reconstruct(raw[pos : pos + need], pw, ph, bpp)
+        pos += need
+        ys = y0 + dy * np.arange(ph)
+        xs = x0 + dx * np.arange(pw)
+        for c in range(bpp):
+            out[np.ix_(ys, xs * bpp + c)] = sub[:, c::bpp]
+    if pos != len(raw):
+        raise ValueError(f"interlaced stream has {len(raw) - pos} trailing bytes")
+    return out
+
+
+def encode_gray_png(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
     """Write a real 8-bit grayscale PNG: IHDR, one zlib-compressed IDAT
     whose scanlines use filter type 1 (Sub) — deliberately NOT the
     trivial filter 0, so the decoder's filter reconstruction is
-    actually exercised — and IEND, all CRC-stamped."""
+    actually exercised — and IEND, all CRC-stamped.  ``interlace=True``
+    writes Adam7 pass-ordered scanlines (interlace method 1)."""
     import zlib as _zlib
 
     h, w = pixels.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
-    raw = bytearray()
-    for y in range(h):
-        row = pixels[y].astype(np.int16)
-        sub = np.empty(w, dtype=np.uint8)
-        sub[0] = row[0] % 256
-        if w > 1:
-            sub[1:] = ((row[1:] - row[:-1]) % 256).astype(np.uint8)
-        raw.append(1)  # filter type: Sub
-        raw += sub.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlace else 0)
+    if interlace:
+        raw = _interlace_passes(pixels.reshape(h, w), w, h, 1)
+    else:
+        raw = _filter_sub_rows(pixels.reshape(h, w), 1)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -1403,9 +1465,10 @@ def decode_png_gray(payload: bytes) -> dict:
     """Decode an 8-bit grayscale PNG with a GENERAL pipeline: signature
     + chunk walk with CRC verification, multi-IDAT concatenation, zlib
     inflate, and full scanline filter reconstruction (all five filter
-    types: None/Sub/Up/Average/Paeth) — nothing assumes this module's
-    encoder.  Returns {width, height, pixels}.  Raises ValueError on
-    corruption, NotImplementedError on color/interlaced/16-bit."""
+    types: None/Sub/Up/Average/Paeth), with Adam7 interlaced streams
+    reassembled pass-by-pass — nothing assumes this module's encoder.
+    Returns {width, height, pixels}.  Raises ValueError on corruption,
+    NotImplementedError on color/16-bit."""
     import zlib as _zlib
 
     if payload[:8] != _PNG_SIG:
@@ -1433,8 +1496,8 @@ def decode_png_gray(payload: bytes) -> dict:
                 raise ValueError("malformed IHDR chunk")
             if depth != 8 or color != 0:
                 raise NotImplementedError("only 8-bit grayscale PNG")
-            if interlace:
-                raise NotImplementedError("interlaced PNG")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -1446,7 +1509,8 @@ def decode_png_gray(payload: bytes) -> dict:
         raw = _zlib.decompress(bytes(idat))
     except _zlib.error as ex:
         raise ValueError(f"corrupt IDAT stream: {ex}")
-    out = _png_reconstruct(raw, w, h, 1)
+    recon = _png_reconstruct_interlaced if interlace else _png_reconstruct
+    out = recon(raw, w, h, 1)
     return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
 
 
@@ -1496,26 +1560,23 @@ def _png_reconstruct(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     return out
 
 
-def encode_rgb_png(pixels: np.ndarray) -> bytes:
+def encode_rgb_png(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
     """Write a real 8-bit TRUECOLOR PNG (color type 2) from an
     (h, w, 3) uint8 RGB array: Sub-filtered scanlines with the
-    spec's bpp=3 left reference, one zlib IDAT, CRC-stamped chunks."""
+    spec's bpp=3 left reference, one zlib IDAT, CRC-stamped chunks.
+    ``interlace=True`` writes Adam7 pass-ordered scanlines."""
     import zlib as _zlib
 
     h, w, c = pixels.shape
     if c != 3:
         raise ValueError("encode_rgb_png expects (h, w, 3) RGB")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
-    raw = bytearray()
-    flat = pixels.reshape(h, w * 3).astype(np.int16)
-    for y in range(h):
-        row = flat[y]
-        sub = np.empty(w * 3, dtype=np.uint8)
-        sub[:3] = (row[:3] % 256).astype(np.uint8)
-        if w > 1:
-            sub[3:] = ((row[3:] - row[:-3]) % 256).astype(np.uint8)
-        raw.append(1)  # filter type: Sub
-        raw += sub.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    flat = pixels.reshape(h, w * 3)
+    raw = (
+        _interlace_passes(flat, w, h, 3)
+        if interlace
+        else _filter_sub_rows(flat, 3)
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -1528,9 +1589,9 @@ def decode_png_rgb(payload: bytes) -> dict:
     """Decode an 8-bit truecolor (color type 2) PNG with the same
     GENERAL pipeline as :func:`decode_png_gray` — chunk walk with CRC
     verification, multi-IDAT inflate, all-five-filter reconstruction
-    at bpp=3.  Returns {width, height, pixels (h·w·3 uint8 RGB)}.
-    Raises ValueError on corruption, NotImplementedError on
-    non-truecolor/interlaced/16-bit."""
+    at bpp=3, Adam7 interlace reassembled pass-by-pass.  Returns
+    {width, height, pixels (h·w·3 uint8 RGB)}.  Raises ValueError on
+    corruption, NotImplementedError on non-truecolor/16-bit."""
     import zlib as _zlib
 
     if payload[:8] != _PNG_SIG:
@@ -1556,8 +1617,8 @@ def decode_png_rgb(payload: bytes) -> dict:
                 raise ValueError("malformed IHDR chunk")
             if depth != 8 or color != 2:
                 raise NotImplementedError("only 8-bit truecolor (type 2) PNG")
-            if interlace:
-                raise NotImplementedError("interlaced PNG")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -1569,7 +1630,8 @@ def decode_png_rgb(payload: bytes) -> dict:
         raw = _zlib.decompress(bytes(idat))
     except _zlib.error as ex:
         raise ValueError(f"corrupt IDAT stream: {ex}")
-    out = _png_reconstruct(raw, w, h, 3)
+    recon = _png_reconstruct_interlaced if interlace else _png_reconstruct
+    out = recon(raw, w, h, 3)
     return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
 
 
@@ -1610,11 +1672,12 @@ def decode_png_palette(payload: bytes) -> dict:
     """Decode an 8-bit indexed-color (type 3) PNG with the same GENERAL
     pipeline as :func:`decode_png_gray` — CRC chunk walk, multi-IDAT
     inflate, all-five-filter reconstruction at bpp=1 — plus the PLTE
-    lookup that maps index scanlines to RGB.  Returns {width, height,
-    palette_size, pixels (h·w·3 uint8 RGB)}.  Raises ValueError on
-    corruption (missing/ragged PLTE, index beyond the palette),
-    NotImplementedError on non-type-3/interlaced/16-bit and on tRNS
-    (palette alpha would be silently dropped otherwise)."""
+    lookup that maps index scanlines to RGB; Adam7 interlace is
+    reassembled pass-by-pass.  Returns {width, height, palette_size,
+    pixels (h·w·3 uint8 RGB)}.  Raises ValueError on corruption
+    (missing/ragged PLTE, index beyond the palette),
+    NotImplementedError on non-type-3/16-bit and on tRNS (palette
+    alpha would be silently dropped otherwise)."""
     import zlib as _zlib
 
     if payload[:8] != _PNG_SIG:
@@ -1641,8 +1704,8 @@ def decode_png_palette(payload: bytes) -> dict:
                 raise ValueError("malformed IHDR chunk")
             if depth != 8 or color != 3:
                 raise NotImplementedError("only 8-bit indexed (type 3) PNG")
-            if interlace:
-                raise NotImplementedError("interlaced PNG")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
         elif ctype == b"PLTE":
             if length == 0 or length % 3 != 0 or length > 256 * 3:
                 raise ValueError(f"invalid PLTE length {length}")
@@ -1663,7 +1726,8 @@ def decode_png_palette(payload: bytes) -> dict:
         raw = _zlib.decompress(bytes(idat))
     except _zlib.error as ex:
         raise ValueError(f"corrupt IDAT stream: {ex}")
-    idx = _png_reconstruct(raw, w, h, 1)
+    recon = _png_reconstruct_interlaced if interlace else _png_reconstruct
+    idx = recon(raw, w, h, 1)
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     if idx.max(initial=0) >= pal.shape[0]:
         raise ValueError("palette index beyond PLTE size")
@@ -1765,11 +1829,14 @@ def png_palette_stats(
 
 
 def encode_text_png(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    interlace: bool = False,
 ) -> DataFrame:
     """Render each document as a REAL grayscale PNG (lossless, so the
     oracle predicts every pixel): w = 1 + length mod 24,
-    h = 1 + id mod 10, pixel i (row-major) = text byte (i mod L)."""
+    h = 1 + id mod 10, pixel i (row-major) = text byte (i mod L).
+    ``interlace=True`` writes Adam7 streams — same pixels, different
+    wire layout, so the SAME oracle verifies the interlaced decode."""
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1780,7 +1847,7 @@ def encode_text_png(
                 w = 1 + (len(tb) % 24)
                 h = 1 + (int(did) % 10)
                 px = tb[np.arange(w * h) % len(tb)].reshape(h, w)
-                payloads.append(encode_gray_png(px))
+                payloads.append(encode_gray_png(px, interlace=interlace))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
