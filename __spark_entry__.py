@@ -4079,6 +4079,88 @@ def st13(spark, sf):
 
 
 @_q(
+    "st15_stream_full_join",
+    # ORACLE: the equivalent batch FULL join over the ORIGINAL events
+    # table; the key is COALESCE'd across sides.  Same 3-micro-batch
+    # nudge staging as st13 — unmatched rows on BOTH sides (a view with
+    # no purchase within 10min; a purchase no view precedes) only
+    # materialize at state eviction, and the two sides evict on
+    # different watermark horizons (a_ts + within vs b_ts).
+    """
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           a.event_id AS a_id, b.event_id AS b_id,
+           CAST(a.ts AS TIMESTAMP) AS a_ts, CAST(b.ts AS TIMESTAMP) AS b_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) >= epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+    """,
+)
+def st15(spark, sf):
+    """Stream-stream FULL OUTER join — the last stream-join shape
+    (st07 inner, st13 left): null-padded unmatched rows from BOTH
+    sides, each side evicting on its own watermark horizon derived
+    from the range condition.  Same three-micro-batch staging as st13
+    (real events + two far-future nudges, one per event_type, so the
+    watermark provably passes both sides' horizons); append-mode
+    output equals the batch full join EXACTLY
+    (`streaming/ops.py:stream_stream_full_join`)."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_full_join,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st15_stream_")
+    try:
+        dst = os.path.join(stage, "events_000.parquet")
+        shutil.copyfile(f"{sf}/events.parquet", dst)
+        base = time.time() - 120
+        os.utime(dst, (base, base))
+        ev = _t(spark, sf, "events")
+        for i, days in enumerate((3650, 3660), start=1):
+            # one view + one purchase per nudge batch (impossible user),
+            # surviving both sides' event_type filters so the watermark
+            # node above each filter actually advances
+            one = ev.limit(1)
+            nudge = None
+            for j, ntype in enumerate(("view", "purchase")):
+                row = one.select(
+                    (F.lit(1_000_000_000) + F.lit(2 * i + j)).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    F.lit(ntype).alias("event_type"),
+                    F.col("value"),
+                    F.col("props"),
+                )
+                nudge = row if nudge is None else nudge.unionByName(row)
+            tmp = os.path.join(stage, f"__nudge{i}")
+            nudge.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        left = read_events_stream(spark, stage, max_files=1)
+        right = read_events_stream(spark, stage, max_files=1)
+        joined = stream_stream_full_join(left, right, within="10 minutes")
+        out = run_to_memory(joined, "st15_out", mode="append")
+        # drop nudge staging artifacts from EITHER side (absent from the
+        # oracle's events table); real rows keep ids < 1e9
+        return out.filter(
+            (F.col("a_id").isNull() | (F.col("a_id") < 1_000_000_000))
+            & (F.col("b_id").isNull() | (F.col("b_id") < 1_000_000_000))
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st14_streaming_ohlc",
     # ORACLE: q72's window formulation — epoch-aligned 1-hour tumbling
     # windows equal date_trunc('hour'); the completed stream's
@@ -7689,7 +7771,7 @@ _PRIORITY = [
     # --- rounds of driver drift is the agreed ceiling), and fills to 50
     # --- with round-2-stale regression re-checks spread across surfaces.
     # --- round-6 new operators ---
-    "s16", "m14", "ga19", "g24", "m15", "m16",
+    "s16", "m14", "ga19", "g24", "m15", "m16", "st15",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -155,6 +155,7 @@ ST_QUERIES = [
     "st12_stream_hll_distinct",
     "st13_stream_outer_join",
     "st14_streaming_ohlc",
+    "st15_stream_full_join",
 ]
 
 

@@ -595,6 +595,55 @@ def stream_stream_left_join(
     )
 
 
+def stream_stream_full_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    left_type: str = "view",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Stream-stream FULL OUTER join with an event-time range condition
+    — the last stream-join shape (inner st07, left-outer st13, full
+    here): unmatched rows from BOTH sides materialize as null-padded
+    results at state eviction.  The two sides have different eviction
+    horizons, both derived by Spark from the range condition: a left
+    row is provably unmatched once the watermark passes a_ts + within
+    (its match window closed), a right row once the watermark passes
+    b_ts (no future left row can reach back to it, since the condition
+    requires b_ts ≥ a_ts).  The output key is COALESCE'd across sides
+    so every row carries it.  In batch mode the same call degrades to
+    a plain full join — the oracle path."""
+    a = left.filter(F.col("event_type") == left_type).select(
+        F.col(on).alias("__on_a"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"),
+    )
+    b = right.filter(F.col("event_type") == right_type).select(
+        F.col(on).alias("__on_b"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"),
+    )
+    if left.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+    if right.isStreaming:
+        b = b.withWatermark("b_ts", watermark)
+    cond = (
+        (a["__on_a"] == b["__on_b"])
+        & (b["b_ts"] >= a["a_ts"])
+        & (b["b_ts"] <= a["a_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond, "fullOuter").select(
+        F.coalesce(F.col("__on_a"), F.col("__on_b")).alias(on),
+        "a_id",
+        "b_id",
+        "a_ts",
+        "b_ts",
+    )
+
+
 def streaming_ohlc(
     events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
