@@ -6225,6 +6225,56 @@ def m14(spark, sf):
 
 
 @_q(
+    "m17_gif_lzw",
+    # ORACLE: m14's palette formula verbatim — GIF is lossless indexed
+    # color, so the pixels equal the palette PNG's; only palette_size
+    # differs (GIF pads the global color table to the next power of
+    # two, a container fact the decoder truthfully reports).  Any LZW
+    # bit-packing / code-width / KwKwK bug scrambles the index stream
+    # and breaks all three channel sums.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 11 AS w,
+             1 + doc_id % 6 AS h,
+             2 + doc_id % 15 AS p, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h, p,
+             unicode(text[CAST(t.j % L AS INTEGER) + 1]) % p AS idx
+      FROM g, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN p <= 2 THEN 2 WHEN p <= 4 THEN 4
+                     WHEN p <= 8 THEN 8 ELSE 16 END AS BIGINT) AS palette_size,
+           CAST(SUM((37 * idx + 11) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((59 * idx + 23) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((83 * idx + 5) % 256) AS BIGINT) AS sum_b
+    FROM b GROUP BY doc_id, w, h, p
+    """,
+)
+def m17(spark, sf):
+    """GIF87a with REAL LZW (the classic dictionary compressor — the
+    one compression family the codec suite lacked after zlib/DCT):
+    variable-width codes, CLEAR resets at 4096, the KwKwK corner, and
+    the decoder-phantom-append width-growth tail corner all exercised;
+    container walk skips 89a extension blocks.  Same pixel content as
+    m14's palette PNG (deliberately — one oracle text, two containers,
+    two compressors), padded color table reported truthfully.  Two
+    Arrow-batched mapInPandas stages, no shuffle
+    (`operators/multimodal.py:encode_gif/decode_gif/_lzw_*`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_gif,
+        gif_stats,
+    )
+
+    return gif_stats(encode_text_gif(_t(spark, sf, "documents")))
+
+
+@_q(
     "m15_stereo_wav",
     # ORACLE: never sees the WAV bytes — left replays the m13 waveform
     # ((byte i − 80)·256), right replays (byte (2i mod L) − 80)·256;
@@ -7771,7 +7821,7 @@ _PRIORITY = [
     # --- rounds of driver drift is the agreed ceiling), and fills to 50
     # --- with round-2-stale regression re-checks spread across surfaces.
     # --- round-6 new operators ---
-    "s16", "m14", "ga19", "g24", "m15", "m16", "st15",
+    "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

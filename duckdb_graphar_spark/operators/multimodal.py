@@ -1740,6 +1740,308 @@ def decode_png_palette(payload: bytes) -> dict:
     }
 
 
+def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes starting at
+    min_code_size+1, CLEAR = 2^min, EOI = CLEAR+1, dictionary grows to
+    4096 then the encoder emits CLEAR and resets (the spec's deferred-
+    clear is legal but resetting keeps the decoder's growth path
+    exercised); LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    put(clear, width)
+    w = b""
+    for sym in indices.astype(np.uint8).tobytes():
+        k = w + bytes([sym])
+        if k in table:
+            w = k
+            continue
+        put(table[w], width)
+        if next_code < 4096:
+            table[k] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([sym])
+    if w:
+        put(table[w], width)
+        # the decoder performs a (phantom) table append for this final
+        # data code too — mirror its growth accounting or the EOI width
+        # desyncs exactly when that append crosses a 2^width boundary
+        if next_code < 4096:
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
+    """GIF-variant LZW decode: handles code-width growth, CLEAR resets,
+    and the KwKwK corner (a code one past the table referencing the
+    string being built).  Raises ValueError on out-of-range codes,
+    missing EOI, or symbol-count mismatch."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = get(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW first code {code} out of table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table {len(table)}")
+        out += entry
+        prev = entry
+        # width grows when the NEXT append would not fit (decoder is one
+        # entry behind the encoder's table)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) != n_expected:
+        raise ValueError(f"LZW decoded {len(out)} symbols, expected {n_expected}")
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Write a real GIF87a: logical screen descriptor with a global
+    color table (padded to the next power of two ≥ 2), one image
+    descriptor, REAL LZW-compressed index data in 255-byte sub-blocks,
+    trailer.  ``indices`` (h, w) uint8, ``palette`` (n, 3) uint8,
+    n ≤ 256."""
+    h, w = indices.shape
+    n = palette.shape[0]
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= n <= 256:
+        raise ValueError("palette must be (n, 3) with 1 <= n <= 256")
+    if indices.max(initial=0) >= n:
+        raise ValueError("palette index out of range")
+    bits = max(1, (max(n, 2) - 1).bit_length())  # color-table size field
+    padded = np.zeros((1 << bits, 3), dtype=np.uint8)
+    padded[:n] = palette.astype(np.uint8)
+    min_code = max(2, bits)  # spec: LZW min code size >= 2
+    lzw = _lzw_encode_gif(indices.reshape(-1), min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+        + padded.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode a GIF87a/89a still image with a GENERAL walk: header +
+    logical screen descriptor, global color table, extension blocks
+    SKIPPED by their sub-block lengths (89a graphic-control etc.), the
+    first image descriptor's LZW data de-blocked and decoded (variable
+    code widths, CLEAR resets, KwKwK).  Returns {width, height,
+    palette_size, pixels (h·w·3 uint8 RGB)}.  Raises ValueError on
+    corruption, NotImplementedError on interlaced images or local
+    color tables."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        if pos + size * 3 > len(payload):
+            raise ValueError("truncated global color table")
+        palette = np.frombuffer(
+            payload[pos : pos + size * 3], dtype=np.uint8
+        ).reshape(-1, 3)
+        pos += size * 3
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            raise ValueError("GIF trailer before any image data")
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unknown GIF block marker 0x{marker:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        _x, _y, w, h, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF")
+        if iflags & 0x80:
+            raise NotImplementedError("local color table GIF")
+        if palette is None:
+            raise ValueError("image data with no global color table")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad LZW min code size {min_code}")
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("truncated LZW sub-block")
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode_gif(bytes(data), min_code, w * h)
+        if idx.max(initial=0) >= palette.shape[0]:
+            raise ValueError("GIF index beyond color table")
+        rgb = palette[idx]
+        return {
+            "width": int(w),
+            "height": int(h),
+            "palette_size": int(palette.shape[0]),
+            "pixels": rgb.reshape(-1),
+        }
+    raise ValueError("no image descriptor in GIF")
+
+
+def encode_text_gif(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL GIF87a (lossless indexed + real
+    LZW, so the oracle predicts every pixel): the m14 palette-PNG
+    geometry exactly — w = 1 + length mod 11, h = 1 + id mod 6,
+    palette size p = 2 + id mod 15 with entry k = ((37k+11) mod 256,
+    (59k+23) mod 256, (83k+5) mod 256), index of pixel i = byte
+    (i mod L) mod p — so the SAME oracle text verifies a completely
+    different container + compressor."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                w = 1 + (len(tb) % 11)
+                h = 1 + (int(did) % 6)
+                p = 2 + (int(did) % 15)
+                k = np.arange(p, dtype=np.int64)
+                pal = np.stack(
+                    [(37 * k + 11) % 256, (59 * k + 23) % 256, (83 * k + 5) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = (tb[np.arange(w * h) % len(tb)] % p).astype(np.uint8)
+                payloads.append(encode_gif(idx.reshape(h, w), pal))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def gif_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel SUMS from REAL GIF-decoded pixels
+    (:func:`decode_gif`: header walk → color table → de-block → LZW →
+    palette lookup): exact BIGINTs — any bit-packing, code-width, or
+    KwKwK bug scrambles the index stream and breaks every channel.
+    Arrow-batched mapInPandas projection, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "palette_size",
+                    "sum_r", "sum_g", "sum_b",
+                )
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_gif(bytes(payload))
+                px = d["pixels"].reshape(-1, 3).astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["palette_size"].append(int(d["palette_size"]))
+                out["sum_r"].append(int(px[:, 0].sum()))
+                out["sum_g"].append(int(px[:, 1].sum()))
+                out["sum_b"].append(int(px[:, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, PALETTE_PNG_STATS_SCHEMA)
+
+
 def encode_text_palette_png(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1193,3 +1193,84 @@ if _HYP:
         px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
         d = decode_png_gray(encode_gray_png(px, interlace=True))
         assert np.array_equal(d["pixels"].reshape(h, w), px)
+
+
+def test_gif_lzw_roundtrip_and_structure():
+    """Real LZW: round-trips across code-width growth boundaries, the
+    dictionary-reset path, and the KwKwK corner; container walk skips
+    89a extension blocks; guards raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(31)
+    # width-growth: 16-entry palette, long random stream builds >2^5 codes
+    pal16 = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(40, 50)).astype(np.uint8)
+    d = decode_gif(encode_gif(idx, pal16))
+    assert (d["width"], d["height"], d["palette_size"]) == (50, 40, 16)
+    assert np.array_equal(d["pixels"].reshape(40, 50, 3), pal16[idx])
+    # dictionary reset: enough random symbols to exceed 4096 codes
+    big = rng.integers(0, 16, size=20000).astype(np.uint8)
+    got = _lzw_decode_gif(_lzw_encode_gif(big, 4), 4, 20000)
+    assert np.array_equal(got, big)
+    # KwKwK: 'aaaa...' forces the code-one-past-table case immediately
+    run = np.zeros(64, dtype=np.uint8)
+    got = _lzw_decode_gif(_lzw_encode_gif(run, 2), 2, 64)
+    assert np.array_equal(got, run)
+    # palette padded to power of two; indices still map exactly
+    pal5 = rng.integers(0, 256, size=(5, 3)).astype(np.uint8)
+    idx5 = rng.integers(0, 5, size=(3, 4)).astype(np.uint8)
+    d5 = decode_gif(encode_gif(idx5, pal5))
+    assert d5["palette_size"] == 8  # 5 -> next pow2
+    assert np.array_equal(d5["pixels"].reshape(3, 4, 3), pal5[idx5])
+    # 89a extension blocks are skipped by the walk
+    g = encode_gif(idx5, pal5)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control + terminator
+    g89 = b"GIF89a" + g[6:13] + g[13 : 13 + 8 * 3] + ext + g[13 + 8 * 3 :]
+    d89 = decode_gif(g89)
+    assert np.array_equal(d89["pixels"], d5["pixels"])
+    # guards
+    with _pt.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF" + bytes(20))
+    with _pt.raises(ValueError, match="index out of range"):
+        encode_gif(np.full((1, 1), 9, np.uint8), pal5)
+    # interlace flag raises
+    bad = bytearray(encode_gif(idx5, pal5))
+    desc_at = 13 + 8 * 3
+    assert bad[desc_at] == 0x2C
+    bad[desc_at + 9] |= 0x40
+    with _pt.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(bad))
+    # truncated sub-block raises
+    with _pt.raises(ValueError):
+        decode_gif(bytes(encode_gif(idx5, pal5))[:-4])
+
+
+if _HYP:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 10),
+        p=st.integers(1, 256),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_gif_roundtrip_property(w, h, p, seed):
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import decode_gif, encode_gif
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(p, 3)).astype(np.uint8)
+        idx = rng.integers(0, p, size=(h, w)).astype(np.uint8)
+        d = decode_gif(encode_gif(idx, pal))
+        assert np.array_equal(d["pixels"].reshape(h, w, 3), pal[idx])
