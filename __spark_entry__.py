@@ -5058,6 +5058,109 @@ def g24(spark, sf):
 
 
 @_q(
+    "g25_condensation_levels",
+    # ORACLE: g24's ground-truth closure gives the SCC labels; the
+    # condensation's longest-path levels come from a second recursive
+    # CTE seeded at 0 for every node with MAX over path lengths — the
+    # same recurrence the Spark fixpoint relaxes, on an acyclic-by-
+    # construction graph.
+    f"""
+    WITH RECURSIVE raw AS ({_E_SQL}),
+    bp AS (SELECT GREATEST(100, COUNT(*) // 5) AS b FROM customer),
+    star AS (
+      SELECT (c_custkey // (SELECT b FROM bp)) * (SELECT b FROM bp) AS u,
+             CAST(c_custkey AS BIGINT) AS w
+      FROM customer WHERE c_custkey <> (c_custkey // (SELECT b FROM bp)) * (SELECT b FROM bp)
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT),
+             (c_custkey // (SELECT b FROM bp)) * (SELECT b FROM bp)
+      FROM customer WHERE c_custkey <> (c_custkey // (SELECT b FROM bp)) * (SELECT b FROM bp)
+    ),
+    inter AS (SELECT src AS u, dst AS w FROM raw
+              WHERE src <> dst
+                AND dst // (SELECT b FROM bp) = src // (SELECT b FROM bp) + 1),
+    e AS (SELECT DISTINCT u, w FROM (SELECT * FROM star UNION ALL SELECT * FROM inter)),
+    reach(u, w) AS (
+      SELECT u, w FROM e
+      UNION
+      SELECT r.u, e.w FROM reach r JOIN e ON e.u = r.w
+    ),
+    mutual AS (
+      SELECT r1.u AS v, r1.w AS m
+      FROM reach r1 JOIN reach r2 ON r1.u = r2.w AND r1.w = r2.u
+    ),
+    verts AS (
+      SELECT DISTINCT v FROM (
+        SELECT u AS v FROM e
+        UNION ALL SELECT w FROM e
+      )
+    ),
+    lab AS (
+      SELECT verts.v,
+             CAST(LEAST(verts.v, COALESCE(mm.mn, verts.v)) AS BIGINT) AS label
+      FROM verts LEFT JOIN (SELECT v, MIN(m) AS mn FROM mutual GROUP BY v) mm
+        ON verts.v = mm.v
+    ),
+    ce AS (
+      SELECT DISTINCT la.label AS cs, lb.label AS cd
+      FROM e JOIN lab la ON e.u = la.v JOIN lab lb ON e.w = lb.v
+      WHERE la.label <> lb.label
+    ),
+    nodes AS (SELECT DISTINCT label AS c FROM lab),
+    p(c, l) AS (
+      SELECT c, 0 FROM nodes
+      UNION
+      SELECT ce.cd, p.l + 1 FROM p JOIN ce ON ce.cs = p.c
+    ),
+    sz AS (SELECT label AS c, COUNT(*) AS n FROM lab GROUP BY label)
+    SELECT lv.c AS component, CAST(lv.ml AS BIGINT) AS level,
+           CAST(sz.n AS BIGINT) AS n_vertices
+    FROM (SELECT c, MAX(l) AS ml FROM p GROUP BY c) lv
+    JOIN sz ON sz.c = lv.c
+    """,
+)
+def g25(spark, sf):
+    """Topological layering of the SCC condensation (the dependency-
+    depth primitive: contract every cycle, then level(c) = longest
+    path from a source — what build systems and DAG schedulers compute
+    before dispatch): composes g24's exact FW-BW peeling with a
+    depth-bounded longest-path relaxation over (component, level)
+    pairs; cycles are impossible by construction, so the fixpoint is
+    exact-or-raise (`operators/graph.py:condensation_levels`).
+
+    The raw order graph is one giant SCC (a 1-row condensation, a
+    vacuous check), so the entry builds a LAYERED graph the fixture
+    determines exactly: vertices band into max(100, |customer|/5)-wide
+    groups, each band made one SCC by a bidirectional hub-and-spoke
+    star (diameter 2 — min-label fixpoints propagate one hop per pass,
+    so SCC diameter, not size, is the inner budget), bridged FORWARD
+    by the order edges that cross into the next band — a ~5-deep SCC
+    chain at every SF (the F=B peel assigns one condensation level per
+    round, so chain depth is the round budget)."""
+    from duckdb_graphar_spark.operators.graph import condensation_levels
+
+    ncust = _NCUST_CACHE.get(sf) or _t(spark, sf, "customer").count()
+    band = max(100, ncust // 5)
+    cust = _t(spark, sf, "customer")
+    spokes = cust.filter(F.expr(f"c_custkey <> (c_custkey DIV {band}) * {band}"))
+    star = spokes.selectExpr(
+        f"CAST((c_custkey DIV {band}) * {band} AS BIGINT) AS src",
+        "CAST(c_custkey AS BIGINT) AS dst",
+    ).unionByName(
+        spokes.selectExpr(
+            "CAST(c_custkey AS BIGINT) AS src",
+            f"CAST((c_custkey DIV {band}) * {band} AS BIGINT) AS dst",
+        )
+    )
+    inter = _edges(spark, sf).filter(
+        F.expr(f"dst DIV {band} = src DIV {band} + 1")
+    )
+    return condensation_levels(
+        star.unionByName(inter), max_rounds=12, src_col="src", dst_col="dst"
+    )
+
+
+@_q(
     "t26_heavy_hitters",
     # ORACLE: exact token frequencies with the integer threshold
     # freq*k > n.  The operator's Misra-Gries candidate phase is a
@@ -7821,7 +7924,7 @@ _PRIORITY = [
     # --- rounds of driver drift is the agreed ceiling), and fills to 50
     # --- with round-2-stale regression re-checks spread across surfaces.
     # --- round-6 new operators ---
-    "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17",
+    "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

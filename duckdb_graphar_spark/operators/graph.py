@@ -1279,6 +1279,87 @@ def scc(
     )
 
 
+def condensation_levels(
+    edges: DataFrame,
+    *,
+    max_rounds: int = 10,
+    max_iters: int = 30,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Topological LAYERING of the SCC condensation → (component,
+    level, n_vertices): contract every strongly connected component
+    (:func:`scc`) to one node, then level(c) = length of the LONGEST
+    path from any source to c in the (acyclic by construction)
+    condensation — the dependency-depth / build-stage primitive
+    (level k can only start after every level < k it depends on).
+
+    EXACT or raises: the longest-path fixpoint relaxes
+    lev(c) ← max(lev(c), max over preds lev(p)+1) one O(|E'|) join per
+    pass and must converge within ``max_iters`` (the condensation's
+    depth is ≤ its node count; non-convergence means max_iters is too
+    small — a cycle is impossible, scc contracted them all).
+
+    Scale shape: scc's peeling + one distinct (label, label) projection
+    for the condensation + depth-bounded relaxation passes over
+    (component, level) pairs; O(1) driver state throughout."""
+    labels = scc(
+        edges,
+        max_rounds=max_rounds,
+        max_iters=max_iters,
+        src_col=src_col,
+        dst_col=dst_col,
+    ).localCheckpoint(eager=True)
+    s, d = F.col(src_col), F.col(dst_col)
+    e = edges.select(s.alias("u"), d.alias("w"))
+    la = labels.select(F.col("v").alias("__u"), F.col("label").alias("cu"))
+    lb = labels.select(F.col("v").alias("__w"), F.col("label").alias("cw"))
+    cond = (
+        e.join(la, e["u"] == la["__u"])
+        .join(lb, e["w"] == lb["__w"])
+        .filter(F.col("cu") != F.col("cw"))
+        .select(F.col("cu").alias("cs"), F.col("cw").alias("cd"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lev = labels.select(F.col("label").alias("c")).distinct().select(
+        "c", F.lit(0).cast("long").alias("lev")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        pred = cond.join(
+            lev.select(F.col("c").alias("__p"), F.col("lev").alias("__pl")),
+            cond["cs"] == F.col("__p"),
+        ).select(F.col("cd").alias("c"), (F.col("__pl") + 1).alias("__cand"))
+        relaxed = (
+            lev.join(pred.groupBy("c").agg(F.max("__cand").alias("__m")), "c", "left")
+            .select(
+                "c",
+                F.greatest(F.col("lev"), F.coalesce("__m", F.col("lev"))).alias(
+                    "__new"
+                ),
+                "lev",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = relaxed.filter(F.col("__new") > F.col("lev")).count()
+        lev = relaxed.select("c", F.col("__new").alias("lev")).localCheckpoint(
+            eager=True
+        )
+        if changed == 0:
+            sizes = labels.groupBy(F.col("label").alias("c")).agg(
+                F.count(F.lit(1)).alias("n_vertices")
+            )
+            return lev.join(sizes, "c").select(
+                F.col("c").alias("component"),
+                F.col("lev").cast("long").alias("level"),
+                F.col("n_vertices").cast("long").alias("n_vertices"),
+            )
+    raise RuntimeError(
+        f"condensation_levels: no fixpoint within {max_iters} relaxation "
+        "passes (condensation deeper than max_iters)"
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     src_vid: int,

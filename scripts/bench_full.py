@@ -6,9 +6,10 @@ state-equivalence double-join or a double-BFS that quietly went
 quadratic).  Streaming entries run their real micro-batch pipelines
 inside the call, so they are timed like everything else.
 
-Usage: python scripts/bench_full.py [SF_DIR] [> BENCH_full.json]
+Usage: python scripts/bench_full.py [SF_DIR] [--skip NAME ...]
 Prints one JSON line: {"sf_dir": ..., "n": N, "total_sec": T,
-"queries": {name: sec}, "slowest": [[name, sec] x 10]}.
+"queries": {name: sec}, "slowest": [[name, sec] x 10], "skipped": [...]}.
+Per-entry timings also stream to stderr so a killed run still yields data.
 """
 
 from __future__ import annotations
@@ -22,7 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = sys.argv[1:]
+    skip: list[str] = []
+    if "--skip" in args:
+        i = args.index("--skip")
+        skip = args[i + 1 :]
+        args = args[:i]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     import __spark_entry__ as E
     from duckdb_graphar_spark.session import get_spark
@@ -36,12 +43,14 @@ def main() -> None:
 
     results: dict[str, float] = {}
     for name in qs:
-        print(f"[bench-full] {name}", file=sys.stderr, flush=True)
+        if name in skip:
+            continue
         try:
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             results[name] = round(time.time() - t0, 3)
+            print(f"[bench-full] {name} {results[name]}", file=sys.stderr, flush=True)
         except Exception as ex:  # a sweep must report, not die
             print(f"[bench-full] {name} FAILED: {ex}", file=sys.stderr, flush=True)
             results[name] = -1.0
@@ -55,6 +64,7 @@ def main() -> None:
                 "total_sec": round(sum(ok.values()), 3),
                 "queries": results,
                 "slowest": sorted(ok.items(), key=lambda kv: -kv[1])[:10],
+                "skipped": skip,
             }
         )
     )

@@ -499,3 +499,26 @@ def test_scc_peel_rounds_exhausted_raises(spark):
     df = spark.createDataFrame(chain, "src long, dst long")
     with _pt.raises(RuntimeError, match="unassigned"):
         scc(df, max_rounds=2, src_col="src", dst_col="dst")
+
+
+def test_condensation_levels_layered_dag_of_cycles(spark):
+    """Two 2-cycles in a chain plus a long bypass: the condensation is
+    A(0,1) -> B(2,3) -> D(4) with a bypass A -> C(5) -> D, so D's level
+    is the LONGEST path (2 via B or C; both length 2), and a 3-step
+    chain A->B->D vs A->C->D ties at 2; adding B->C makes D level 3."""
+    from duckdb_graphar_spark.operators.graph import condensation_levels
+
+    pairs = [
+        (0, 1), (1, 0),          # SCC A = {0,1}, label 0
+        (2, 3), (3, 2),          # SCC B = {2,3}, label 2
+        (1, 2),                  # A -> B
+        (0, 5),                  # A -> C ({5})
+        (3, 4), (5, 4),          # B -> D, C -> D ({4})
+        (2, 5),                  # B -> C  => D = A->B->C->D, level 3
+    ]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.component: (r.level, r.n_vertices)
+        for r in condensation_levels(df, src_col="src", dst_col="dst").collect()
+    }
+    assert got == {0: (0, 2), 2: (1, 2), 5: (2, 1), 4: (3, 1)}
