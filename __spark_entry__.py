@@ -7922,7 +7922,9 @@ _PRIORITY = [
     # --- whose LAST driver check is round 1 (the q00–q46 relational band
     # --- + t11 — mirrored in-repo by test_oracle every round, but four
     # --- rounds of driver drift is the agreed ceiling), and fills to 50
-    # --- with round-2-stale regression re-checks spread across surfaces.
+    # --- with round-2-stale regression re-checks.  With 9 round-6
+    # --- additions the window holds exactly 9 + 39 + c01 + d01; the
+    # --- remaining r2-stale names queue at slots 51+ for round 7.
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25",
     # --- 39 entries last driver-checked in round 1 ---

@@ -983,12 +983,26 @@ def common_neighbor_candidates(
     nb = canon.select(F.col("a").alias("c"), F.col("b").alias("n")).unionAll(
         canon.select(F.col("b").alias("c"), F.col("a").alias("n"))
     )
-    deg = nb.groupBy(F.col("n").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    # deg feeds BOTH jaccard stamps (du/dw) and, when capped, the hub
+    # filter — pin the |V|-row aggregate once instead of re-shuffling
+    # nb per consumer (Spark does not CSE across joins)
+    deg = (
+        nb.groupBy(F.col("n").alias("v"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
     if max_center_degree is not None:
-        cdeg = nb.groupBy("c").agg(F.count(F.lit(1)).alias("__cd"))
-        nb = (
-            nb.join(cdeg.filter(F.col("__cd") <= max_center_degree), "c", "left_semi")
+        # nb is symmetric ((c,n) ⇔ (n,c)), so center degree ≡ neighbor
+        # degree: the jaccard stamp table doubles as the cap source.
+        # The OVER-cap hub set is small BY DEFINITION of the power-law
+        # case this dial exists for (and empty on uniform fixtures), so
+        # broadcast it into an anti join — nb never shuffles for the
+        # cap, which is what keeps the capped plan within noise of the
+        # uncapped one when no hubs exist.
+        hubs = deg.filter(F.col("d") > max_center_degree).select(
+            F.col("v").alias("c")
         )
+        nb = nb.join(F.broadcast(hubs), "c", "left_anti")
     left = nb.select(F.col("c"), F.col("n").alias("u"))
     right = nb.select(F.col("c").alias("c2"), F.col("n").alias("w"))
     cn = (

@@ -611,12 +611,14 @@ def test_dynamic_partition_pruning_fires(spark):
 
 def test_g20_declared_entry_engages_hub_cap(spark, qs):
     """g20: the declared path runs WITH max_center_degree engaged — the
-    cap's left-semi join against the filtered center-degree table must
-    be in the plan (on power-law data this is what bounds the Σdeg(c)²
-    wedge output; on the uniform fixtures the cap is above every degree
-    so results stay oracle-exact)."""
+    cap's BROADCAST anti join against the (small by power-law
+    definition) over-cap hub set must be in the plan: hubs are dropped
+    without ever shuffling the neighbor table, so the capped plan costs
+    ~nothing when no hubs exist and bounds the Σdeg(c)² wedge output
+    when they do (uniform fixtures have no over-cap vertex, so results
+    stay oracle-exact)."""
     plan = _plan(qs["g20_link_prediction"](spark, SF_DIR))
-    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
 
 
