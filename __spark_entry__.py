@@ -1983,12 +1983,13 @@ def d04(spark, sf):
 def u01(spark, sf):
     """Python UDTF (Spark 4 @udtf, §2.D 'table function' row): tokenize
     each document into an ordered (doc_id, idx, token) stream via a
-    lateral join.  Row-at-a-time Python is acceptable here because the
-    UDTF surface itself is the operator under test; the built-in
+    lateral join — ARROW-OPTIMIZED (useArrow=True), so even the
+    table-function surface stays off the row-at-a-time tier (pinned by
+    tests/test_plan_hygiene.py across the whole registry); the built-in
     equivalent is posexplode(split(...)) (used by t01/t07)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, idx int, token string")
+    @udtf(returnType="doc_id bigint, idx int, token string", useArrow=True)
     class Tokenize:
         def eval(self, doc_id: int, text: str):
             for i, tok in enumerate((text or "").split(" ")):
