@@ -1233,14 +1233,20 @@ def scc(
     label = the smallest vertex id in v's SCC.  EXACT — returns only at
     full convergence, else raises (no silently-approximate partition).
 
-    The FW-BW coloring scheme, set-free: per peel round compute
-    F(v) = min id reachable FROM v (forward min-label fixpoint) and
-    B(v) = min id that REACHES v (the same fixpoint on reversed edges).
-    F(v)=B(v)=r means v→r and r→v, so all such v are mutually reachable
-    THROUGH r — exactly SCC(r).  Assign them, peel them out, repeat on
-    the remainder (whose F/B minima were polluted by the peeled
-    vertices).  Random/fixture graphs peel in 1–2 rounds (one giant SCC
-    + trivial ones); ``max_rounds`` bounds adversarial chains.
+    The FW-BW coloring scheme with TRIM, set-free: each peel round
+    first TRIMS to stability — a vertex with no in-edges or no
+    out-edges in the remaining graph sits on no cycle, so it is a
+    singleton SCC (label = itself); trimming repeatedly eats the whole
+    DAG periphery at two distinct-projections + anti-joins per pass,
+    the Slota-style step that keeps the expensive fixpoints for actual
+    cycles.  Then compute F(v) = min id reachable FROM v (forward
+    min-label fixpoint) and B(v) = min id that REACHES v (the same
+    fixpoint on reversed edges).  F(v)=B(v)=r means v→r and r→v, so
+    all such v are mutually reachable THROUGH r — exactly SCC(r).
+    Assign them, peel them out, repeat on the remainder (whose F/B
+    minima were polluted by the peeled vertices).  Random/fixture
+    graphs peel in 1–2 rounds (one giant SCC + a trimmed periphery);
+    ``max_rounds`` bounds adversarial SCC-chain graphs.
 
     Scale shape: every step is joins + min-aggregates over (v, lab)
     pairs — no closure materialization, no driver state beyond loop
@@ -1263,6 +1269,29 @@ def scc(
     spark = edges.sparkSession
     assigned = spark.createDataFrame([], "v long, label long")
     for _ in range(max_rounds):
+        # --- trim to stability: no-in or no-out vertices are singleton
+        # SCCs (nothing with a cycle through it can lack either side)
+        for _t in range(max_iters):
+            has_out = e.select(F.col("u").alias("v")).distinct()
+            has_in = e.select(F.col("w").alias("v")).distinct()
+            on_cycle_candidates = has_out.join(has_in, "v", "inner")
+            trimmed = verts.join(
+                on_cycle_candidates, "v", "left_anti"
+            ).localCheckpoint(eager=True)
+            n_trim = trimmed.count()
+            if n_trim == 0:
+                break
+            assigned = assigned.unionAll(
+                trimmed.select("v", F.col("v").cast("long").alias("label"))
+            ).localCheckpoint(eager=True)
+            verts = verts.join(trimmed, "v", "left_anti").localCheckpoint(
+                eager=True
+            )
+            e = (
+                e.join(trimmed.select(F.col("v").alias("u")), "u", "left_anti")
+                .join(trimmed.select(F.col("v").alias("w")), "w", "left_anti")
+                .localCheckpoint(eager=True)
+            )
         if verts.limit(1).count() == 0:
             return assigned
         seed = verts.select("v", F.col("v").alias("lab"))

@@ -489,16 +489,26 @@ def test_scc_textbook_shapes(spark):
 
 
 def test_scc_peel_rounds_exhausted_raises(spark):
-    """A condensation chain longer than max_rounds must raise, never
-    return a partial partition."""
+    """An SCC-chain (2-cycles bridged forward, ids increasing) longer
+    than max_rounds must raise, never return a partial partition.  A
+    plain DAG chain no longer exercises this: TRIM assigns the whole
+    acyclic periphery in round one (pinned by the passing textbook
+    test), so only real cycle chains consume peel rounds."""
     import pytest as _pt
 
     from duckdb_graphar_spark.operators.graph import scc
 
-    chain = [(i, i + 1) for i in range(5)]  # 6-vertex DAG chain
-    df = spark.createDataFrame(chain, "src long, dst long")
+    pairs = []
+    for i in range(4):  # 4 two-cycles: {0,1} -> {2,3} -> {4,5} -> {6,7}
+        pairs += [(2 * i, 2 * i + 1), (2 * i + 1, 2 * i)]
+        if i:
+            pairs.append((2 * i - 1, 2 * i))
+    df = spark.createDataFrame(pairs, "src long, dst long")
     with _pt.raises(RuntimeError, match="unassigned"):
         scc(df, max_rounds=2, src_col="src", dst_col="dst")
+    # and with budget it resolves exactly
+    got = {r.v: r.label for r in scc(df, max_rounds=6, src_col="src", dst_col="dst").collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4, 6: 6, 7: 6}
 
 
 def test_condensation_levels_layered_dag_of_cycles(spark):
