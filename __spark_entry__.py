@@ -5848,6 +5848,64 @@ def q63(spark, sf):
 
 
 @_q(
+    "q80_kmv_distinct_rollup",
+    # ORACLE: the whole sketch is replayed bit-for-bit — u is md5
+    # integer arithmetic + ONE division (the t36 discipline), bottom-k
+    # is a deterministic (u, val) window, the estimate is one more
+    # division over identical doubles, and the merge invariance
+    # (bottom-k of per-day bottom-k's == direct bottom-k) holds on both
+    # engines by construction.  Unlike q63's HLL, no approximation flag
+    # is needed for the SKETCH — only for its distance from exact
+    # (tol = 3/sqrt(64) = 0.375, the KMV standard-error bound).
+    """
+    WITH b AS (SELECT DISTINCT event_type AS g, date_trunc('day', ts) AS p,
+                      CAST(user_id AS VARCHAR) AS val
+               FROM events),
+    h AS (SELECT g, p, val,
+                 (CAST(concat('0x', substr(md5('kmv0' || chr(31) || val), 1, 13))
+                       AS UBIGINT) + 1) / 4503599627370497.0 AS u
+          FROM b),
+    sv AS (SELECT DISTINCT g, val, u FROM (
+             SELECT g, val, u,
+                    ROW_NUMBER() OVER (PARTITION BY g, p ORDER BY u, val) AS rn
+             FROM h) WHERE rn <= 64),
+    sk AS (SELECT g, MAX(u) AS kth_u, COUNT(*) AS n_sk FROM (
+             SELECT g, val, u,
+                    ROW_NUMBER() OVER (PARTITION BY g ORDER BY u, val) AS rn
+             FROM sv) WHERE rn <= 64 GROUP BY g),
+    ex AS (SELECT event_type AS g, COUNT(DISTINCT user_id) AS n_exact
+           FROM events GROUP BY 1)
+    SELECT ex.g AS event_type,
+           CAST(ex.n_exact AS BIGINT) AS n_exact,
+           ROUND(sk.kth_u, 12) AS kth_u,
+           ROUND(CASE WHEN sk.n_sk < 64 THEN CAST(sk.n_sk AS DOUBLE)
+                      ELSE 63.0 / sk.kth_u END, 4) AS est_distinct,
+           (ABS(CASE WHEN sk.n_sk < 64 THEN CAST(sk.n_sk AS DOUBLE)
+                     ELSE 63.0 / sk.kth_u END - ex.n_exact)
+            / ex.n_exact) <= 0.375 AS within_tol
+    FROM ex JOIN sk ON ex.g = sk.g
+    """,
+)
+def q80(spark, sf):
+    """Mergeable K-MINIMUM-VALUES distinct sketch rollup — q63's HLL
+    pattern with a sketch that is BIT-EXACT across engines: per
+    (event_type, day) bottom-64 of content-addressed md5 hashes, rolled
+    up to event_type by one more bottom-k pass (bottom-k of per-partial
+    bottom-k's ≡ direct bottom-k — the map-combinable merge), estimate
+    D̂ = (k−1)/u_k.  The shuffle carries ≤ 64·days hashes per group,
+    never the user stream; the oracle replays the sketch itself, not
+    just a tolerance band (`operators/sketch.py:kmv_distinct_rollup`)."""
+    from duckdb_graphar_spark.operators.sketch import kmv_distinct_rollup
+
+    ev = _t(spark, sf, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    return kmv_distinct_rollup(
+        ev, "event_type", "user_id", partial_col="__day", k=64
+    )
+
+
+@_q(
     "m06_audio_energy",
     # ORACLE: never sees the PCM bytes — recomputes sample values
     # (byte-80)·256 straight from the text (ASCII fixture: byte i ==
@@ -7927,7 +7985,7 @@ _PRIORITY = [
     # --- additions the window holds exactly 9 + 39 + c01 + d01; the
     # --- remaining r2-stale names queue at slots 51+ for round 7.
     # --- round-6 new operators ---
-    "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25",
+    "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

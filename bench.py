@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "s16_semdedup_capped",
     "m14_palette_png",
     "ga19_multi_edge_types",
+    "m17_gif_lzw",
+    "g24_scc",
+    "g25_condensation_levels",
+    "q80_kmv_distinct_rollup",
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch

@@ -270,3 +270,26 @@ def test_ohlc_bars_deterministic_open_close(spark):
     assert (b0.open, b0.high, b0.low, b0.close, b0.n_events) == (3.0, 9.0, 1.0, 1.0, 4)
     b1 = got[base + dt.timedelta(hours=1)]
     assert (b1.open, b1.close, b1.n_events) == (7.0, 7.0, 1)
+
+
+def test_kmv_merge_invariance_and_small_groups(spark):
+    """(1) Bottom-k of per-partial bottom-k's == direct bottom-k (the
+    mergeability the rollup is built on) — the partial-split column
+    must not change a single output value.  (2) Groups with < k
+    distincts report the EXACT count.  (3) The sketch estimate for a
+    >k group lands within the 3/sqrt(k) band on this fixture."""
+    import pyspark.sql.functions as F
+
+    from duckdb_graphar_spark.operators.sketch import kmv_distinct_rollup
+
+    rows = [("big", i % 7, i) for i in range(500)] + [
+        ("small", i % 7, i % 5) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "grp string, day int, uid long")
+    direct = kmv_distinct_rollup(df, "grp", "uid", k=16)
+    merged = kmv_distinct_rollup(df, "grp", "uid", partial_col="day", k=16)
+    a = {r.grp: (r.n_exact, r.kth_u, r.est_distinct, r.within_tol) for r in direct.collect()}
+    b = {r.grp: (r.n_exact, r.kth_u, r.est_distinct, r.within_tol) for r in merged.collect()}
+    assert a == b
+    assert a["small"][0] == 5 and a["small"][2] == 5.0  # exact fallback
+    assert a["big"][0] == 500 and a["big"][3] is True   # in-band estimate
