@@ -4513,6 +4513,97 @@ def s16(spark, sf):
 
 
 @_q(
+    "s17_jaccard_similarity_join",
+    # ORACLE: exact ALL-PAIRS Jaccard — deliberately NOT the prefix-
+    # filtered plan, so it independently proves the prune lossless:
+    # a pair the prefix filter wrongly dropped shows up here and
+    # breaks the match.  Thresholding is integer (i·100 ≥ 95·union);
+    # the jaccard column is one double division of exact integers,
+    # rounded 6 — identical IEEE on both engines.
+    """
+    WITH tok AS (SELECT DISTINCT doc_id, t AS tok FROM (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+           FROM documents) WHERE t <> ''),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(i AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS size_a,
+           CAST(sb.n AS BIGINT) AS size_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+    WHERE i * 100 >= 95 * (sa.n + sb.n - i)
+    """,
+)
+def s17(spark, sf):
+    """Exact Jaccard set-similarity JOIN at τ = 95/100 with lossless
+    PREFIX FILTERING — the AllPairs/PPJoin prune: tokens ordered by
+    global rarity, only each doc's |S|−⌈τ|S|⌉+1 rarest tokens become
+    join keys, so stopwords never fan out and no qualifying pair is
+    missed (the oracle is the UNPRUNED all-pairs plan — any lost pair
+    breaks the match).  All pruning decisions are integer arithmetic
+    (rational threshold, integer ceil); one double division at the end
+    (`operators/dedup.py:jaccard_similarity_join`)."""
+    from duckdb_graphar_spark.operators.dedup import jaccard_similarity_join
+
+    return jaccard_similarity_join(
+        _t(spark, sf, "documents"), threshold_num=95, threshold_den=100
+    )
+
+
+@_q(
+    "s18_binary_hamming_topk",
+    # ORACLE: the sign-packing replays exactly — bit i of word w is
+    # embedding[32w+i] > 0 (strict, so 0.0 quantizes identically),
+    # little-endian shifts into BIGINTs, Hamming = popcount(XOR) sums.
+    # All-integer pipeline: no rounding discipline needed anywhere,
+    # ranks tie-break on neighbor id.
+    """
+    WITH p AS (
+      SELECT vec_id,
+             CAST(list_sum([CASE WHEN embedding[CAST(i AS INTEGER) + 1] > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                            ELSE CAST(0 AS BIGINT) END
+                       FOR i IN generate_series(0, 31)]) AS BIGINT) AS w0,
+             CAST(list_sum([CASE WHEN embedding[CAST(i AS INTEGER) + 33] > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                            ELSE CAST(0 AS BIGINT) END
+                       FOR i IN generate_series(0, 31)]) AS BIGINT) AS w1
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1 FROM p WHERE vec_id < 3)
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+      SELECT q.qid AS query_id, p.vec_id AS neighbor_id,
+             CAST(bit_count(xor(p.w0, q.q0))
+                  + bit_count(xor(p.w1, q.q1)) AS INTEGER) AS hamming,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+                                ORDER BY bit_count(xor(p.w0, q.q0))
+                                         + bit_count(xor(p.w1, q.q1)),
+                                         p.vec_id) AS rank
+      FROM p CROSS JOIN q WHERE p.vec_id != q.qid
+    ) WHERE rank <= 5
+    """,
+)
+def s18(spark, sf):
+    """Binary sign quantization + exact Hamming top-k — the 32×
+    compression tier below int8 (s04) and PQ (s09): each vector packs
+    to ⌈dim/32⌉ LONG words (bit = component > 0), distance is
+    XOR + POPCOUNT — pure whole-stage-codegen integer arithmetic, the
+    fastest distance a 100 TB index can evaluate and the standard
+    first-stage filter before exact re-ranking.  Packed queries
+    broadcast; scoring is shuffle-free; ranks are integer-deterministic
+    (`operators/embeddings.py:binary_quantize,hamming_topk`)."""
+    from duckdb_graphar_spark.operators.embeddings import hamming_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hamming_topk(e, q, k=5, dim=64)
+
+
+@_q(
     "s07_kmeans_update",
     # ORACLE: s05's assignment CTE, then per-(cluster, dim) DECIMAL sums
     # → means → ordered list per cluster (list(... ORDER BY) mirrors the
@@ -4883,6 +4974,52 @@ def t35(spark, sf):
     from duckdb_graphar_spark.operators.text import char_ngram_profile
 
     return char_ngram_profile(_t(spark, sf, "documents"), n=3, k=10)
+
+
+@_q(
+    "t37_language_id_classify",
+    # ORACLE: the whole classifier is integer arithmetic — profile
+    # weights k+1−rank with (count DESC, ngram ASC) rank ties, scores
+    # are integer weight sums over gram OCCURRENCES, argmax ties break
+    # language ASC — so the confusion matrix replays exactly: train,
+    # score, predict, and count all in one SQL chain.
+    """
+    WITH g AS (
+      SELECT doc_id, lang, substring(text, CAST(i AS INTEGER), 3) AS ngram
+      FROM documents,
+           UNNEST(generate_series(1, length(text) - 2)) AS t(i)
+      WHERE length(text) >= 3
+    ),
+    c AS (SELECT lang, ngram, COUNT(*) AS cnt FROM g GROUP BY lang, ngram),
+    prof AS (SELECT lang AS cand, ngram, 51 - rank AS w FROM (
+               SELECT lang, ngram,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY cnt DESC, ngram ASC) AS rank
+               FROM c) WHERE rank <= 50),
+    scores AS (SELECT g.doc_id, g.lang, p.cand, SUM(p.w) AS score
+               FROM g JOIN prof p ON g.ngram = p.ngram
+               GROUP BY 1, 2, 3),
+    pred AS (SELECT lang, cand AS pred_lang FROM (
+               SELECT lang, cand,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, cand ASC) AS rn
+               FROM scores) WHERE rn = 1)
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def t37(spark, sf):
+    """Language-ID CLASSIFICATION — the apply side of t35's trigram
+    training: every document scored against every language's top-50
+    weighted trigram profile (simplified Cavnar-Trenkle, all-integer
+    weights), argmax prediction, confusion-matrix counts.  The tiny
+    profile table BROADCASTS against the row-local gram explode — the
+    corpus never shuffles by n-gram; the per-(doc, candidate) score
+    aggregate is map-combinable so the one doc-keyed shuffle carries ≤
+    docs × langs combined rows (`operators/text.py:classify_language`)."""
+    from duckdb_graphar_spark.operators.text import classify_language
+
+    return classify_language(_t(spark, sf, "documents"), n=3, k=50)
 
 
 @_q(
@@ -5902,6 +6039,131 @@ def q80(spark, sf):
     )
     return kmv_distinct_rollup(
         ev, "event_type", "user_id", partial_col="__day", k=64
+    )
+
+
+@_q(
+    "q81_cms_heavy_key_estimates",
+    # ORACLE: the sketch replays bit-for-bit — bucket ids are the same
+    # md5-top-13-hex-digits integer arithmetic as q80/t36 (mod 512),
+    # counters are integer COUNT sums, the estimate is an integer MIN:
+    # every column including the ε-bound flag is deterministic on both
+    # engines.  The oracle skips the per-day partial stage (counter
+    # addition is trivially associative; the merge is what the Spark
+    # path demonstrates, not what changes the answer).
+    """
+    WITH base AS (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS val
+                  FROM events),
+    rws AS (SELECT g, val, j FROM base CROSS JOIN generate_series(0, 2) AS t(j)),
+    h AS (SELECT g, j,
+                 CAST(concat('0x', substr(md5('cms0' || chr(31) ||
+                      CAST(j AS VARCHAR) || chr(31) || val), 1, 13))
+                      AS UBIGINT) % 512 AS b
+          FROM rws),
+    counters AS (SELECT g, j, b, COUNT(*) AS c FROM h GROUP BY 1, 2, 3),
+    exact AS (SELECT g, val, COUNT(*) AS n_exact FROM base GROUP BY 1, 2),
+    q AS (SELECT g, val, n_exact FROM (
+            SELECT g, val, n_exact,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                                      ORDER BY n_exact DESC, val) AS rn
+            FROM exact) WHERE rn <= 3),
+    probe AS (SELECT q.g, q.val, q.n_exact, t.j,
+                     CAST(concat('0x', substr(md5('cms0' || chr(31) ||
+                          CAST(t.j AS VARCHAR) || chr(31) || q.val), 1, 13))
+                          AS UBIGINT) % 512 AS b
+              FROM q CROSS JOIN generate_series(0, 2) AS t(j)),
+    est AS (SELECT p.g, p.val, p.n_exact, MIN(c.c) AS est
+            FROM probe p JOIN counters c
+              ON c.g = p.g AND c.j = p.j AND c.b = p.b
+            GROUP BY 1, 2, 3),
+    n AS (SELECT g, COUNT(*) AS n_tot FROM base GROUP BY 1)
+    SELECT est.g AS event_type, est.val AS key,
+           CAST(est.n_exact AS BIGINT) AS n_exact,
+           CAST(est.est AS BIGINT) AS est_cnt,
+           CAST(est.est - est.n_exact AS BIGINT) AS overcount,
+           (est.est - est.n_exact) * 512 <= 3 * n.n_tot AS within_eps
+    FROM est JOIN n ON est.g = n.g
+    """,
+)
+def q81(spark, sf):
+    """Mergeable COUNT-MIN frequency sketch with point estimates for the
+    per-group heavy keys — the frequency axis next to q80's distinct
+    axis.  Per-(event_type, day) counter partials (map-combinable
+    integer sums) roll up by elementwise addition; the shuffle carries
+    ≤ depth·width·days counter rows per group, never the event stream.
+    Point queries broadcast a tiny probe set (3 keys × 3 hash rows per
+    group) against the bounded counter table; estimates are integer
+    MINs, overestimates by construction, ε-bound-checked with integer
+    arithmetic (`operators/sketch.py:cms_point_estimates`)."""
+    from duckdb_graphar_spark.operators.sketch import cms_point_estimates
+
+    ev = _t(spark, sf, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    return cms_point_estimates(
+        ev,
+        "event_type",
+        "user_id",
+        partial_col="__day",
+        depth=3,
+        width=512,
+        top_n=3,
+    )
+
+
+@_q(
+    "q82_pivot_unpivot_roundtrip",
+    # ORACLE: the direct long-form aggregate with matches_direct=TRUE.
+    # The Spark path computes the SAME rows by going wide (pivot with
+    # explicit status values) and back long (stack), then flag-compares
+    # against the direct aggregate computed independently — a pivot bug
+    # (dropped cell, swapped column, lossy double sum) either breaks a
+    # value or flips the flag, and both break the oracle match.  The
+    # decimal(26,8) totals make the wide/long/direct sums identical
+    # regardless of aggregation order.
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(26,8))) AS DOUBLE), 2)
+               AS total_price,
+           TRUE AS matches_direct
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q82(spark, sf):
+    """PIVOT / UNPIVOT round-trip — the wide⇄long reshaping surface:
+    groupBy().pivot() with EXPLICIT pivot values (no extra
+    distinct-values job, the scale discipline — implicit pivot scans
+    the column twice), two measures per cell (count + decimal-exact
+    total), then `stack` back to long form, flag-checked cell-by-cell
+    against the direct long aggregate.  One shuffle for the pivot, one
+    for the direct twin; both map-combinable."""
+    o = _t(spark, sf, "orders")
+    dec = F.col("o_totalprice").cast("decimal(26,8)")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec).alias("t"))
+    )
+    long = wide.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'F', F_n, F_t, 'O', O_n, O_t, 'P', P_n, P_t)"
+            " AS (o_orderstatus, n_orders, __t)"
+        ),
+    ).filter(F.col("n_orders").isNotNull())
+    direct = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("__dn"), F.sum(dec).alias("__dt")
+    )
+    return long.join(direct, ["o_orderpriority", "o_orderstatus"]).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("__t").cast("double"), 2).alias("total_price"),
+        (
+            (F.col("n_orders") == F.col("__dn"))
+            & (F.col("__t") == F.col("__dt"))
+        ).alias("matches_direct"),
     )
 
 
@@ -7986,6 +8248,7 @@ _PRIORITY = [
     # --- remaining r2-stale names queue at slots 51+ for round 7.
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
+    "q81", "q82", "t37", "s17", "s18",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

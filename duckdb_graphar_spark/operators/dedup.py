@@ -673,3 +673,99 @@ def fuzzy_word_pairs(
             F.col("c2").cast("long").alias("c2"),
         )
     )
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    *,
+    threshold_num: int = 95,
+    threshold_den: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-set Jaccard similarity JOIN with PREFIX FILTERING
+    (the PPJoin/AllPairs candidate-pruning family) → (doc_a, doc_b,
+    n_common, size_a, size_b, jaccard) for every pair with
+    J(a, b) ≥ threshold_num/threshold_den, doc_a < doc_b.
+
+    The naive all-pairs plan self-joins the FULL posting lists — every
+    stopword token fans out n_docs² candidate rows, which at 100 TB is
+    the whole job.  Prefix filtering is the lossless prune: order each
+    document's distinct tokens by GLOBAL RARITY (document frequency
+    asc, token asc) and join only each document's first
+    |S| − ⌈τ·|S|⌉ + 1 tokens (its "prefix" — the rarest ones).  If
+    J(x,y) ≥ τ then the globally-smallest common token provably lies in
+    BOTH prefixes (if it sat in x's suffix, ALL common tokens would —
+    but the suffix holds only ⌈τ|x|⌉−1 tokens < the ⌈τ|x|⌉ the
+    threshold forces), so no qualifying pair is missed while hot
+    stopwords (max df ⇒ always in suffixes) NEVER become join keys.
+
+    Exactness discipline: the threshold is a RATIONAL num/den and every
+    pruning decision is integer arithmetic — prefix length via
+    ⌈num·n/den⌉ = (num·n + den − 1) DIV den (a float ceil rounds
+    τ·n = integer cases the wrong way and silently shortens the
+    prefix), size filter num·max(na,nb) ≤ den·min(na,nb), final
+    verification i·den ≥ num·(na + nb − i).  The reported ``jaccard``
+    is the one double (i / union, rounded 6) and never gates anything.
+
+    Scale shape: df-counts and the verification count are
+    map-combinable; the candidate self-join runs over prefix tokens
+    only; verification joins each candidate pair against one side's
+    token list (≤ |S| rows per pair) then intersects by one counted
+    join — no step materializes an unpruned cross product."""
+    from pyspark.sql import Window
+
+    if threshold_num <= 0 or threshold_den <= 0 or threshold_num > threshold_den:
+        raise ValueError("threshold must be a rational in (0, 1]")
+    tok = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sz = tok.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    wdoc = Window.partitionBy("__id").orderBy("__df", "tok")
+    pos = (
+        tok.join(dfreq, "tok")
+        .withColumn("__pos", F.row_number().over(wdoc))
+        .join(sz, "__id")
+    )
+    ceil_tn = F.expr(
+        f"(__n * {threshold_num} + {threshold_den - 1}) DIV {threshold_den}"
+    )
+    prefix = pos.filter(F.col("__pos") <= F.col("__n") - ceil_tn + 1).select(
+        "__id", "tok"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("da"), F.col("b.__id").alias("db"))
+        .distinct()
+        .join(sz.select(F.col("__id").alias("da"), F.col("__n").alias("na")), "da")
+        .join(sz.select(F.col("__id").alias("db"), F.col("__n").alias("nb")), "db")
+        .filter(
+            F.greatest("na", "nb") * threshold_num
+            <= F.least("na", "nb") * threshold_den
+        )
+    )
+    inter = (
+        cand.join(tok.select(F.col("__id").alias("da"), "tok"), "da")
+        .join(tok.select(F.col("__id").alias("db"), "tok"), ["db", "tok"])
+        .groupBy("da", "db", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("__i")
+    return inter.filter(
+        F.col("__i") * threshold_den >= F.lit(threshold_num) * union
+    ).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.col("__i").cast("long").alias("n_common"),
+        F.col("na").cast("long").alias("size_a"),
+        F.col("nb").cast("long").alias("size_b"),
+        F.round(F.col("__i").cast("double") / union, 6).alias("jaccard"),
+    )

@@ -875,3 +875,91 @@ def matryoshka_recall(
     return spark.createDataFrame(
         out, "prefix_dim long, n_overlap long, recall double"
     )
+
+
+def binary_quantize(
+    df: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Binary SIGN quantization: each float packs to one bit
+    (component > 0), 32 bits per LONG word → (id, words array<long>
+    of length ⌈dim/32⌉).  32× smaller than float32 — the compression
+    tier below int8 (:func:`quantize_int8_stats`) and PQ codes; at
+    100 TB the packed corpus is what fits in memory, and Hamming
+    distance over the words (XOR + POPCOUNT, pure JVM integer ops)
+    is the fastest distance any index can evaluate.
+
+    Bits are little-endian within each word (component 32w+i → bit i
+    of word w); sign ties at exactly 0.0 quantize to 0 on every
+    engine (strict >)."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    n_words = (dim + 31) // 32
+    words = []
+    for w in range(n_words):
+        width = min(32, dim - 32 * w)
+        words.append(
+            f"aggregate(zip_with(slice({vec_col}, {32 * w + 1}, {width}),"
+            f" sequence(0, {width - 1}),"
+            " (v, i) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), i),"
+            " CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+    return df.select(
+        F.col(id_col),
+        F.array(*[F.expr(e) for e in words]).alias("words"),
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact Hamming top-k over sign-quantized vectors → (query_id,
+    neighbor_id, hamming, rank): both sides pack via
+    :func:`binary_quantize`, the tiny packed query set BROADCASTS, the
+    distance is Σ_w popcount(corpus_word XOR query_word) — integer-only
+    whole-stage-codegen arithmetic, no floats anywhere, so ranks are
+    deterministic (ties break neighbor id ASC) and the plan is one
+    shuffle-free scoring map + a per-query window over k·|queries|
+    candidates."""
+    from pyspark.sql import Window
+
+    cw = binary_quantize(corpus, dim=dim, vec_col=vec_col, id_col=id_col)
+    qw = binary_quantize(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias(vec_col),
+        ),
+        dim=dim,
+        vec_col=vec_col,
+        id_col="__qid",
+    ).withColumnRenamed("words", "__qwords")
+    scored = cw.crossJoin(F.broadcast(qw)).filter(
+        F.col(id_col) != F.col("__qid")
+    )
+    ham = F.expr(
+        "aggregate(zip_with(words, __qwords, (x, y) -> bit_count(x ^ y)),"
+        " 0, (a, b) -> a + b)"
+    )
+    w = Window.partitionBy("__qid").orderBy("__ham", F.col(id_col).asc())
+    return (
+        scored.withColumn("__ham", ham)
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__ham").cast("int").alias("hamming"),
+            F.col("__rank").alias("rank"),
+        )
+    )

@@ -200,3 +200,110 @@ def kmv_distinct_rollup(
             ).alias("within_tol"),
         )
     )
+
+
+def cms_point_estimates(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    partial_col: str | None = None,
+    depth: int = 3,
+    width: int = 512,
+    top_n: int = 3,
+    seed: str = "cms0",
+) -> DataFrame:
+    """Mergeable COUNT-MIN frequency sketch with point-query estimates →
+    (group, key, n_exact, est_cnt, overcount, within_eps).
+
+    The Count-Min sketch (Cormode-Muthukrishnan): ``depth`` hash rows of
+    ``width`` counters; every occurrence of a value increments counter
+    ``h_j(value)`` in each row; the point estimate for a key is the MIN
+    over rows of its counters — an OVERestimate by construction (each
+    counter holds the key's true count plus nonneg collision mass), with
+    the ε·N guarantee (ε = e/width) holding per row with prob 1−1/e.
+
+    Next to :func:`kmv_distinct_rollup` (distinct counts) this covers
+    the other warehouse sketch axis — per-key FREQUENCIES — with the
+    same two engineering properties:
+
+    - **Bit-exact cross-engine**: bucket ids are content-addressed md5
+      integer arithmetic (top 13 hex digits mod ``width`` — the
+      q80/t36 discipline), counters are integer sums, the estimate is
+      an integer MIN: every output column replays exactly in ANSI SQL,
+      no tolerance band needed even for the sketch internals.
+    - **Mergeable by construction**: counters are sums, so per-
+      ``partial_col`` (e.g. per-day) sketches roll up to the group
+      total by elementwise addition — the map-combinable shape.  After
+      the map-side combine the shuffle carries at most
+      ``depth·width·partials`` counter rows per group, never the value
+      stream.
+
+    Point queries probe the ``top_n`` exact-heaviest keys per group
+    (deterministic ``(count DESC, value ASC)`` tie-break): the tiny
+    probe set (groups × top_n × depth rows) broadcasts against the
+    bounded counter table, so query cost is independent of corpus size.
+    ``overcount = est − exact ≥ 0`` always; ``within_eps`` checks the
+    3·N/width bound (3 > e, integer arithmetic on both engines).
+    """
+    from pyspark.sql import Window
+
+    def bucket(j_col: F.Column, val_col: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f", F.lit(seed), j_col.cast("string"), val_col
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        *([F.col(partial_col).alias("p")] if partial_col else []),
+        F.col(value_col).cast("string").alias("val"),
+    )
+    rows = base.withColumn(
+        "__j", F.explode(F.array(*[F.lit(j) for j in range(depth)]))
+    ).withColumn("__b", bucket(F.col("__j"), F.col("val")))
+    partial_keys = ["g"] + (["p"] if partial_col else []) + ["__j", "__b"]
+    partials = rows.groupBy(*partial_keys).count()
+    counters = partials.groupBy("g", "__j", "__b").agg(
+        F.sum("count").alias("__c")
+    )
+
+    exact = base.groupBy("g", "val").agg(F.count(F.lit(1)).alias("n_exact"))
+    wq = Window.partitionBy("g").orderBy(F.desc("n_exact"), "val")
+    queries = (
+        exact.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= top_n)
+        .select("g", "val", "n_exact")
+    )
+    probe = queries.withColumn(
+        "__j", F.explode(F.array(*[F.lit(j) for j in range(depth)]))
+    ).withColumn("__b", bucket(F.col("__j"), F.col("val")))
+    est = (
+        counters.join(F.broadcast(probe), ["g", "__j", "__b"])
+        .groupBy("g", "val", "n_exact")
+        .agg(F.min("__c").alias("__est"))
+    )
+    totals = base.groupBy("g").agg(F.count(F.lit(1)).alias("__n_tot"))
+    return est.join(totals, "g").select(
+        F.col("g").alias(group_col),
+        F.col("val").alias("key"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("__est").cast("long").alias("est_cnt"),
+        (F.col("__est") - F.col("n_exact")).cast("long").alias("overcount"),
+        (
+            (F.col("__est") - F.col("n_exact")) * F.lit(width)
+            <= F.lit(3) * F.col("__n_tot")
+        ).alias("within_eps"),
+    )

@@ -1167,3 +1167,71 @@ def char_ngram_profile(
         .filter(F.col("rank") <= k)
         .select("lang", "ngram", "cnt", "rank")
     )
+
+
+def classify_language(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    k: int = 50,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character n-gram language-ID CLASSIFICATION — the apply side of
+    :func:`char_ngram_profile`'s training side, returning the per-
+    (true, predicted) confusion-matrix counts → (lang, pred_lang,
+    n_docs).
+
+    Simplified Cavnar-Trenkle scoring with ALL-INTEGER arithmetic:
+    every profile n-gram carries weight ``k+1−rank`` (rank ties break
+    (count DESC, n-gram ASC) — deterministic), a document's score for a
+    candidate language is the weight sum over its n-gram OCCURRENCES
+    that hit that profile, and the prediction is the max-score language
+    (ties break language ASC).  No floats anywhere, so the whole
+    pipeline replays exactly in SQL.
+
+    Scale shape: the profile table is tiny (langs × k rows) and
+    BROADCASTS against the row-local n-gram explode — the corpus never
+    shuffles by n-gram.  The per-(doc, candidate) score aggregate is
+    map-combinable, so the one corpus-keyed shuffle carries ≤
+    docs × langs pre-combined score rows, not the gram stream; the
+    argmax window runs over that bounded aggregate, and the final
+    confusion count is langs² rows."""
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
+    prof = (
+        char_ngram_profile(df, n=n, k=k, lang_col=lang_col, text_col=text_col)
+        .select(
+            F.col("lang").alias("__cand"),
+            "ngram",
+            (F.lit(k + 1) - F.col("rank")).alias("__w"),
+        )
+    )
+    positions = F.when(
+        F.length(text_col) >= n,
+        F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.transform(positions, lambda i: F.col(text_col).substr(i, F.lit(n)))
+        ).alias("ngram"),
+    )
+    scores = (
+        grams.join(F.broadcast(prof), "ngram")
+        .groupBy("__id", "lang", "__cand")
+        .agg(F.sum("__w").alias("__score"))
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__score").desc(), F.col("__cand").asc()
+    )
+    pred = (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("lang", F.col("__cand").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

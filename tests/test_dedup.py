@@ -198,3 +198,47 @@ def test_fuzzy_word_pairs_rejects_bad_dist(spark):
     df = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
     with _pt.raises(ValueError, match="max_dist"):
         fuzzy_word_pairs(df, max_dist=0)
+
+
+def test_jaccard_join_exact_boundary_and_prune(spark):
+    """A pair at EXACTLY J = 0.95 (38 shared / 40 union) must survive —
+    the integer threshold (i*den >= num*union) has no float fuzz; a
+    just-below pair must not; tau=1 keeps only identical token sets."""
+    from duckdb_graphar_spark.operators.dedup import jaccard_similarity_join
+
+    shared = " ".join(f"t{i:02d}" for i in range(38))
+    rows = [
+        (1, shared + " onlya"),          # 39 tokens
+        (2, shared + " onlyb"),          # 39 tokens, J(1,2) = 38/40 = 0.95
+        (3, " ".join(f"t{i:02d}" for i in range(30)) + " x y z"),  # J(1,3) < 0.95
+        (4, shared + " onlya"),          # identical set to doc 1
+        (5, ""),                          # empty: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in jaccard_similarity_join(df, threshold_num=95).collect()
+    }
+    assert got[(1, 2)] == (38, 0.95)
+    assert got[(1, 4)][1] == 1.0 and got[(2, 4)] == (38, 0.95)
+    assert all(a != 3 and b != 3 for a, b in got)
+
+    exact_only = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_similarity_join(
+            df, threshold_num=1, threshold_den=1
+        ).collect()
+    }
+    assert exact_only == {(1, 4)}
+
+
+def test_jaccard_join_rejects_bad_threshold(spark):
+    from duckdb_graphar_spark.operators.dedup import jaccard_similarity_join
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for num, den in [(0, 100), (101, 100), (1, 0)]:
+        try:
+            jaccard_similarity_join(df, threshold_num=num, threshold_den=den)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass

@@ -211,3 +211,37 @@ def test_semdedup_max_cluster_size_splits_and_keeps_exact_dups(spark):
         assert (2 * i, 2 * i + 1) in capped
     with __import__("pytest").raises(ValueError, match="max_cluster_size"):
         semdedup(df, cents, max_cluster_size=0)
+
+
+def test_binary_quantize_packing_and_hamming(spark):
+    """Known bit patterns: component 32w+i sets bit i of word w
+    (little-endian); strict > 0 so zeros quantize to 0; Hamming over a
+    hand-checkable pair; odd dims pack into a short final word."""
+    from duckdb_graphar_spark.operators.embeddings import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    v1 = [1.0] + [0.0] * 63              # bit 0 of word 0
+    v2 = [0.0] * 33 + [5.0] + [0.0] * 30  # bit 1 of word 1
+    v3 = [-1.0] * 64                      # all zero words
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)], "vec_id long, embedding array<float>"
+    )
+    w = {r.vec_id: r.words for r in binary_quantize(df, dim=64).collect()}
+    assert w[1] == [1, 0] and w[2] == [0, 2] and w[3] == [0, 0]
+
+    q = spark.createDataFrame(
+        [(1, v1)], "query_id long, query_vec array<float>"
+    )
+    got = {
+        r.neighbor_id: (r.hamming, r.rank)
+        for r in hamming_topk(df, q, k=5, dim=64).collect()
+    }
+    # v1 vs v3: 1 bit differs; v1 vs v2: 2 bits differ; self excluded
+    assert got[3] == (1, 1) and got[2] == (2, 2) and 1 not in got
+
+    short = spark.createDataFrame(
+        [(1, [1.0, -1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assert binary_quantize(short, dim=3).collect()[0].words == [5]

@@ -293,3 +293,48 @@ def test_kmv_merge_invariance_and_small_groups(spark):
     assert a == b
     assert a["small"][0] == 5 and a["small"][2] == 5.0  # exact fallback
     assert a["big"][0] == 500 and a["big"][3] is True   # in-band estimate
+
+
+def test_cms_merge_invariance_and_overestimate(spark):
+    """(1) Per-partial counter partials summed == direct counters (the
+    elementwise-addition merge): the partial column must not change a
+    single output value.  (2) est >= exact for EVERY probed key (the
+    CMS one-sided guarantee holds deterministically, not just in
+    expectation).  (3) At a collision-free width the estimate is exact;
+    at a tiny width (forced collisions) overcount goes positive but the
+    MIN over rows still upper-bounds correctly."""
+    from duckdb_graphar_spark.operators.sketch import cms_point_estimates
+
+    rows = (
+        [("a", i % 3, "hot") for i in range(60)]
+        + [("a", i % 3, f"cold{i}") for i in range(30)]
+        + [("b", 0, "x"), ("b", 1, "x"), ("b", 1, "y")]
+    )
+    df = spark.createDataFrame(rows, "grp string, day int, val string")
+    direct = cms_point_estimates(df, "grp", "val", width=512, top_n=2)
+    merged = cms_point_estimates(
+        df, "grp", "val", partial_col="day", width=512, top_n=2
+    )
+    a = {(r.grp, r.key): (r.n_exact, r.est_cnt, r.overcount) for r in direct.collect()}
+    b = {(r.grp, r.key): (r.n_exact, r.est_cnt, r.overcount) for r in merged.collect()}
+    assert a == b
+    assert a[("a", "hot")][0] == 60
+    assert all(est >= exact for exact, est, _ in a.values())
+
+    tiny = cms_point_estimates(df, "grp", "val", width=2, top_n=2)
+    t = {(r.grp, r.key): (r.n_exact, r.est_cnt) for r in tiny.collect()}
+    assert all(est >= exact for exact, est in t.values())
+    # 31 distinct values into 2 buckets x 3 rows: collisions guaranteed
+    assert any(est > exact for exact, est in t.values())
+
+
+def test_cms_probe_tiebreak_deterministic(spark):
+    """Probe-key selection ties break on (count DESC, value ASC) — equal
+    counts pick the lexicographically smallest keys."""
+    from duckdb_graphar_spark.operators.sketch import cms_point_estimates
+
+    rows = [("g", v) for v in ["b", "b", "c", "c", "a"]]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    got = cms_point_estimates(df, "grp", "val", top_n=2)
+    keys = sorted(r.key for r in got.collect())
+    assert keys == ["b", "c"]

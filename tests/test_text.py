@@ -413,3 +413,41 @@ def test_char_ngram_profile_counts_and_short_text_guard(spark):
     got = {(r.lang, r.ngram): (r.cnt, r.rank) for r in char_ngram_profile(df).collect()}
     # 'ababa' → aba, bab, aba; 'ab' too short (no descending-sequence blowup)
     assert got == {("en", "aba"): (2, 1), ("en", "bab"): (1, 2), ("fr", "zzz"): (1, 1)}
+
+
+def test_classify_language_separates_and_tiebreaks(spark):
+    """Two synthetic 'languages' with disjoint trigram inventories
+    classify themselves perfectly; a doc equidistant between two
+    profiles predicts the lexicographically smaller language."""
+    from duckdb_graphar_spark.operators.text import classify_language
+
+    rows = [
+        (1, "aa", "aaaaaaaaaa"),
+        (2, "aa", "aaaaaaa"),
+        (3, "bb", "bbbbbbbbbb"),
+        (4, "bb", "bbbbbbb"),
+        # mixed text: its own 'zz' profile (all four grams) outscores
+        # the single-gram hits on 'aa'/'bb' -> self-classifies
+        (5, "zz", "aaabbb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r.lang, r.pred_lang): r.n_docs
+        for r in classify_language(df, n=3, k=5).collect()
+    }
+    assert got[("aa", "aa")] == 2 and got[("bb", "bb")] == 2
+    assert got[("zz", "zz")] == 1
+    assert sum(got.values()) == 5  # every doc classified exactly once
+
+
+def test_classify_language_short_text_guard(spark):
+    """Texts shorter than n contribute no grams and drop out of the
+    confusion matrix (no crash on the descending-sequence corner)."""
+    from duckdb_graphar_spark.operators.text import classify_language
+
+    df = spark.createDataFrame(
+        [(1, "aa", "aaaa"), (2, "aa", "x")],
+        "doc_id long, lang string, text string",
+    )
+    got = classify_language(df, n=3, k=5).collect()
+    assert len(got) == 1 and got[0].n_docs == 1
