@@ -1605,6 +1605,69 @@ def u05(spark, sf):
 
 
 @_q(
+    "q84_runtime_bloom_filter_join",
+    # ORACLE: the plain join-filter-aggregate — the bloom filter is a
+    # pure execution-strategy change (a might-contain prefilter can
+    # only drop rows the join would drop anyway), so values must be
+    # identical; the PLAN divergence (bloom_filter_agg + scan-side
+    # might_contain) is pinned separately in test_plans.py.
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(26,8)))
+                 AS DOUBLE), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def q84(spark, sf):
+    """Runtime BLOOM-FILTER join reduction — the row-level sibling of
+    q77's dynamic partition pruning and THE 100 TB scan-elision lever
+    for shuffle joins: Catalyst builds a bloom filter over the
+    selective (filtered orders) side's join keys and injects a
+    might_contain prefilter into the fact scan, so most lineitem rows
+    die at the scan instead of riding the shuffle.  Local-mode fixture
+    sizes sit below the production thresholds, so the entry lowers them
+    for the guarded window only (u05's collect-inside / restore-in-
+    finally discipline — the conf is consulted at planning time, which
+    is lazy) and forces the shuffle join the bloom path requires.
+    Values are oracle-identical to the plain join by construction."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            "100MB"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        agg = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                _dec_sum(F.col("l_extendedprice"), 2).alias("revenue"),
+            )
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@_q(
     "u06_map_in_arrow",
     # ORACLE: byte/substring counts recomputed with SQL string
     # functions — all-integer outputs, exact.
@@ -5299,6 +5362,46 @@ def g25(spark, sf):
 
 
 @_q(
+    "g26_seed_set_closeness",
+    # ORACLE: one bounded recursive CTE does all 8 sources at once —
+    # the state is (source, vertex, depth) with UNION dedup, min-dist
+    # per pair, then the same integer aggregate.  All-integer outputs.
+    f"""
+    WITH RECURSIVE e AS ({_E_SQL}),
+    walk(s, v, d) AS (
+      SELECT CAST(s AS BIGINT) AS s, CAST(s AS BIGINT) AS v, 0 AS d
+      FROM (SELECT UNNEST(generate_series(0, 7)) AS s)
+      UNION
+      SELECT walk.s, e.dst, walk.d + 1
+      FROM walk JOIN e ON e.src = walk.v WHERE walk.d < 4
+    ),
+    m AS (SELECT s, v, MIN(d) AS d FROM walk GROUP BY 1, 2)
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(d) AS BIGINT) AS total_dist
+    FROM m GROUP BY v
+    """,
+)
+def g26(spark, sf):
+    """Seed-set closeness from ONE multi-source BFS sweep — the
+    landmark-distance primitive (sampled closeness centrality,
+    landmark labeling, distance-to-known-spam features): the frontier
+    is keyed (source, vertex) so all 8 seeds share each level's single
+    edge-relation join, instead of 8 independent sweeps paying 8 edge
+    scans per level.  Per-vertex outputs are integer (reach count,
+    distance sum) — no floats, exact SQL replay
+    (`operators/graph.py:multi_source_bfs,seed_set_closeness`)."""
+    from duckdb_graphar_spark.operators.graph import seed_set_closeness
+
+    return seed_set_closeness(
+        _edges(spark, sf),
+        list(range(8)),
+        src_col="src",
+        dst_col="dst",
+        max_depth=4,
+    )
+
+
+@_q(
     "t26_heavy_hitters",
     # ORACLE: exact token frequencies with the integer threshold
     # freq*k > n.  The operator's Misra-Gries candidate phase is a
@@ -7885,6 +7988,38 @@ def q79(spark, sf):
     return j.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+_Q83_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey < 100
+"""
+
+
+@_q(
+    "q83_lateral_topn_per_group",
+    # ORACLE: the IDENTICAL query text on DuckDB (the q74 discipline) —
+    # engine parity on the correlated-LATERAL surface itself, not a
+    # window-function reimplementation.  Ties break (price DESC, key
+    # ASC); customers without orders drop out on both engines (inner
+    # lateral); prices are raw doubles from the shared parquet.
+    _Q83_SQL,
+)
+def q83(spark, sf):
+    """Correlated LATERAL subquery with per-group ORDER BY LIMIT — the
+    top-n-per-group shape expressed as the SQL standard's lateral
+    derived table instead of a row_number window, run natively by
+    Catalyst (planned as a ranked inner join, no single-task global
+    sort).  The oracle is the SAME query text on DuckDB — parity on
+    the newest join surface, complementing q74's recursive CTE and
+    q47/q48's window formulations of the same problem."""
+    _t(spark, sf, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q83_SQL)
+
+
 @_q(
     "q74_recursive_cte",
     # ORACLE: the IDENTICAL recursive SQL text (modulo the edge-list
@@ -8248,7 +8383,7 @@ _PRIORITY = [
     # --- remaining r2-stale names queue at slots 51+ for round 7.
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
-    "q81", "q82", "t37", "s17", "s18",
+    "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -1490,3 +1490,104 @@ def pseudo_diameter(
         [(int(start), int(far.v), int(far.dist), int(ecc))],
         "start long, peripheral long, first_ecc int, pseudo_diameter int",
     )
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    sources: list[int],
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+    max_depth: int = 6,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Level-synchronous BFS from MANY sources simultaneously →
+    (source, v, dist): the frontier is keyed (source, vertex), so one
+    sweep answers all |S| single-source problems — the landmark /
+    seed-set primitive behind closeness estimates, landmark distance
+    labeling, and distance-to-known-spam features, where running
+    :func:`bfs_distances` |S| times would pay |S| full edge scans per
+    level instead of one.
+
+    Same machinery discipline as :func:`bfs_distances`: each level is
+    ONE join of the edge relation against the (broadcast-when-small)
+    composite frontier, distinct + anti-join against the per-source
+    visited set, lineage cut every 4 levels, edge cache unpersisted
+    after an eager checkpoint of the O(Σ reached) result."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if len(set(sources)) != len(sources):
+        raise ValueError("sources must be distinct")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).persist()
+    pinned: list[DataFrame] = [e]
+    try:
+        frontier = spark.createDataFrame(
+            [(int(s),) for s in sources], "__src long"
+        ).select("__src", F.col("__src").alias("__v"))
+        visited = frontier
+        result = frontier.withColumn("dist", F.lit(0))
+        frontier_n = len(sources)
+        for depth in range(1, max_depth + 1):
+            fr = (
+                F.broadcast(frontier)
+                if frontier_n <= broadcast_threshold
+                else frontier
+            )
+            nxt = (
+                e.join(fr, e["__s"] == F.col("__v"))
+                .select("__src", F.col("__d").alias("__v"))
+                .distinct()
+                .join(visited, ["__src", "__v"], "left_anti")
+                .persist()
+            )
+            pinned.append(nxt)
+            n = nxt.count()
+            if n == 0:
+                break
+            result = result.unionAll(
+                nxt.select("__src", "__v", F.lit(depth).alias("dist"))
+            )
+            visited = visited.unionAll(nxt)
+            frontier = nxt
+            frontier_n = n
+            if depth % 4 == 0:
+                frontier = frontier.localCheckpoint(eager=False)
+                visited = visited.localCheckpoint(eager=False)
+                result = result.localCheckpoint(eager=False)
+        return result.select(
+            F.col("__src").alias("source"), F.col("__v").alias("v"), "dist"
+        ).localCheckpoint(eager=True)
+    finally:
+        for df in pinned:
+            df.unpersist(blocking=False)
+
+
+def seed_set_closeness(
+    edges: DataFrame,
+    sources: list[int],
+    *,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Seed-set closeness summary from one :func:`multi_source_bfs`
+    sweep → (v, n_sources, total_dist): how many of the |S| seeds reach
+    each vertex within ``max_depth`` and the integer sum of those
+    distances — the landmark-closeness feature (the sampled estimator
+    of closeness centrality uses exactly these sums) with no floats, so
+    it replays exactly in SQL.  Aggregation is one map-combinable
+    groupBy over the O(Σ reached) BFS output."""
+    d = multi_source_bfs(
+        edges,
+        sources,
+        src_col=src_col,
+        dst_col=dst_col,
+        max_depth=max_depth,
+    )
+    return d.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("dist").cast("long").alias("total_dist"),
+    )

@@ -532,3 +532,49 @@ def test_condensation_levels_layered_dag_of_cycles(spark):
         for r in condensation_levels(df, src_col="src", dst_col="dst").collect()
     }
     assert got == {0: (0, 2), 2: (1, 2), 5: (2, 1), 4: (3, 1)}
+
+
+def test_multi_source_bfs_matches_single_source_and_dedups(spark):
+    """The multi-source sweep must equal per-source bfs_distances
+    results stacked; a vertex reached at several depths keeps the
+    minimum; source rows carry dist 0; duplicate seeds raise."""
+    from duckdb_graphar_spark.operators.graph import (
+        bfs_distances,
+        multi_source_bfs,
+        seed_set_closeness,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3), (5, 0)], "src long, dst long"
+    )
+    multi = {
+        (r.source, r.v): r.dist
+        for r in multi_source_bfs(
+            edges, [0, 5], src_col="src", dst_col="dst", max_depth=4
+        ).collect()
+    }
+    for s in (0, 5):
+        single = {
+            r.v: r.dist
+            for r in bfs_distances(
+                edges, s, src_col="src", dst_col="dst", max_depth=4
+            ).collect()
+        }
+        assert {v: d for (src, v), d in multi.items() if src == s} == single
+    assert multi[(0, 3)] == 1  # min over the two paths 0->3 and 0->1->2->3
+
+    agg = {
+        r.v: (r.n_sources, r.total_dist)
+        for r in seed_set_closeness(
+            edges, [0, 5], src_col="src", dst_col="dst", max_depth=4
+        ).collect()
+    }
+    # vertex 3: dist 1 from seed 0, dist 2 from seed 5
+    assert agg[3] == (2, 3)
+    assert agg[5] == (1, 0)  # only its own seed row
+
+    try:
+        multi_source_bfs(edges, [0, 0], src_col="src", dst_col="dst")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
