@@ -4225,6 +4225,105 @@ def st15(spark, sf):
 
 
 @_q(
+    "st16_streaming_kmv_distinct",
+    # ORACLE: the batch KMV sketch over the same rows — legal as a FULL
+    # value oracle (not a tolerance band) because bottom-k of a union
+    # equals bottom-k of incremental per-batch merges, so the streaming
+    # state's final content is independent of batch boundaries; u is
+    # the same md5 integer arithmetic as q80.  kth_u is NULL below
+    # capacity (the estimator falls back to the exact survivor count).
+    """
+    WITH b AS (SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS val
+               FROM events),
+    h AS (SELECT g, val,
+                 (CAST(concat('0x', substr(md5('kmv0' || chr(31) || val), 1, 13))
+                       AS UBIGINT) + 1) / 4503599627370497.0 AS u
+          FROM b),
+    sk AS (SELECT g, MAX(u) AS kth_u, COUNT(*) AS n_sk FROM (
+             SELECT g, val, u,
+                    ROW_NUMBER() OVER (PARTITION BY g ORDER BY u, val) AS rn
+             FROM h) WHERE rn <= 64 GROUP BY g),
+    ex AS (SELECT event_type AS g, COUNT(*) AS n_seen,
+                  COUNT(DISTINCT user_id) AS n_exact
+           FROM events GROUP BY 1)
+    SELECT ex.g AS event_type,
+           CAST(ex.n_seen AS BIGINT) AS n_seen,
+           CAST(ex.n_exact AS BIGINT) AS n_exact,
+           CASE WHEN sk.n_sk < 64 THEN NULL
+                ELSE ROUND(sk.kth_u, 12) END AS kth_u,
+           ROUND(CASE WHEN sk.n_sk < 64 THEN CAST(sk.n_sk AS DOUBLE)
+                      ELSE 63.0 / sk.kth_u END, 4) AS est_distinct,
+           (ABS(CASE WHEN sk.n_sk < 64 THEN CAST(sk.n_sk AS DOUBLE)
+                     ELSE 63.0 / sk.kth_u END - ex.n_exact)
+            / ex.n_exact) <= 0.375 AS within_tol
+    FROM ex JOIN sk ON ex.g = sk.g
+    """,
+)
+def st16(spark, sf):
+    """Streaming KMV distinct sketch (q80's stateful twin, st12's
+    BIT-EXACT sibling): per-group bottom-64 content-addressed hashes
+    maintained in O(k) applyInPandasWithState state across THREE
+    mtime-ordered micro-batches — merge-order independence of bottom-k
+    is what upgrades the check from st12's 5% band to a full value
+    oracle.  Hashing runs JVM-side before the stateful op; estimate
+    arithmetic and rounding stay JVM-side after it
+    (`streaming/ops.py:streaming_kmv_distinct`)."""
+    import shutil
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_kmv_distinct,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st16_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        base = __import__("time").time() - 120
+        for i in range(3):
+            tmp = os.path.join(stage, f"__part{i}")
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1)
+        raw = run_to_memory(
+            streaming_kmv_distinct(stream, k=64), "st16_out", mode="update"
+        )
+        w = Window.partitionBy("g").orderBy(F.desc("n_seen"))
+        final = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        est = F.when(
+            F.col("n_sk") < 64, F.col("n_sk").cast("double")
+        ).otherwise(F.lit(63.0) / F.col("kth_u"))
+        exact = _t(spark, sf, "events").groupBy(
+            F.col("event_type").alias("g")
+        ).agg(F.count_distinct("user_id").alias("n_exact"))
+        return final.join(exact, "g").select(
+            F.col("g").alias("event_type"),
+            F.col("n_seen").cast("long").alias("n_seen"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.when(F.col("n_sk") < 64, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("kth_u"), 12))
+            .alias("kth_u"),
+            F.round(est, 4).alias("est_distinct"),
+            (
+                F.abs(est - F.col("n_exact")) / F.col("n_exact").cast("double")
+                <= F.lit(0.375)
+            ).alias("within_tol"),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st14_streaming_ohlc",
     # ORACLE: q72's window formulation — epoch-aligned 1-hour tumbling
     # windows equal date_trunc('hour'); the completed stream's
@@ -8383,7 +8482,7 @@ _PRIORITY = [
     # --- remaining r2-stale names queue at slots 51+ for round 7.
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
-    "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26",
+    "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -239,7 +239,11 @@ def stateful_user_totals(
     def update(key, pdfs, state):
         import pandas as pd
 
-        n, total = state.get() if state.exists else (0, 0.0)
+        # GroupState.get is a PROPERTY (raises if absent), not a method —
+        # a latent break for any group spanning 2+ micro-batches, which
+        # the single-file st05 fixture never exercised (st16's 3-batch
+        # staging found it)
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
@@ -673,5 +677,108 @@ def streaming_ohlc(
             "low",
             "close",
             "n_events",
+        )
+    )
+
+
+def streaming_kmv_distinct(
+    events: DataFrame,
+    *,
+    k: int = 64,
+    seed: str = "kmv0",
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Streaming K-MINIMUM-VALUES distinct sketch — the stateful twin
+    of the batch `operators/sketch.py:kmv_distinct_rollup` and the
+    BIT-EXACT sibling of :func:`windowed_hll_distinct`: per-group state
+    is the bottom-``k`` (hash, value) pairs, merged incrementally each
+    micro-batch.  Because bottom-k of a union equals bottom-k of
+    incremental bottom-k merges, the final state is INDEPENDENT of
+    batch boundaries and arrival order — so a full value oracle exists
+    (the batch sketch over the same rows), not just a tolerance band.
+
+    The content-addressed hash u is computed JVM-SIDE before the
+    stateful operator (same md5 integer arithmetic as the batch
+    sketch); the Arrow-batched state update only sorts/truncates ≤
+    k + batch rows per group.  Emits (group, n_seen, n_sk, kth_u) per
+    updated group per batch — n_seen strictly increases, so the final
+    sketch row per group is the max-n_seen one; estimate arithmetic
+    ((k−1)/u_k) is left to the caller so rounding happens JVM-side.
+    State is O(k) doubles+strings per group regardless of cardinality."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", F.lit(seed), F.col(value_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float((1 << 52) + 1))
+    hashed = events.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("string").alias("val"),
+        u.alias("u"),
+        *(["ts"] if "ts" in events.columns else []),
+    )
+    if not events.isStreaming:
+        raise ValueError(
+            "streaming_kmv_distinct needs a streaming DataFrame; use "
+            "operators.sketch.kmv_distinct_rollup for batch"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), False),
+            T.StructField("n_seen", T.LongType(), False),
+            T.StructField("n_sk", T.LongType(), False),
+            T.StructField("kth_u", T.DoubleType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("us", T.ArrayType(T.DoubleType()), False),
+            T.StructField("vals", T.ArrayType(T.StringType()), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        # GroupState.get is a PROPERTY (raises if absent), not a method
+        us, vals, n = state.get if state.exists else ([], [], 0)
+        d = dict(zip(vals, us))
+        for pdf in pdfs:
+            n += len(pdf)
+            for val, uu in zip(pdf["val"], pdf["u"]):
+                d[val] = float(uu)  # same val → same content-addressed u
+        items = sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        state.update(
+            ([uu for _, uu in items], [v for v, _ in items], n)
+        )
+        kth = items[-1][1] if len(items) == k else None
+        yield pd.DataFrame(
+            {
+                "g": [key[0]],
+                "n_seen": [n],
+                "n_sk": [len(items)],
+                "kth_u": [kth],
+            }
+        )
+
+    return (
+        hashed.withWatermark("ts", watermark)
+        .groupBy("g")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
         )
     )

@@ -233,3 +233,114 @@ def test_streaming_ohlc_batch_twin(spark):
     r = streaming_ohlc(df).collect()[0]
     assert (r.open, r.high, r.low, r.close, r.n_events) == (3.0, 8.0, 3.0, 8.0, 3)
     assert r.bucket == base
+
+
+def _stage_three_batches(spark, sf_dir, stage):
+    """Split events into three mtime-ordered single-file micro-batches
+    (event_id mod 3) so per-group state provably spans batches."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    base = time.time() - 120
+    for i in range(3):
+        tmp = os.path.join(stage, f"__part{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (base + 30 * i, base + 30 * i))
+
+
+def test_stateful_user_totals_multi_batch_state_merge(spark, sf_dir, tmp_path):
+    """REGRESSION: GroupState.get is a property, not a method — any
+    group whose rows span 2+ micro-batches hits the exists-path that
+    the single-file fixture never reached (found by st16's staging).
+    Final per-user totals across three staged batches must equal the
+    batch aggregate."""
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stateful_user_totals,
+    )
+    from duckdb_graphar_spark.tables import load_table
+
+    stage = str(tmp_path / "stage")
+    import os
+
+    os.makedirs(stage)
+    _stage_three_batches(spark, sf_dir, stage)
+    stream = read_events_stream(spark, stage, max_files=1)
+    out = run_to_memory(
+        stateful_user_totals(stream, watermark="365 days"),
+        "sut_mb_test",
+        mode="update",
+    )
+    # memory sink appends one row per (user, updating batch); the final
+    # state is the max-n_events row per user
+    final = {}
+    for r in out.collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, round(r.total_value, 4))
+    batch = stateful_user_totals(load_table(spark, sf_dir, "events"))
+    expect = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in batch.collect()}
+    assert final == expect
+
+
+def test_streaming_kmv_batch_boundary_invariance(spark, sf_dir, tmp_path):
+    """The streaming KMV sketch's final state must be identical whether
+    the rows arrive in 3 micro-batches or 1 (bottom-k merge order
+    independence — what licenses st16's full value oracle), and must
+    equal the batch kmv_distinct_rollup sketch over the same rows."""
+    import os
+
+    from duckdb_graphar_spark.operators.sketch import kmv_distinct_rollup
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_kmv_distinct,
+    )
+    from duckdb_graphar_spark.tables import load_table
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    _stage_three_batches(spark, sf_dir, stage)
+
+    def final_sketch(path, name):
+        stream = read_events_stream(spark, path, max_files=1)
+        raw = run_to_memory(
+            streaming_kmv_distinct(stream, k=16), name, mode="update"
+        )
+        w = Window.partitionBy("g").orderBy(F.desc("n_seen"))
+        return {
+            r.g: (r.n_seen, r.n_sk, r.kth_u)
+            for r in raw.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .collect()
+        }
+
+    staged = final_sketch(stage, "kmv_staged")
+    single = final_sketch(f"{sf_dir}/events.parquet", "kmv_single")
+    assert staged == single
+
+    batch = {
+        r.event_type: (r.kth_u, r.n_exact)
+        for r in kmv_distinct_rollup(
+            load_table(spark, sf_dir, "events"), "event_type", "user_id", k=16
+        ).collect()
+    }
+    for g, (n_seen, n_sk, kth_u) in staged.items():
+        if n_sk == 16:
+            assert round(kth_u, 12) == batch[g][0]
+        else:
+            assert n_sk == batch[g][1]  # exact fallback below capacity
