@@ -6901,6 +6901,66 @@ def m17(spark, sf):
 
 
 @_q(
+    "m18_animated_gif",
+    # ORACLE: m17's pixel formula with a FRAME dimension — frame f's
+    # pixel j indexes text byte (j+f) mod L, delay is the arithmetic
+    # 4 + (id+f) mod 7 the encoder wrote into the graphic-control
+    # extension: a frame-boundary bug, a delay-pairing bug (GCE
+    # attaches to the NEXT image descriptor), or any LZW bug breaks
+    # specific (doc, frame) rows.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 11 AS w,
+             1 + doc_id % 6 AS h,
+             2 + doc_id % 15 AS p,
+             1 + doc_id % 4 AS nf, text
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, L, w, h, p, nf, text, CAST(t.f AS INTEGER) AS f
+      FROM g, UNNEST(generate_series(0, CAST(nf AS BIGINT) - 1)) AS t(f)
+    ),
+    b AS (
+      SELECT doc_id, f, nf, w, h, p,
+             unicode(text[CAST((t.j + f) % L AS INTEGER) + 1]) % p AS idx
+      FROM fr, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           f AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN p <= 2 THEN 2 WHEN p <= 4 THEN 4
+                     WHEN p <= 8 THEN 8 ELSE 16 END AS BIGINT) AS palette_size,
+           CAST(4 + (doc_id + f) % 7 AS INTEGER) AS delay_cs,
+           CAST(SUM((37 * idx + 11) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((59 * idx + 23) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((83 * idx + 5) % 256) AS BIGINT) AS sum_b
+    FROM b GROUP BY doc_id, f, nf, w, h, p
+    """,
+)
+def m18(spark, sf):
+    """ANIMATED GIF89a — the multi-frame sibling of m17's still GIF
+    and the palette cousin of m08's MJPEG frame walk: per document
+    1 + id mod 4 full-frame-replacement frames, each with its own
+    graphic-control extension (delay 4 + (id+f) mod 7 cs) and its own
+    REAL LZW stream, plus a NETSCAPE loop extension; the decoder walks
+    every image descriptor to the trailer, pairing each frame with its
+    preceding GCE delay.  One output row per frame, all-integer, two
+    Arrow-batched mapInPandas stages, no shuffle
+    (`operators/multimodal.py:encode_animated_gif/decode_animated_gif`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        animated_gif_frame_stats,
+        encode_text_animated_gif,
+    )
+
+    return animated_gif_frame_stats(
+        encode_text_animated_gif(_t(spark, sf, "documents"))
+    )
+
+
+@_q(
     "m15_stereo_wav",
     # ORACLE: never sees the WAV bytes — left replays the m13 waveform
     # ((byte i − 80)·256), right replays (byte (2i mod L) − 80)·256;
@@ -8482,7 +8542,7 @@ _PRIORITY = [
     # --- remaining r2-stale names queue at slots 51+ for round 7.
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
-    "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16",
+    "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -2812,3 +2812,248 @@ def pcm_energy_stats(
             ]
         ),
     )
+
+
+def encode_animated_gif(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delays_cs: list[int],
+    *,
+    loops: int = 0,
+) -> bytes:
+    """Write a real ANIMATED GIF89a: logical screen descriptor + global
+    color table (padded like :func:`encode_gif`), a NETSCAPE2.0
+    application extension (loop count — 0 = forever), then per frame a
+    graphic-control extension carrying the delay in centiseconds
+    followed by a full-frame image descriptor with its own REAL
+    LZW-compressed index stream.  All ``frames`` are (h, w) uint8 index
+    arrays of identical shape (full-frame replacement, disposal 0)."""
+    if not frames or len(frames) != len(delays_cs):
+        raise ValueError("frames and delays_cs must be non-empty, same length")
+    h, w = frames[0].shape
+    n = palette.shape[0]
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= n <= 256:
+        raise ValueError("palette must be (n, 3) with 1 <= n <= 256")
+    bits = max(1, (max(n, 2) - 1).bit_length())
+    padded = np.zeros((1 << bits, 3), dtype=np.uint8)
+    padded[:n] = palette.astype(np.uint8)
+    min_code = max(2, bits)
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+        + padded.tobytes()
+        # NETSCAPE2.0 looping application extension
+        + b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        + struct.pack("<H", loops)
+        + b"\x00"
+    )
+    for fr, delay in zip(frames, delays_cs):
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share the logical screen size")
+        if fr.max(initial=0) >= n:
+            raise ValueError("palette index out of range")
+        lzw = _lzw_encode_gif(fr.reshape(-1), min_code)
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", int(delay)) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([min_code])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_animated_gif(payload: bytes) -> dict:
+    """Decode an ANIMATED GIF89a: walks EVERY image descriptor to the
+    trailer (where :func:`decode_gif` stops at the first), pairing each
+    frame with the delay from its preceding graphic-control extension
+    (0 if absent, per spec) and skipping other extensions by sub-block
+    lengths.  Full-frame replacement only — a frame whose descriptor
+    is not the whole logical screen raises NotImplementedError (real
+    pipelines composite partial frames over a canvas; out of scope).
+    Returns {width, height, palette_size, n_frames, delays_cs,
+    frames (list of h·w·3 uint8 RGB)}."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        if pos + size * 3 > len(payload):
+            raise ValueError("truncated global color table")
+        palette = np.frombuffer(
+            payload[pos : pos + size * 3], dtype=np.uint8
+        ).reshape(-1, 3)
+        pos += size * 3
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    pending_delay = 0
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            if not frames:
+                raise ValueError("GIF trailer before any image data")
+            return {
+                "width": int(sw),
+                "height": int(sh),
+                "palette_size": int(palette.shape[0]) if palette is not None else 0,
+                "n_frames": len(frames),
+                "delays_cs": delays,
+                "frames": frames,
+            }
+        if marker == 0x21:
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control: capture the delay
+                if pos + 6 > len(payload) or payload[pos] != 4:
+                    raise ValueError("bad graphic control extension")
+                pending_delay = struct.unpack("<H", payload[pos + 2 : pos + 4])[0]
+                pos += 5  # size byte + 4 data bytes
+                if payload[pos] != 0:
+                    raise ValueError("unterminated graphic control extension")
+                pos += 1
+            else:  # other extensions: skip sub-blocks
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unknown GIF block marker 0x{marker:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        x, y, w, h, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF")
+        if iflags & 0x80:
+            raise NotImplementedError("local color table GIF")
+        if (x, y, w, h) != (0, 0, sw, sh):
+            raise NotImplementedError("partial-frame animated GIF")
+        if palette is None:
+            raise ValueError("image data with no global color table")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad LZW min code size {min_code}")
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("truncated LZW sub-block")
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # image-data block terminator
+        idx = _lzw_decode_gif(bytes(data), min_code, w * h)
+        if idx.max(initial=0) >= palette.shape[0]:
+            raise ValueError("GIF index beyond color table")
+        frames.append(palette[idx].reshape(-1))
+        delays.append(pending_delay)
+        pending_delay = 0
+    raise ValueError("GIF ended without trailer")
+
+
+ANIMATED_GIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("palette_size", T.LongType(), False),
+        T.StructField("delay_cs", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def encode_text_animated_gif(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL animated GIF89a: m17's geometry
+    and palette (w = 1 + length mod 11, h = 1 + id mod 6, palette size
+    p = 2 + id mod 15), n_frames = 1 + id mod 4, frame f's pixel i is
+    text byte (i + f) mod L mod p (the rotation makes every frame's
+    content distinct but predictable), frame delay 4 + (id + f) mod 7
+    centiseconds — so the oracle predicts every pixel of every frame
+    AND every container delay."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                did = int(did)
+                w = 1 + (len(tb) % 11)
+                h = 1 + (did % 6)
+                p = 2 + (did % 15)
+                nf = 1 + (did % 4)
+                k = np.arange(p, dtype=np.int64)
+                pal = np.stack(
+                    [(37 * k + 11) % 256, (59 * k + 23) % 256, (83 * k + 5) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                frames = [
+                    (tb[(np.arange(w * h) + f) % len(tb)] % p)
+                    .astype(np.uint8)
+                    .reshape(h, w)
+                    for f in range(nf)
+                ]
+                delays = [4 + ((did + f) % 7) for f in range(nf)]
+                payloads.append(encode_animated_gif(frames, pal, delays))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def animated_gif_frame_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-(doc, frame) channel sums + container delay from REAL
+    animated-GIF decoding (:func:`decode_animated_gif`) — one output
+    row per frame, exact BIGINTs; a frame-boundary, delay-pairing, or
+    LZW bug breaks specific rows.  Arrow-batched mapInPandas, no
+    shuffle; output is O(frames), row-local."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in ANIMATED_GIF_STATS_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_animated_gif(bytes(payload))
+                for f, (fr, delay) in enumerate(
+                    zip(d["frames"], d["delays_cs"])
+                ):
+                    px = fr.reshape(-1, 3).astype(np.int64)
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(int(d["n_frames"]))
+                    out["width"].append(int(d["width"]))
+                    out["height"].append(int(d["height"]))
+                    out["palette_size"].append(int(d["palette_size"]))
+                    out["delay_cs"].append(int(delay))
+                    out["sum_r"].append(int(px[:, 0].sum()))
+                    out["sum_g"].append(int(px[:, 1].sum()))
+                    out["sum_b"].append(int(px[:, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, ANIMATED_GIF_STATS_SCHEMA)

@@ -1274,3 +1274,75 @@ if _HYP:
         idx = rng.integers(0, p, size=(h, w)).astype(np.uint8)
         d = decode_gif(encode_gif(idx, pal))
         assert np.array_equal(d["pixels"].reshape(h, w, 3), pal[idx])
+
+
+def test_animated_gif_roundtrip_delays_and_guards():
+    """Three frames with distinct content and delays round-trip exactly;
+    a frame with no preceding GCE reports delay 0 (spec default); a
+    partial-frame descriptor raises NotImplementedError; mismatched
+    frame shapes raise ValueError."""
+    import numpy as np
+    import struct
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_animated_gif,
+        encode_animated_gif,
+    )
+
+    pal = np.array([[10, 20, 30], [200, 100, 50], [0, 255, 0]], dtype=np.uint8)
+    frames = [
+        np.array([[0, 1], [2, 0], [1, 2]], dtype=np.uint8),
+        np.array([[2, 2], [1, 1], [0, 0]], dtype=np.uint8),
+        np.array([[1, 0], [1, 0], [1, 0]], dtype=np.uint8),
+    ]
+    payload = encode_animated_gif(frames, pal, [4, 10, 250])
+    d = decode_animated_gif(payload)
+    assert (d["n_frames"], d["width"], d["height"]) == (3, 2, 3)
+    assert d["delays_cs"] == [4, 10, 250]
+    assert d["palette_size"] == 4  # padded to the next power of two
+    for fr, want in zip(d["frames"], frames):
+        assert (fr.reshape(3, 2, 3) == pal[want]).all()
+
+    # strip the first GCE (8 bytes starting with 21 f9) -> delay 0
+    i = payload.index(b"\x21\xf9")
+    stripped = payload[:i] + payload[i + 8 :]
+    assert decode_animated_gif(stripped)["delays_cs"][0] == 0
+
+    # partial-frame descriptor: rewrite first descriptor's width
+    j = payload.index(b"\x2c")
+    bad = bytearray(payload)
+    bad[j + 5 : j + 7] = struct.pack("<H", 1)
+    try:
+        decode_animated_gif(bytes(bad))
+        assert False, "expected NotImplementedError"
+    except NotImplementedError:
+        pass
+
+    try:
+        encode_animated_gif(
+            [frames[0], frames[0][:2]], pal, [1, 1]
+        )
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_animated_gif_single_frame_matches_still_decoder():
+    """A 1-frame animation's pixels equal decode_gif on an equivalent
+    still GIF (shared LZW + palette machinery)."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_animated_gif,
+        decode_gif,
+        encode_animated_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 5, size=(4, 7)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(5, 3)).astype(np.uint8)
+    anim = decode_animated_gif(encode_animated_gif([idx], pal, [12]))
+    still = decode_gif(encode_gif(idx, pal))
+    assert (anim["frames"][0] == still["pixels"]).all()
+    assert anim["delays_cs"] == [12]
