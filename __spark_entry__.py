@@ -1749,6 +1749,79 @@ def u04(spark, sf):
 
 
 @_q(
+    "u07_stream_sink",
+    # ORACLE: the exactly-once readback (union of manifest-listed files
+    # across three committed micro-batches) must reproduce the events
+    # table row-for-row — a dropped batch, a double-committed retry
+    # partial, or an Arrow schema mangle all break the match.  ts
+    # compared as epoch µs (the st02 discipline).
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def u07(spark, sf):
+    """Streaming SINK through the public Python Data Source V2 API —
+    the last DSv2 corner (u01 UDTF aside: generator source u02, batch
+    sink u03, streaming source u04, pushdown reader u05, mapInArrow
+    u06): Arrow RecordBatches flow straight into per-partition parquet
+    files, and each micro-batch's driver-side commit atomically
+    publishes a manifest naming only the successful attempt's files —
+    the two-phase exactly-once contract, per batch, across three
+    staged mtime-ordered micro-batches
+    (`datasources.py:ParquetStreamSinkDataSource`)."""
+    import shutil
+
+    from duckdb_graphar_spark.datasources import (
+        ParquetStreamSinkDataSource,
+        read_stream_sink_output,
+    )
+    from duckdb_graphar_spark.streaming.ops import read_events_stream
+
+    try:
+        spark.dataSource.register(ParquetStreamSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stage = tempfile.mkdtemp(prefix="u07_stage_")
+    outdir = tempfile.mkdtemp(prefix="u07_sink_")
+    ck = tempfile.mkdtemp(prefix="u07_ck_")
+    try:
+        ev = _t(spark, sf, "events")
+        base = __import__("time").time() - 120
+        for i in range(3):
+            tmp = os.path.join(stage, f"__part{i}")
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1).select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        q = (
+            stream.writeStream.format("parquet_stream_sink")
+            .option("path", outdir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = read_stream_sink_output(spark, outdir)
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        for d in (stage, outdir, ck):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+@_q(
     "q49_string_agg",
     """
     SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
@@ -8543,6 +8616,7 @@ _PRIORITY = [
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
+    "u07",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -21,6 +21,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     InputPartition,
     WriterCommitMessage,
@@ -203,3 +204,87 @@ class BucketedRangeDataSource(DataSource):
             int(self.options.get("n_buckets", 8)),
             int(self.options.get("rows_per_bucket", 1000)),
         )
+
+
+class _StreamFileCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
+    """Per-micro-batch two-phase parquet commit: every partition writes
+    a task-unique file (a re-attempted task never collides), the driver
+    commit publishes a `_batch_<id>.json` manifest naming ONLY the
+    files of the successful attempt — readers that union manifest-listed
+    files get exactly-once semantics even across batch retries (a
+    retried batch id atomically overwrites its own manifest); abort
+    removes the orphan partials."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator):  # executor-side, per partition per batch
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches:
+            return _StreamFileCommit("", 0)
+        table = pa.Table.from_batches(batches)
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        full = os.path.join(self.path, fname)
+        pq.write_table(table, full)
+        return _StreamFileCommit(full, table.num_rows)
+
+    def commit(self, messages, batchId):  # driver-side, batch succeeded
+        manifest = {
+            "batch": batchId,
+            "files": [m.path for m in messages if m and m.n_rows],
+            "rows": sum(m.n_rows for m in messages if m),
+        }
+        tmp = os.path.join(self.path, f"._batch_{batchId}.json.tmp")
+        final = os.path.join(self.path, f"_batch_{batchId}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, final)  # atomic publish
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class ParquetStreamSinkDataSource(DataSource):
+    """`writeStream.format("parquet_stream_sink")` — the STREAMING
+    corner of the Python Data Source V2 write surface (the batch sink
+    above is `arrow_parquet_sink`), Arrow-batched end to end.  Register
+    with ``spark.dataSource.register(ParquetStreamSinkDataSource)``;
+    requires option ``path``.  Use :func:`read_stream_sink_output` to
+    read back exactly the committed rows."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "parquet_stream_sink"
+
+    def streamWriter(self, schema, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("parquet_stream_sink requires option 'path'")
+        return _ArrowParquetStreamWriter(path)
+
+
+def read_stream_sink_output(spark, path: str):
+    """Exactly-once readback for :class:`ParquetStreamSinkDataSource`:
+    union only the files named by committed batch manifests (orphans
+    from failed attempts are invisible)."""
+    import glob
+
+    files: list[str] = []
+    for mf in sorted(glob.glob(os.path.join(path, "_batch_*.json"))):
+        with open(mf) as f:
+            files.extend(json.load(f)["files"])
+    if not files:
+        raise ValueError(f"no committed batches under {path}")
+    return spark.read.parquet(*files)

@@ -50,3 +50,65 @@ def test_end_to_end_pushdown_query(spark):
         .collect()[0]
     )
     assert tuple(got) == (1000, 1000, 1999)
+
+
+def test_stream_sink_manifest_exactly_once(spark, tmp_path):
+    """The committed-batch manifest is the exactly-once boundary: an
+    orphan parquet file dropped into the sink dir (a failed attempt's
+    partial) must be invisible to read_stream_sink_output, and the
+    committed rows must equal the streamed input."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_graphar_spark.datasources import (
+        ParquetStreamSinkDataSource,
+        read_stream_sink_output,
+    )
+
+    try:
+        spark.dataSource.register(ParquetStreamSinkDataSource)
+    except Exception:
+        pass
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    spark.range(0, 100).selectExpr(
+        "id", "id * id AS sq"
+    ).coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("id long, sq long").parquet(src)
+    q = (
+        stream.writeStream.format("parquet_stream_sink")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # plant an orphan partial that no manifest names
+    pq.write_table(
+        pa.table({"id": [999], "sq": [999]}),
+        os.path.join(out, "part-orphan.parquet"),
+    )
+    got = {(r.id, r.sq) for r in read_stream_sink_output(spark, out).collect()}
+    assert got == {(i, i * i) for i in range(100)}
+    assert (999, 999) not in got
+
+
+def test_stream_sink_requires_path(spark):
+    from duckdb_graphar_spark.datasources import ParquetStreamSinkDataSource
+
+    try:
+        spark.dataSource.register(ParquetStreamSinkDataSource)
+    except Exception:
+        pass
+    import pytest
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(Exception, match="path"):
+        q = stream.writeStream.format("parquet_stream_sink").option(
+            "checkpointLocation", "/tmp/u07_nopath_ck"
+        ).start()
+        q.awaitTermination(5)
