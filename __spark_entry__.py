@@ -4839,6 +4839,70 @@ def s18(spark, sf):
 
 
 @_q(
+    "s19_hamming_rerank_topk",
+    # ORACLE: both stages replayed — s18's packing + hamming window at
+    # m=20 (ties (ham, id)), then the s01 cosine discipline (rounded
+    # score IS the sort key, ties by id) over ONLY the stage-1
+    # candidates.  The hamming column pins stage-1 provenance: a
+    # candidate that shouldn't have survived the prefilter can't
+    # sneak in even with the right cosine.
+    """
+    WITH p AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum([CASE WHEN embedding[CAST(i AS INTEGER) + 1] > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                            ELSE CAST(0 AS BIGINT) END
+                       FOR i IN generate_series(0, 31)]) AS BIGINT) AS w0,
+             CAST(list_sum([CASE WHEN embedding[CAST(i AS INTEGER) + 33] > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                            ELSE CAST(0 AS BIGINT) END
+                       FOR i IN generate_series(0, 31)]) AS BIGINT) AS w1
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv, w0 AS q0, w1 AS q1
+          FROM p WHERE vec_id < 3),
+    cand AS (SELECT qid, neighbor_id, hamming, qv, cv FROM (
+      SELECT q.qid, p.vec_id AS neighbor_id,
+             CAST(bit_count(xor(p.w0, q.q0))
+                  + bit_count(xor(p.w1, q.q1)) AS INTEGER) AS hamming,
+             q.qv, p.embedding AS cv,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+                                ORDER BY bit_count(xor(p.w0, q.q0))
+                                         + bit_count(xor(p.w1, q.q1)),
+                                         p.vec_id) AS hrank
+      FROM p CROSS JOIN q WHERE p.vec_id != q.qid
+    ) WHERE hrank <= 20)
+    SELECT query_id, neighbor_id, hamming, cosine_sim, rank FROM (
+      SELECT qid AS query_id, neighbor_id, hamming,
+             ROUND(list_cosine_similarity(CAST(cv AS DOUBLE[]),
+                                          CAST(qv AS DOUBLE[])), 6)
+                 AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY ROUND(list_cosine_similarity(CAST(cv AS DOUBLE[]),
+                                CAST(qv AS DOUBLE[])), 6) DESC,
+                         neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def s19(spark, sf):
+    """TWO-STAGE retrieval — the production 100 TB shape: s18's
+    integer Hamming prefilter narrows each query to 20 candidates over
+    the 32×-packed corpus (the tier that fits in memory), then exact
+    cosine re-ranks ONLY those — float work drops from
+    |corpus|·|queries| to 20·|queries| dot products, fetched by a
+    candidate-sized join instead of a corpus scan.  Both stages
+    deterministic, fully SQL-replayed
+    (`operators/embeddings.py:hamming_rerank_topk`)."""
+    from duckdb_graphar_spark.operators.embeddings import hamming_rerank_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hamming_rerank_topk(e, q, k=5, m=20, dim=64)
+
+
+@_q(
     "s07_kmeans_update",
     # ORACLE: s05's assignment CTE, then per-(cluster, dim) DECIMAL sums
     # → means → ordered list per cluster (list(... ORDER BY) mirrors the
@@ -5571,6 +5635,78 @@ def g26(spark, sf):
         dst_col="dst",
         max_depth=4,
     )
+
+
+@_q(
+    "g27_luby_mis",
+    # ORACLE: the full 3-round peel unrolled — priorities are the SAME
+    # md5‖zero-padded-id strings (provably unique, so strict '<' never
+    # ties), each round is a 4-CTE stage (undecided-neighbor MIN,
+    # joiners, removed neighbors restricted to the still-undecided
+    # set, survivors).  MATERIALIZED + ANTI/SEMI JOIN keep DuckDB from
+    # re-inlining each round's CTE under every reference (the NOT IN
+    # formulation re-executed the whole peel per membership test —
+    # >100s; this runs in 0.1s).
+    f"""
+    WITH e AS MATERIALIZED ({_E_SQL}),
+    ed AS (SELECT src, dst FROM e WHERE src != dst),
+    adj AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+             SELECT src AS a, dst AS b FROM ed
+             UNION ALL SELECT dst AS a, src AS b FROM ed)),
+    u0 AS MATERIALIZED (SELECT v, md5('mis0' || chr(31) || CAST(v AS VARCHAR))
+                    || lpad(CAST(v AS VARCHAR), 12, '0') AS p
+           FROM (SELECT DISTINCT a AS v FROM adj)),
+    n1 AS (SELECT adj.a AS v, MIN(ub.p) AS mn FROM adj
+           JOIN u0 ua ON ua.v = adj.a JOIN u0 ub ON ub.v = adj.b GROUP BY 1),
+    m1 AS MATERIALIZED (SELECT u0.v FROM u0 LEFT JOIN n1 ON n1.v = u0.v
+           WHERE n1.mn IS NULL OR u0.p < n1.mn),
+    r1 AS MATERIALIZED (SELECT DISTINCT adj.b AS v FROM adj
+           JOIN m1 ON m1.v = adj.a
+           ANTI JOIN m1 mm ON mm.v = adj.b),
+    u1 AS MATERIALIZED (SELECT u0.* FROM u0 ANTI JOIN m1 ON m1.v = u0.v
+           ANTI JOIN r1 ON r1.v = u0.v),
+    n2 AS (SELECT adj.a AS v, MIN(ub.p) AS mn FROM adj
+           JOIN u1 ua ON ua.v = adj.a JOIN u1 ub ON ub.v = adj.b GROUP BY 1),
+    m2 AS MATERIALIZED (SELECT u1.v FROM u1 LEFT JOIN n2 ON n2.v = u1.v
+           WHERE n2.mn IS NULL OR u1.p < n2.mn),
+    r2 AS MATERIALIZED (SELECT DISTINCT adj.b AS v FROM adj
+           JOIN m2 ON m2.v = adj.a
+           ANTI JOIN m2 mm ON mm.v = adj.b
+           SEMI JOIN u1 ON u1.v = adj.b),
+    u2 AS MATERIALIZED (SELECT u1.* FROM u1 ANTI JOIN m2 ON m2.v = u1.v
+           ANTI JOIN r2 ON r2.v = u1.v),
+    n3 AS (SELECT adj.a AS v, MIN(ub.p) AS mn FROM adj
+           JOIN u2 ua ON ua.v = adj.a JOIN u2 ub ON ub.v = adj.b GROUP BY 1),
+    m3 AS MATERIALIZED (SELECT u2.v FROM u2 LEFT JOIN n3 ON n3.v = u2.v
+           WHERE n3.mn IS NULL OR u2.p < n3.mn),
+    r3 AS MATERIALIZED (SELECT DISTINCT adj.b AS v FROM adj
+           JOIN m3 ON m3.v = adj.a
+           ANTI JOIN m3 mm ON mm.v = adj.b
+           SEMI JOIN u2 ON u2.v = adj.b),
+    u3 AS (SELECT u2.* FROM u2 ANTI JOIN m3 ON m3.v = u2.v
+           ANTI JOIN r3 ON r3.v = u2.v)
+    SELECT v, 'in' AS status FROM m1
+    UNION ALL SELECT v, 'in' FROM m2
+    UNION ALL SELECT v, 'in' FROM m3
+    UNION ALL SELECT v, 'out' FROM r1
+    UNION ALL SELECT v, 'out' FROM r2
+    UNION ALL SELECT v, 'out' FROM r3
+    UNION ALL SELECT v, 'undecided' FROM u3
+    """,
+)
+def g27(spark, sf):
+    """Luby's maximal independent set over the undirected order graph,
+    3 fixed rounds — THE distributed symmetry-breaking primitive
+    (coloring, matching, scheduling all reduce to it), made
+    deterministic AND SQL-replayable by content-addressed priorities
+    (md5 ‖ zero-padded id: provably unique, adversary-free like the
+    classical random draw).  Per round: one edge ⋈ undecided ⋈
+    undecided join, a map-combinable per-vertex MIN, two anti-joins —
+    no collects, no driver state
+    (`operators/graph.py:luby_mis`)."""
+    from duckdb_graphar_spark.operators.graph import luby_mis
+
+    return luby_mis(_edges(spark, sf), rounds=3, src_col="src", dst_col="dst")
 
 
 @_q(
@@ -8616,7 +8752,7 @@ _PRIORITY = [
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
-    "u07",
+    "u07", "s19", "g27",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

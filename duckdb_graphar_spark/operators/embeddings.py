@@ -963,3 +963,73 @@ def hamming_topk(
             F.col("__rank").alias("rank"),
         )
     )
+
+
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    m: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """TWO-STAGE retrieval: binary Hamming prefilter to ``m``
+    candidates per query (:func:`hamming_topk` — XOR+POPCOUNT over the
+    32×-compressed sign bits), then EXACT cosine re-ranking of only
+    those candidates to the final top-``k`` → (query_id, neighbor_id,
+    hamming, cosine_sim, rank).
+
+    This is the production retrieval shape at 100 TB: stage 1 touches
+    only packed words (the corpus that fits in memory) with integer
+    arithmetic; stage 2 fetches float vectors for m·|queries| rows —
+    a candidate-sized JOIN back to the corpus, not a corpus scan.
+    Against brute force the float work drops from |corpus|·|queries|
+    dot products to m·|queries|.  Both stages are deterministic
+    ((distance, id) ties), so the pipeline replays exactly in SQL —
+    recall vs exact cosine is measurable but APPROXIMATE by design
+    (a true neighbor whose sign pattern is distant can miss stage 1)."""
+    from duckdb_graphar_spark.operators.similarity import dot, norm
+    from pyspark.sql import Window
+
+    if k < 1 or m < k:
+        raise ValueError("need m >= k >= 1")
+    cand = hamming_topk(
+        corpus,
+        queries,
+        k=m,
+        dim=dim,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select("query_id", "neighbor_id", "hamming")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+    ).withColumn("__qn", norm(F.col("__qv")))
+    denom = F.col("__cn") * F.col("__qn")
+    sim = F.when(
+        denom > 0, dot(F.col("__cv"), F.col("__qv")) / denom
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1591,3 +1591,102 @@ def seed_set_closeness(
         F.count(F.lit(1)).cast("long").alias("n_sources"),
         F.sum("dist").cast("long").alias("total_dist"),
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    *,
+    rounds: int = 3,
+    seed: str = "mis0",
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Luby's MAXIMAL INDEPENDENT SET, fixed-round, with
+    CONTENT-ADDRESSED priorities → (v, status ∈ {'in','out',
+    'undecided'}): each round every undecided vertex whose priority is
+    strictly smaller than all its undecided neighbors' joins the set,
+    and its neighbors drop out.  MIS is THE symmetry-breaking
+    primitive distributed graph algorithms build on (coloring,
+    matching, scheduling) and classically needs randomness — here the
+    priority is md5(seed ‖ v) ‖ zero-padded v, which is (a) provably
+    unique (the id suffix breaks even an md5 collision), (b) adversary-
+    free like a random draw, and (c) REPLAYABLE: the same string
+    arithmetic runs in SQL, so a fixed-round run has a full value
+    oracle — the t36/q80 determinism discipline applied to an
+    iterative graph algorithm.
+
+    Independence of each round's joiners is structural (adjacent
+    joiners would each need the strictly smaller priority).  After
+    ``rounds`` rounds remaining vertices report 'undecided' — the
+    fixed budget is what keeps the oracle an unrollable CTE chain; by
+    Luby's analysis each round decides a constant expected fraction,
+    so the undecided tail shrinks geometrically.
+
+    Scale shape per round: one (edge ⋈ undecided ⋈ undecided) join +
+    one map-combinable MIN per vertex + two anti-joins — no driver
+    state beyond the loop counter, no collects; lineage cut per round."""
+    prio = F.concat(
+        F.md5(F.concat_ws("\x1f", F.lit(seed), F.col("v").cast("string"))),
+        F.lpad(F.col("v").cast("string"), 12, "0"),
+    )
+    e = edges.filter(F.col(src_col) != F.col(dst_col)).select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    adj = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    pinned: list[DataFrame] = [adj]
+    try:
+        und = (
+            adj.select(F.col("a").alias("v"))
+            .distinct()
+            .withColumn("p", prio)
+            .persist()
+        )
+        pinned.append(und)
+        statuses: list[DataFrame] = []
+        for _ in range(rounds):
+            nb_min = (
+                adj.join(und.select(F.col("v").alias("a")), "a")
+                .join(
+                    und.select(F.col("v").alias("b"), F.col("p").alias("__pb")),
+                    "b",
+                )
+                .groupBy(F.col("a").alias("v"))
+                .agg(F.min("__pb").alias("__mn"))
+            )
+            new_m = (
+                und.join(nb_min, "v", "left")
+                .filter(F.col("__mn").isNull() | (F.col("p") < F.col("__mn")))
+                .select("v")
+                .persist()
+            )
+            pinned.append(new_m)
+            removed = (
+                adj.join(new_m.select(F.col("v").alias("a")), "a")
+                .select(F.col("b").alias("v"))
+                .distinct()
+                .join(new_m, "v", "left_anti")
+                .join(und.select("v"), "v", "left_semi")
+                .persist()
+            )
+            pinned.append(removed)
+            statuses.append(new_m.withColumn("status", F.lit("in")))
+            statuses.append(removed.withColumn("status", F.lit("out")))
+            und = (
+                und.join(new_m, "v", "left_anti")
+                .join(removed, "v", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if und.isEmpty():
+                break
+        statuses.append(und.select("v").withColumn("status", F.lit("undecided")))
+        result = statuses[0]
+        for s in statuses[1:]:
+            result = result.unionByName(s)
+        return result.localCheckpoint(eager=True)
+    finally:
+        for df in pinned:
+            df.unpersist(blocking=False)

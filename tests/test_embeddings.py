@@ -245,3 +245,44 @@ def test_binary_quantize_packing_and_hamming(spark):
         [(1, [1.0, -1.0, 1.0])], "vec_id long, embedding array<float>"
     )
     assert binary_quantize(short, dim=3).collect()[0].words == [5]
+
+
+def test_hamming_rerank_candidate_bound_and_recall(spark):
+    """Stage-2 output must be a subset of stage-1's m candidates; with
+    m = corpus size the pipeline equals brute-force cosine exactly;
+    m < k raises."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.embeddings import (
+        hamming_rerank_topk,
+        hamming_topk,
+    )
+    from duckdb_graphar_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, vecs[0].tolist())], "query_id long, query_vec array<float>"
+    )
+    cand = {
+        r.neighbor_id for r in hamming_topk(df, q, k=10, dim=64).collect()
+    }
+    got = hamming_rerank_topk(df, q, k=3, m=10, dim=64).collect()
+    assert {r.neighbor_id for r in got} <= cand
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2, 3]
+
+    full = hamming_rerank_topk(df, q, k=3, m=29, dim=64).collect()
+    brute = brute_force_topk(df, q, k=3).collect()
+    assert {(r.neighbor_id, r.cosine_sim) for r in full} == {
+        (r.neighbor_id, r.cosine_sim) for r in brute
+    }
+
+    try:
+        hamming_rerank_topk(df, q, k=5, m=3, dim=64)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -578,3 +578,50 @@ def test_multi_source_bfs_matches_single_source_and_dedups(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_luby_mis_invariants(spark):
+    """(1) Every vertex gets exactly one status.  (2) The 'in' set is
+    INDEPENDENT (no edge has both endpoints in).  (3) Every 'out'
+    vertex has an 'in' neighbor (it was removed for a reason).  (4) On
+    a path graph the peel is fully decided in one round set and
+    maximal: adding any undecided/out vertex would break independence."""
+    from duckdb_graphar_spark.operators.graph import luby_mis
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (2, 6)],
+        "src long, dst long",
+    )
+    rows = luby_mis(edges, rounds=3, src_col="src", dst_col="dst").collect()
+    status = {r.v: r.status for r in rows}
+    assert len(rows) == len(status) == 7  # one status per vertex
+    mis = {v for v, s in status.items() if s == "in"}
+    adj = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (2, 6)]
+    assert not any(a in mis and b in mis for a, b in adj)
+    nbrs = {}
+    for a, b in adj:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for v, s in status.items():
+        if s == "out":
+            assert nbrs[v] & mis, f"out vertex {v} has no in-neighbor"
+        if s == "undecided":
+            assert not (nbrs[v] & mis)  # undecided only if never adjacent
+
+
+def test_luby_mis_deterministic_and_seed_sensitive(spark):
+    from duckdb_graphar_spark.operators.graph import luby_mis
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "src long, dst long"
+    )
+    a = sorted(map(tuple, luby_mis(edges, src_col="src", dst_col="dst").collect()))
+    b = sorted(map(tuple, luby_mis(edges, src_col="src", dst_col="dst").collect()))
+    assert a == b
+    assert {v for v, s in a if s == "in"}  # non-empty MIS
+    # a different seed is a different (still valid) priority draw
+    c = luby_mis(edges, seed="other", src_col="src", dst_col="dst").collect()
+    mis_c = {r.v for r in c if r.status == "in"}
+    assert mis_c and not any(
+        (v, (v + 1) % 10) for v in mis_c if (v + 1) % 10 in mis_c
+    )
