@@ -5322,6 +5322,72 @@ def t37(spark, sf):
 
 
 @_q(
+    "t38_winnow_fingerprints",
+    # ORACLE: the whole selection replays — md5-integer k-gram hashes,
+    # list-slice window minima (DuckDB's list_slice clamps at the end
+    # exactly like Spark's slice, covering the short-text single-window
+    # case), distinct per doc, then the same integer aggregate.  Any
+    # off-by-one in gram positions, window starts, or the clamp shows
+    # up in n_fp/sum_fp immediately.
+    """
+    WITH g AS (
+      SELECT doc_id,
+             [CAST(CAST(concat('0x', substr(md5(substr(text,
+                    CAST(i AS INTEGER), 5)), 1, 13)) AS UBIGINT) AS BIGINT)
+              FOR i IN generate_series(1, length(text) - 4)] AS hs
+      FROM documents WHERE length(text) >= 5),
+    w AS (
+      SELECT doc_id, len(hs) AS n,
+             [list_min(list_slice(hs, CAST(j AS INTEGER),
+                                  CAST(j AS INTEGER) + 3))
+              FOR j IN generate_series(1, greatest(len(hs) - 3, 1))] AS mins
+      FROM g),
+    fp AS (SELECT doc_id, n, UNNEST(list_distinct(mins)) AS fingerprint FROM w)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(MIN(fingerprint) AS BIGINT) AS min_fp,
+           CAST(SUM(fingerprint) AS BIGINT) AS sum_fp
+    FROM fp GROUP BY doc_id
+    """,
+)
+def t38(spark, sf):
+    """Winnowing fingerprints (the MOSS plagiarism/near-dup primitive):
+    per-document k-gram md5 hashes → sliding-window minima → distinct
+    fingerprint set, selected entirely ROW-LOCALLY (array transforms in
+    whole-stage codegen, no shuffle) yet guaranteeing any ≥ w+k−1-char
+    shared substring yields a shared fingerprint across documents —
+    the coordination-free dedup signal.  Entry aggregates per-doc
+    (count, min, sum) pins; ~2/(w+1) density bound keeps the
+    fingerprint set small (`operators/text.py:winnow_fingerprints`)."""
+    from duckdb_graphar_spark.operators.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(_t(spark, sf, "documents"), k=5, w=4)
+    ng = F.expr("length(text) - 4")
+    grams = (
+        _t(spark, sf, "documents")
+        .filter(F.length("text") >= 5)
+        .select("doc_id", ng.alias("__n"))
+    )
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.min("fingerprint").cast("long").alias("min_fp"),
+            F.sum("fingerprint").cast("long").alias("sum_fp"),
+        )
+        .join(grams, "doc_id")
+        .select(
+            "doc_id",
+            F.col("__n").cast("long").alias("n_grams"),
+            "n_fp",
+            "min_fp",
+            "sum_fp",
+        )
+    )
+
+
+@_q(
     "t36_weighted_sample",
     # ORACLE: the A-Res key replayed exactly — u is integer md5
     # arithmetic + ONE division by 2^52+1 (both exactly representable,
@@ -8752,7 +8818,7 @@ _PRIORITY = [
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
-    "u07", "s19", "g27",
+    "u07", "s19", "g27", "t38",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -1235,3 +1235,52 @@ def classify_language(
     return pred.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer-Wilkerson-Aiken, the
+    MOSS algorithm) → (doc_id, fingerprint) exploded: hash every
+    character ``k``-gram, slide a window of ``w`` consecutive hashes,
+    keep each window's MINIMUM — the fingerprint set every local
+    document selects INDEPENDENTLY yet with the guarantee that any
+    substring match of length ≥ w + k − 1 contributes at least one
+    SHARED fingerprint (the window bound forces both documents to
+    sample a minimum from the shared region).  The plagiarism /
+    near-dup primitive that needs no cross-document coordination.
+
+    Engine-parity discipline: the k-gram hash is content-addressed md5
+    integer arithmetic (the t36/q80 discipline) rather than a
+    multiplicative rolling hash — same O(L) work per document (Spark
+    evaluates the transform per position either way), deterministic,
+    and replayable in SQL.  Texts shorter than k yield no grams; gram
+    sequences shorter than w yield one whole-sequence window (Spark's
+    and DuckDB's slice both clamp at the end).
+
+    Scale shape: selection is entirely ROW-LOCAL (array transforms
+    inside whole-stage codegen, then one explode of the DISTINCT
+    minima — ~2/(w+1) of the grams by the winnowing density bound); no
+    shuffle at all until a caller aggregates or joins fingerprints."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    hs = F.expr(
+        f"transform(sequence(1, length({text_col}) - {k - 1}),"
+        f" i -> cast(conv(substring(md5(substring({text_col}, i, {k})),"
+        " 1, 13), 16, 10) as long))"
+    )
+    base = df.filter(F.length(text_col) >= k).select(
+        F.col(id_col).alias("doc_id"), hs.alias("__hs")
+    )
+    wins = F.expr(
+        f"transform(sequence(1, greatest(size(__hs) - {w - 1}, 1)),"
+        f" j -> array_min(slice(__hs, j, {w})))"
+    )
+    return base.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint")
+    )

@@ -451,3 +451,40 @@ def test_classify_language_short_text_guard(spark):
     )
     got = classify_language(df, n=3, k=5).collect()
     assert len(got) == 1 and got[0].n_docs == 1
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Two documents sharing a substring of length >= w+k-1 (= 8 at
+    k=5, w=4) MUST share at least one fingerprint; a short text
+    (grams < w) still yields one whole-window fingerprint; text
+    shorter than k yields nothing."""
+    from duckdb_graphar_spark.operators.text import winnow_fingerprints
+
+    shared = "xqzwvjkp"  # 8 chars, length w+k-1
+    rows = [
+        (1, "aaaa" + shared + "bbbb"),
+        (2, "cccc" + shared + "dddd"),
+        (3, "hello"),   # exactly k chars: 1 gram, 1 clamped window
+        (4, "hi"),      # < k: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert fps[1] & fps[2], "shared >= w+k-1 substring must share a fingerprint"
+    assert len(fps[3]) == 1
+    assert 4 not in fps
+
+
+def test_winnow_density_and_determinism(spark):
+    """Fingerprint count is far below gram count (the 2/(w+1) density
+    point of winnowing) and repeated runs are identical."""
+    from duckdb_graphar_spark.operators.text import winnow_fingerprints
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    a = sorted(r.fingerprint for r in winnow_fingerprints(df).collect())
+    b = sorted(r.fingerprint for r in winnow_fingerprints(df).collect())
+    assert a == b
+    n_grams = len(text) - 4
+    assert len(a) < n_grams / 2  # dedup + density keep the set small
