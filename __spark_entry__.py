@@ -5776,6 +5776,60 @@ def g27(spark, sf):
 
 
 @_q(
+    "g28_random_walks",
+    # ORACLE: the four steps unrolled — each step ranks the current
+    # vertex's out-neighbors by the SAME md5(seed‖step‖v‖u) integers
+    # (ties by neighbor id) and QUALIFY picks the argmin; MATERIALIZED
+    # edge CTE (the g27 lesson).  Walks, not distributions: the whole
+    # trajectory replays vertex-for-vertex.
+    f"""
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_E_SQL})
+                            WHERE src != dst),
+    w0 AS (SELECT CAST(s AS BIGINT) AS walk_id, CAST(s AS BIGINT) AS v
+           FROM (SELECT UNNEST(generate_series(0, 9)) AS s)),
+    w1 AS (SELECT w0.walk_id, e.dst AS v FROM w0 JOIN e ON e.src = w0.v
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY w0.walk_id ORDER BY
+             CAST(concat('0x', substr(md5('walk0' || chr(31) || '1' || chr(31)
+               || CAST(w0.v AS VARCHAR) || chr(31) || CAST(e.dst AS VARCHAR)),
+               1, 13)) AS UBIGINT), e.dst) = 1),
+    w2 AS (SELECT w1.walk_id, e.dst AS v FROM w1 JOIN e ON e.src = w1.v
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY w1.walk_id ORDER BY
+             CAST(concat('0x', substr(md5('walk0' || chr(31) || '2' || chr(31)
+               || CAST(w1.v AS VARCHAR) || chr(31) || CAST(e.dst AS VARCHAR)),
+               1, 13)) AS UBIGINT), e.dst) = 1),
+    w3 AS (SELECT w2.walk_id, e.dst AS v FROM w2 JOIN e ON e.src = w2.v
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY w2.walk_id ORDER BY
+             CAST(concat('0x', substr(md5('walk0' || chr(31) || '3' || chr(31)
+               || CAST(w2.v AS VARCHAR) || chr(31) || CAST(e.dst AS VARCHAR)),
+               1, 13)) AS UBIGINT), e.dst) = 1),
+    w4 AS (SELECT w3.walk_id, e.dst AS v FROM w3 JOIN e ON e.src = w3.v
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY w3.walk_id ORDER BY
+             CAST(concat('0x', substr(md5('walk0' || chr(31) || '4' || chr(31)
+               || CAST(w3.v AS VARCHAR) || chr(31) || CAST(e.dst AS VARCHAR)),
+               1, 13)) AS UBIGINT), e.dst) = 1)
+    SELECT walk_id, 0 AS step, v FROM w0
+    UNION ALL SELECT walk_id, 1, v FROM w1
+    UNION ALL SELECT walk_id, 2, v FROM w2
+    UNION ALL SELECT walk_id, 3, v FROM w3
+    UNION ALL SELECT walk_id, 4, v FROM w4
+    """,
+)
+def g28(spark, sf):
+    """Deterministic random-WALK generation (the DeepWalk/node2vec
+    corpus primitive): 10 walks of 4 steps, each step moving to the
+    out-neighbor minimizing md5(seed‖step‖v‖u) — uniform-ish like a
+    random draw, fresh per (step, vertex) so revisits re-choose, and
+    content-addressed so the exact trajectories replay in SQL.  One
+    shared edge join + map-combinable min_by per step, no collects
+    (`operators/graph.py:random_walks`)."""
+    from duckdb_graphar_spark.operators.graph import random_walks
+
+    return random_walks(
+        _edges(spark, sf), list(range(10)), steps=4, src_col="src", dst_col="dst"
+    )
+
+
+@_q(
     "t26_heavy_hitters",
     # ORACLE: exact token frequencies with the integer threshold
     # freq*k > n.  The operator's Misra-Gries candidate phase is a
@@ -8818,7 +8872,7 @@ _PRIORITY = [
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
-    "u07", "s19", "g27", "t38",
+    "u07", "s19", "g27", "t38", "g28",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

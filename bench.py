@@ -134,6 +134,23 @@ BENCH_QUERIES = [
     "g24_scc",
     "g25_condensation_levels",
     "q80_kmv_distinct_rollup",
+    # round-6 wave 2: CMS frequency sketch, pivot round-trip, prefix-
+    # filtered Jaccard join, binary Hamming retrieval + two-stage
+    # re-rank, lateral top-n, runtime bloom join, multi-source BFS,
+    # Luby MIS, winnowing fingerprints, language-ID classify, animated
+    # GIF codec
+    "q81_cms_heavy_key_estimates",
+    "q82_pivot_unpivot_roundtrip",
+    "q83_lateral_topn_per_group",
+    "q84_runtime_bloom_filter_join",
+    "t37_language_id_classify",
+    "t38_winnow_fingerprints",
+    "s17_jaccard_similarity_join",
+    "s18_binary_hamming_topk",
+    "s19_hamming_rerank_topk",
+    "g26_seed_set_closeness",
+    "g27_luby_mis",
+    "m18_animated_gif",
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch
@@ -160,6 +177,7 @@ ST_QUERIES = [
     "st13_stream_outer_join",
     "st14_streaming_ohlc",
     "st15_stream_full_join",
+    "st16_streaming_kmv_distinct",
 ]
 
 

@@ -1690,3 +1690,73 @@ def luby_mis(
     finally:
         for df in pinned:
             df.unpersist(blocking=False)
+
+
+def random_walks(
+    edges: DataFrame,
+    sources: list[int],
+    *,
+    steps: int = 4,
+    seed: str = "walk0",
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Fixed-length random-WALK generation with CONTENT-ADDRESSED step
+    choices → (walk_id, step, v): the training-data primitive behind
+    DeepWalk/node2vec embeddings, which classically needs per-step
+    RNG — here step s at vertex v moves to the out-neighbor u
+    minimizing md5(seed ‖ s ‖ v ‖ u), which is (a) uniform-ish over
+    neighbors like a random draw, (b) independent across (step,
+    vertex) pairs so revisits take fresh choices, and (c) REPLAYABLE:
+    the same string arithmetic ranks neighbors in SQL, so the exact
+    walks have a full value oracle (the t36/q80 discipline again).
+    Dead ends (no out-neighbor) terminate the walk early.
+
+    Scale shape: one batch of walks advances with ONE edge-relation
+    join per step (all walks share it), a map-combinable min_by per
+    walk — no collects, no driver state beyond the loop counter.
+    With |S| walk seeds the state is O(|S|) rows per step."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    spark = edges.sparkSession
+    e = edges.filter(F.col(src_col) != F.col(dst_col)).select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).distinct().persist()
+    pinned = [e]
+    try:
+        cur = spark.createDataFrame(
+            [(int(s), int(s)) for s in sources], "walk_id long, v long"
+        )
+        out = cur.withColumn("step", F.lit(0))
+        for s in range(1, steps + 1):
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f",
+                            F.lit(seed),
+                            F.lit(str(s)),
+                            F.col("v").cast("string"),
+                            F.col("__d").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            nxt = (
+                cur.join(e, cur["v"] == e["__s"])
+                .withColumn("__h", h)
+                .groupBy("walk_id")
+                .agg(F.min_by(F.col("__d"), F.struct("__h", "__d")).alias("v"))
+            )
+            cur = nxt.localCheckpoint(eager=False)
+            out = out.unionByName(cur.withColumn("step", F.lit(s)))
+        return out.select("walk_id", "step", "v").localCheckpoint(eager=True)
+    finally:
+        for df in pinned:
+            df.unpersist(blocking=False)

@@ -625,3 +625,42 @@ def test_luby_mis_deterministic_and_seed_sensitive(spark):
     assert mis_c and not any(
         (v, (v + 1) % 10) for v in mis_c if (v + 1) % 10 in mis_c
     )
+
+
+def test_random_walks_follow_edges_and_terminate(spark):
+    """Every consecutive (step, step+1) pair must be a real edge; a
+    dead-end vertex ends its walk early; walks are deterministic and
+    seed-sensitive; a revisited vertex re-chooses per step (the
+    content-addressed hash is keyed on the step)."""
+    from duckdb_graphar_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (2, 9)], "src long, dst long"
+    )  # 9 is a dead end
+    rows = random_walks(
+        edges, [0, 2], steps=5, src_col="src", dst_col="dst"
+    ).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r.walk_id, {})[r.step] = r.v
+    eset = {(0, 1), (0, 2), (1, 0), (2, 9)}
+    for wid, path in walks.items():
+        seq = [path[s] for s in sorted(path)]
+        assert seq[0] == wid
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in eset
+    # walk from 2: 2 -> 9 (dead end) -> stops at step 1
+    assert sorted(walks[2]) == [0, 1] and walks[2][1] == 9
+    # walk from 0 keeps going 5 steps (cycle 0<->1 or 0->2->9)
+    again = random_walks(edges, [0, 2], steps=5, src_col="src", dst_col="dst").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    other = random_walks(
+        edges, [0, 2], steps=5, seed="zz", src_col="src", dst_col="dst"
+    ).collect()
+    ow = {}
+    for r in other:
+        ow.setdefault(r.walk_id, {})[r.step] = r.v
+    for wid, path in ow.items():
+        seq = [path[s] for s in sorted(path)]
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in eset  # different seed, still valid walks
