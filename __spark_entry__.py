@@ -115,8 +115,69 @@ _E_SQL = (
     "SELECT o_custkey AS src, o_orderkey % (SELECT count(*) FROM customer) AS dst FROM orders"
 )
 
+# Shared by q81 (batch CMS) and st17 (streaming CMS): counter addition
+# is order- and batch-boundary-independent, so both paths must produce
+# the IDENTICAL point-estimate table.
+_CMS_ORACLE = """
+    WITH base AS (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS val
+                  FROM events),
+    rws AS (SELECT g, val, j FROM base CROSS JOIN generate_series(0, 2) AS t(j)),
+    h AS (SELECT g, j,
+                 CAST(concat('0x', substr(md5('cms0' || chr(31) ||
+                      CAST(j AS VARCHAR) || chr(31) || val), 1, 13))
+                      AS UBIGINT) % 512 AS b
+          FROM rws),
+    counters AS (SELECT g, j, b, COUNT(*) AS c FROM h GROUP BY 1, 2, 3),
+    exact AS (SELECT g, val, COUNT(*) AS n_exact FROM base GROUP BY 1, 2),
+    q AS (SELECT g, val, n_exact FROM (
+            SELECT g, val, n_exact,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                                      ORDER BY n_exact DESC, val) AS rn
+            FROM exact) WHERE rn <= 3),
+    probe AS (SELECT q.g, q.val, q.n_exact, t.j,
+                     CAST(concat('0x', substr(md5('cms0' || chr(31) ||
+                          CAST(t.j AS VARCHAR) || chr(31) || q.val), 1, 13))
+                          AS UBIGINT) % 512 AS b
+              FROM q CROSS JOIN generate_series(0, 2) AS t(j)),
+    est AS (SELECT p.g, p.val, p.n_exact, MIN(c.c) AS est
+            FROM probe p JOIN counters c
+              ON c.g = p.g AND c.j = p.j AND c.b = p.b
+            GROUP BY 1, 2, 3),
+    n AS (SELECT g, COUNT(*) AS n_tot FROM base GROUP BY 1)
+    SELECT est.g AS event_type, est.val AS key,
+           CAST(est.n_exact AS BIGINT) AS n_exact,
+           CAST(est.est AS BIGINT) AS est_cnt,
+           CAST(est.est - est.n_exact AS BIGINT) AS overcount,
+           (est.est - est.n_exact) * 512 <= 3 * n.n_tot AS within_eps
+    FROM est JOIN n ON est.g = n.g
+    """
+
+
 
 _NCUST_CACHE: dict[str, int] = {}
+
+
+def _stage_event_batches(spark: SparkSession, sf_dir: str, stage: str, n: int = 3) -> None:
+    """Split the events table into ``n`` mtime-ordered single-file
+    micro-batches (event_id mod n) under ``stage`` — the shared fixture
+    for entries that must prove per-group state SPANS batches (st16,
+    st17, u07): a single-file source yields one batch and never
+    exercises the merge path."""
+    import shutil
+    import time
+
+    ev = _t(spark, sf_dir, "events")
+    base = time.time() - 120
+    for i in range(n):
+        tmp = os.path.join(stage, f"__part{i}")
+        ev.filter(F.col("event_id") % n == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (base + 30 * i, base + 30 * i))
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1786,18 +1847,7 @@ def u07(spark, sf):
     outdir = tempfile.mkdtemp(prefix="u07_sink_")
     ck = tempfile.mkdtemp(prefix="u07_ck_")
     try:
-        ev = _t(spark, sf, "events")
-        base = __import__("time").time() - 120
-        for i in range(3):
-            tmp = os.path.join(stage, f"__part{i}")
-            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-            npath = os.path.join(stage, f"events_{i:03d}.parquet")
-            os.replace(os.path.join(tmp, part), npath)
-            shutil.rmtree(tmp)
-            os.utime(npath, (base + 30 * i, base + 30 * i))
+        _stage_event_batches(spark, sf, stage)
         stream = read_events_stream(spark, stage, max_files=1).select(
             "event_id",
             F.unix_micros("ts").alias("ts_us"),
@@ -4351,18 +4401,7 @@ def st16(spark, sf):
 
     stage = tempfile.mkdtemp(prefix="st16_stream_")
     try:
-        ev = _t(spark, sf, "events")
-        base = __import__("time").time() - 120
-        for i in range(3):
-            tmp = os.path.join(stage, f"__part{i}")
-            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-            npath = os.path.join(stage, f"events_{i:03d}.parquet")
-            os.replace(os.path.join(tmp, part), npath)
-            shutil.rmtree(tmp)
-            os.utime(npath, (base + 30 * i, base + 30 * i))
+        _stage_event_batches(spark, sf, stage)
         stream = read_events_stream(spark, stage, max_files=1)
         raw = run_to_memory(
             streaming_kmv_distinct(stream, k=64), "st16_out", mode="update"
@@ -4391,6 +4430,106 @@ def st16(spark, sf):
                 F.abs(est - F.col("n_exact")) / F.col("n_exact").cast("double")
                 <= F.lit(0.375)
             ).alias("within_tol"),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
+    "st17_streaming_cms",
+    # ORACLE: q81's batch-CMS oracle VERBATIM — counter addition is
+    # commutative/associative, so the streaming counters merged across
+    # three micro-batches must be cell-for-cell identical to the batch
+    # sketch, and therefore every point estimate and ε-flag matches.
+    _CMS_ORACLE,
+)
+def st17(spark, sf):
+    """Streaming COUNT-MIN sketch (q81's stateful twin; the frequency
+    sibling of st16's KMV): O(depth·width) counter state per group,
+    merged by elementwise addition across three mtime-ordered
+    micro-batches — merge-order independence is what lets the entry
+    share q81's FULL value oracle verbatim.  The stream emits each
+    group's live cell table per batch; the entry reconstructs the
+    final counters (max-n_seen emission per group), then probes the
+    same top-3 exact-heavy keys with broadcast buckets, all JVM-side
+    (`streaming/ops.py:streaming_cms`)."""
+    import shutil
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_cms,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st17_stream_")
+    try:
+        _stage_event_batches(spark, sf, stage)
+        stream = read_events_stream(spark, stage, max_files=1)
+        sink = run_to_memory(
+            streaming_cms(stream, depth=3, width=512), "st17_out", mode="update"
+        )
+        # localize before self-joining: a MemorySink view joined with an
+        # aggregate of ITSELF trips Catalyst's conflicting-reference
+        # check, and the sink rows are driver-resident anyway
+        raw = spark.createDataFrame(sink.collect(), sink.schema)
+        final_n = raw.groupBy("g").agg(F.max("n_seen").alias("n_seen"))
+        counters = raw.join(final_n, ["g", "n_seen"]).select(
+            "g", F.col("j").alias("__j"), F.col("b").alias("__b"),
+            F.col("c").alias("__c"),
+        )
+
+        def bucket(j_col, val_col):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "\x1f", F.lit("cms0"), j_col.cast("string"),
+                                val_col,
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 512
+            )
+
+        base = _t(spark, sf, "events").select(
+            F.col("event_type").alias("g"),
+            F.col("user_id").cast("string").alias("val"),
+        )
+        exact = base.groupBy("g", "val").agg(
+            F.count(F.lit(1)).alias("n_exact")
+        )
+        wq = Window.partitionBy("g").orderBy(F.desc("n_exact"), "val")
+        probe = (
+            exact.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= 3)
+            .select("g", "val", "n_exact")
+            .withColumn(
+                "__j", F.explode(F.array(*[F.lit(j) for j in range(3)]))
+            )
+            .withColumn("__b", bucket(F.col("__j"), F.col("val")))
+        )
+        est = (
+            counters.join(F.broadcast(probe), ["g", "__j", "__b"])
+            .groupBy("g", "val", "n_exact")
+            .agg(F.min("__c").alias("__est"))
+        )
+        totals = base.groupBy("g").agg(F.count(F.lit(1)).alias("__n_tot"))
+        return est.join(totals, "g").select(
+            F.col("g").alias("event_type"),
+            F.col("val").alias("key"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("__est").cast("long").alias("est_cnt"),
+            (F.col("__est") - F.col("n_exact")).cast("long").alias("overcount"),
+            (
+                (F.col("__est") - F.col("n_exact")) * F.lit(512)
+                <= F.lit(3) * F.col("__n_tot")
+            ).alias("within_eps"),
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -6573,6 +6712,8 @@ def q80(spark, sf):
     )
 
 
+
+
 @_q(
     "q81_cms_heavy_key_estimates",
     # ORACLE: the sketch replays bit-for-bit — bucket ids are the same
@@ -6582,39 +6723,7 @@ def q80(spark, sf):
     # engines.  The oracle skips the per-day partial stage (counter
     # addition is trivially associative; the merge is what the Spark
     # path demonstrates, not what changes the answer).
-    """
-    WITH base AS (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS val
-                  FROM events),
-    rws AS (SELECT g, val, j FROM base CROSS JOIN generate_series(0, 2) AS t(j)),
-    h AS (SELECT g, j,
-                 CAST(concat('0x', substr(md5('cms0' || chr(31) ||
-                      CAST(j AS VARCHAR) || chr(31) || val), 1, 13))
-                      AS UBIGINT) % 512 AS b
-          FROM rws),
-    counters AS (SELECT g, j, b, COUNT(*) AS c FROM h GROUP BY 1, 2, 3),
-    exact AS (SELECT g, val, COUNT(*) AS n_exact FROM base GROUP BY 1, 2),
-    q AS (SELECT g, val, n_exact FROM (
-            SELECT g, val, n_exact,
-                   ROW_NUMBER() OVER (PARTITION BY g
-                                      ORDER BY n_exact DESC, val) AS rn
-            FROM exact) WHERE rn <= 3),
-    probe AS (SELECT q.g, q.val, q.n_exact, t.j,
-                     CAST(concat('0x', substr(md5('cms0' || chr(31) ||
-                          CAST(t.j AS VARCHAR) || chr(31) || q.val), 1, 13))
-                          AS UBIGINT) % 512 AS b
-              FROM q CROSS JOIN generate_series(0, 2) AS t(j)),
-    est AS (SELECT p.g, p.val, p.n_exact, MIN(c.c) AS est
-            FROM probe p JOIN counters c
-              ON c.g = p.g AND c.j = p.j AND c.b = p.b
-            GROUP BY 1, 2, 3),
-    n AS (SELECT g, COUNT(*) AS n_tot FROM base GROUP BY 1)
-    SELECT est.g AS event_type, est.val AS key,
-           CAST(est.n_exact AS BIGINT) AS n_exact,
-           CAST(est.est AS BIGINT) AS est_cnt,
-           CAST(est.est - est.n_exact AS BIGINT) AS overcount,
-           (est.est - est.n_exact) * 512 <= 3 * n.n_tot AS within_eps
-    FROM est JOIN n ON est.g = n.g
-    """,
+    _CMS_ORACLE,
 )
 def q81(spark, sf):
     """Mergeable COUNT-MIN frequency sketch with point estimates for the
@@ -8872,7 +8981,7 @@ _PRIORITY = [
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
-    "u07", "s19", "g27", "t38", "g28",
+    "u07", "s19", "g27", "t38", "g28", "st17",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

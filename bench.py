@@ -178,6 +178,7 @@ ST_QUERIES = [
     "st14_streaming_ohlc",
     "st15_stream_full_join",
     "st16_streaming_kmv_distinct",
+    "st17_streaming_cms",
 ]
 
 

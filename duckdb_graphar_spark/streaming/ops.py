@@ -782,3 +782,122 @@ def streaming_kmv_distinct(
             update, out_schema, state_schema, "update", "NoTimeout"
         )
     )
+
+
+def streaming_cms(
+    events: DataFrame,
+    *,
+    depth: int = 3,
+    width: int = 512,
+    seed: str = "cms0",
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Streaming COUNT-MIN sketch — the stateful twin of the batch
+    `operators/sketch.py:cms_point_estimates` and the frequency-axis
+    sibling of :func:`streaming_kmv_distinct`: per-group state is the
+    depth×width counter table, merged by ELEMENTWISE ADDITION each
+    micro-batch — addition is commutative and associative, so the
+    final counters are independent of batch boundaries and arrival
+    order, which licenses a FULL value oracle (the batch sketch over
+    the same rows).
+
+    Bucket hashing runs JVM-SIDE before the stateful operator (the
+    same md5 arithmetic as the batch sketch); the Arrow-batched state
+    update only adds per-batch (row, bucket) counts into the bounded
+    dict.  Emits the group's ENTIRE live cell table per updated batch,
+    tagged with the strictly-increasing n_seen — the caller selects
+    each group's max-n_seen emission to reconstruct the final
+    counters.  State is O(depth·width) longs per group regardless of
+    stream cardinality."""
+    if not events.isStreaming:
+        raise ValueError(
+            "streaming_cms needs a streaming DataFrame; use "
+            "operators.sketch.cms_point_estimates for batch"
+        )
+
+    def bucket(j_col, val_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f", F.lit(seed), j_col.cast("string"), val_col
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    rows = events.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("string").alias("val"),
+        "ts",
+    ).withColumn(
+        "__j", F.explode(F.array(*[F.lit(j) for j in range(depth)]))
+    ).withColumn(
+        "__b", bucket(F.col("__j"), F.col("val"))
+    ).select("g", "__j", "__b", "ts")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), False),
+            T.StructField("j", T.IntegerType(), False),
+            T.StructField("b", T.LongType(), False),
+            T.StructField("c", T.LongType(), False),
+            T.StructField("n_seen", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("js", T.ArrayType(T.IntegerType()), False),
+            T.StructField("bs", T.ArrayType(T.LongType()), False),
+            T.StructField("cs", T.ArrayType(T.LongType()), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        js, bs, cs, n = state.get if state.exists else ([], [], [], 0)
+        cells = {(int(j), int(b)): int(c) for j, b, c in zip(js, bs, cs)}
+        for pdf in pdfs:
+            # depth rows per event: count events once via one hash row
+            n += int((pdf["__j"] == 0).sum())
+            for (j, b), cnt in pdf.groupby(["__j", "__b"]).size().items():
+                cells[(int(j), int(b))] = cells.get((int(j), int(b)), 0) + int(
+                    cnt
+                )
+        items = sorted(cells.items())
+        state.update(
+            (
+                [j for (j, _), _ in items],
+                [b for (_, b), _ in items],
+                [c for _, c in items],
+                n,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "g": [key[0]] * len(items),
+                "j": [j for (j, _), _ in items],
+                "b": [b for (_, b), _ in items],
+                "c": [c for _, c in items],
+                "n_seen": [n] * len(items),
+            }
+        )
+
+    return (
+        rows.withWatermark("ts", watermark)
+        .groupBy("g")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )

@@ -344,3 +344,38 @@ def test_streaming_kmv_batch_boundary_invariance(spark, sf_dir, tmp_path):
             assert round(kth_u, 12) == batch[g][0]
         else:
             assert n_sk == batch[g][1]  # exact fallback below capacity
+
+
+def test_streaming_cms_batch_boundary_invariance(spark, sf_dir, tmp_path):
+    """The streaming CMS counter table (max-n_seen emission per group)
+    must be cell-for-cell identical whether rows arrive in 3
+    micro-batches or 1 — counter addition is batch-boundary-free,
+    which is what licenses st17 sharing q81's oracle verbatim."""
+    import os
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_cms,
+    )
+    import pyspark.sql.functions as F
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    _stage_three_batches(spark, sf_dir, stage)
+
+    def final_cells(path, name):
+        stream = read_events_stream(spark, path, max_files=1)
+        sink = run_to_memory(
+            streaming_cms(stream, depth=2, width=64), name, mode="update"
+        )
+        raw = spark.createDataFrame(sink.collect(), sink.schema)
+        mx = raw.groupBy("g").agg(F.max("n_seen").alias("n_seen"))
+        return {
+            (r.g, r.j, r.b): r.c
+            for r in raw.join(mx, ["g", "n_seen"]).collect()
+        }
+
+    staged = final_cells(stage, "cms_staged")
+    single = final_cells(f"{sf_dir}/events.parquet", "cms_single")
+    assert staged and staged == single
