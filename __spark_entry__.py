@@ -7399,6 +7399,47 @@ def m18(spark, sf):
 
 
 @_q(
+    "m19_float_wav",
+    # ORACLE: never sees the float bytes — the waveform is the m06/m13
+    # arithmetic ((byte−80)·256), which the encoder divides by 2^15
+    # (exact in float32) and the decoder rescales losslessly, so
+    # energy/peak are the SAME integers; format_tag 3 pins that the
+    # IEEE-float fmt path, not the PCM path, produced them.
+    """
+    WITH x AS (
+      SELECT doc_id,
+             [(unicode(text[i]) - 80) * 256
+              FOR i IN generate_series(1, length(text))] AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(3 AS INTEGER) AS format_tag,
+           CAST(len(s) AS BIGINT) AS n_samples,
+           CAST(list_sum([CAST(v * v AS BIGINT) FOR v IN s]) AS BIGINT)
+             AS total_energy,
+           CAST(COALESCE(list_max([abs(v) FOR v IN s]), 0) AS BIGINT) AS peak
+    FROM x
+    """,
+)
+def m19(spark, sf):
+    """32-bit IEEE-FLOAT WAV (fmt tag 3 — the professional-audio
+    format next to consumer PCM; closes the non-PCM residual the m13
+    guard documented): samples are the PCM waveform normalized by
+    2^15, a power-of-two scale so every float32 value is EXACT and the
+    decoder reconstructs the integer waveform losslessly — float
+    container, integer oracle.  Same general RIFF chunk walk, now
+    routing on the fmt audio-format tag
+    (`operators/multimodal.py:encode_float_wav/decode_wav`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_float_wav,
+        float_wav_stats,
+    )
+
+    return float_wav_stats(encode_text_float_wav(_t(spark, sf, "documents")))
+
+
+@_q(
     "m15_stereo_wav",
     # ORACLE: never sees the WAV bytes — left replays the m13 waveform
     # ((byte i − 80)·256), right replays (byte (2i mod L) − 80)·256;
@@ -8981,7 +9022,7 @@ _PRIORITY = [
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
-    "u07", "s19", "g27", "t38", "g28", "st17",
+    "u07", "s19", "g27", "t38", "g28", "st17", "m19",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

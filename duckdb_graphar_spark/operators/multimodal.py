@@ -2555,6 +2555,7 @@ def decode_wav(payload: bytes) -> dict:
     rate = None
     data = None
     channels = None
+    fmt_tag = None
     while pos + 8 <= end:
         fourcc = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
@@ -2567,11 +2568,16 @@ def decode_wav(payload: bytes) -> dict:
             afmt, nch, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", payload[start : start + 16]
             )
-            if afmt != 1 or bits != 16:
-                raise NotImplementedError("only 16-bit PCM WAV")
+            if not (
+                (afmt == 1 and bits == 16) or (afmt == 3 and bits == 32)
+            ):
+                raise NotImplementedError(
+                    "only 16-bit PCM or 32-bit IEEE-float WAV"
+                )
             if nch not in (1, 2):
                 raise NotImplementedError("only mono/stereo WAV")
             channels = nch
+            fmt_tag = afmt
         elif fourcc == b"data":
             if size % 2:
                 raise ValueError("odd data chunk for 16-bit samples")
@@ -2579,16 +2585,27 @@ def decode_wav(payload: bytes) -> dict:
         pos = start + size + (size % 2)
     if rate is None or data is None or channels is None:
         raise ValueError("missing fmt /data chunk")
-    flat = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    if fmt_tag == 3:
+        if len(data) % 4:
+            raise ValueError("odd data chunk for 32-bit float samples")
+        flat = np.frombuffer(data, dtype="<f4")
+    else:
+        flat = np.frombuffer(data, dtype="<i2").astype(np.int32)
     if channels == 2:
         if flat.size % 2:
             raise ValueError("stereo data chunk with an odd sample count")
         return {
             "sample_rate": int(rate),
             "n_channels": 2,
+            "format_tag": int(fmt_tag),
             "samples": flat.reshape(-1, 2),
         }
-    return {"sample_rate": int(rate), "n_channels": 1, "samples": flat}
+    return {
+        "sample_rate": int(rate),
+        "n_channels": 1,
+        "format_tag": int(fmt_tag),
+        "samples": flat,
+    }
 
 
 def encode_text_wav(
@@ -3057,3 +3074,104 @@ def animated_gif_frame_stats(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, ANIMATED_GIF_STATS_SCHEMA)
+
+
+def encode_float_wav(samples: np.ndarray, *, sample_rate: int = 8000) -> bytes:
+    """Write a RIFF/WAVE file around 32-bit IEEE-FLOAT samples (fmt
+    audio-format tag 3 — the professional-audio interchange format
+    next to consumer 16-bit PCM): canonical fmt chunk (block align
+    4·ch, byte rate rate·4·ch, 32 bits) + data chunk.  ``samples``
+    1-D float32 = mono; (n, 2) = stereo interleaved."""
+    if samples.ndim == 1:
+        nch = 1
+    elif samples.ndim == 2 and samples.shape[1] == 2:
+        nch = 2
+    else:
+        raise ValueError("samples must be 1-D (mono) or (n, 2) (stereo)")
+    data = samples.astype("<f4").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 3, nch, sample_rate, sample_rate * 4 * nch, 4 * nch, 32
+    )
+    body = b"WAVE" + _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+FLOAT_WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("format_tag", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("total_energy", T.LongType(), False),
+        T.StructField("peak", T.LongType(), False),
+    ]
+)
+
+
+def encode_text_float_wav(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL float-WAV: the m06/m13 waveform
+    NORMALIZED — sample i = ((byte i − 80)·256) / 32768.0, a division
+    by a power of two, so every float32 sample is EXACT (numerators
+    < 2¹⁷ are well inside the 24-bit mantissa) and the decode side can
+    reconstruct the integer PCM value losslessly."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                pcm = (tb.astype(np.int32) - 80) * 256
+                payloads.append(
+                    encode_float_wav((pcm / 32768.0).astype(np.float32))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def float_wav_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """All-integer features from REAL float-WAV decoding: each float32
+    sample is rescaled by 32768 and rounded back to its exact integer
+    PCM value (lossless by the encoder's power-of-two construction),
+    then energy Σs² and peak |s| — so a float-path bug (wrong byte
+    order, wrong scale, truncated mantissa) breaks integer columns the
+    oracle predicts from the text.  Arrow-batched mapInPandas, no
+    shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in FLOAT_WAV_STATS_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_wav(bytes(payload))
+                if d["format_tag"] != 3 or d["n_channels"] != 1:
+                    raise ValueError("expected mono float WAV")
+                s = np.rint(
+                    d["samples"].astype(np.float64) * 32768.0
+                ).astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["sample_rate"].append(int(d["sample_rate"]))
+                out["format_tag"].append(int(d["format_tag"]))
+                out["n_samples"].append(int(s.size))
+                out["total_energy"].append(int((s * s).sum()))
+                out["peak"].append(int(np.abs(s).max(initial=0)))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, FLOAT_WAV_STATS_SCHEMA)

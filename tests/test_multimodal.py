@@ -1346,3 +1346,39 @@ def test_animated_gif_single_frame_matches_still_decoder():
     still = decode_gif(encode_gif(idx, pal))
     assert (anim["frames"][0] == still["pixels"]).all()
     assert anim["delays_cs"] == [12]
+
+
+def test_float_wav_roundtrip_and_guards():
+    """Float samples round-trip bit-exactly through the tag-3 fmt path;
+    PCM decode still works (format_tag 1); a tag-3 file with 16 bits
+    raises; stereo float de-interleaves."""
+    import numpy as np
+    import struct
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_wav,
+        encode_float_wav,
+        encode_wav,
+    )
+
+    s = np.array([0.5, -0.25, 0.125, 0.0], dtype=np.float32)
+    d = decode_wav(encode_float_wav(s, sample_rate=44100))
+    assert d["format_tag"] == 3 and d["sample_rate"] == 44100
+    assert d["samples"].dtype == np.float32 and (d["samples"] == s).all()
+
+    st = np.array([[0.5, -0.5], [0.25, -0.25]], dtype=np.float32)
+    d2 = decode_wav(encode_float_wav(st))
+    assert d2["n_channels"] == 2 and (d2["samples"] == st).all()
+
+    pcm = decode_wav(encode_wav(np.array([100, -200], dtype=np.int16)))
+    assert pcm["format_tag"] == 1 and pcm["samples"].tolist() == [100, -200]
+
+    bad = bytearray(encode_float_wav(s))
+    i = bad.index(b"fmt ")
+    # corrupt bits field (offset: fourcc+size+14 bytes into fmt data)
+    bad[i + 8 + 14 : i + 8 + 16] = struct.pack("<H", 16)
+    try:
+        decode_wav(bytes(bad))
+        assert False, "expected NotImplementedError"
+    except NotImplementedError:
+        pass
