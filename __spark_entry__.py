@@ -7399,6 +7399,52 @@ def m18(spark, sf):
 
 
 @_q(
+    "m20_gray16_png",
+    # ORACLE: lossless 16-bit ⇒ every decoded sample equals
+    # byte·257 exactly; n_high (> 255) is nonzero for every real text,
+    # so a high/low byte swap, an 8-bit truncation, or a bpp=1 filter
+    # reconstruction (left reference 1 byte back instead of 2) breaks
+    # a predicted integer.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 11 AS w,
+             1 + doc_id % 6 AS h, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h,
+             unicode(text[CAST(t.j % L AS INTEGER) + 1]) * 257 AS px
+      FROM g, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(SUM(px) AS BIGINT) AS sum_px,
+           CAST(MAX(px) AS BIGINT) AS max_px,
+           CAST(COUNT(*) FILTER (px > 255) AS BIGINT) AS n_high
+    FROM b GROUP BY doc_id, w, h
+    """,
+)
+def m20(spark, sf):
+    """16-BIT grayscale PNG (bit depth 16 — the scientific/medical
+    imaging depth; the last gray-PNG residual): big-endian sample
+    bytes Sub-filtered at bpp=2, decoded through the SAME general
+    CRC-walk/inflate/all-five-filter byte machinery as the 8-bit path
+    (the spec filters bytes, so only the bpp and the u16 assembly
+    differ).  Pixels are byte·257 (the canonical 8→16 expansion), so
+    the oracle predicts every sample and n_high pins that both bytes
+    reached the output (`operators/multimodal.py:encode_gray16_png/
+    decode_png_gray16`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_gray16_png,
+        gray16_png_stats,
+    )
+
+    return gray16_png_stats(encode_text_gray16_png(_t(spark, sf, "documents")))
+
+
+@_q(
     "m19_float_wav",
     # ORACLE: never sees the float bytes — the waveform is the m06/m13
     # arithmetic ((byte−80)·256), which the encoder divides by 2^15
@@ -9022,7 +9068,7 @@ _PRIORITY = [
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
-    "u07", "s19", "g27", "t38", "g28", "st17", "m19",
+    "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -3175,3 +3175,153 @@ def float_wav_stats(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, FLOAT_WAV_STATS_SCHEMA)
+
+
+def encode_gray16_png(pixels: np.ndarray) -> bytes:
+    """Write a real 16-BIT grayscale PNG (bit depth 16, color type 0 —
+    the scientific/medical-imaging depth): big-endian sample bytes,
+    Sub-filtered at bpp=2 (the spec filters BYTES with the left
+    reference bpp back, so the byte machinery generalizes untouched),
+    one zlib IDAT, CRC-stamped chunks.  ``pixels`` (h, w) uint16."""
+    import zlib as _zlib
+
+    if pixels.ndim != 2:
+        raise ValueError("pixels must be (h, w) uint16")
+    h, w = pixels.shape
+    rows = (
+        pixels.astype(">u2").view(np.uint8).reshape(h, w * 2)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(_filter_sub_rows(rows, 2)), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray16(payload: bytes) -> dict:
+    """Decode a 16-bit grayscale PNG: the SAME general pipeline as the
+    8-bit path (CRC walk, multi-IDAT, inflate, all-five-filter byte
+    reconstruction at bpp=2), then big-endian uint16 assembly.
+    Returns {width, height, pixels (h·w uint16 as int64)}."""
+    import zlib as _zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = struct.unpack(">I", payload[pos : pos + 4])[0]
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(data) != length or len(crc_bytes) != 4:
+            raise ValueError(f"truncated {ctype!r} chunk at {pos}")
+        if _zlib.crc32(ctype + data) & 0xFFFFFFFF != struct.unpack(
+            ">I", crc_bytes
+        )[0]:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            try:
+                w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            except struct.error:
+                raise ValueError("malformed IHDR chunk")
+            if depth != 16 or color != 0:
+                raise NotImplementedError("only 16-bit grayscale here")
+            if interlace != 0:
+                raise NotImplementedError("interlaced 16-bit PNG")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    try:
+        raw = _zlib.decompress(bytes(idat))
+    except _zlib.error as ex:
+        raise ValueError(f"corrupt IDAT stream: {ex}")
+    by = _png_reconstruct(raw, w, h, 2)  # byte-level, bpp=2
+    px = by.reshape(h, w * 2).view(">u2").astype(np.int64)
+    return {"width": int(w), "height": int(h), "pixels": px.reshape(-1)}
+
+
+GRAY16_PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("sum_px", T.LongType(), False),
+        T.StructField("max_px", T.LongType(), False),
+        T.StructField("n_high", T.LongType(), False),
+    ]
+)
+
+
+def encode_text_gray16_png(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL 16-bit grayscale PNG: the m09
+    geometry (w = 1 + length mod 11, h = 1 + id mod 6), pixel i =
+    byte (i mod L) · 257 — the canonical 8→16-bit expansion (x·257
+    = x·0x0101, full-range), so every 16-bit sample is predictable
+    from the text and exceeds 8 bits whenever the byte does."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                w = 1 + (len(tb) % 11)
+                h = 1 + (int(did) % 6)
+                px = (
+                    tb[np.arange(w * h) % len(tb)].astype(np.uint16) * 257
+                ).reshape(h, w)
+                payloads.append(encode_gray16_png(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def gray16_png_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact integer stats from REAL 16-bit PNG decoding: pixel sum,
+    max, and the count of samples above the 8-bit ceiling (n_high —
+    nonzero by construction, pinning that TWO bytes per sample
+    actually reached the output; a high/low byte swap or an 8-bit
+    truncation zeroes it or breaks the sum).  Arrow-batched
+    mapInPandas, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in GRAY16_PNG_STATS_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_png_gray16(bytes(payload))
+                px = d["pixels"]
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["sum_px"].append(int(px.sum()))
+                out["max_px"].append(int(px.max(initial=0)))
+                out["n_high"].append(int((px > 255).sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, GRAY16_PNG_STATS_SCHEMA)

