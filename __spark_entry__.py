@@ -4928,6 +4928,50 @@ def s17(spark, sf):
 
 
 @_q(
+    "s20_shingle_jaccard_join",
+    # ORACLE: exact UNPRUNED all-pairs over the same 8-char shingle
+    # sets (s17's independence discipline — a pair the prefix filter
+    # wrongly dropped breaks the match).  Shingles are raw substrings
+    # (no case folding), integer thresholding, one rounded division.
+    """
+    WITH tok AS (SELECT DISTINCT doc_id,
+                        substring(text, CAST(i AS INTEGER), 8) AS tok
+                 FROM documents,
+                      UNNEST(generate_series(1, length(text) - 7)) AS t(i)
+                 WHERE length(text) >= 8),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(i AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS size_a,
+           CAST(sb.n AS BIGINT) AS size_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+    WHERE i * 100 >= 95 * (sa.n + sb.n - i)
+    """,
+)
+def s20(spark, sf):
+    """s17's prefix-filtered Jaccard join over 8-char SHINGLES — the
+    representation that keeps the prune effective when the word
+    vocabulary degenerates: this fixture has 31 words (every word a
+    stopword ⇒ word prefixes fan out ~13M candidate pairs at sf0.1)
+    but ~46k shingles with a Zipf-ish df curve, so the rarest-shingle
+    prefixes collapse the candidate set to ~10³ — the same lossless
+    integer-arithmetic machinery, one parameter
+    (`operators/dedup.py:jaccard_similarity_join(shingle_len=8)`)."""
+    from duckdb_graphar_spark.operators.dedup import jaccard_similarity_join
+
+    return jaccard_similarity_join(
+        _t(spark, sf, "documents"),
+        threshold_num=95,
+        threshold_den=100,
+        shingle_len=8,
+    )
+
+
+@_q(
     "s18_binary_hamming_topk",
     # ORACLE: the sign-packing replays exactly — bit i of word w is
     # embedding[32w+i] > 0 (strict, so 0.0 quantizes identically),
@@ -9068,7 +9112,7 @@ _PRIORITY = [
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
-    "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20",
+    "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

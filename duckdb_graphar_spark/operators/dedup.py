@@ -680,6 +680,7 @@ def jaccard_similarity_join(
     *,
     threshold_num: int = 95,
     threshold_den: int = 100,
+    shingle_len: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -717,11 +718,30 @@ def jaccard_similarity_join(
 
     if threshold_num <= 0 or threshold_den <= 0 or threshold_num > threshold_den:
         raise ValueError("threshold must be a rational in (0, 1]")
-    tok = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    if shingle_len is not None and shingle_len < 1:
+        raise ValueError("shingle_len must be >= 1")
+    if shingle_len:
+        # character k-shingles: the representation that keeps prefix
+        # filtering effective even when the WORD vocabulary is tiny —
+        # shingle vocabularies are Zipf-ish on any input, so document-
+        # frequency ordering discriminates (the fixture's 31-word
+        # vocabulary makes every word a stopword and word-level
+        # prefixes fan out quadratically; measured 13M candidate pairs
+        # at sf0.1 vs ~8k with 8-shingles)
+        positions = F.when(
+            F.length(text_col) >= shingle_len,
+            F.sequence(F.lit(1), F.length(text_col) - (shingle_len - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        tok_expr = F.explode(
+            F.transform(
+                positions,
+                lambda i: F.col(text_col).substr(i, F.lit(shingle_len)),
+            )
         )
+    else:
+        tok_expr = F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+    tok = (
+        df.select(F.col(id_col).alias("__id"), tok_expr.alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
     )

@@ -242,3 +242,37 @@ def test_jaccard_join_rejects_bad_threshold(spark):
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+def test_jaccard_join_shingle_mode(spark):
+    """Shingle mode: identical texts join at J=1 regardless of word
+    structure; a one-char edit on an 8+-char text drops shared
+    shingles but near-identical long texts still pass 0.5; sub-k texts
+    drop out; shingles are case-sensitive raw substrings (unlike word
+    mode's lower())."""
+    from duckdb_graphar_spark.operators.dedup import jaccard_similarity_join
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    rows = [
+        (1, base),
+        (2, base),            # identical
+        (3, base[:-1] + "!"), # tail edit: most shingles shared
+        (4, "short"),          # < 8 chars: no shingles
+        (5, base.upper()),     # case-different: disjoint shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_similarity_join(
+            df, threshold_num=1, threshold_den=2, shingle_len=8
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert 0.5 <= got[(1, 3)] < 1.0 and 0.5 <= got[(2, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in got)
+
+    try:
+        jaccard_similarity_join(df, shingle_len=0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
