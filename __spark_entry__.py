@@ -5571,6 +5571,77 @@ def t38(spark, sf):
 
 
 @_q(
+    "t39_gopher_quality_flags",
+    # ORACLE: every rule replays — list comprehensions over the same
+    # whitespace tokens, the same cross-multiplied integer rationals
+    # (no division, no float thresholds), the same 8-stopword
+    # intersection.  A tokenization or threshold-direction bug flips
+    # specific flags on specific docs.
+    """
+    WITH w AS (
+      SELECT doc_id,
+             [x FOR x IN string_split_regex(text, '\\s+') IF x <> ''] AS ws
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CAST(COALESCE(list_sum([length(x) FOR x IN ws]), 0) AS INTEGER)
+               AS total_word_chars,
+             len([x FOR x IN ws IF regexp_matches(x, '[A-Za-z]')])
+               AS n_alpha_words,
+             len([x FOR x IN ws IF contains(x, '#') OR contains(x, '...')
+                  OR contains(x, '…')]) AS n_symbol_words,
+             len(list_intersect(list_distinct([lower(x) FOR x IN ws]),
+                 ['the','be','to','of','and','that','have','with']))
+               AS n_stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, total_word_chars, n_alpha_words,
+           n_symbol_words, n_stop_hits,
+           (n_words >= 5 AND n_words <= 100000) AS ok_word_count,
+           (total_word_chars >= 3 * n_words
+            AND total_word_chars <= 10 * n_words) AS ok_mean_word_len,
+           (n_symbol_words * 100 <= 10 * n_words) AS ok_symbol_ratio,
+           (n_alpha_words * 100 >= 80 * n_words) AS ok_alpha_words,
+           (n_stop_hits >= 2) AS ok_stopwords,
+           ((n_words >= 5 AND n_words <= 100000)
+            AND (total_word_chars >= 3 * n_words
+                 AND total_word_chars <= 10 * n_words)
+            AND (n_symbol_words * 100 <= 10 * n_words)
+            AND (n_alpha_words * 100 >= 80 * n_words)
+            AND (n_stop_hits >= 2)) AS pass_gopher
+    FROM c
+    """,
+)
+def t39(spark, sf):
+    """The GOPHER quality-filter rule set (Rae et al. 2021 — the
+    industry-standard pre-training document filter): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, alpha-word
+    fraction, stopword presence — every rule a cross-multiplied
+    INTEGER rational (no division, no float thresholds to drift), the
+    whole filter row-local in whole-stage codegen with zero shuffle
+    (`operators/text.py:gopher_quality_flags`)."""
+    from duckdb_graphar_spark.operators.text import gopher_quality_flags
+
+    g = gopher_quality_flags(_t(spark, sf, "documents"))
+    return g.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("total_word_chars").cast("int").alias("total_word_chars"),
+        F.col("n_alpha_words").cast("int").alias("n_alpha_words"),
+        F.col("n_symbol_words").cast("int").alias("n_symbol_words"),
+        F.col("n_stop_hits").cast("int").alias("n_stop_hits"),
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_alpha_words",
+        "ok_stopwords",
+        "pass_gopher",
+    )
+
+
+@_q(
     "t36_weighted_sample",
     # ORACLE: the A-Res key replayed exactly — u is integer md5
     # arithmetic + ONE division by 2^52+1 (both exactly representable,
@@ -7489,6 +7560,47 @@ def m20(spark, sf):
 
 
 @_q(
+    "m21_pgm_stats",
+    # ORACLE: never sees the PGM bytes — recomputes the stride-3 cyclic
+    # sample straight from the text (ASCII fixture: byte == code
+    # point); exact integer sum/min/max per doc.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 7 AS w,
+             1 + doc_id % 8 AS h, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h,
+             unicode(text[CAST((3 * t.j) % L AS INTEGER) + 1]) AS px
+      FROM g, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM(px) AS BIGINT) AS sum_px,
+           CAST(MIN(px) AS INTEGER) AS min_px,
+           CAST(MAX(px) AS INTEGER) AS max_px
+    FROM b GROUP BY doc_id, w, h
+    """,
+)
+def m21(spark, sf):
+    """Binary PGM (P5) — the grayscale netpbm member completing the
+    family (P6 PPM m05): same ASCII header grammar (comments included),
+    raw single-channel bytes, stride-3 cyclic sample distinct from the
+    BMP (stride 1) and PPM (stride 2) fixtures so the three decoders
+    can't share a bug.  Two Arrow-batched mapInPandas stages, no
+    shuffle (`operators/multimodal.py:decode_pgm`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_pgm,
+        pgm_stats,
+    )
+
+    return pgm_stats(encode_text_pgm(_t(spark, sf, "documents")))
+
+
+@_q(
     "m19_float_wav",
     # ORACLE: never sees the float bytes — the waveform is the m06/m13
     # arithmetic ((byte−80)·256), which the encoder divides by 2^15
@@ -9112,7 +9224,8 @@ _PRIORITY = [
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
-    "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20",
+    "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
+    "m21",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -3325,3 +3325,107 @@ def gray16_png_stats(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, GRAY16_PNG_STATS_SCHEMA)
+
+
+def decode_pgm(payload: bytes) -> dict:
+    """Parse binary PGM (P5) — the grayscale member of the netpbm
+    family next to P6 PPM: same ASCII header grammar (magic, width,
+    height, maxval, '#' comments), then raw single-channel bytes.
+    Returns {width, height, pixels (h·w uint8)}."""
+    if payload[:2] != b"P5":
+        raise ValueError("not a P5 PGM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PGM not supported")
+    need = w * h
+    px = np.frombuffer(payload, np.uint8, count=need, offset=pos)
+    if px.size < need:
+        raise ValueError("PGM truncated")
+    return {"width": w, "height": h, "pixels": px.copy()}
+
+
+PGM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_px", T.LongType(), False),
+        T.StructField("min_px", T.IntegerType(), False),
+        T.StructField("max_px", T.IntegerType(), False),
+    ]
+)
+
+
+def encode_text_pgm(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL binary PGM (P5): header with a
+    comment line, then raw gray bytes.  w = 1 + octet_length mod 7,
+    h = 1 + id mod 8; pixel i = text byte (3·i) mod octet_length — a
+    stride-3 cyclic sample, distinct from both the BMP (stride 1) and
+    PPM (stride 2) fixtures so the three netpbm-family decoders can't
+    share a bug."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w = 1 + (len(tb) % 7)
+                h = 1 + (int(did) % 8)
+                idx = (np.arange(w * h) * 3) % len(tb)
+                header = f"P5\n# doc {int(did)}\n{w} {h}\n255\n".encode()
+                payloads.append(header + tb[idx].tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def pgm_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact integer stats (sum/min/max) from REAL P5 decoding —
+    Arrow-batched mapInPandas projection, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in PGM_STATS_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_pgm(bytes(payload))
+                px = d["pixels"].astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["sum_px"].append(int(px.sum()))
+                out["min_px"].append(int(px.min()))
+                out["max_px"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, PGM_STATS_SCHEMA)

@@ -1284,3 +1284,92 @@ def winnow_fingerprints(
     return base.select(
         "doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    *,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_per_100_words: int = 10,
+    min_alpha_word_pct: int = 80,
+    min_stop_hits: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The GOPHER quality-filter rule set (Rae et al. 2021, the
+    industry-standard pre-training document filter) with ALL-INTEGER
+    arithmetic → one row per document with the raw counts, one boolean
+    per rule, and the conjunction:
+
+    - word count within [min_words, max_words]
+    - mean word length within [min, max] — checked as
+      min·n ≤ total_chars ≤ max·n, no division
+    - symbol-to-word ratio ('#' words and '...'/'…' ellipses) ≤
+      max_symbol_per_100_words %, checked as symbols·100 ≤ limit·n
+    - ≥ min_alpha_word_pct % of words contain an alphabetic character
+      (alpha·100 ≥ pct·n)
+    - at least ``min_stop_hits`` DISTINCT stopwords from the canonical
+      8-word list appear (the "is this prose at all" test)
+
+    Every rule is a rational comparison cross-multiplied to integers,
+    so the whole filter replays exactly in SQL — no float thresholds
+    to drift between engines.  Scale shape: entirely ROW-LOCAL array
+    expressions in whole-stage codegen; zero shuffle (the downstream
+    filter is a scan predicate at 100 TB)."""
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    n = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    symbols = F.size(
+        F.filter(
+            words,
+            lambda w: w.contains("#") | w.contains("...") | w.contains("…"),
+        )
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_words"),
+        total_chars.alias("total_word_chars"),
+        alpha.alias("n_alpha_words"),
+        symbols.alias("n_symbol_words"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    ok_count = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    ok_mean = (
+        F.col("total_word_chars") >= min_mean_word_len * F.col("n_words")
+    ) & (F.col("total_word_chars") <= max_mean_word_len * F.col("n_words"))
+    ok_symbol = (
+        F.col("n_symbol_words") * 100
+        <= max_symbol_per_100_words * F.col("n_words")
+    )
+    ok_alpha = (
+        F.col("n_alpha_words") * 100 >= min_alpha_word_pct * F.col("n_words")
+    )
+    ok_stop = F.col("n_stop_hits") >= min_stop_hits
+    return base.select(
+        "*",
+        ok_count.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_count & ok_mean & ok_symbol & ok_alpha & ok_stop).alias(
+            "pass_gopher"
+        ),
+    )

@@ -1434,3 +1434,29 @@ def test_gray16_png_roundtrip_all_filters_and_guards():
         assert False
     except NotImplementedError:
         pass
+
+
+def test_pgm_decode_with_comment_and_guards():
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import decode_pgm
+
+    px = bytes(range(6))  # 3x2 gray
+    d = decode_pgm(b"P5\n# c\n3 2\n255\n" + px)
+    assert d["width"] == 3 and d["height"] == 2
+    assert (d["pixels"] == np.frombuffer(px, np.uint8)).all()
+    try:
+        decode_pgm(b"P6\n1 1\n255\n\x00")
+        assert False
+    except ValueError:
+        pass
+    try:
+        decode_pgm(b"P5\n2 2\n65535\n" + bytes(8))
+        assert False
+    except NotImplementedError:
+        pass
+    try:
+        decode_pgm(b"P5\n3 2\n255\n" + px[:4])
+        assert False
+    except ValueError:
+        pass

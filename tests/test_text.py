@@ -488,3 +488,27 @@ def test_winnow_density_and_determinism(spark):
     assert a == b
     n_grams = len(text) - 4
     assert len(a) < n_grams / 2  # dedup + density keep the set small
+
+
+def test_gopher_flags_rule_by_rule(spark):
+    from duckdb_graphar_spark.operators.text import gopher_quality_flags
+
+    rows = [
+        (1, "the cat sat on the mat and that was that with style"),  # passes
+        (2, "ab cd"),                                # too few words
+        (3, "the of " + "a " * 20),                  # mean word len < 3
+        (4, "### the ### of ### and ### #x " * 3),   # symbol ratio high
+        (5, "the of 11 22 33 44 55 66 77 88"),       # alpha fraction low
+        (6, "zebra quartz vivid jumps boxed wharf"), # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[1].pass_gopher
+    assert not got[2].ok_word_count and not got[2].pass_gopher
+    assert not got[3].ok_mean_word_len
+    assert not got[4].ok_symbol_ratio
+    assert not got[5].ok_alpha_words
+    assert not got[6].ok_stopwords and got[6].ok_alpha_words
+    # integer rational check: doc 1 has n_words=12 -> bounds via
+    # cross-multiplication, not float division
+    assert got[1].n_words == 12 and got[1].n_stop_hits >= 2
