@@ -2190,6 +2190,73 @@ def u01(spark, sf):
 
 
 @_q(
+    "u08_polymorphic_udtf",
+    # ORACLE: the word trigram columns recomputed with list ops — the
+    # SCHEMA itself (w0..w2 from the literal n=3) is part of what's
+    # checked, since the driver compares column names: an analyze()
+    # bug that emits the wrong arity can't pass.
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST(p AS INTEGER) AS pos,
+           ws[CAST(p AS INTEGER) + 1] AS w0,
+           ws[CAST(p AS INTEGER) + 2] AS w1,
+           ws[CAST(p AS INTEGER) + 3] AS w2
+    FROM t, UNNEST(generate_series(0, len(ws) - 3)) AS u(p)
+    WHERE len(ws) >= 3
+    """,
+)
+def u08(spark, sf):
+    """POLYMORPHIC Python UDTF (Spark 4 static `analyze`): the output
+    schema is computed at PLAN TIME from the literal n argument —
+    n=3 ⇒ columns (doc_id, pos, w0, w1, w2) — the table-function
+    feature u01's fixed-schema tokenizer can't show (DuckDB's own
+    table functions are schema-polymorphic the same way, e.g.
+    read_vertices' column set depends on the YAML argument;
+    `src/functions/table/read_vertices.cpp` binds schema per call).
+    Arrow-optimized; the eval emits word n-gram COLUMNS per position."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGramCols:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument, text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not n.isConstantExpression or not isinstance(n.value, int):
+                raise ValueError("n must be a constant integer")
+            schema = (
+                StructType()
+                .add("doc_id", LongType())
+                .add("pos", IntegerType())
+            )
+            for i in range(n.value):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, text: str, n: int):
+            toks = (text or "").split(" ")
+            for p in range(len(toks) - n + 1):
+                yield (doc_id, p, *toks[p : p + n])
+
+    polymorphic = udtf(NGramCols, useArrow=True)
+    spark.udtf.register("ga_ngram_cols", polymorphic)
+    _t(spark, sf, "documents").createOrReplaceTempView("__u08_docs")
+    return spark.sql(
+        "SELECT t.* FROM __u08_docs d, "
+        "LATERAL ga_ngram_cols(d.doc_id, d.text, 3) t"
+    )
+
+
+@_q(
     "c01_demo_function",
     "SELECT c_custkey, 'DuckDB_Graphar ' || c_name || ' \U0001F425' AS greeting FROM customer",
 )
@@ -9225,7 +9292,7 @@ _PRIORITY = [
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
-    "m21",
+    "m21", "u08",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -112,3 +112,51 @@ def test_stream_sink_requires_path(spark):
             "checkpointLocation", "/tmp/u07_nopath_ck"
         ).start()
         q.awaitTermination(5)
+
+
+def test_polymorphic_udtf_schema_follows_n(spark):
+    """The analyze()-computed schema must track the literal n: n=2 and
+    n=4 give different column sets; a non-constant n raises at plan
+    time."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGramCols:
+        @staticmethod
+        def analyze(doc_id, text, n):
+            if not n.isConstantExpression or not isinstance(n.value, int):
+                raise ValueError("n must be a constant integer")
+            schema = StructType().add("doc_id", LongType()).add("pos", IntegerType())
+            for i in range(n.value):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id, text, n):
+            toks = (text or "").split(" ")
+            for p in range(len(toks) - n + 1):
+                yield (doc_id, p, *toks[p : p + n])
+
+    spark.udtf.register("ngram_cols_test", udtf(NGramCols, useArrow=True))
+    spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    ).createOrReplaceTempView("poly_docs")
+    two = spark.sql(
+        "SELECT t.* FROM poly_docs d, LATERAL ngram_cols_test(d.doc_id, d.text, 2) t"
+    )
+    four = spark.sql(
+        "SELECT t.* FROM poly_docs d, LATERAL ngram_cols_test(d.doc_id, d.text, 4) t"
+    )
+    assert two.columns == ["doc_id", "pos", "w0", "w1"]
+    assert four.columns == ["doc_id", "pos", "w0", "w1", "w2", "w3"]
+    assert [tuple(r) for r in two.orderBy("pos").collect()] == [
+        (1, 0, "a", "b"), (1, 1, "b", "c"), (1, 2, "c", "d")
+    ]
+    assert [tuple(r) for r in four.collect()] == [(1, 0, "a", "b", "c", "d")]
+    import pytest
+
+    with pytest.raises(Exception, match="constant"):
+        spark.sql(
+            "SELECT t.* FROM poly_docs d,"
+            " LATERAL ngram_cols_test(d.doc_id, d.text, d.doc_id + 1) t"
+        ).collect()
