@@ -8928,6 +8928,113 @@ def q83(spark, sf):
 
 
 @_q(
+    "q86_scd2_apply",
+    # ORACLE: STATE EQUIVALENCE (the q78 discipline) — the full
+    # gaps-and-islands rebuild over ALL events (q59's oracle verbatim);
+    # the Spark path must reach the identical dimension by touching
+    # only changed users' open rows.  An extend-vs-close bug, a lost
+    # cross-cutoff run merge, or a disturbed closed row all diverge.
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+          FROM o),
+    c AS (SELECT user_id, run, MIN(event_type) AS state, MIN(ts) AS valid_from,
+                 COUNT(*) AS n_events
+          FROM r GROUP BY user_id, run)
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+           n_events
+    FROM c
+    """,
+)
+def q86(spark, sf):
+    """Incremental SCD2 maintenance: the dimension built from events
+    before 2024-01-20 has a CDC batch (the events after) APPLIED to it
+    — closed history passes through untouched (never re-windowed),
+    each changed user's open row re-enters the islands pass as ONE
+    synthetic weighted prefix event so cross-cutoff runs merge exactly,
+    and the result must equal the full rebuild (the oracle).  The
+    warehouse MERGE pattern at O(batch) window cost
+    (`operators/events.py:scd2_apply`)."""
+    from duckdb_graphar_spark.operators.events import (
+        scd2_apply,
+        scd2_intervals,
+    )
+
+    ev = _t(spark, sf, "events")
+    pre = F.expr("ts < TIMESTAMP_NTZ '2024-01-20 00:00:00'")
+    dim = scd2_intervals(ev.filter(pre))
+    return scd2_apply(dim, ev.filter(~pre))
+
+
+@_q(
+    "q85_time_weighted_average",
+    # ORACLE: the integral replays exactly — per-row fixed-point value
+    # ROUND(v·10⁴) as BIGINT times the integer µs interval (product
+    # < 2⁶³ per row), summed as DECIMAL(38,0) (exact at any scale),
+    # one double division at the end.  Interval order pinned by
+    # (ts, event_id) — the deterministic LEAD.
+    """
+    WITH o AS (SELECT user_id, ts, value,
+                      LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS nxt
+               FROM events),
+    d AS (SELECT user_id,
+                 CAST(ROUND(value * 10000) AS BIGINT) AS v,
+                 epoch_us(nxt) - epoch_us(ts) AS du
+          FROM o WHERE nxt IS NOT NULL)
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(du) AS BIGINT) AS total_us,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(38,0)) * du) AS DOUBLE)
+                 / 10000.0 / CAST(SUM(du) AS DOUBLE), 6) AS twap
+    FROM d GROUP BY 1
+    """,
+)
+def q85(spark, sf):
+    """TIME-WEIGHTED average over an irregular event stream (the
+    finance/telemetry TWAP: each observation holds until the next, so
+    the mean is ∫value·dt / ∫dt, not a row average): one LEAD window
+    per user for the interval bounds, then a map-combinable aggregate
+    over fixed-point value × integer-µs products summed as exact
+    decimals — the q01 decimal-sum discipline applied to an integral.
+    Scale shape: one shuffle (the per-user window), one partial-agg
+    shuffle; no collects."""
+    ev = _t(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("__us"),
+        F.round(F.col("value") * 10000).cast("long").alias("__v"),
+    ).withColumn("__nxt", F.lead("__us").over(w))
+    d = o.filter(F.col("__nxt").isNotNull()).withColumn(
+        "__du", F.col("__nxt") - F.col("__us")
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__du").cast("long").alias("total_us"),
+        F.round(
+            F.sum(F.col("__v").cast("decimal(38,0)") * F.col("__du")).cast(
+                "double"
+            )
+            / F.lit(10000.0)
+            / F.sum("__du").cast("double"),
+            6,
+        ).alias("twap"),
+    )
+
+
+@_q(
     "q74_recursive_cte",
     # ORACLE: the IDENTICAL recursive SQL text (modulo the edge-list
     # CTE) — Spark 4 executes WITH RECURSIVE natively, so the bounded
@@ -9292,7 +9399,7 @@ _PRIORITY = [
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
-    "m21", "u08",
+    "m21", "u08", "q85", "q86",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

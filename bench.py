@@ -160,7 +160,17 @@ BENCH_QUERIES = [
     "s19_hamming_rerank_topk",
     "g26_seed_set_closeness",
     "g27_luby_mis",
+    "g28_random_walks",
     "m18_animated_gif",
+    # round-6 wave 3: float WAV + 16-bit PNG + PGM codecs, Gopher
+    # quality rules, polymorphic UDTF
+    "m19_float_wav",
+    "m20_gray16_png",
+    "m21_pgm_stats",
+    "t39_gopher_quality_flags",
+    "u08_polymorphic_udtf",
+    "q85_time_weighted_average",
+    "q86_scd2_apply",
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch

@@ -99,6 +99,7 @@ def scd2_intervals(
     ts_col: str = "ts",
     state_col: str = "event_type",
     id_col: str = "event_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Collapse an event log into SCD-type-2 validity intervals: one row
     per consecutive RUN of the same state per user, with
@@ -114,8 +115,11 @@ def scd2_intervals(
     partitioning — Spark plans ONE exchange, then sorts per partition.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    cols = [user_col, ts_col, state_col, id_col] + (
+        [weight_col] if weight_col else []
+    )
     runs = (
-        df.select(user_col, ts_col, state_col, id_col)
+        df.select(*cols)
         .withColumn(
             "__chg",
             F.when(
@@ -129,7 +133,9 @@ def scd2_intervals(
     collapsed = runs.groupBy(user_col, "__run").agg(
         F.min(state_col).alias("state"),
         F.min(ts_col).alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(weight_col) if weight_col else F.count(F.lit(1))
+        ).cast("long").alias("n_events"),
     )
     w2 = Window.partitionBy(user_col).orderBy("__run")
     return collapsed.select(
@@ -287,3 +293,64 @@ def ohlc_bars(
         F.max_by(F.col(val_col), ordk).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """INCREMENTAL SCD-type-2 maintenance: apply a CDC batch of new
+    events to an existing dimension (the :func:`scd2_intervals` shape)
+    WITHOUT recomputing history — the warehouse sibling of cdc.py's
+    aggregate/join view maintenance.  Requires every change to be
+    newer than the same user's open interval start (true whenever the
+    dimension was built from events before a cutoff and the batch is
+    the events after it).
+
+    Only each changed user's OPEN row (valid_to NULL) can be affected:
+    closed history is immutable.  The open row re-enters the
+    gaps-and-islands pass as ONE synthetic weighted prefix event
+    (ts = valid_from, weight = its n_events), so a batch whose first
+    changes continue the open state EXTENDS the run (same valid_from,
+    summed n_events) and a state flip closes it at the right boundary
+    — exactly what a full rebuild would produce, which is the oracle.
+
+    Scale shape: O(closed history) is only UNIONED through (never
+    shuffled by the windows); the windowed recompute runs over
+    |changes| + |changed users| rows; untouched users' rows pass
+    through an anti-join untouched."""
+    changed_users = changes.select(F.col(user_col)).distinct()
+    keep = dim.join(changed_users, user_col, "left_anti").unionByName(
+        dim.filter(F.col("valid_to").isNotNull()).join(
+            changed_users, user_col, "left_semi"
+        )
+    )
+    synth = (
+        dim.filter(F.col("valid_to").isNull())
+        .join(changed_users, user_col, "left_semi")
+        .select(
+            F.col(user_col),
+            F.col("valid_from").alias(ts_col),
+            F.col("state").alias(state_col),
+            # sorts before any real event at an (impossible) equal ts
+            F.lit(-1).cast("long").alias(id_col),
+            F.col("n_events").alias("__w"),
+        )
+    )
+    ch = changes.select(
+        user_col, ts_col, state_col, id_col, F.lit(1).alias("__w")
+    )
+    recomputed = scd2_intervals(
+        synth.unionByName(ch),
+        user_col=user_col,
+        ts_col=ts_col,
+        state_col=state_col,
+        id_col=id_col,
+        weight_col="__w",
+    )
+    return keep.unionByName(recomputed)

@@ -338,3 +338,57 @@ def test_cms_probe_tiebreak_deterministic(spark):
     got = cms_point_estimates(df, "grp", "val", top_n=2)
     keys = sorted(r.key for r in got.collect())
     assert keys == ["b", "c"]
+
+
+def test_scd2_apply_extend_close_and_untouched(spark):
+    """Hand fixture: (1) a batch continuing the open state EXTENDS the
+    open run (same valid_from, summed n_events); (2) a state flip
+    closes it at the first change; (3) untouched users pass through
+    identically; (4) a brand-new user appears with fresh intervals.
+    Result must equal the full rebuild."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.events import (
+        scd2_apply,
+        scd2_intervals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, user, minutes, state):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, state)
+
+    pre = [
+        ev(1, 1, 0, "view"), ev(2, 1, 10, "view"), ev(3, 1, 20, "click"),
+        ev(4, 2, 0, "view"),
+        ev(5, 3, 0, "purchase"),
+    ]
+    post = [
+        ev(6, 1, 30, "click"),   # extends user 1's open 'click' run
+        ev(7, 1, 40, "view"),    # then closes it
+        ev(8, 2, 30, "view"),    # extends user 2's single open run
+        ev(9, 4, 30, "view"),    # brand-new user
+    ]
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    pre_df = spark.createDataFrame(pre, schema)
+    all_df = spark.createDataFrame(pre + post, schema)
+    post_df = spark.createDataFrame(post, schema)
+
+    applied = sorted(
+        map(tuple, scd2_apply(scd2_intervals(pre_df), post_df).collect())
+    )
+    rebuilt = sorted(map(tuple, scd2_intervals(all_df).collect()))
+    assert applied == rebuilt
+    got = {
+        (r.user_id, r.state, r.valid_from): (r.valid_to, r.n_events)
+        for r in scd2_apply(scd2_intervals(pre_df), post_df).collect()
+    }
+    # user 1 click run: started at min 20, extended by eid 6, closed by eid 7
+    assert got[(1, "click", t0 + dt.timedelta(minutes=20))] == (
+        t0 + dt.timedelta(minutes=40),
+        2,
+    )
+    # user 3 untouched: open purchase run intact
+    assert got[(3, "purchase", t0)] == (None, 1)
+    # user 4 new
+    assert got[(4, "view", t0 + dt.timedelta(minutes=30))] == (None, 1)
