@@ -8362,6 +8362,77 @@ def q66(spark, sf):
 
 
 @_q(
+    "d07_near_dup_clusters",
+    # ORACLE: the pair graph is s20's exact all-pairs shingle Jaccard
+    # (the prefix filter is provably lossless, so both engines see the
+    # SAME edges), then a recursive-CTE transitive closure assigns
+    # min-reachable-id representatives — closure size is Σ|component|²
+    # over near-dup clusters, tiny by construction.
+    """
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 8) AS tok
+      FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS t(i)
+      WHERE length(text) >= 8),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT da AS a, db AS b FROM inter
+              JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              WHERE i * 100 >= 95 * (sa.n + sb.n - i)),
+    und AS (SELECT a, b FROM pairs
+            UNION SELECT b, a FROM pairs
+            UNION SELECT a, a FROM pairs
+            UNION SELECT b, b FROM pairs),
+    reach(v, r) AS (
+      SELECT DISTINCT a AS v, a AS r FROM und
+      UNION
+      SELECT und.b, reach.r FROM reach JOIN und ON und.a = reach.v
+    ),
+    rep AS (SELECT v AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY v)
+    SELECT doc_id, cluster_rep,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+               AS cluster_size,
+           doc_id = cluster_rep AS is_canonical
+    FROM rep
+    """,
+)
+def d07(spark, sf):
+    """END-TO-END near-dup clustering — the pipeline users actually run
+    ('dedup my corpus'): s20's lossless prefix-filtered shingle-Jaccard
+    pairs (τ = 0.95) → distributed min-label connected components →
+    min-id canonical representative per cluster, with cluster sizes
+    and the keep/drop flag.  Composes three verified operators; the
+    oracle recomputes the SAME pair graph unpruned and closes it with
+    a recursive CTE (`operators/dedup.py:jaccard_similarity_join,
+    connected_components`)."""
+    from duckdb_graphar_spark.operators.dedup import (
+        connected_components,
+        jaccard_similarity_join,
+    )
+
+    pairs = jaccard_similarity_join(
+        _t(spark, sf, "documents"),
+        threshold_num=95,
+        threshold_den=100,
+        shingle_len=8,
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    verts = (
+        pairs.select(F.col("id_a").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("v")))
+        .distinct()
+    )
+    cc = connected_components(pairs, verts)
+    w = Window.partitionBy("label")
+    return cc.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("v") == F.col("label")).alias("is_canonical"),
+    )
+
+
+@_q(
     "d06_fuzzy_word_pairs",
     # ORACLE: the identical blocking join + exact levenshtein filter
     # (both engines implement the classic integer DP, so distances are
@@ -9399,7 +9470,7 @@ _PRIORITY = [
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
-    "m21", "u08", "q85", "q86",
+    "m21", "u08", "q85", "q86", "d07",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",
