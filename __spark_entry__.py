@@ -7077,6 +7077,52 @@ def m07(spark, sf):
 
 
 @_q(
+    "m22_jpeg_quant16",
+    # ORACLE: m07's flat-block prediction verbatim — the image content
+    # and therefore every stat is identical; what changes is the WIRE
+    # FORMAT (DQT Pq=1: 16-bit big-endian table values, T.81's extended
+    # precision), so a parser that misreads the precision bit or the
+    # 129-byte table stride scrambles dequantization and breaks the
+    # match.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 4 AS wb,
+             1 + doc_id % 3 AS hb, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, wb, hb,
+             unicode(text[CAST(j % L AS INTEGER) + 1]) AS v
+      FROM g, UNNEST(generate_series(0, CAST(wb * hb AS BIGINT) - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           ROUND(CAST(SUM(v) AS DOUBLE) / (wb * hb), 6) AS mean_gray,
+           CAST(MIN(v) AS BIGINT) AS min_gray,
+           CAST(MAX(v) AS BIGINT) AS max_gray
+    FROM b GROUP BY doc_id, wb, hb
+    """,
+)
+def m22(spark, sf):
+    """Baseline JPEG with 16-BIT quantization tables (DQT Pq=1 — the
+    T.81 extended-precision wire format; closes the last small-scope
+    JPEG residual): same all-ones values so the pixels equal m07's,
+    but the decoder must route on the precision nibble and stride 129
+    bytes per table instead of 65.  One oracle text, two DQT formats
+    (`operators/multimodal.py:encode_gray_jpeg(quant16=True)`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_jpeg,
+        jpeg_gray_stats,
+    )
+
+    return jpeg_gray_stats(
+        encode_text_jpeg(_t(spark, sf, "documents"), quant16=True)
+    )
+
+
+@_q(
     "m08_mjpeg_frame_sample",
     # ORACLE: never sees the AVI bytes — each frame is a flat-block
     # JPEG (m07's exactness argument) with the block pattern shifted by
@@ -9470,7 +9516,7 @@ _PRIORITY = [
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
-    "m21", "u08", "q85", "q86", "d07",
+    "m21", "u08", "q85", "q86", "d07", "m22",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -650,7 +650,7 @@ def _idct_jpeg_block(zz: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(block), 0, 255).astype(np.uint8)
 
 
-def encode_gray_jpeg(pixels: np.ndarray) -> bytes:
+def encode_gray_jpeg(pixels: np.ndarray, *, quant16: bool = False) -> bytes:
     """Encode an (h, w) uint8 grayscale array as a REAL baseline JFIF
     JPEG: genuine forward DCT per 8×8 block, all-ones quantization
     table (so flat blocks round-trip exactly — the property the SQL
@@ -670,7 +670,17 @@ def encode_gray_jpeg(pixels: np.ndarray) -> bytes:
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
         ">HH", 1, 1
     ) + b"\x00\x00"  # APP0
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)  # DQT all-1
+    if quant16:
+        # same all-ones table, 16-bit wire format (Pq=1): decode paths
+        # must agree bit-for-bit with the 8-bit header
+        out += (
+            b"\xff\xdb"
+            + struct.pack(">H", 131)
+            + b"\x10"
+            + struct.pack(">64H", *([1] * 64))
+        )
+    else:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)  # DQT all-1
     out += (
         b"\xff\xc0"
         + struct.pack(">H", 11)
@@ -783,15 +793,21 @@ def decode_jpeg_gray(payload: bytes) -> dict:
             off = 0
             while off < len(seg):
                 pq, tq = seg[off] >> 4, seg[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                zz = np.frombuffer(seg, np.uint8, count=64, offset=off + 1).astype(
-                    np.int64
-                )
+                if pq == 0:
+                    zz = np.frombuffer(
+                        seg, np.uint8, count=64, offset=off + 1
+                    ).astype(np.int64)
+                    off += 65
+                elif pq == 1:  # 16-bit big-endian table values (T.81 Pq=1)
+                    zz = np.frombuffer(
+                        seg, ">u2", count=64, offset=off + 1
+                    ).astype(np.int64)
+                    off += 129
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[_JPEG_ZIGZAG] = zz
                 qtables[tq] = tbl
-                off += 65
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xC0:  # SOF0
@@ -1030,15 +1046,21 @@ def decode_color_jpeg(payload: bytes) -> dict:
             off = 0
             while off < len(seg):
                 pq, tq = seg[off] >> 4, seg[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                zz = np.frombuffer(seg, np.uint8, count=64, offset=off + 1).astype(
-                    np.int64
-                )
+                if pq == 0:
+                    zz = np.frombuffer(
+                        seg, np.uint8, count=64, offset=off + 1
+                    ).astype(np.int64)
+                    off += 65
+                elif pq == 1:  # 16-bit big-endian table values (T.81 Pq=1)
+                    zz = np.frombuffer(
+                        seg, ">u2", count=64, offset=off + 1
+                    ).astype(np.int64)
+                    off += 129
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[_JPEG_ZIGZAG] = zz
                 qtables[tq] = tbl
-                off += 65
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xC0:  # SOF0
@@ -1123,7 +1145,11 @@ def decode_color_jpeg(payload: bytes) -> dict:
 
 
 def encode_text_jpeg(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant16: bool = False,
 ) -> DataFrame:
     """Render each document as a REAL baseline JPEG whose decoded
     pixels a SQL oracle can predict exactly: the image is wb×hb flat
@@ -1144,7 +1170,7 @@ def encode_text_jpeg(
                 hb = 1 + (int(did) % 3)
                 vals = tb[np.arange(wb * hb) % len(tb)].reshape(hb, wb)
                 px = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
-                payloads.append(encode_gray_jpeg(px))
+                payloads.append(encode_gray_jpeg(px, quant16=quant16))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )

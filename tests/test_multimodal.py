@@ -1460,3 +1460,43 @@ def test_pgm_decode_with_comment_and_guards():
         assert False
     except ValueError:
         pass
+
+
+def test_jpeg_quant16_wire_format():
+    """A 16-bit DQT (Pq=1) file decodes identically to its 8-bit twin;
+    the header really is Pq=1 with a 129-byte table; a corrupt
+    precision nibble raises ValueError (not a silent misparse);
+    non-trivial 16-bit table VALUES (> 255) dequantize correctly."""
+    import struct
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 256, size=(2, 3)).astype(np.uint8)
+    px = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    p8 = encode_gray_jpeg(px)
+    p16 = encode_gray_jpeg(px, quant16=True)
+    assert p16[p16.index(b"\xff\xdb") + 4] == 0x10  # Pq=1, Tq=0
+    a = decode_jpeg_gray(p8)
+    b = decode_jpeg_gray(p16)
+    assert (a["pixels"] == b["pixels"]).all()
+
+    bad = bytearray(p16)
+    bad[bad.index(b"\xff\xdb") + 4] = 0x20  # precision 2: invalid
+    try:
+        decode_jpeg_gray(bytes(bad))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+    # 16-bit table with values > 255: dequantization must use them.
+    # Patch table slot to 300s; DC (value v-128 scaled by quant) shifts.
+    wide = bytearray(p16)
+    i = wide.index(b"\xff\xdb") + 5
+    wide[i : i + 128] = struct.pack(">64H", *([300] * 64))
+    d = decode_jpeg_gray(bytes(wide))
+    assert not (d["pixels"] == b["pixels"]).all()
