@@ -9044,6 +9044,46 @@ def q83(spark, sf):
     return spark.sql(_Q83_SQL)
 
 
+_Q87_SQL = """
+WITH sub AS (
+  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL SELECT CAST(NULL AS BIGINT)
+)
+SELECT
+  (SELECT COUNT(*) FROM customer
+    WHERE c_custkey NOT IN (SELECT k FROM sub)) AS not_in_count,
+  (SELECT COUNT(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey))
+      AS not_exists_count,
+  (SELECT COUNT(*) FROM customer
+    WHERE c_custkey IN (SELECT k FROM sub)) AS in_count
+"""
+
+
+@_q(
+    "q87_not_in_null_semantics",
+    # ORACLE: the IDENTICAL query text on DuckDB (the q74/q83
+    # discipline) — this entry exists to PIN the standard three-valued
+    # NOT IN trap on both engines at once: one NULL in the subquery
+    # makes every NOT IN row UNKNOWN (count 0), while the NOT EXISTS
+    # twin returns the real anti-join count and IN is unaffected.
+    _Q87_SQL,
+)
+def q87(spark, sf):
+    """NULL semantics pin #2 (q79's sibling): `NOT IN (subquery with a
+    NULL)` is three-valued — x ≠ NULL is UNKNOWN, so the predicate
+    never passes and the count is 0 on every standard engine, the
+    single most common silent-wrong-answer trap in warehouse SQL.  The
+    entry runs the same text on both engines: NOT IN collapses to 0,
+    NOT EXISTS gives the true anti-join count, IN is unaffected —
+    documenting that the engine's (and the oracle's) behavior agree on
+    the corner, and that users should write NOT EXISTS (Catalyst plans
+    it as a clean LeftAnti; NOT IN needs a null-aware anti join)."""
+    _t(spark, sf, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q87_SQL)
+
+
 @_q(
     "q86_scd2_apply",
     # ORACLE: STATE EQUIVALENCE (the q78 discipline) — the full
