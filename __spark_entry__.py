@@ -8457,12 +8457,19 @@ def d07(spark, sf):
         jaccard_similarity_join,
     )
 
-    pairs = jaccard_similarity_join(
-        _t(spark, sf, "documents"),
-        threshold_num=95,
-        threshold_den=100,
-        shingle_len=8,
-    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    # pin the pair pipeline: CC's fast-path probe, the vertex set, and
+    # the final join would otherwise each re-execute the shingle join
+    # (measured 14.5 s -> re-run once at ~6 s after the checkpoint)
+    pairs = (
+        jaccard_similarity_join(
+            _t(spark, sf, "documents"),
+            threshold_num=95,
+            threshold_den=100,
+            shingle_len=8,
+        )
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .localCheckpoint(eager=True)
+    )
     verts = (
         pairs.select(F.col("id_a").alias("v"))
         .unionAll(pairs.select(F.col("id_b").alias("v")))
@@ -9556,7 +9563,7 @@ _PRIORITY = [
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
-    "m21", "u08", "q85", "q86", "d07", "m22",
+    "m21", "u08", "q85", "q86", "d07", "m22", "q87",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     "u08_polymorphic_udtf",
     "q85_time_weighted_average",
     "q86_scd2_apply",
+    "q87_not_in_null_semantics",
+    "d07_near_dup_clusters",
+    "m22_jpeg_quant16",
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch
