@@ -5985,6 +5985,46 @@ def g25(spark, sf):
 
 
 @_q(
+    "g29_hyperball",
+    # ORACLE: the exact 2-hop out-ball sizes (self ∪ successors ∪
+    # successors²), UNION-deduped; within_tolerance must be TRUE for
+    # every vertex — the HLL estimate is deterministic (same sketches
+    # every run), so the 8% band is a stable cross-engine pin of
+    # estimator QUALITY, not a flaky statistical test.
+    f"""
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_E_SQL})
+                            WHERE src != dst),
+    verts AS (SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+    ball AS (
+      SELECT v, v AS u FROM verts
+      UNION SELECT src AS v, dst AS u FROM e
+      UNION SELECT h.src AS v, e.dst AS u
+            FROM e h JOIN e ON e.src = h.dst
+    )
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS ball_exact,
+           TRUE AS within_tolerance
+    FROM ball GROUP BY v
+    """,
+)
+def g29(spark, sf):
+    """HyperBall (Boldi-Rosa-Vigna): per-vertex 2-hop out-ball sizes
+    via mergeable HLL sketch propagation — sketchᵢ(v) = sketchᵢ₋₁(v) ∪
+    neighbors' sketches, ONE edge join + one map-combinable
+    hll_union_agg per round, O(kB) state per vertex — the web-scale
+    neighborhood-function/effective-diameter primitive where exact
+    per-vertex reachability is unaffordable.  The entry computes the
+    exact balls too (fixture-affordable) so the driver checks
+    ESTIMATOR QUALITY per vertex, q63-style
+    (`operators/graph.py:neighborhood_function`)."""
+    from duckdb_graphar_spark.operators.graph import neighborhood_function
+
+    return neighborhood_function(
+        _edges(spark, sf), k=2, src_col="src", dst_col="dst"
+    )
+
+
+@_q(
     "g26_seed_set_closeness",
     # ORACLE: one bounded recursive CTE does all 8 sources at once —
     # the state is (source, vertex, depth) with UNION dedup, min-dist
@@ -9563,7 +9603,7 @@ _PRIORITY = [
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
-    "m21", "u08", "q85", "q86", "d07", "m22", "q87",
+    "m21", "u08", "q85", "q86", "d07", "m22", "q87", "g29",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

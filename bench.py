@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "q87_not_in_null_semantics",
     "d07_near_dup_clusters",
     "m22_jpeg_quant16",
+    "g29_hyperball",
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch

@@ -664,3 +664,36 @@ def test_random_walks_follow_edges_and_terminate(spark):
         seq = [path[s] for s in sorted(path)]
         for a, b in zip(seq, seq[1:]):
             assert (a, b) in eset  # different seed, still valid walks
+
+
+def test_hyperball_exact_on_toy_graph(spark):
+    """Hand-checkable 2-hop out-balls on a small DAG + cycle: exact
+    sizes match enumeration, and every estimate sits inside the band
+    (small cardinalities are near-exact in HLL)."""
+    from duckdb_graphar_spark.operators.graph import neighborhood_function
+
+    # 0->1->2->3, 0->2, 4->0, cycle 5<->6
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (4, 0), (5, 6), (6, 5)],
+        "src long, dst long",
+    )
+    got = {
+        r.v: (r.ball_exact, r.within_tolerance)
+        for r in neighborhood_function(
+            edges, k=2, src_col="src", dst_col="dst"
+        ).collect()
+    }
+    # v=0: {0,1,2,3}; v=1: {1,2,3}; v=2: {2,3}; v=3: {3}; v=4: {4,0,1,2}
+    # v=5: {5,6}; v=6: {6,5}
+    assert {v: b for v, (b, _) in got.items()} == {
+        0: 4, 1: 3, 2: 2, 3: 1, 4: 4, 5: 2, 6: 2
+    }
+    assert all(ok for _, ok in got.values())
+
+    k1 = {
+        r.v: r.ball_exact
+        for r in neighborhood_function(
+            edges, k=1, src_col="src", dst_col="dst"
+        ).collect()
+    }
+    assert k1[0] == 3 and k1[4] == 2  # 1-hop balls strictly smaller
