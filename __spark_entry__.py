@@ -9588,17 +9588,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order.
 _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
-    # --- window rotates.  After round 5 every one of the 212 entries has
-    # --- a green driver check (union of CORRECTNESS_r01..r05); the only
-    # --- freshness debt is AGE.  The round-6 window therefore opens with
-    # --- the round-6 additions (capped SemDeDup, palette PNG, the
-    # --- multi-edge-type GraphAr pin), then rotates onto the 39 entries
-    # --- whose LAST driver check is round 1 (the q00–q46 relational band
-    # --- + t11 — mirrored in-repo by test_oracle every round, but four
-    # --- rounds of driver drift is the agreed ceiling), and fills to 50
-    # --- with round-2-stale regression re-checks.  With 9 round-6
-    # --- additions the window holds exactly 9 + 39 + c01 + d01; the
-    # --- remaining r2-stale names queue at slots 51+ for round 7.
+    # --- window rotates.  After round 5 every entry has a green driver
+    # --- check (union of CORRECTNESS_r01..r05); the only freshness debt
+    # --- is AGE.  Round 6 added 38 new entries — never driver-checked is
+    # --- strictly worse than stale, so ALL 38 front the window, and the
+    # --- 12 remaining slots start the rotation onto the 39 entries whose
+    # --- last driver check is round 1 (the q00–q46 relational band —
+    # --- mirrored in-repo by test_oracle AND the bare-session sweep
+    # --- every round, so the exposure is driver-environment drift only).
+    # --- The ~27 r1-band names that don't fit queue at 51+ and must lead
+    # --- the round-7 window.
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
