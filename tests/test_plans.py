@@ -670,3 +670,14 @@ def test_runtime_bloom_filter_injects(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_twap_single_user_exchange(spark, qs):
+    """q85's LEAD window and its final per-user aggregate must share
+    ONE user_id hash exchange — a second exchange would mean the
+    aggregate ignored the window's partitioning."""
+    import re
+
+    df = qs["q85_time_weighted_average"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
