@@ -9091,6 +9091,61 @@ def q83(spark, sf):
     return spark.sql(_Q83_SQL)
 
 
+@_q(
+    "q88_observation_metrics",
+    # ORACLE: the same aggregates computed directly — the Observation
+    # rides the MAIN query's execution (no second scan), so its values
+    # must equal a plain aggregate over the rows that actually flowed
+    # through the observed node.
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(26,8))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q88(spark, sf):
+    """The OBSERVATION API (df.observe) — Spark's in-flight pipeline
+    telemetry: named aggregates piggyback on the main query's one
+    execution (free data-quality counters at 100 TB, vs a second scan
+    for audit queries).  The entry observes row count, distinct
+    customers, and a decimal-exact price total on a filtered stream of
+    orders, drives the query, and returns the observed metrics — which
+    must equal the direct aggregate (the oracle)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("q88_metrics")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        # DISTINCT aggregates are rejected in observed metrics (they
+        # can't ride a single pass) — min/max are the audit-counter
+        # shape the API is built for
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(26,8)")).cast("double"),
+            2,
+        ).alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # drive the query
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["min_cust"]),
+                int(m["max_cust"]),
+                float(m["total_price"]),
+            )
+        ],
+        "n_rows long, min_cust long, max_cust long, total_price double",
+    )
+
+
 _Q87_SQL = """
 WITH sub AS (
   SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -9602,7 +9657,7 @@ _PRIORITY = [
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
-    "m21", "u08", "q85", "q86", "d07", "m22", "q87", "g29",
+    "m21", "u08", "q85", "q86", "d07", "m22", "q87", "g29", "q88",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

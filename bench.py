@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "d07_near_dup_clusters",
     "m22_jpeg_quant16",
     "g29_hyperball",
+    "q88_observation_metrics",
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch
