@@ -2715,6 +2715,50 @@ def ga11(spark, sf):
 
 
 @_q(
+    "ga20_attach_view_join",
+    # ORACLE: recomputed from the SOURCE tables the GraphAr fixture was
+    # written from (customer/orders) — so the check spans the whole
+    # writer→chunk-files→reader→catalog→SQL-join chain: a property-
+    # group misalignment, an index-reconstruction bug, or a view
+    # registration mixup breaks a segment aggregate.
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_edges,
+           COUNT(DISTINCT o.o_custkey) AS n_active,
+           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(26,8))) AS DOUBLE), 2)
+               AS total_acctbal
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def ga20(spark, sf):
+    """The reference's documented END-USER workflow over an attached
+    graph (`ATTACH ... ; SELECT ... FROM 'Person.vertex' JOIN ...` —
+    `docs/usage.md`-style): plain SQL joining the catalog-registered
+    vertex view (property groups zipped by computed index) with the
+    edge view, aggregating edge counts / active sources / a
+    decimal-exact property total per segment.  Exercises the attach
+    surface as a user would — composed views, not reader calls
+    (`graphar/catalog.py:attach`)."""
+    from duckdb_graphar_spark.graphar.catalog import attach
+
+    attach(spark, _orders_graphar(spark, sf))
+    return spark.sql(
+        """
+        SELECT v.mktsegment,
+               COUNT(*) AS n_edges,
+               COUNT(DISTINCT e._graphArSrcIndex) AS n_active,
+               ROUND(CAST(SUM(CAST(v.acctbal AS DECIMAL(26,8))) AS DOUBLE), 2)
+                   AS total_acctbal
+        FROM Customer_ordered_Customer_edge e
+        JOIN Customer_vertex v
+          ON v._graphArVertexIndex = e._graphArSrcIndex
+        GROUP BY v.mktsegment
+        """
+    )
+
+
+@_q(
     "ga12_degree_point_lookup",
     f"""
     WITH e AS ({_E_SQL})
@@ -9657,7 +9701,7 @@ _PRIORITY = [
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
-    "m21", "u08", "q85", "q86", "d07", "m22", "q87", "g29", "q88",
+    "m21", "u08", "q85", "q86", "d07", "m22", "q87", "g29", "q88", "ga20",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

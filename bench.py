@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "m22_jpeg_quant16",
     "g29_hyperball",
     "q88_observation_metrics",
+    "ga20_attach_view_join",
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch
