@@ -9689,13 +9689,13 @@ _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
     # --- window rotates.  After round 5 every entry has a green driver
     # --- check (union of CORRECTNESS_r01..r05); the only freshness debt
-    # --- is AGE.  Round 6 added 38 new entries — never driver-checked is
-    # --- strictly worse than stale, so ALL 38 front the window, and the
-    # --- 12 remaining slots start the rotation onto the 39 entries whose
+    # --- is AGE.  Round 6 added 40 new entries — never driver-checked is
+    # --- strictly worse than stale, so ALL 40 front the window, and the
+    # --- 10 remaining slots start the rotation onto the 39 entries whose
     # --- last driver check is round 1 (the q00–q46 relational band —
     # --- mirrored in-repo by test_oracle AND the bare-session sweep
     # --- every round, so the exposure is driver-environment drift only).
-    # --- The ~27 r1-band names that don't fit queue at 51+ and must lead
+    # --- The 29 r1-band names that don't fit queue at 51+ and must lead
     # --- the round-7 window.
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
