@@ -7757,6 +7757,55 @@ def m20(spark, sf):
 
 
 @_q(
+    "m23_bmp32_alpha",
+    # ORACLE: channel c of pixel i replays as text byte (4i+c) mod L —
+    # all four channels are DISTINCT functions of the text, so a
+    # BGRA-order mixup, an alpha drop, or a stride-4 row-padding bug
+    # breaks a specific predicted sum; n_opaque pins exact alpha
+    # values, not just their total.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 5 AS w,
+             1 + doc_id % 7 AS h, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h,
+             unicode(text[CAST((4 * t.j + 0) % L AS INTEGER) + 1]) AS vb,
+             unicode(text[CAST((4 * t.j + 1) % L AS INTEGER) + 1]) AS vg,
+             unicode(text[CAST((4 * t.j + 2) % L AS INTEGER) + 1]) AS vr,
+             unicode(text[CAST((4 * t.j + 3) % L AS INTEGER) + 1]) AS va
+      FROM g, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM(vb) AS BIGINT) AS sum_b,
+           CAST(SUM(vg) AS BIGINT) AS sum_g,
+           CAST(SUM(vr) AS BIGINT) AS sum_r,
+           CAST(SUM(va) AS BIGINT) AS sum_a,
+           CAST(COUNT(*) FILTER (va = 255) AS BIGINT) AS n_opaque
+    FROM b GROUP BY doc_id, w, h
+    """,
+)
+def m23(spark, sf):
+    """32-bpp BGRA BMP — the alpha-carrying Windows format (mask
+    extraction is the 4th-channel primitive): naturally-aligned
+    stride-4 rows, bottom-up storage, `decode_bmp` now routing on the
+    bpp field (24 → 3-channel, 32 → 4-channel; the 3-channel consumers
+    guard explicitly).  All four channels are distinct text functions
+    so every predicted sum pins a specific byte lane
+    (`operators/multimodal.py:encode_bmp32/decode_bmp`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        bmp32_stats,
+        encode_text_bmp32,
+    )
+
+    return bmp32_stats(encode_text_bmp32(_t(spark, sf, "documents")))
+
+
+@_q(
     "m21_pgm_stats",
     # ORACLE: never sees the PGM bytes — recomputes the stride-3 cyclic
     # sample straight from the text (ASCII fixture: byte == code
@@ -9689,19 +9738,20 @@ _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
     # --- window rotates.  After round 5 every entry has a green driver
     # --- check (union of CORRECTNESS_r01..r05); the only freshness debt
-    # --- is AGE.  Round 6 added 40 new entries — never driver-checked is
-    # --- strictly worse than stale, so ALL 40 front the window, and the
-    # --- 10 remaining slots start the rotation onto the 39 entries whose
+    # --- is AGE.  Round 6 added 41 new entries — never driver-checked is
+    # --- strictly worse than stale, so ALL 41 front the window, and the
+    # --- 9 remaining slots start the rotation onto the 39 entries whose
     # --- last driver check is round 1 (the q00–q46 relational band —
     # --- mirrored in-repo by test_oracle AND the bare-session sweep
     # --- every round, so the exposure is driver-environment drift only).
-    # --- The 29 r1-band names that don't fit queue at 51+ and must lead
+    # --- The 30 r1-band names that don't fit queue at 51+ and must lead
     # --- the round-7 window.
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
     "m21", "u08", "q85", "q86", "d07", "m22", "q87", "g29", "q88", "ga20",
+    "m23",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "g29_hyperball",
     "q88_observation_metrics",
     "ga20_attach_view_join",
+    "m23_bmp32_alpha",
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch

@@ -131,19 +131,25 @@ def decode_bmp(payload: bytes) -> dict:
     if magic != b"BM":
         raise ValueError(f"not a BMP (magic {magic!r})")
     hdr, w, h_signed, planes, bpp, comp = _BMP_INFO.unpack_from(payload, 14)[:6]
-    if bpp != 24 or comp != 0:
-        raise NotImplementedError(f"only 24-bpp uncompressed BMP (bpp={bpp}, comp={comp})")
+    if bpp not in (24, 32) or comp != 0:
+        raise NotImplementedError(f"only 24/32-bpp uncompressed BMP (bpp={bpp}, comp={comp})")
     if w <= 0 or h_signed == 0:
         raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
     h = abs(h_signed)
-    stride = (w * 3 + 3) & ~3
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # 32-bpp rows are naturally aligned
     if len(payload) < offset + stride * h:
         raise ValueError("BMP truncated before pixel array end")
     rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=offset)
-    rows = rows.reshape(h, stride)[:, : w * 3]
+    rows = rows.reshape(h, stride)[:, : w * nch]
     if h_signed > 0:  # stored bottom-up → logical top-down
         rows = rows[::-1]
-    return {"width": w, "height": h, "pixels": rows.reshape(-1).copy()}
+    return {
+        "width": w,
+        "height": h,
+        "n_channels": nch,
+        "pixels": rows.reshape(-1).copy(),
+    }
 
 
 def decode_ppm(payload: bytes) -> dict:
@@ -204,6 +210,10 @@ def decode_image(payload: bytes) -> dict:
     unknown magic raises NotImplementedError."""
     if payload[:2] == b"BM":
         d = decode_bmp(payload)
+        if d.get("n_channels", 3) != 3:
+            raise NotImplementedError(
+                "32-bpp BMP features: use bmp32_stats (alpha-aware)"
+            )
     elif payload[:2] == b"P6":
         d = decode_ppm(payload)
     elif payload[:2] == b"\xff\xd8":
@@ -349,6 +359,8 @@ def bmp_channel_stats(
             out = {k: [] for k in ("doc_id", "width", "height", "mean_b", "mean_g", "mean_r")}
             for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
                 d = decode_bmp(bytes(payload))
+                if d.get("n_channels", 3) != 3:
+                    raise ValueError("bmp_channel_stats expects 24-bpp BMP")
                 w, h, px = d["width"], d["height"], d["pixels"]
                 n = w * h
                 out["doc_id"].append(int(did))
@@ -2476,6 +2488,8 @@ def downsample_images_2x(
             out = {"doc_id": [], "payload": [], "width": [], "height": []}
             for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
                 d = decode_bmp(bytes(payload))
+                if d.get("n_channels", 3) != 3:
+                    raise ValueError("thumbnail path expects 24-bpp BMP")
                 px = d["pixels"].reshape(d["height"], d["width"], 3)
                 small = box_downsample_2x(px)
                 out["doc_id"].append(int(did))
@@ -3455,3 +3469,101 @@ def pgm_stats(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, PGM_STATS_SCHEMA)
+
+
+def encode_bmp32(pixels_topdown_bgra: np.ndarray) -> bytes:
+    """Write a 32-bpp uncompressed BMP (BGRA — the alpha-carrying
+    Windows format): rows are naturally 4-byte aligned (no padding),
+    stored bottom-up per spec.  ``pixels`` (h, w, 4) uint8."""
+    if pixels_topdown_bgra.ndim != 3 or pixels_topdown_bgra.shape[2] != 4:
+        raise ValueError("pixels must be (h, w, 4) BGRA")
+    h, w, _ = pixels_topdown_bgra.shape
+    rows = pixels_topdown_bgra[::-1].reshape(h, w * 4)  # bottom-up
+    data = rows.tobytes()
+    offset = 14 + 40
+    return (
+        _BMP_FILE.pack(b"BM", offset + len(data), 0, 0, offset)
+        + _BMP_INFO.pack(40, w, h, 1, 32, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+BMP32_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_a", T.LongType(), False),
+        T.StructField("n_opaque", T.LongType(), False),
+    ]
+)
+
+
+def encode_text_bmp32(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL 32-bpp BGRA BMP: w = 1 + length
+    mod 5, h = 1 + id mod 7; channel c of pixel i = text byte
+    (4·i + c) mod L — a stride that makes all FOUR channels distinct
+    functions of the text, so a channel mixup or an alpha drop breaks
+    a specific predicted sum."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                w = 1 + (len(tb) % 5)
+                h = 1 + (int(did) % 7)
+                idx = np.arange(w * h * 4) % len(tb)
+                px = tb[idx].reshape(h, w, 4)
+                payloads.append(encode_bmp32(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def bmp32_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact per-channel integer sums + opaque-pixel count from REAL
+    32-bpp BMP decoding (alpha is the 4th channel; n_opaque counts
+    a == 255 — the mask-extraction primitive).  Arrow-batched
+    mapInPandas, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in BMP32_STATS_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_bmp(bytes(payload))
+                if d.get("n_channels") != 4:
+                    raise ValueError("bmp32_stats expects 32-bpp BMP")
+                px = d["pixels"].reshape(-1, 4).astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["sum_b"].append(int(px[:, 0].sum()))
+                out["sum_g"].append(int(px[:, 1].sum()))
+                out["sum_r"].append(int(px[:, 2].sum()))
+                out["sum_a"].append(int(px[:, 3].sum()))
+                out["n_opaque"].append(int((px[:, 3] == 255).sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, BMP32_STATS_SCHEMA)

@@ -1500,3 +1500,31 @@ def test_jpeg_quant16_wire_format():
     wide[i : i + 128] = struct.pack(">64H", *([300] * 64))
     d = decode_jpeg_gray(bytes(wide))
     assert not (d["pixels"] == b["pixels"]).all()
+
+
+def test_bmp32_roundtrip_and_channel_guards():
+    """BGRA values round-trip exactly (no padding at stride 4, bottom-up
+    un-reversed); 24-bpp files still decode 3-channel; the 3-channel
+    consumers reject 4-channel payloads instead of misreshaping."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+        encode_bmp32,
+    )
+
+    px = np.arange(3 * 2 * 4, dtype=np.uint8).reshape(3, 2, 4)
+    d = decode_bmp(encode_bmp32(px))
+    assert (d["width"], d["height"], d["n_channels"]) == (2, 3, 4)
+    assert (d["pixels"] == px.reshape(-1)).all()
+
+    d24 = decode_bmp(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    assert d24["n_channels"] == 3
+
+    try:
+        decode_image(encode_bmp32(px))
+        assert False, "expected NotImplementedError"
+    except NotImplementedError:
+        pass
