@@ -5616,6 +5616,65 @@ def t37(spark, sf):
 
 
 @_q(
+    "t40_fingerprint_decontam",
+    # ORACLE: t38's winnowing SQL on both halves (train = even doc_id,
+    # eval = odd), distinct train fingerprints, one semi-join, and the
+    # same integer-gated ratio — any clamp/selection drift between the
+    # two winnowing passes shows up as a flipped flag.
+    """
+    WITH g AS (
+      SELECT doc_id,
+             [CAST(CAST(concat('0x', substr(md5(substr(text,
+                    CAST(i AS INTEGER), 5)), 1, 13)) AS UBIGINT) AS BIGINT)
+              FOR i IN generate_series(1, length(text) - 4)] AS hs
+      FROM documents WHERE length(text) >= 5),
+    w AS (
+      SELECT doc_id,
+             list_distinct([list_min(list_slice(hs, CAST(j AS INTEGER),
+                                  CAST(j AS INTEGER) + 3))
+              FOR j IN generate_series(1, greatest(len(hs) - 3, 1))]) AS fps
+      FROM g),
+    train AS (SELECT DISTINCT UNNEST(fps) AS fingerprint FROM w
+              WHERE doc_id % 2 = 0),
+    ev AS (SELECT doc_id, UNNEST(fps) AS fingerprint FROM w
+           WHERE doc_id % 2 = 1),
+    n AS (SELECT doc_id, COUNT(*) AS n_fp FROM ev GROUP BY 1),
+    h AS (SELECT ev.doc_id, COUNT(*) AS n_hit FROM ev
+          SEMI JOIN train ON train.fingerprint = ev.fingerprint
+          GROUP BY 1)
+    SELECT n.doc_id,
+           CAST(n.n_fp AS BIGINT) AS n_fp,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / n.n_fp, 6)
+               AS hit_frac,
+           COALESCE(h.n_hit, 0) * 10 > n.n_fp AS contaminated
+    FROM n LEFT JOIN h ON h.doc_id = n.doc_id
+    """,
+)
+def t40(spark, sf):
+    """Fingerprint-level DECONTAMINATION — winnowing (t38) pointed at
+    eval-set leakage: an eval doc (odd doc_id half of the fixture) is
+    flagged when >10% of its fingerprints appear anywhere in the
+    training half — catching PARTIAL copies (any shared ≥ w+k−1-char
+    substring plants a shared fingerprint) where hash dedup only
+    catches full ones.  The corpus reduces to its distinct fingerprint
+    set before the ONLY join (a broadcast semi-join at 100 TB — never
+    text-to-text); the flag is integer-gated
+    (`operators/text.py:fingerprint_decontamination`)."""
+    from duckdb_graphar_spark.operators.text import (
+        fingerprint_decontamination,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return fingerprint_decontamination(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        threshold_num=1,
+        threshold_den=10,
+    )
+
+
+@_q(
     "t38_winnow_fingerprints",
     # ORACLE: the whole selection replays — md5-integer k-gram hashes,
     # list-slice window minima (DuckDB's list_slice clamps at the end
@@ -9738,20 +9797,20 @@ _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
     # --- window rotates.  After round 5 every entry has a green driver
     # --- check (union of CORRECTNESS_r01..r05); the only freshness debt
-    # --- is AGE.  Round 6 added 41 new entries — never driver-checked is
-    # --- strictly worse than stale, so ALL 41 front the window, and the
-    # --- 9 remaining slots start the rotation onto the 39 entries whose
+    # --- is AGE.  Round 6 added 42 new entries — never driver-checked is
+    # --- strictly worse than stale, so ALL 42 front the window, and the
+    # --- 8 remaining slots start the rotation onto the 39 entries whose
     # --- last driver check is round 1 (the q00–q46 relational band —
     # --- mirrored in-repo by test_oracle AND the bare-session sweep
     # --- every round, so the exposure is driver-environment drift only).
-    # --- The 30 r1-band names that don't fit queue at 51+ and must lead
+    # --- The 31 r1-band names that don't fit queue at 51+ and must lead
     # --- the round-7 window.
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
     "m21", "u08", "q85", "q86", "d07", "m22", "q87", "g29", "q88", "ga20",
-    "m23",
+    "m23", "t40",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

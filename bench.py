@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "q88_observation_metrics",
     "ga20_attach_view_join",
     "m23_bmp32_alpha",
+    "t40_fingerprint_decontam",
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch

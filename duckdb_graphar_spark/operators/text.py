@@ -1373,3 +1373,58 @@ def gopher_quality_flags(
             "pass_gopher"
         ),
     )
+
+
+def fingerprint_decontamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    k: int = 5,
+    w: int = 4,
+    threshold_num: int = 1,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus DECONTAMINATION via winnowing fingerprints — the
+    substring-level sibling of the n-gram-overlap check
+    (:func:`contamination`): an eval document is flagged when more
+    than ``threshold_num/threshold_den`` of its fingerprints appear
+    anywhere in the training corpus.  Winnowing's guarantee makes this
+    catch PARTIAL copies (any shared substring ≥ w+k−1 chars plants a
+    shared fingerprint), where document-hash dedup only catches full
+    ones.  Returns (doc_id, n_fp, n_hit, hit_frac, contaminated).
+
+    Scale shape: both fingerprint sets are row-local selections
+    (~2/(w+1) of grams); the corpus side reduces to its DISTINCT
+    fingerprint set before the only join, and the eval side is
+    typically tiny — at 100 TB this is a broadcast semi-join of the
+    benchmark's fingerprints against a fingerprint-bucketed corpus,
+    never a text-to-text comparison.  The hit ratio is integer-gated
+    (n_hit·den > num·n_fp)."""
+    cfp = winnow_fingerprints(
+        corpus, k=k, w=w, id_col=id_col, text_col=text_col
+    ).select("fingerprint").distinct()
+    efp = winnow_fingerprints(
+        eval_df, k=k, w=w, id_col=id_col, text_col=text_col
+    )
+    hits = efp.join(cfp, "fingerprint", "left_semi")
+    n_fp = efp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    n_hit = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_fp.join(n_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_fp").cast("long").alias("n_fp"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_fp"),
+                6,
+            ).alias("hit_frac"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) * threshold_den
+                > F.lit(threshold_num) * F.col("n_fp")
+            ).alias("contaminated"),
+        )
+    )

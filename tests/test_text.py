@@ -512,3 +512,32 @@ def test_gopher_flags_rule_by_rule(spark):
     # integer rational check: doc 1 has n_words=12 -> bounds via
     # cross-multiplication, not float division
     assert got[1].n_words == 12 and got[1].n_stop_hits >= 2
+
+
+def test_fingerprint_decontam_partial_copy(spark):
+    """An eval doc embedding a >= w+k-1-char substring of a training
+    doc gets hits; a disjoint doc gets none; the >10% flag gates on
+    integer arithmetic; a full copy is ~100% contaminated."""
+    from duckdb_graphar_spark.operators.text import (
+        fingerprint_decontamination,
+    )
+
+    train_text = "the quick brown fox jumps over the lazy dog repeatedly"
+    corpus = spark.createDataFrame(
+        [(0, train_text)], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [
+            (1, train_text),                                   # full copy
+            (2, "zzz " + train_text[10:30] + " qqq 0123456"),  # partial copy
+            (3, "completely unrelated material 987654321x"),   # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in fingerprint_decontamination(corpus, eval_df).collect()
+    }
+    assert got[1].hit_frac > 0.9 and got[1].contaminated
+    assert got[2].n_hit > 0 and got[2].contaminated
+    assert got[3].n_hit == 0 and not got[3].contaminated
