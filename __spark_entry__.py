@@ -8678,6 +8678,72 @@ def d07(spark, sf):
 
 
 @_q(
+    "d08_cluster_split",
+    # ORACLE: d07's recursive closure extended to the whole corpus
+    # (unpaired docs are their own representative), then the SAME md5
+    # integer arithmetic picks the side — split constancy within a
+    # cluster is structural, and a doc assigned by its own id instead
+    # of its rep lands in the wrong bucket and breaks the match.
+    """
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 8) AS tok
+      FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS t(i)
+      WHERE length(text) >= 8),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT da AS a, db AS b FROM inter
+              JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              WHERE i * 100 >= 95 * (sa.n + sb.n - i)),
+    und AS (SELECT a, b FROM pairs
+            UNION SELECT b, a FROM pairs
+            UNION SELECT a, a FROM pairs
+            UNION SELECT b, b FROM pairs),
+    reach(v, r) AS (
+      SELECT DISTINCT a AS v, a AS r FROM und
+      UNION
+      SELECT und.b, reach.r FROM reach JOIN und ON und.a = reach.v
+    ),
+    rep AS (SELECT v AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY v),
+    allrep AS (
+      SELECT d.doc_id, COALESCE(rep.cluster_rep, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id)
+    SELECT doc_id, cluster_rep,
+           CASE WHEN CAST(concat('0x', substr(md5('split0' || chr(31) ||
+                     CAST(cluster_rep AS VARCHAR)), 1, 13)) AS UBIGINT)
+                     % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM allrep
+    """,
+)
+def d08(spark, sf):
+    """LEAKAGE-FREE train/test split — the capstone the dedup pipeline
+    exists for: a hash split by doc id (t17) leaks whenever
+    near-duplicates straddle the boundary, so the split key must be
+    the near-dup CLUSTER representative (s20 pairs → connected
+    components, min-id rep, own id when unpaired); the side is
+    md5(seed ‖ rep) mod 100 — content-addressed, SQL-replayable, and
+    constant within a cluster BY CONSTRUCTION.  The corpus is never
+    shuffled by content: components over the tiny pair graph + one
+    left join back (`operators/dedup.py:cluster_split`)."""
+    from duckdb_graphar_spark.operators.dedup import (
+        cluster_split,
+        jaccard_similarity_join,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = (
+        jaccard_similarity_join(
+            docs, threshold_num=95, threshold_den=100, shingle_len=8
+        )
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .localCheckpoint(eager=True)
+    )
+    return cluster_split(docs, pairs, train_pct=80)
+
+
+@_q(
     "d06_fuzzy_word_pairs",
     # ORACLE: the identical blocking join + exact levenshtein filter
     # (both engines implement the classic integer DP, so distances are
@@ -9797,20 +9863,20 @@ _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
     # --- window rotates.  After round 5 every entry has a green driver
     # --- check (union of CORRECTNESS_r01..r05); the only freshness debt
-    # --- is AGE.  Round 6 added 42 new entries — never driver-checked is
-    # --- strictly worse than stale, so ALL 42 front the window, and the
-    # --- 8 remaining slots start the rotation onto the 39 entries whose
+    # --- is AGE.  Round 6 added 43 new entries — never driver-checked is
+    # --- strictly worse than stale, so ALL 43 front the window, and the
+    # --- 7 remaining slots start the rotation onto the 39 entries whose
     # --- last driver check is round 1 (the q00–q46 relational band —
     # --- mirrored in-repo by test_oracle AND the bare-session sweep
     # --- every round, so the exposure is driver-environment drift only).
-    # --- The 31 r1-band names that don't fit queue at 51+ and must lead
+    # --- The 32 r1-band names that don't fit queue at 51+ and must lead
     # --- the round-7 window.
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
     "m21", "u08", "q85", "q86", "d07", "m22", "q87", "g29", "q88", "ga20",
-    "m23", "t40",
+    "m23", "t40", "d08",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

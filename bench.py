@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "ga20_attach_view_join",
     "m23_bmp32_alpha",
     "t40_fingerprint_decontam",
+    "d08_cluster_split",
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch

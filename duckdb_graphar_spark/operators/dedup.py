@@ -789,3 +789,61 @@ def jaccard_similarity_join(
         F.col("nb").cast("long").alias("size_b"),
         F.round(F.col("__i").cast("double") / union, 6).alias("jaccard"),
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    train_pct: int = 80,
+    seed: str = "split0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LEAKAGE-FREE train/test split: assign each document's whole
+    near-dup CLUSTER to one side → (doc_id, cluster_rep, split).  The
+    standard hash split (t17) leaks when near-duplicates straddle the
+    boundary — the model sees the test answer's twin in training — so
+    the split key must be the cluster representative, not the doc:
+    rep = min-id of the document's connected component in the
+    ``pairs`` graph (its own id when unpaired), side =
+    md5(seed ‖ rep) mod 100 < train_pct — the same content-addressed
+    discipline as t17/t36, SQL-replayable, and constant within a
+    cluster BY CONSTRUCTION.
+
+    Scale shape: components over the (tiny) pair graph, one broadcast-
+    friendly left join back onto the corpus, a row-local hash — the
+    corpus is never shuffled by content."""
+    if not 0 < train_pct < 100:
+        raise ValueError("train_pct must be in (0, 100)")
+    verts = (
+        pairs.select(F.col("id_a").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("v")))
+        .distinct()
+    )
+    cc = connected_components(pairs, verts).select(
+        F.col("v").alias(id_col), F.col("label").alias("__rep")
+    )
+    rep = F.coalesce(F.col("__rep"), F.col(id_col))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.lit(seed), rep.cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        df.select(id_col)
+        .join(cc, id_col, "left")
+        .select(
+            F.col(id_col),
+            rep.alias("cluster_rep"),
+            F.when(bucket < train_pct, F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

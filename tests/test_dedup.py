@@ -276,3 +276,34 @@ def test_jaccard_join_shingle_mode(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_cluster_split_no_leakage(spark):
+    """Every member of a near-dup cluster lands on the SAME side;
+    unpaired docs split by their own id; bad train_pct raises."""
+    from duckdb_graphar_spark.operators.dedup import cluster_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: (r.cluster_rep, r.split) for r in
+           cluster_split(docs, pairs, train_pct=50).collect()}
+    assert len(got) == 20
+    # clusters {0,1,2}, {5,6}, {10,11} are split-constant with min-id reps
+    for cluster in ([0, 1, 2], [5, 6], [10, 11]):
+        reps = {got[d][0] for d in cluster}
+        sides = {got[d][1] for d in cluster}
+        assert reps == {min(cluster)} and len(sides) == 1
+    # unpaired docs are their own rep
+    assert got[7][0] == 7 and got[19][0] == 19
+    # a 50% split of 20 docs lands both sides non-empty (deterministic)
+    assert {s for _, s in got.values()} == {"train", "test"}
+
+    try:
+        cluster_split(docs, pairs, train_pct=0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
