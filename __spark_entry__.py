@@ -9310,6 +9310,62 @@ def q83(spark, sf):
 
 
 @_q(
+    "q89_last_touch_attribution",
+    # ORACLE: the same LAST_VALUE IGNORE NULLS window over the shared
+    # (ts, event_id) ordering — the no-prior-view NULL corner and
+    # same-timestamp ties replay exactly; the gap is integer µs.
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS)
+               OVER w AS attributed_view_id,
+             LAST_VALUE(CASE WHEN event_type = 'view'
+                             THEN CAST(epoch_us(ts) AS BIGINT) END
+                        IGNORE NULLS)
+               OVER w AS view_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(attributed_view_id AS BIGINT) AS attributed_view_id,
+           CAST(epoch_us(ts) - view_us AS BIGINT) AS gap_us
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def q89(spark, sf):
+    """LAST-TOUCH attribution — the marketing-warehouse pattern: each
+    purchase credits the same user's most recent PRECEDING view.  Two
+    LAST_VALUE-IGNORE-NULLS windows over ONE shared user partitioning
+    and frame (no self-join, no as-of staging, no key packing);
+    purchases with no prior view keep NULL credit honestly.  One
+    exchange, O(1) running state per row."""
+    ev = _t(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vid = F.when(F.col("event_type") == "view", F.col("event_id"))
+    vus = F.when(F.col("event_type") == "view", F.col("__us"))
+    o = (
+        ev.select("user_id", "event_id", "event_type", us.alias("__us"))
+        .withColumn("__avid", F.last(vid, ignorenulls=True).over(w))
+        .withColumn("__avus", F.last(vus, ignorenulls=True).over(w))
+    )
+    return o.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("__avid").cast("long").alias("attributed_view_id"),
+        (F.col("__us") - F.col("__avus")).cast("long").alias("gap_us"),
+    )
+
+
+@_q(
     "q88_observation_metrics",
     # ORACLE: the same aggregates computed directly — the Observation
     # rides the MAIN query's execution (no second scan), so its values
@@ -9863,20 +9919,20 @@ _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
     # --- window rotates.  After round 5 every entry has a green driver
     # --- check (union of CORRECTNESS_r01..r05); the only freshness debt
-    # --- is AGE.  Round 6 added 43 new entries — never driver-checked is
-    # --- strictly worse than stale, so ALL 43 front the window, and the
-    # --- 7 remaining slots start the rotation onto the 39 entries whose
+    # --- is AGE.  Round 6 added 44 new entries — never driver-checked is
+    # --- strictly worse than stale, so ALL 44 front the window, and the
+    # --- 6 remaining slots start the rotation onto the 39 entries whose
     # --- last driver check is round 1 (the q00–q46 relational band —
     # --- mirrored in-repo by test_oracle AND the bare-session sweep
     # --- every round, so the exposure is driver-environment drift only).
-    # --- The 32 r1-band names that don't fit queue at 51+ and must lead
+    # --- The 33 r1-band names that don't fit queue at 51+ and must lead
     # --- the round-7 window.
     # --- round-6 new operators ---
     "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
     "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
     "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
     "m21", "u08", "q85", "q86", "d07", "m22", "q87", "g29", "q88", "ga20",
-    "m23", "t40", "d08",
+    "m23", "t40", "d08", "q89",
     # --- 39 entries last driver-checked in round 1 ---
     "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
     "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",

@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "m23_bmp32_alpha",
     "t40_fingerprint_decontam",
     "d08_cluster_split",
+    "q89_last_touch_attribution",
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch
