@@ -3223,7 +3223,14 @@ def _subset_recall_frame(found: DataFrame, exact: DataFrame, *, bound: float = 0
     emits one row (n_exact_pairs, subset_ok, recall_ok) where subset_ok =
     every found pair is in the exact set and recall_ok = found covers at
     least ``bound`` of it.  The DuckDB twin computes n_exact_pairs
-    exactly and hard-codes TRUE for the two bounds."""
+    exactly and hard-codes TRUE for the two bounds.
+
+    Both inputs are referenced TWICE in the frame (their count + the
+    anti-join), so each is lazily checkpointed — without it the whole
+    blocking/verification/exact-join pipeline executes twice per side
+    (measured ~2x on d02)."""
+    found = found.localCheckpoint(eager=False)
+    exact = exact.localCheckpoint(eager=False)
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     nf = found.agg(F.count(F.lit(1)).alias("__nf"))
     extra = found.join(exact, ["id_a", "id_b"], "left_anti").agg(
@@ -3274,10 +3281,18 @@ def _subset_recall_frame(found: DataFrame, exact: DataFrame, *, bound: float = 0
 )
 def d02(spark, sf):
     """SimHash blocking verified against the exhaustive near-dup set:
-    candidates (hamming<=6 on 64-bit simhash over word bigrams) are
+    candidates (hamming<=6 on 64-bit simhash over word bigrams, bucket
+    cap ENGAGED at 256 — far above the fixture's max bucket of 6, so
+    the capped code path runs with exact output) are
     exact-Jaccard-verified, then compared to the full O(n^2) bigram
-    pair set — emitting (n_exact_pairs, subset_ok, recall_ok)."""
+    pair set — emitting (n_exact_pairs, subset_ok, recall_ok).  The
+    exact side packs each doc's bigram set into a vocabulary bitmap
+    (popcount arithmetic, `operators/dedup.py:bitmap_jaccard_pairs`)
+    instead of per-pair array_intersect — same pair set, ~20x less
+    per-pair work, and the nested-loop stage is repartitioned instead
+    of single-task."""
     from duckdb_graphar_spark.operators.dedup import (
+        bitmap_jaccard_pairs,
         ngram_jaccard_pairs,
         shingles,
         simhash_pairs,
@@ -3285,7 +3300,9 @@ def d02(spark, sf):
     from duckdb_graphar_spark.operators.text import token_count
 
     d = _t(spark, sf, "documents")
-    cand = simhash_pairs(d, max_hamming=6, k=2).select("id_a", "id_b")
+    cand = simhash_pairs(d, max_hamming=6, k=2, max_bucket_size=256).select(
+        "id_a", "id_b"
+    )
     found = ngram_jaccard_pairs(d, cand, k=2, threshold=0.5).select("id_a", "id_b")
     # exhaustive bigram-Jaccard pair set, exactly the t07 shape (mirrors
     # the oracle's `WHERE len(w) >= 2` doc restriction)
@@ -3300,14 +3317,9 @@ def d02(spark, sf):
         found.join(ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
         .join(ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__s").alias("__sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__s").alias("__sb"))
-    jac = F.size(F.array_intersect("__sa", "__sb")).cast("double") / F.size(
-        F.array_union("__sa", "__sb")
-    )
-    exact = (
-        a.join(b, F.col("id_a") < F.col("id_b")).filter(jac >= 0.5).select("id_a", "id_b")
-    )
+    exact = bitmap_jaccard_pairs(
+        sh, id_col="doc_id", set_col="__s", threshold=0.5
+    ).select("id_a", "id_b")
     return _subset_recall_frame(found, exact)
 
 

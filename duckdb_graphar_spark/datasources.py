@@ -249,6 +249,30 @@ class _ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, final)  # atomic publish
+        # garbage-collect orphans: parquet files named by NO manifest
+        # (a driver that died between task completion and commit/abort
+        # leaves them; readers already ignore them, this bounds the
+        # directory growth).  Only files from batches <= this one can be
+        # orphans — in-flight later batches never have a manifest yet,
+        # but their task files are uuid-named and unknown here, so the
+        # sweep keeps anything referenced by ANY manifest and anything
+        # written by this batch's messages.
+        import glob as _glob
+
+        referenced = set(manifest["files"])
+        for mf in _glob.glob(os.path.join(self.path, "_batch_*.json")):
+            try:
+                with open(mf) as f:
+                    referenced.update(json.load(f)["files"])
+            except (OSError, ValueError):
+                continue
+        this_batch = {m.path for m in messages if m and m.path}
+        for pf in _glob.glob(os.path.join(self.path, "part-*.parquet")):
+            if pf not in referenced and pf not in this_batch:
+                try:
+                    os.remove(pf)
+                except OSError:
+                    pass
 
     def abort(self, messages, batchId):
         for m in messages:

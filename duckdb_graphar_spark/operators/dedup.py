@@ -219,6 +219,110 @@ def ngram_jaccard_pairs(
     )
 
 
+def bitmap_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    set_col: str = "shingle_set",
+    threshold: float = 0.5,
+    max_vocab: int = 1 << 16,
+) -> DataFrame:
+    """EXACT all-pairs set Jaccard → (id_a, id_b, jaccard) for pairs ≥
+    threshold, with each set packed into a VOCABULARY BITMAP
+    (array<long>, one bit per distinct token): intersection is
+    Σ_w popcount(a_w & b_w) and union is |a| + |b| − ∩ — pure integer
+    whole-stage-codegen arithmetic, ~20× cheaper per pair than
+    ``array_intersect``/``array_union`` hash-set ops (the s18 Hamming
+    trick applied to set similarity).
+
+    This is the EXACT O(n²) baseline (the verification side of a
+    blocking-stage entry, the ``embedding_exact_pairs`` analogue for
+    sets), not the production path: the corpus bitmap side broadcasts,
+    so it is for corpora/slices where n² pair enumeration is
+    affordable.  At 100 TB use :func:`jaccard_similarity_join`
+    (prefix-filtered, lossless) instead.  The bitmap needs a BOUNDED
+    vocabulary (≤ ``max_vocab`` distinct tokens — raises above it);
+    ⌈V/64⌉ longs per row.  Rows whose set is empty never pair (their
+    Jaccard against anything is 0).
+
+    Cost shape: one distinct-token scan (vocab index, broadcast back),
+    one groupBy(id) to pack bitmaps, then the repartitioned
+    nested-loop pair scan — the only O(n²) stage, spread across the
+    cluster, touching ⌈V/64⌉ longs per pair.  The words are UNROLLED
+    into flat long columns (vocab size is known driver-side), not kept
+    as an array: per-pair array element access / HOF lambdas in the
+    nested-loop stage run interpreted (measured 45-60 s vs 0.7 s for
+    the flat-column whole-stage-codegen form on 12.5M pairs)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(F.col(set_col))).alias("__tok"),
+    )
+    # the single-task window is bounded by the max_vocab guard below
+    vocab = (
+        toks.select("__tok")
+        .distinct()
+        .withColumn("__idx", F.row_number().over(Window.orderBy("__tok")) - 1)
+        .persist()
+    )
+    v = vocab.count()
+    if v > max_vocab:
+        vocab.unpersist(blocking=False)
+        raise ValueError(
+            f"vocabulary {v} exceeds max_vocab={max_vocab}; the bitmap "
+            "representation needs a bounded vocabulary — use "
+            "jaccard_similarity_join (prefix-filtered) for open vocabularies"
+        )
+    n_words = max(1, (v + 63) // 64)
+    idxs = (
+        toks.join(F.broadcast(vocab), "__tok")
+        .groupBy("__id")
+        .agg(F.collect_set("__idx").alias("__ix"))
+    )
+    def word_expr(w: int) -> F.Column:
+        return F.expr(
+            f"aggregate(filter(__ix, i -> (i div 64) = {w}), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(i % 64 AS INT)))"
+        )
+
+    bm = idxs.select(
+        "__id",
+        F.size("__ix").alias("__n"),
+        *[word_expr(w).alias(f"__w{w}") for w in range(n_words)],
+    )
+    a = bm.select(
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        *[F.col(f"__w{i}").alias(f"__wa{i}") for i in range(n_words)],
+    )
+    b = bm.select(
+        F.col("__id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        *[F.col(f"__w{i}").alias(f"__wb{i}") for i in range(n_words)],
+    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    inter = None
+    for i in range(n_words):
+        term = F.bit_count(F.col(f"__wa{i}").bitwiseAND(F.col(f"__wb{i}")))
+        inter = term if inter is None else inter + term
+    return (
+        a.repartition(parallelism, "id_a")
+        .join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("__i", inter)
+        .withColumn("__u", F.col("__na") + F.col("__nb") - F.col("__i"))
+        .filter(
+            (F.col("__u") > 0)
+            & (F.col("__i").cast("double") / F.col("__u") >= F.lit(threshold))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__i").cast("double") / F.col("__u")).alias("jaccard"),
+        )
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     *,
@@ -390,11 +494,26 @@ def simhash_pairs(
     bits: int = 64,
     k: int = 2,
     blocks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with block-permutation candidate search:
     split the fingerprint into `blocks` blocks; by pigeonhole, any pair
     within `max_hamming ≤ blocks-1` shares one exact block → equi-join per
-    block, then verify Hamming distance."""
+    block, then verify Hamming distance.
+
+    ``max_bucket_size`` is the 100 TB escape hatch: each (block, value)
+    bucket is collected into ONE array row and pair-expanded in one
+    task, so a hot block value (a boilerplate prefix, near-empty docs)
+    is Σ|bucket|² work AND a single-task memory spike.  With the cap,
+    over-cap buckets are deterministically sub-split into contiguous
+    slices of ≤ cap members, ordered by (fingerprint, id) — fingerprint
+    order keeps Hamming-close members adjacent, so most true pairs stay
+    within a slice; pairs whose ONLY shared block lands them in
+    different slices of the same hot bucket are missed (the documented
+    recall trade — a pair within max_hamming ≤ blocks-1 shares a block
+    per pigeonhole, and usually several).  Work drops to
+    O(Σ|bucket|²/cap) and no task materializes more than ``cap``
+    (id, fingerprint) structs."""
     width = bits // blocks
     sh = (
         _shingle_df(df, id_col, text_col, k)
@@ -411,11 +530,27 @@ def simhash_pairs(
     blocked = sh.select(
         "__id", "__f", F.posexplode(block_vals).alias("__blk", "__bv")
     )
+    group_keys = ["__blk", "__bv"]
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2")
+        from pyspark.sql import Window
+
+        # contiguous ≤cap slices by (fingerprint, id) within each bucket:
+        # a window sort streams the hot bucket (spillable sort, no array
+        # materialization) where the uncapped collect_list would build
+        # one |bucket|-sized row
+        wr = Window.partitionBy("__blk", "__bv").orderBy("__f", "__id")
+        blocked = blocked.withColumn(
+            "__sub",
+            F.floor((F.row_number().over(wr) - 1) / F.lit(max_bucket_size)),
+        )
+        group_keys = ["__blk", "__bv", "__sub"]
     # single-shuffle bucket grouping (a self-join would evaluate the
     # 64-aggregate fingerprint once per side and shuffle twice); pairs are
     # generated from the grouped (id, fingerprint) array per bucket
     buckets = (
-        blocked.groupBy("__blk", "__bv")
+        blocked.groupBy(*group_keys)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("__id").alias("i"), F.col("__f").alias("f")))

@@ -923,6 +923,7 @@ def hamming_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact Hamming top-k over sign-quantized vectors → (query_id,
     neighbor_id, hamming, rank): both sides pack via
@@ -931,7 +932,13 @@ def hamming_topk(
     whole-stage-codegen arithmetic, no floats anywhere, so ranks are
     deterministic (ties break neighbor id ASC) and the plan is one
     shuffle-free scoring map + a per-query window over k·|queries|
-    candidates."""
+    candidates.
+
+    ``exclude_self`` drops corpus rows whose id equals the query id —
+    meaningful ONLY when queries are drawn from the corpus (the
+    s18/s19 shape).  When the two id spaces are unrelated, pass
+    ``exclude_self=False``: an accidental id collision would otherwise
+    silently drop a legitimate neighbor."""
     from pyspark.sql import Window
 
     cw = binary_quantize(corpus, dim=dim, vec_col=vec_col, id_col=id_col)
@@ -944,9 +951,9 @@ def hamming_topk(
         vec_col=vec_col,
         id_col="__qid",
     ).withColumnRenamed("words", "__qwords")
-    scored = cw.crossJoin(F.broadcast(qw)).filter(
-        F.col(id_col) != F.col("__qid")
-    )
+    scored = cw.crossJoin(F.broadcast(qw))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("__qid"))
     ham = F.expr(
         "aggregate(zip_with(words, __qwords, (x, y) -> bit_count(x ^ y)),"
         " 0, (a, b) -> a + b)"
@@ -976,6 +983,7 @@ def hamming_rerank_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """TWO-STAGE retrieval: binary Hamming prefilter to ``m``
     candidates per query (:func:`hamming_topk` — XOR+POPCOUNT over the
@@ -1006,6 +1014,7 @@ def hamming_rerank_topk(
         id_col=id_col,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
+        exclude_self=exclude_self,
     ).select("query_id", "neighbor_id", "hamming")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")

@@ -1596,6 +1596,8 @@ def seed_set_closeness(
 def luby_mis(
     edges: DataFrame,
     *,
+    vertices: DataFrame | None = None,
+    vertex_col: str = "v",
     rounds: int = 3,
     seed: str = "mis0",
     src_col: str = SRC_INDEX_COL,
@@ -1624,7 +1626,12 @@ def luby_mis(
 
     Scale shape per round: one (edge ⋈ undecided ⋈ undecided) join +
     one map-combinable MIN per vertex + two anti-joins — no driver
-    state beyond the loop counter, no collects; lineage cut per round."""
+    state beyond the loop counter, no collects; lineage cut per round.
+
+    Vertex universe: edge-INCIDENT vertices by default (the edge list
+    is the only input).  Pass ``vertices`` (column ``vertex_col``) to
+    also emit ISOLATED vertices — they have no neighbors, so they
+    trivially belong to every MIS and are reported 'in'."""
     prio = F.concat(
         F.md5(F.concat_ws("\x1f", F.lit(seed), F.col("v").cast("string"))),
         F.lpad(F.col("v").cast("string"), 12, "0"),
@@ -1683,6 +1690,16 @@ def luby_mis(
             if und.isEmpty():
                 break
         statuses.append(und.select("v").withColumn("status", F.lit("undecided")))
+        if vertices is not None:
+            # isolated vertices never appear as an edge endpoint, so the
+            # round loop cannot see them; they have no neighbors and are
+            # in every MIS by definition
+            iso = (
+                vertices.select(F.col(vertex_col).alias("v"))
+                .distinct()
+                .join(adj.select(F.col("a").alias("v")), "v", "left_anti")
+            )
+            statuses.append(iso.withColumn("status", F.lit("in")))
         result = statuses[0]
         for s in statuses[1:]:
             result = result.unionByName(s)
@@ -1772,7 +1789,10 @@ def neighborhood_function(
 ) -> DataFrame:
     """HyperBall (Boldi-Rosa-Vigna): per-vertex estimates of the
     k-hop OUT-ball size |{u : dist(v→u) ≤ k}| via mergeable HLL
-    sketches → (v, ball_exact, ball_est, within_tolerance).  The
+    sketches → (v, ball_exact, within_tolerance).  The raw HLL
+    estimate is engine-specific (Spark's datasketches registers), so
+    it is folded into the cross-engine-stable ``within_tolerance``
+    flag rather than emitted as a value column.  The
     neighborhood function is the primitive behind effective-diameter
     and centrality estimates at web scale, where exact per-vertex
     reachability (Σ ball sizes ~ n·avg_ball rows) is the thing you

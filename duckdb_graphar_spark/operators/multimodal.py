@@ -3424,7 +3424,7 @@ def encode_text_pgm(
         for pdf in it:
             payloads = []
             for did, text in zip(pdf["doc_id"], pdf["__text"]):
-                tb = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                tb = _ascii_text_bytes(text, did)
                 w = 1 + (len(tb) % 7)
                 h = 1 + (int(did) % 8)
                 idx = (np.arange(w * h) * 3) % len(tb)

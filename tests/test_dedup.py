@@ -66,6 +66,77 @@ def test_simhash_pairs(docs):
         assert (a, a + 1) in got  # exact dups at hamming 0
 
 
+def test_simhash_pairs_cap_above_bucket_sizes_is_exact(docs):
+    uncapped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_pairs(docs, max_hamming=6, k=2).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_pairs(
+            docs, max_hamming=6, k=2, max_bucket_size=1000
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_simhash_pairs_cap_bounds_degenerate_bucket(spark):
+    # 40 identical docs -> one fingerprint, every block bucket holds all
+    # 40.  cap=10 -> 4 slices per bucket; emitted pairs are within-slice
+    # only: a subset of the full clique, and every slice still pairs its
+    # own members (the identical fingerprints keep hamming 0).
+    rows = [(i, "same words repeated here for everyone") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.simhash_pairs(d, max_hamming=6, k=2, max_bucket_size=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    full = {(a, b) for a in range(40) for b in range(a + 1, 40)}
+    assert got <= full
+    # each ≤10-member slice contributes its internal clique: 4 slices of
+    # 10 -> at least C(10,2)*4 = 180 distinct pairs survive the cap
+    assert len(got) >= 180
+    # sanity: uncapped finds the whole clique
+    assert D.simhash_pairs(d, max_hamming=6, k=2).count() == len(full)
+
+
+def test_simhash_pairs_rejects_bad_cap(docs):
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        D.simhash_pairs(docs, max_bucket_size=1)
+
+
+def test_bitmap_jaccard_matches_array_exact(docs):
+    from duckdb_graphar_spark.operators.text import token_count
+
+    sh = docs.filter(token_count(F.col("text")) >= 2).select(
+        "doc_id", D.shingles(F.col("text"), 2).alias("s")
+    )
+    # reference: per-pair array_intersect/array_union arithmetic
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    want = {
+        (r.id_a, r.id_b, round(r.j, 9))
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jac)
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in D.bitmap_jaccard_pairs(
+            sh, id_col="doc_id", set_col="s", threshold=0.5
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bitmap_jaccard_vocab_guard(docs):
+    sh = docs.select("doc_id", D.shingles(F.col("text"), 2).alias("s"))
+    with pytest.raises(ValueError, match="max_vocab"):
+        D.bitmap_jaccard_pairs(sh, id_col="doc_id", set_col="s", max_vocab=3)
+
+
 def test_connected_components_chain(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
     verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 9]], "v long")
