@@ -5010,6 +5010,78 @@ def s16(spark, sf):
 
 
 @_q(
+    "s21_semdedup_fixed_k",
+    # ORACLE: s16's full chain with the one production difference —
+    # k is FIXED at 64 (LIMIT 64, no sqrt scalar subquery).  Same
+    # decimal assignment, same projection-slice split ((rank−1)//10),
+    # same (cluster, sub)-keyed pair join, threshold 0.3.
+    """
+    WITH c AS (
+      SELECT embedding AS cv,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 64)
+    ),
+    d AS (
+      SELECT e.vec_id, c.cidx,
+             list_sum([CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            AS DECIMAL(38,18))
+                       FOR i IN generate_series(1, len(e.embedding))]) AS d2
+      FROM embeddings e CROSS JOIN c
+    ),
+    asg AS (
+      SELECT vec_id, cidx AS cluster
+      FROM (SELECT vec_id, cidx,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cidx ASC) AS rn
+            FROM d)
+      WHERE rn = 1
+    ),
+    m AS (SELECT asg.cluster, e.vec_id, e.embedding
+          FROM asg JOIN embeddings e USING (vec_id)),
+    pr AS (
+      SELECT cluster, vec_id, embedding,
+             list_sum([CAST(CAST(embedding[i] AS DOUBLE)
+                            * (((i - 1) * 2654435761) % 97 - 48)
+                            AS DECIMAL(38,12))
+                       FOR i IN generate_series(1, len(embedding))]) AS proj
+      FROM m
+    ),
+    mm AS (
+      SELECT cluster,
+             CAST((row_number() OVER (PARTITION BY cluster
+                                      ORDER BY proj, vec_id) - 1) // 10
+                  AS BIGINT) AS sub,
+             vec_id, embedding
+      FROM pr
+    )
+    SELECT a.cluster, a.vec_id AS id_keep, b.vec_id AS id_drop,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM mm a JOIN mm b ON a.cluster = b.cluster AND a.sub = b.sub
+                       AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    """,
+)
+def s21(spark, sf):
+    """SemDeDup in the PRODUCTION shape: k FIXED by compute budget
+    (64, the SemDeDup paper's budgeted-centroids recipe) + the
+    max_cluster_size cap engaged — next to the k=√n QA twins (s06
+    exact, s16 capped) whose assignment cost is O(n^1.5·d) by
+    construction.  With fixed k every term is O(n): assignment
+    O(n·k·d), split O(n·d), pair sweep O(n·cap·d) — measured
+    3.6×/decade at sf1→sf10 (BENCH_sf10_r06.json) where the √n shape
+    measures ~110×/100×.  Same operator, same oracle chain as s16;
+    the only delta is the k hyperparameter
+    (`operators/embeddings.py:semdedup`)."""
+    from duckdb_graphar_spark.operators.embeddings import semdedup, seed_centroids
+
+    e = _t(spark, sf, "embeddings")
+    return semdedup(e, seed_centroids(e, 64), threshold=0.3, max_cluster_size=10)
+
+
+@_q(
     "s17_jaccard_similarity_join",
     # ORACLE: exact ALL-PAIRS Jaccard — deliberately NOT the prefix-
     # filtered plan, so it independently proves the prune lossless:
@@ -6334,10 +6406,18 @@ def t26(spark, sf):
     # ORACLE: identical posting-list self-join arithmetic — ratio-idf
     # weights (one IEEE division of exact integers), decimal-exact dot
     # and norm sums, sqrt/divide/round-6; threshold on the UNROUNDED
-    # cosine in both engines.
+    # cosine in both engines.  Terms are word TRIGRAMS and the
+    # max_df_frac=0.5 stopword cap is ENGAGED in both engines (no
+    # trigram reaches it on the fixture — max df is 25/5000 — so the
+    # cap is exercised losslessly).
     """
-    WITH t AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
-    t2 AS (SELECT id, tok FROM t WHERE tok <> ''),
+    WITH tk AS (SELECT doc_id AS id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents),
+    t2 AS (SELECT id,
+                  unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          FOR i IN generate_series(1, len(w) - 2)]) AS tok
+           FROM tk WHERE len(w) >= 3),
     tf AS (SELECT id, tok, COUNT(*) AS c FROM t2 GROUP BY id, tok),
     dl AS (SELECT id, SUM(c) AS len FROM tf GROUP BY id),
     dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
@@ -6345,7 +6425,7 @@ def t26(spark, sf):
     w AS (SELECT tf.id, tf.tok,
                  CAST(tf.c * nd.n AS DOUBLE) / (dl.len * dfreq.df) AS w
           FROM tf JOIN dl USING (id) JOIN dfreq USING (tok) CROSS JOIN nd
-          WHERE dfreq.df <= nd.n * 1.0),
+          WHERE dfreq.df <= nd.n * 0.5),
     norms AS (SELECT id, SUM(CAST(w * w AS DECIMAL(38,18))) AS n2 FROM w GROUP BY id),
     dots AS (SELECT a.id AS id_a, b.id AS id_b, SUM(CAST(a.w * b.w AS DECIMAL(38,18))) AS dot
              FROM w a JOIN w b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
@@ -6357,13 +6437,18 @@ def t26(spark, sf):
 )
 def t27(spark, sf):
     """Sparse TF-IDF cosine near-dup pairs via the posting-list
-    self-join (only term-sharing pairs materialize; max_df_frac is the
-    hot-term scale knob, documented at 1.0 here because the synthetic
-    31-word vocabulary would drop every term under a realistic cap)
+    self-join over word-TRIGRAM terms with the max_df_frac stopword cap
+    ENGAGED at 0.5 — the representation move (s17→s20) that makes the
+    posting join's Σdf² cost scale on this fixture: the 31-word
+    vocabulary makes every WORD a stopword (Σdf² ≈ 4×10⁸ at sf0.1,
+    formerly the one bench-skipped entry), while trigrams give vocab
+    ≈27k / max df 25 / Σdf² ≈ 2.8×10⁶
     (`operators/text.py:tfidf_cosine_pairs`)."""
     from duckdb_graphar_spark.operators.text import tfidf_cosine_pairs
 
-    return tfidf_cosine_pairs(_t(spark, sf, "documents"), threshold=0.95)
+    return tfidf_cosine_pairs(
+        _t(spark, sf, "documents"), threshold=0.95, max_df_frac=0.5, ngram=3
+    )
 
 
 @_q(
@@ -7874,6 +7959,113 @@ def m23(spark, sf):
     )
 
     return bmp32_stats(encode_text_bmp32(_t(spark, sf, "documents")))
+
+
+@_q(
+    "m24_palette_trns_png",
+    # ORACLE: m14's index/palette arithmetic verbatim plus the alpha
+    # lane — tRNS covers a PREFIX of t = 1 + id mod p entries (alpha
+    # of covered entry k = (101k+7) mod 256, uncovered = opaque 255).
+    # A prefix-semantics bug (wrong opaque default, off-by-one on the
+    # covered range) breaks sum_a while leaving RGB intact.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 11 AS w,
+             1 + doc_id % 6 AS h,
+             2 + doc_id % 15 AS p, text
+      FROM documents
+    ),
+    g2 AS (SELECT *, 1 + doc_id % p AS t FROM g),
+    b AS (
+      SELECT doc_id, w, h, p, t,
+             unicode(text[CAST(x.j % L AS INTEGER) + 1]) % p AS idx
+      FROM g2, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS x(j)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(p AS BIGINT) AS palette_size,
+           CAST(t AS BIGINT) AS trns_size,
+           CAST(SUM((37 * idx + 11) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((59 * idx + 23) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((83 * idx + 5) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN idx < t THEN (101 * idx + 7) % 256
+                         ELSE 255 END) AS BIGINT) AS sum_a
+    FROM b GROUP BY doc_id, w, h, p, t
+    """,
+)
+def m24(spark, sf):
+    """Indexed-color PNG WITH palette transparency (tRNS) — the most
+    common real-corpus indexed-PNG residual, previously an honest
+    guard: m14's container plus a tRNS chunk that covers a strict
+    PREFIX of the palette, so the decode exercises both the
+    table-driven alpha lookup and the spec's opaque-255 tail for
+    uncovered entries.  Same CRC walk / inflate / Sub-filter pipeline;
+    the alpha lane rides the same PLTE-index scanlines.  Two
+    Arrow-batched mapInPandas stages, no shuffle
+    (`operators/multimodal.py:encode_palette_png(trns=...)/
+    decode_png_palette`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_palette_trns_png,
+        png_palette_alpha_stats,
+    )
+
+    return png_palette_alpha_stats(
+        encode_text_palette_trns_png(_t(spark, sf, "documents"))
+    )
+
+
+@_q(
+    "m25_local_palette_gif",
+    # ORACLE: the LOCAL color-table formula — q = 2 + (3·id+1) mod 15
+    # entries, entry k = ((41k+13), (67k+29), (89k+3)) mod 256, index
+    # of pixel i = byte (i mod L) mod q — while the stream ALSO carries
+    # m17's global table: a decoder resolving pixels through the wrong
+    # table parses cleanly but produces the global formula's sums.
+    # palette_size is the PADDED local size (GIF pads color tables to
+    # the next power of two).
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 11 AS w,
+             1 + doc_id % 6 AS h,
+             2 + (3 * doc_id + 1) % 15 AS q, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h, q,
+             unicode(text[CAST(x.j % L AS INTEGER) + 1]) % q AS idx
+      FROM g, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS x(j)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN q <= 2 THEN 2 WHEN q <= 4 THEN 4
+                     WHEN q <= 8 THEN 8 ELSE 16 END AS BIGINT) AS palette_size,
+           TRUE AS used_local,
+           CAST(SUM((41 * idx + 13) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((67 * idx + 29) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((89 * idx + 3) % 256) AS BIGINT) AS sum_b
+    FROM b GROUP BY doc_id, w, h, q
+    """,
+)
+def m25(spark, sf):
+    """GIF87a whose image carries a LOCAL color table overriding the
+    global one — the most common real-corpus GIF residual after
+    interlace, previously an honest guard: per spec the local table
+    (its own size field, padded to a power of two, its own LZW min
+    code size) resolves that image's pixels while the global table
+    stays in the stream, so the entry pins the OVERRIDE itself, not
+    just the parse.  Two Arrow-batched mapInPandas stages, no shuffle
+    (`operators/multimodal.py:encode_gif(local_palette=...)/
+    decode_gif`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_local_gif,
+        gif_local_stats,
+    )
+
+    return gif_local_stats(encode_text_local_gif(_t(spark, sf, "documents")))
 
 
 @_q(
@@ -9929,29 +10121,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order.
 _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
-    # --- window rotates.  After round 5 every entry has a green driver
-    # --- check (union of CORRECTNESS_r01..r05); the only freshness debt
-    # --- is AGE.  Round 6 added 44 new entries — never driver-checked is
-    # --- strictly worse than stale, so ALL 44 front the window, and the
-    # --- 6 remaining slots start the rotation onto the 39 entries whose
-    # --- last driver check is round 1 (the q00–q46 relational band —
-    # --- mirrored in-repo by test_oracle AND the bare-session sweep
-    # --- every round, so the exposure is driver-environment drift only).
-    # --- The 33 r1-band names that don't fit queue at 51+ and must lead
-    # --- the round-7 window.
-    # --- round-6 new operators ---
-    "s16", "m14", "ga19", "g24", "m15", "m16", "st15", "m17", "g25", "q80",
-    "q81", "q82", "t37", "s17", "s18", "q83", "q84", "g26", "st16", "m18",
-    "u07", "s19", "g27", "t38", "g28", "st17", "m19", "m20", "s20", "t39",
-    "m21", "u08", "q85", "q86", "d07", "m22", "q87", "g29", "q88", "ga20",
-    "m23", "t40", "d08", "q89",
-    # --- 39 entries last driver-checked in round 1 ---
-    "q00", "q04", "q06", "q07", "q08", "q09", "q10", "q11", "q12", "q13",
-    "q15", "q16", "q17", "q18", "q18b", "q19", "q20", "q21", "q22", "q23",
-    "q27", "q28", "q29", "q30", "q32", "q33", "q34", "q36", "q37", "q38",
-    "q39", "q40", "q41", "q42", "q43", "q44", "q45", "q46", "t11",
-    # --- round-2-stale re-checks, one per surface family, to fill 50 ---
-    "c01", "d01", "ga04", "g03", "m03", "st02", "t12", "q25",
+    # --- window rotates.  Every entry is driver-green at its latest check
+    # --- (r01..r06 union); the freshness debt after r06 is 33 entries at
+    # --- r1 + 42 at r2.  Round-7 window: the 3 NEW entries (s21 fixed-k
+    # --- SemDeDup, m24 palette-tRNS PNG, m25 local-color-table GIF —
+    # --- never driver-checked beats stale), the 2 entries whose
+    # --- IMPLEMENTATION changed this round (t27 re-pointed at trigram
+    # --- terms + new oracle; d02 re-built on bitmap_jaccard_pairs with
+    # --- the simhash cap engaged), then ALL 33 r1-stale names, then 12
+    # --- r2-stale re-checks (oldest families first).  The ~30 remaining
+    # --- r2 names queue at 51+ and must lead the round-8 window.
+    # --- round-7 new / changed ---
+    "s21", "m24", "m25", "t27", "d02",
+    # --- 33 entries last driver-checked in round 1 ---
+    "q10", "q11", "q12", "q13", "q15", "q16", "q17", "q18", "q18b", "q19",
+    "q20", "q21", "q22", "q23", "q27", "q28", "q29", "q30", "q32", "q33",
+    "q34", "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43", "q44",
+    "q45", "q46", "t11",
+    # --- 12 round-2-stale re-checks, one per surface family ---
+    "st01", "st02", "ga04", "ga10", "s01", "s02", "t04", "t06", "g05",
+    "q02", "q03", "m03",
     # --- 51+: everything else follows in registry definition order ---
 ]
 

@@ -71,16 +71,14 @@ BENCH_QUERIES = [
     "s09_pq_encode",
     "s10_pq_adc_topk",
     "g13_sssp",
-    # round-3 wave 3: k-core peeling.  t27_tfidf_cosine_pairs is
-    # deliberately NOT benched at sf0.1: its declared entry keeps
-    # max_df_frac=1.0 (the fixture's 31-word uniform vocabulary makes
-    # every term a stopword, so any realistic cap empties the result),
-    # and with the cap disabled the posting self-join is genuinely
-    # quadratic — 31 corpus-sized posting lists ≈ 4×10⁸ joined rows at
-    # 5000 docs, ~3 min/run.  That is the documented hot-key blowup the
-    # max_df knob exists to prevent, not a plan regression; the entry
-    # stays in the correctness registry (500-doc SFs are fine).
+    # round-3 wave 3: k-core peeling; t27 (re-pointed at word-TRIGRAM
+    # terms with max_df_frac=0.5 engaged in round 7 — the s17→s20
+    # representation move) is back in the sweep after being the only
+    # skipped entry: the trigram vocabulary discriminates (Σdf² 2.8e6
+    # vs 4e8 for words at sf0.1), ~4.4 s/run where the word form was
+    # ~3 min.
     "g14_kcore",
+    "t27_tfidf_cosine_pairs",
     # round-3 wave 4: retrieval stack (BM25 + hybrid RRF), warehouse
     # surface (exact quantiles, one-scan stats, CDC upsert), graph
     # (label propagation, personalized pagerank), keep-best dedup,
@@ -181,6 +179,44 @@ BENCH_QUERIES = [
     "t40_fingerprint_decontam",
     "d08_cluster_split",
     "q89_last_touch_attribution",
+    # round-7: SemDeDup production shape (fixed k + cap), palette-tRNS
+    # PNG, local-color-table GIF
+    "s21_semdedup_fixed_k",
+    "m24_palette_trns_png",
+    "m25_local_palette_gif",
+]
+
+# Fixed CANARY lane (round 7): ~20 entries spanning every surface
+# family, benched median-of-5 EVERY round with an identical recipe,
+# REGARDLESS of how the headline set rotates — this is the
+# round-over-round comparability anchor the r6 verdict flagged as
+# missing (the r5→r6 headline rotation left only 3 comparable entries,
+# and reps=1 full-sweep noise could not adjudicate regressions like
+# m11's 9.4x full-sweep anomaly).  Do not rotate this list; append
+# only.  m11 is here precisely to adjudicate that anomaly under clean
+# median-of-5 conditions.
+CANARY_QUERIES = [
+    "q01_pricing_summary",      # scan + agg
+    "q05_revenue_by_nation",    # multi-join star
+    "q14_window_rownum",        # window
+    "q39_returned_items",       # TPC-H Q10 shape
+    "q43_volume_shipping",      # TPC-H Q7 shape
+    "q80_kmv_distinct_rollup",  # sketch rollup
+    "g02_degrees",              # graph offsets fast path
+    "g05_two_hop",              # graph join
+    "g07_bfs_length",           # iterative graph
+    "g09_pagerank",             # iterative graph, weighted
+    "g14_kcore",                # peeling
+    "ga02_read_edges",          # GraphAr reader
+    "ga03_edges_point_lookup",  # GraphAr CSR seek
+    "t04_exact_dedup",          # hash dedup
+    "t06_minhash_clusters",     # LSH + CC pipeline
+    "d02_simhash_pairs",        # blocking + verify + exact baseline
+    "s01_topk_cosine",          # brute-force ANN
+    "s19_hamming_rerank_topk",  # two-stage retrieval
+    "m07_jpeg_roundtrip",       # heavy Python codec
+    "m11_thumbnail_downsample", # the r6 full-sweep anomaly
+    "st03_session_window",      # streaming batch twin
 ]
 
 # Streaming lane (round 6): every st entry runs its real micro-batch
@@ -238,6 +274,26 @@ def main() -> None:
     # the per-query minimum — the contention-free floor — alongside the
     # median.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+
+    # canary lane FIRST (right after warmup, before the long sweep heats
+    # the machine) and ALWAYS median-of-5 — its whole point is clean
+    # round-over-round comparability, so it ignores the reps override
+    # the driver may pass for the big sweep.
+    canary_reps = int(os.environ.get("SPARK_GRAFT_CANARY_REPS", "5"))
+    canary: dict[str, float] = {}
+    canary_min: dict[str, float] = {}
+    for name in CANARY_QUERIES:
+        print(f"[bench:canary] {name}", file=sys.stderr, flush=True)
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times = []
+        for _ in range(canary_reps):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            times.append(time.time() - t0)
+        times.sort()
+        canary[name] = round(times[len(times) // 2], 3)
+        canary_min[name] = round(times[0], 3)
+
     results: dict[str, float] = {}
     results_min: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -281,6 +337,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "queries_min": results_min,
+                "canary": canary,
+                "canary_min": canary_min,
+                "canary_reps": canary_reps,
                 "streaming": st_results,
                 "streaming_min": st_results_min,
                 "streaming_total": round(sum(st_results.values()), 3),

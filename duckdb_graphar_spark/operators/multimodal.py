@@ -1673,12 +1673,17 @@ def decode_png_rgb(payload: bytes) -> dict:
     return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
 
 
-def encode_palette_png(indices: np.ndarray, palette: np.ndarray) -> bytes:
+def encode_palette_png(
+    indices: np.ndarray, palette: np.ndarray, trns: np.ndarray | None = None
+) -> bytes:
     """Write a real 8-bit INDEXED-COLOR PNG (color type 3 — the most
     common real-corpus PNG after truecolor): PLTE chunk with the RGB
     palette, Sub-filtered scanlines of palette INDICES (bpp=1 — type-3
     filtering runs over index bytes, not channels), CRC-stamped.
-    ``indices`` is (h, w) uint8, ``palette`` is (n, 3) uint8, n ≤ 256."""
+    ``indices`` is (h, w) uint8, ``palette`` is (n, 3) uint8, n ≤ 256.
+    ``trns`` (optional, (t,) uint8, t ≤ n) writes a tRNS chunk — per-
+    palette-entry alpha; the spec lets it be SHORTER than the palette
+    (remaining entries are fully opaque)."""
     import zlib as _zlib
 
     h, w = indices.shape
@@ -1687,6 +1692,8 @@ def encode_palette_png(indices: np.ndarray, palette: np.ndarray) -> bytes:
         raise ValueError("palette must be (n, 3) with 1 <= n <= 256")
     if indices.max(initial=0) >= n:
         raise ValueError("palette index out of range")
+    if trns is not None and (trns.ndim != 1 or not 1 <= trns.shape[0] <= n):
+        raise ValueError("trns must be (t,) with 1 <= t <= palette size")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)  # 8-bit indexed
     raw = bytearray()
     for y in range(h):
@@ -1697,10 +1704,16 @@ def encode_palette_png(indices: np.ndarray, palette: np.ndarray) -> bytes:
             sub[1:] = ((row[1:] - row[:-1]) % 256).astype(np.uint8)
         raw.append(1)  # filter type: Sub
         raw += sub.tobytes()
+    trns_chunk = (
+        _png_chunk(b"tRNS", trns.astype(np.uint8).tobytes())
+        if trns is not None
+        else b""
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + trns_chunk
         + _png_chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -1712,16 +1725,19 @@ def decode_png_palette(payload: bytes) -> dict:
     inflate, all-five-filter reconstruction at bpp=1 — plus the PLTE
     lookup that maps index scanlines to RGB; Adam7 interlace is
     reassembled pass-by-pass.  Returns {width, height, palette_size,
-    pixels (h·w·3 uint8 RGB)}.  Raises ValueError on corruption
-    (missing/ragged PLTE, index beyond the palette),
-    NotImplementedError on non-type-3/16-bit and on tRNS (palette
-    alpha would be silently dropped otherwise)."""
+    pixels (h·w·3 uint8 RGB), trns_size, alpha (h·w uint8)} — a tRNS
+    chunk (per-palette-entry alpha, legally SHORTER than the palette:
+    uncovered entries are opaque 255) fills the alpha lane; without
+    one trns_size is 0 and alpha is all-255.  Raises ValueError on
+    corruption (missing/ragged PLTE, bad tRNS length, index beyond
+    the palette), NotImplementedError on non-type-3/16-bit."""
     import zlib as _zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, w = 8, None
     plte: bytes | None = None
+    trns: bytes | None = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         length = struct.unpack(">I", payload[pos : pos + 4])[0]
@@ -1749,7 +1765,15 @@ def decode_png_palette(payload: bytes) -> dict:
                 raise ValueError(f"invalid PLTE length {length}")
             plte = data
         elif ctype == b"tRNS":
-            raise NotImplementedError("palette transparency (tRNS)")
+            if plte is None:
+                # spec: tRNS must follow PLTE for color type 3
+                raise ValueError("tRNS before PLTE in indexed PNG")
+            if length == 0 or length > len(plte) // 3:
+                raise ValueError(
+                    f"invalid tRNS length {length} for palette of "
+                    f"{len(plte) // 3} entries"
+                )
+            trns = data
         elif ctype == b"IDAT":
             if plte is None:
                 # spec: PLTE must precede IDAT for color type 3
@@ -1769,12 +1793,19 @@ def decode_png_palette(payload: bytes) -> dict:
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     if idx.max(initial=0) >= pal.shape[0]:
         raise ValueError("palette index beyond PLTE size")
-    rgb = pal[idx.reshape(-1)]
+    # per-entry alpha: tRNS covers a PREFIX of the palette; entries
+    # beyond it are fully opaque (PNG spec 11.3.2.1)
+    alpha_tab = np.full(pal.shape[0], 255, dtype=np.uint8)
+    if trns is not None:
+        alpha_tab[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+    flat = idx.reshape(-1)
     return {
         "width": int(w),
         "height": int(h),
         "palette_size": int(pal.shape[0]),
-        "pixels": rgb.reshape(-1),
+        "pixels": pal[flat].reshape(-1),
+        "trns_size": len(trns) if trns is not None else 0,
+        "alpha": alpha_tab[flat],
     }
 
 
@@ -1896,22 +1927,46 @@ def _lzw_decode_gif(data: bytes, min_code_size: int, n_expected: int) -> np.ndar
     return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    local_palette: np.ndarray | None = None,
+) -> bytes:
     """Write a real GIF87a: logical screen descriptor with a global
     color table (padded to the next power of two ≥ 2), one image
     descriptor, REAL LZW-compressed index data in 255-byte sub-blocks,
     trailer.  ``indices`` (h, w) uint8, ``palette`` (n, 3) uint8,
-    n ≤ 256."""
+    n ≤ 256.  ``local_palette`` additionally writes a LOCAL color
+    table on the image descriptor — per spec it overrides the global
+    one for that image (the global table stays in the stream, so a
+    decoder using the wrong table produces different pixels, not a
+    parse error); indices are then validated against the local table."""
     h, w = indices.shape
     n = palette.shape[0]
     if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= n <= 256:
         raise ValueError("palette must be (n, 3) with 1 <= n <= 256")
-    if indices.max(initial=0) >= n:
+    effective = palette if local_palette is None else local_palette
+    m = effective.shape[0]
+    if local_palette is not None and (
+        local_palette.ndim != 2 or local_palette.shape[1] != 3 or not 1 <= m <= 256
+    ):
+        raise ValueError("local_palette must be (m, 3) with 1 <= m <= 256")
+    if indices.max(initial=0) >= m:
         raise ValueError("palette index out of range")
     bits = max(1, (max(n, 2) - 1).bit_length())  # color-table size field
     padded = np.zeros((1 << bits, 3), dtype=np.uint8)
     padded[:n] = palette.astype(np.uint8)
-    min_code = max(2, bits)  # spec: LZW min code size >= 2
+    iflags = 0
+    local_bytes = b""
+    if local_palette is not None:
+        lbits = max(1, (max(m, 2) - 1).bit_length())
+        lpadded = np.zeros((1 << lbits, 3), dtype=np.uint8)
+        lpadded[:m] = local_palette.astype(np.uint8)
+        iflags = 0x80 | (lbits - 1)
+        local_bytes = lpadded.tobytes()
+        min_code = max(2, lbits)
+    else:
+        min_code = max(2, bits)  # spec: LZW min code size >= 2
     lzw = _lzw_encode_gif(indices.reshape(-1), min_code)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
@@ -1924,7 +1979,8 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
         + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
         + padded.tobytes()
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+        + local_bytes
         + bytes([min_code])
         + bytes(blocks)
         + b"\x3b"
@@ -1937,9 +1993,10 @@ def decode_gif(payload: bytes) -> dict:
     SKIPPED by their sub-block lengths (89a graphic-control etc.), the
     first image descriptor's LZW data de-blocked and decoded (variable
     code widths, CLEAR resets, KwKwK).  Returns {width, height,
-    palette_size, pixels (h·w·3 uint8 RGB)}.  Raises ValueError on
-    corruption, NotImplementedError on interlaced images or local
-    color tables."""
+    palette_size, local_palette (bool), pixels (h·w·3 uint8 RGB)}; a
+    LOCAL color table on the image descriptor overrides the global one
+    (palette_size then reports the local size).  Raises ValueError on
+    corruption, NotImplementedError on interlaced images."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(payload) < 13:
@@ -1974,10 +2031,20 @@ def decode_gif(payload: bytes) -> dict:
         pos += 9
         if iflags & 0x40:
             raise NotImplementedError("interlaced GIF")
+        pal = palette
         if iflags & 0x80:
-            raise NotImplementedError("local color table GIF")
-        if palette is None:
-            raise ValueError("image data with no global color table")
+            # local color table: OVERRIDES the global one for this
+            # image (GIF89a spec 21); size field is the descriptor's
+            # low 3 bits
+            lsize = 2 << (iflags & 0x07)
+            if pos + lsize * 3 > len(payload):
+                raise ValueError("truncated local color table")
+            pal = np.frombuffer(
+                payload[pos : pos + lsize * 3], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += lsize * 3
+        if pal is None:
+            raise ValueError("image data with no color table")
         min_code = payload[pos]
         pos += 1
         if not 2 <= min_code <= 11:
@@ -1990,13 +2057,14 @@ def decode_gif(payload: bytes) -> dict:
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         idx = _lzw_decode_gif(bytes(data), min_code, w * h)
-        if idx.max(initial=0) >= palette.shape[0]:
+        if idx.max(initial=0) >= pal.shape[0]:
             raise ValueError("GIF index beyond color table")
-        rgb = palette[idx]
+        rgb = pal[idx]
         return {
             "width": int(w),
             "height": int(h),
-            "palette_size": int(palette.shape[0]),
+            "palette_size": int(pal.shape[0]),
+            "local_palette": bool(iflags & 0x80),
             "pixels": rgb.reshape(-1),
         }
     raise ValueError("no image descriptor in GIF")
@@ -2078,6 +2146,103 @@ def gif_stats(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, PALETTE_PNG_STATS_SCHEMA)
+
+
+def encode_text_local_gif(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL GIF87a whose image carries a
+    LOCAL color table (the most common real-corpus GIF residual —
+    per-frame palettes): the stream ALSO has a global color table
+    with m17's formula, but the image's pixels index a DIFFERENT
+    local table of q = 2 + (3·id + 1) mod 15 entries, entry k =
+    ((41k+13) mod 256, (67k+29) mod 256, (89k+3) mod 256); index of
+    pixel i = byte (i mod L) mod q.  A decoder that resolves pixels
+    through the wrong table still parses cleanly but produces the
+    global formula's sums — the override itself is what the oracle
+    pins."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                did = int(did)
+                w = 1 + (len(tb) % 11)
+                h = 1 + (did % 6)
+                p = 2 + (did % 15)
+                k = np.arange(p, dtype=np.int64)
+                gpal = np.stack(
+                    [(37 * k + 11) % 256, (59 * k + 23) % 256, (83 * k + 5) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                q = 2 + ((3 * did + 1) % 15)
+                kq = np.arange(q, dtype=np.int64)
+                lpal = np.stack(
+                    [(41 * kq + 13) % 256, (67 * kq + 29) % 256, (89 * kq + 3) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = (tb[np.arange(w * h) % len(tb)] % q).astype(np.uint8)
+                payloads.append(encode_gif(idx.reshape(h, w), gpal, lpal))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+LOCAL_GIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("palette_size", T.LongType(), False),
+        T.StructField("used_local", T.BooleanType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def gif_local_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """gif_stats plus the local-color-table facts: ``used_local``
+    reports whether the image carried its own table and
+    ``palette_size`` is the (padded) size of the table the pixels were
+    actually resolved through.  Arrow-batched mapInPandas projection,
+    no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in LOCAL_GIF_STATS_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_gif(bytes(payload))
+                px = d["pixels"].reshape(-1, 3).astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["palette_size"].append(int(d["palette_size"]))
+                out["used_local"].append(bool(d["local_palette"]))
+                out["sum_r"].append(int(px[:, 0].sum()))
+                out["sum_g"].append(int(px[:, 1].sum()))
+                out["sum_b"].append(int(px[:, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, LOCAL_GIF_STATS_SCHEMA)
 
 
 def encode_text_palette_png(
@@ -2166,6 +2331,103 @@ def png_palette_stats(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, PALETTE_PNG_STATS_SCHEMA)
+
+
+def encode_text_palette_trns_png(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL indexed-color PNG WITH palette
+    transparency (tRNS — the most common real-corpus indexed-PNG
+    residual): m14's geometry and RGB palette exactly (w = 1 + length
+    mod 11, h = 1 + id mod 6, p = 2 + id mod 15, entry k = ((37k+11),
+    (59k+23), (83k+5)) mod 256, index of pixel i = byte (i mod L) mod
+    p) plus a tRNS chunk of t = 1 + id mod p entries (STRICTLY shorter
+    than the palette whenever p > 1+gcd-range — the spec's prefix
+    semantics, so the opaque-255 tail path is exercised), alpha entry
+    k = (101k + 7) mod 256."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                did = int(did)
+                w = 1 + (len(tb) % 11)
+                h = 1 + (did % 6)
+                p = 2 + (did % 15)
+                k = np.arange(p, dtype=np.int64)
+                pal = np.stack(
+                    [(37 * k + 11) % 256, (59 * k + 23) % 256, (83 * k + 5) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                t = 1 + (did % p)
+                trns = ((101 * np.arange(t, dtype=np.int64) + 7) % 256).astype(
+                    np.uint8
+                )
+                idx = (tb[np.arange(w * h) % len(tb)] % p).astype(np.uint8)
+                payloads.append(encode_palette_png(idx.reshape(h, w), pal, trns))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+PALETTE_TRNS_PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("palette_size", T.LongType(), False),
+        T.StructField("trns_size", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("sum_a", T.LongType(), False),
+    ]
+)
+
+
+def png_palette_alpha_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """m14's per-channel pixel sums PLUS the tRNS alpha lane: sum_a
+    sums the per-pixel alpha resolved through the (possibly shorter-
+    than-palette) tRNS table — a prefix-semantics bug (wrong default
+    for uncovered entries, off-by-one on the covered range) breaks
+    sum_a while leaving RGB intact.  Arrow-batched mapInPandas
+    projection, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in PALETTE_TRNS_PNG_STATS_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_png_palette(bytes(payload))
+                px = d["pixels"].reshape(-1, 3).astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["palette_size"].append(int(d["palette_size"]))
+                out["trns_size"].append(int(d["trns_size"]))
+                out["sum_r"].append(int(px[:, 0].sum()))
+                out["sum_g"].append(int(px[:, 1].sum()))
+                out["sum_b"].append(int(px[:, 2].sum()))
+                out["sum_a"].append(int(d["alpha"].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, PALETTE_TRNS_PNG_STATS_SCHEMA)
 
 
 def encode_text_png(
@@ -2987,12 +3249,20 @@ def decode_animated_gif(payload: bytes) -> dict:
         pos += 9
         if iflags & 0x40:
             raise NotImplementedError("interlaced GIF")
+        pal = palette
         if iflags & 0x80:
-            raise NotImplementedError("local color table GIF")
+            # per-frame local color table overrides the global one
+            lsize = 2 << (iflags & 0x07)
+            if pos + lsize * 3 > len(payload):
+                raise ValueError("truncated local color table")
+            pal = np.frombuffer(
+                payload[pos : pos + lsize * 3], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += lsize * 3
         if (x, y, w, h) != (0, 0, sw, sh):
             raise NotImplementedError("partial-frame animated GIF")
-        if palette is None:
-            raise ValueError("image data with no global color table")
+        if pal is None:
+            raise ValueError("image data with no color table")
         min_code = payload[pos]
         pos += 1
         if not 2 <= min_code <= 11:
@@ -3006,9 +3276,9 @@ def decode_animated_gif(payload: bytes) -> dict:
             pos += 1 + ln
         pos += 1  # image-data block terminator
         idx = _lzw_decode_gif(bytes(data), min_code, w * h)
-        if idx.max(initial=0) >= palette.shape[0]:
+        if idx.max(initial=0) >= pal.shape[0]:
             raise ValueError("GIF index beyond color table")
-        frames.append(palette[idx].reshape(-1))
+        frames.append(pal[idx].reshape(-1))
         delays.append(pending_delay)
         pending_delay = 0
     raise ValueError("GIF ended without trailer")

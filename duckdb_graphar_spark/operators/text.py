@@ -624,6 +624,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     threshold: float = 0.9,
     max_df_frac: float = 1.0,
+    ngram: int = 1,
 ) -> DataFrame:
     """All document pairs whose TF-IDF cosine similarity ≥ threshold —
     the sparse-vector twin of the embedding near-dup sweep (d01), built
@@ -636,9 +637,17 @@ def tfidf_cosine_pairs(
     than that fraction of documents is dropped before the join (a
     stopword's posting list is corpus-sized and its self-join is
     quadratic in it — exactly the hot-key blowup; stopwords also carry
-    no discriminative weight).  The fixture's synthetic 31-word uniform
-    vocabulary would drop EVERY term under any realistic cap, so the
-    declared entry keeps 1.0 and documents the knob instead.
+    no discriminative weight).
+
+    ``ngram`` picks the term representation: 1 = single words; n>1 =
+    sliding word n-grams.  The representation is what makes the
+    posting-list shape scale — the join cost is Σ_term df², so the
+    vocabulary must DISCRIMINATE.  On this repo's 31-word synthetic
+    fixture, words give Σdf² ≈ 4×10⁸ at 5000 docs (every word is a
+    stopword — the s17 pathology) while word TRIGRAMS give vocab ≈27k,
+    max df 25, Σdf² ≈ 2.8×10⁶ — a ~200× smaller join with the SAME
+    machinery, and realistic caps (max_df_frac < 1) stay engaged
+    without dropping anything.
 
     Float discipline: w = (c·N)/(len·df) is one IEEE division of exact
     integers (t20's ratio-idf recipe); each pair product and each
@@ -646,10 +655,11 @@ def tfidf_cosine_pairs(
     norms are aggregation-order-independent; cosine is then
     sqrt/divide/round-6 — bit-stable across engines.
     """
-    t = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
-    ).filter(F.col("__tok") != "")
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    grams = toks if ngram == 1 else _word_ngrams(toks, ngram)
+    t = df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__tok"))
     tf = t.groupBy("__id", "__tok").agg(F.count(F.lit(1)).alias("__c"))
     dl = tf.groupBy("__id").agg(F.sum("__c").alias("__len"))
     dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))

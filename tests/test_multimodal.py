@@ -1059,17 +1059,45 @@ def test_palette_png_guards():
     )
     with _pt.raises(ValueError, match="beyond PLTE"):
         decode_png_palette(small_pal)
-    # tRNS is an explicit scope guard, not silently-ignored alpha
+    # tRNS (guard retired in round 7): a 1-entry table over a 2-entry
+    # palette gives alpha 0 for index 0 and the opaque-255 default for
+    # index 1 — prefix semantics, not an error
     trns = (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", pal.tobytes())
         + _png_chunk(b"tRNS", b"\x00")
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x01" * 2))  # rows 0,1
+        + _png_chunk(b"IEND", b"")
+    )
+    dt = decode_png_palette(trns)
+    assert dt["trns_size"] == 1
+    assert list(dt["alpha"]) == [0, 255, 0, 255]
+    # tRNS longer than the palette is corruption, not scope
+    bad_trns = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"tRNS", b"\x00\x01\x02")  # 3 entries, 2-entry PLTE
         + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
         + _png_chunk(b"IEND", b"")
     )
-    with _pt.raises(NotImplementedError, match="tRNS"):
-        decode_png_palette(trns)
+    with _pt.raises(ValueError, match="tRNS"):
+        decode_png_palette(bad_trns)
+    # tRNS before PLTE violates the spec's chunk ordering
+    trns_first = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tRNS", b"\x00")
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pt.raises(ValueError, match="tRNS before PLTE"):
+        decode_png_palette(trns_first)
+    # without tRNS: all-opaque alpha lane, size 0
+    d0 = decode_png_palette(ok)
+    assert d0["trns_size"] == 0 and set(d0["alpha"]) == {255}
     # decode_image routes color type 3 natively
     assert decode_image(ok)["mean_intensity"] == 0.0
 
@@ -1096,6 +1124,33 @@ if _HYP:
         idx = rng.integers(0, p, size=(h, w)).astype(np.uint8)
         d = decode_png_palette(encode_palette_png(idx, pal))
         assert d["palette_size"] == p
+        assert np.array_equal(d["pixels"].reshape(h, w, 3), pal[idx])
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 8),
+        p=st.integers(1, 256),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_palette_trns_png_roundtrip_property(w, h, p, seed):
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_png_palette,
+            encode_palette_png,
+        )
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(p, 3)).astype(np.uint8)
+        idx = rng.integers(0, p, size=(h, w)).astype(np.uint8)
+        t = int(rng.integers(1, p + 1))
+        trns = rng.integers(0, 256, size=t).astype(np.uint8)
+        d = decode_png_palette(encode_palette_png(idx, pal, trns))
+        assert d["trns_size"] == t
+        alpha_tab = np.full(p, 255, np.uint8)
+        alpha_tab[:t] = trns
+        assert np.array_equal(d["alpha"].reshape(h, w), alpha_tab[idx])
         assert np.array_equal(d["pixels"].reshape(h, w, 3), pal[idx])
 
 
@@ -1274,6 +1329,30 @@ if _HYP:
         idx = rng.integers(0, p, size=(h, w)).astype(np.uint8)
         d = decode_gif(encode_gif(idx, pal))
         assert np.array_equal(d["pixels"].reshape(h, w, 3), pal[idx])
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 10),
+        p=st.integers(1, 256),
+        q=st.integers(1, 256),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_gif_local_palette_roundtrip_property(w, h, p, q, seed):
+        """Pixels resolve through the LOCAL table; the global table
+        (different random colors, possibly different size) stays in the
+        stream and must NOT leak into the output."""
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import decode_gif, encode_gif
+
+        rng = np.random.default_rng(seed)
+        gpal = rng.integers(0, 256, size=(p, 3)).astype(np.uint8)
+        lpal = rng.integers(0, 256, size=(q, 3)).astype(np.uint8)
+        idx = rng.integers(0, q, size=(h, w)).astype(np.uint8)
+        d = decode_gif(encode_gif(idx, gpal, lpal))
+        assert d["local_palette"] is True
+        assert np.array_equal(d["pixels"].reshape(h, w, 3), lpal[idx])
 
 
 def test_animated_gif_roundtrip_delays_and_guards():

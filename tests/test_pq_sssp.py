@@ -292,6 +292,37 @@ def test_tfidf_cosine_max_df_drops_stopword_postings(spark):
     assert uncapped == 3 and capped == 0
 
 
+def test_tfidf_cosine_ngram_terms(spark):
+    """ngram=2 scores over word bigrams: docs sharing all their words
+    but in different ORDER are orthogonal under bigrams (no common
+    bigram), while identical docs still hit 1.0; a doc with fewer than
+    n words has no terms and never pairs."""
+    from duckdb_graphar_spark.operators.text import tfidf_cosine_pairs
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),
+        (3, "gamma beta alpha"),
+        (4, "alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in tfidf_cosine_pairs(df, threshold=0.0, ngram=2).collect()
+    }
+    assert got == {(1, 2, 1.0)}
+
+
+def test_tfidf_cosine_rejects_bad_ngram(spark):
+    import pytest as _pytest
+
+    from duckdb_graphar_spark.operators.text import tfidf_cosine_pairs
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="ngram"):
+        tfidf_cosine_pairs(df, ngram=0)
+
+
 def test_ivfpq_equals_adc_over_probed_cells(spark):
     """IVFADC == pq_adc_topk restricted to the rows whose numpy coarse
     assignment lands in the numpy-derived probe cells."""
