@@ -9570,6 +9570,342 @@ def q89(spark, sf):
 
 
 @_q(
+    "q90_linear_attribution",
+    # ORACLE: the same two windows — each VIEW's next purchase via
+    # FIRST_VALUE IGNORE NULLS over the FOLLOWING frame on the shared
+    # (ts, event_id) ordering, then the touch count per (user,
+    # purchase) via a COUNT window — and credit = 1/n is one IEEE
+    # division of exact integers.  Views after the user's last
+    # purchase are honestly unattributed (dropped).
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS purchase_id
+      FROM events
+    ),
+    v AS (SELECT user_id, event_id AS view_id, purchase_id
+          FROM o WHERE event_type = 'view' AND purchase_id IS NOT NULL),
+    n AS (SELECT *, COUNT(*) OVER (PARTITION BY user_id, purchase_id)
+                 AS n_touches FROM v)
+    SELECT CAST(purchase_id AS BIGINT) AS purchase_id, user_id,
+           CAST(view_id AS BIGINT) AS view_id,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(1.0 AS DOUBLE) / n_touches AS credit
+    FROM n
+    """,
+)
+def q90(spark, sf):
+    """LINEAR multi-touch attribution, since-last-conversion scope —
+    q89's sibling: each purchase splits one unit of credit EQUALLY
+    across the views since the user's previous purchase.  Each view
+    belongs to exactly ONE purchase (the first purchase at-or-after
+    it, FIRST_VALUE-IGNORE-NULLS over the following frame), so the
+    output is VIEW-linear — no view×purchase pair blowup — and credit
+    = 1/n_touches is one division of exact integers (bit-stable, no
+    float summation anywhere).  Two windows on the same user
+    partitioning + ordering = one exchange."""
+    ev = _t(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("__us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pid = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    o = (
+        ev.select("user_id", "event_id", "event_type", us.alias("__us"))
+        .withColumn("purchase_id", F.first(pid, ignorenulls=True).over(wf))
+    )
+    v = o.filter(
+        (F.col("event_type") == "view") & F.col("purchase_id").isNotNull()
+    )
+    wn = Window.partitionBy("user_id", "purchase_id")
+    return v.select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        "user_id",
+        F.col("event_id").cast("long").alias("view_id"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_touches"),
+    ).withColumn("credit", F.lit(1.0) / F.col("n_touches"))
+
+
+@_q(
+    "q91_funnel_within_window",
+    # ORACLE: q58's staged-min construction with the conversion window
+    # folded into each stage's candidate set — stage i+1 is the first
+    # event STRICTLY after t_i AND within 6h of it (integer µs bound).
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND epoch_us(e.ts) - epoch_us(s1.t1) <= 21600000000
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND epoch_us(e.ts) - epoch_us(s2.t2) <= 21600000000
+           GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stages_completed,
+           COALESCE(t3, t2, t1) AS completed_at
+    FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    """,
+)
+def q91(spark, sf):
+    """CONVERSION-WINDOW funnel (view→click→purchase, each stage
+    within 6 hours of the previous) — the semantics every product
+    funnel eventually needs: a purchase three weeks after the click is
+    not attributable to it.  Same one-shuffle sorted fold as q58 with
+    the integer-µs window bound inside the fold step; anchors stay
+    greedy-earliest, provably equal to the staged-min-with-window
+    construction the oracle computes
+    (`operators/events.py:funnel(max_gap_us)`)."""
+    from duckdb_graphar_spark.operators.events import funnel
+
+    return funnel(
+        _t(spark, sf, "events"),
+        ["view", "click", "purchase"],
+        max_gap_us=21_600_000_000,
+    )
+
+
+@_q(
+    "s22_retrieval_recall_mrr",
+    # ORACLE: the full eval chain replayed — s18's sign-packing +
+    # Hamming ranking as the approximate side, s01's exact-cosine
+    # ranking as the ground truth, then per-query recall@5 = hits/5
+    # and MRR = 1/first-hit-rank (0 when none): every metric is one
+    # IEEE division of exact small integers.
+    """
+    WITH p AS (
+      SELECT vec_id,
+             CAST(list_sum([CASE WHEN embedding[CAST(i AS INTEGER) + 1] > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                            ELSE CAST(0 AS BIGINT) END
+                       FOR i IN generate_series(0, 31)]) AS BIGINT) AS w0,
+             CAST(list_sum([CASE WHEN embedding[CAST(i AS INTEGER) + 33] > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                            ELSE CAST(0 AS BIGINT) END
+                       FOR i IN generate_series(0, 31)]) AS BIGINT) AS w1
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1 FROM p WHERE vec_id < 3),
+    approx AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.qid AS query_id, p.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY bit_count(xor(p.w0, q.q0))
+                                           + bit_count(xor(p.w1, q.q1)),
+                                           p.vec_id) AS rank
+        FROM p CROSS JOIN q WHERE p.vec_id != q.qid
+      ) WHERE rank <= 5
+    ),
+    qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 3),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qe.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qe.query_id
+                                  ORDER BY ROUND(list_cosine_similarity(
+                                      CAST(e.embedding AS DOUBLE[]),
+                                      CAST(qe.qv AS DOUBLE[])), 6) DESC,
+                                           e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN qe WHERE e.vec_id != qe.query_id
+      ) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT a.query_id, COUNT(*) AS n_hits, MIN(a.rank) AS first_hit
+      FROM approx a SEMI JOIN exact g
+        ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+      GROUP BY a.query_id
+    )
+    SELECT s.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_k,
+           CASE WHEN h.first_hit IS NULL THEN 0.0
+                ELSE 1.0 / h.first_hit END AS reciprocal_rank
+    FROM (SELECT DISTINCT query_id FROM exact) s
+    LEFT JOIN hits h USING (query_id)
+    """,
+)
+def s22(spark, sf):
+    """Retrieval QUALITY eval — recall@5 and MRR of the binary-Hamming
+    index (s18's 32×-compressed first stage) against the exact-cosine
+    ground truth (s01): the eval primitive every ANN deployment gates
+    on, generic over any two ranked result sets.  Metrics are
+    divisions of exact small integers (bit-stable); the ground-truth
+    query set is the spine so an approx side that misses a query
+    reports 0 honestly
+    (`operators/similarity.py:retrieval_metrics`)."""
+    from duckdb_graphar_spark.operators.embeddings import hamming_topk
+    from duckdb_graphar_spark.operators.similarity import (
+        brute_force_topk,
+        retrieval_metrics,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = hamming_topk(e, q, k=5, dim=64)
+    exact = brute_force_topk(e, q, k=5)
+    return retrieval_metrics(approx, exact, k=5)
+
+
+@_q(
+    "d09_semantic_dedup_corpus",
+    # ORACLE: s21's full pair chain (fixed k=64 assignment, projection-
+    # slice cap, cosine >= 0.3 pairs) closed with a recursive CTE over
+    # pairs + a self-loop per corpus vector — singletons are their own
+    # kept cluster, exactly like the Spark side's full-corpus vertex
+    # spine.
+    """
+    WITH RECURSIVE c AS (
+      SELECT embedding AS cv,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 64)
+    ),
+    d AS (
+      SELECT e.vec_id, c.cidx,
+             list_sum([CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            AS DECIMAL(38,18))
+                       FOR i IN generate_series(1, len(e.embedding))]) AS d2
+      FROM embeddings e CROSS JOIN c
+    ),
+    asg AS (
+      SELECT vec_id, cidx AS cluster
+      FROM (SELECT vec_id, cidx,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cidx ASC) AS rn
+            FROM d)
+      WHERE rn = 1
+    ),
+    m AS (SELECT asg.cluster, e.vec_id, e.embedding
+          FROM asg JOIN embeddings e USING (vec_id)),
+    pr AS (
+      SELECT cluster, vec_id, embedding,
+             list_sum([CAST(CAST(embedding[i] AS DOUBLE)
+                            * (((i - 1) * 2654435761) % 97 - 48)
+                            AS DECIMAL(38,12))
+                       FOR i IN generate_series(1, len(embedding))]) AS proj
+      FROM m
+    ),
+    mm AS (
+      SELECT cluster,
+             CAST((row_number() OVER (PARTITION BY cluster
+                                      ORDER BY proj, vec_id) - 1) // 10
+                  AS BIGINT) AS sub,
+             vec_id, embedding
+      FROM pr
+    ),
+    prs AS (
+      SELECT a.vec_id AS id_keep, b.vec_id AS id_drop
+      FROM mm a JOIN mm b ON a.cluster = b.cluster AND a.sub = b.sub
+                         AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    ),
+    und AS (SELECT id_keep AS a, id_drop AS b FROM prs
+            UNION SELECT id_drop, id_keep FROM prs
+            UNION SELECT vec_id, vec_id FROM embeddings),
+    reach(v, r) AS (
+      SELECT DISTINCT a AS v, a AS r FROM und
+      UNION
+      SELECT und.b, reach.r FROM reach JOIN und ON und.a = reach.v
+    ),
+    rep AS (SELECT v AS vec_id, MIN(r) AS cluster_rep FROM reach GROUP BY v)
+    SELECT vec_id, cluster_rep,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+               AS cluster_size,
+           vec_id = cluster_rep AS keep
+    FROM rep
+    """,
+)
+def d09(spark, sf):
+    """END-TO-END SEMANTIC dedup — d07's embedding twin and the
+    SemDeDup paper's actual deliverable ('prune my corpus by meaning'):
+    the production-shape pair sweep (s21: fixed k=64 assignment +
+    projection-slice cap, cosine ≥ 0.3) → distributed min-label
+    connected components over the pair graph with the FULL corpus as
+    the vertex spine (a vector with no semantic near-dup is its own
+    kept cluster of 1) → min-id canonical + cluster size + the keep
+    flag that materializes the pruned corpus.  Composes three verified
+    operators; every stage replays in the oracle
+    (`operators/embeddings.py:semdedup`,
+    `operators/dedup.py:connected_components`)."""
+    from duckdb_graphar_spark.operators.dedup import connected_components
+    from duckdb_graphar_spark.operators.embeddings import (
+        seed_centroids,
+        semdedup,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    # pin the pair pipeline: CC's fast-path probe, the vertex union,
+    # and the final join would otherwise re-execute the cluster-and-
+    # sweep chain (the d07 discipline)
+    pairs = (
+        semdedup(e, seed_centroids(e, 64), threshold=0.3, max_cluster_size=10)
+        .select(F.col("id_keep").alias("id_a"), F.col("id_drop").alias("id_b"))
+        .localCheckpoint(eager=True)
+    )
+    verts = e.select(F.col("vec_id").alias("v"))
+    cc = connected_components(pairs, verts)
+    w = Window.partitionBy("label")
+    return cc.select(
+        F.col("v").alias("vec_id"),
+        F.col("label").alias("cluster_rep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("v") == F.col("label")).alias("keep"),
+    )
+
+
+@_q(
+    "s23_gram_matrix",
+    # ORACLE: the same n·d² product expansion — one IEEE double
+    # multiply per (row, i, j), summed exactly as DECIMAL(38,18)
+    # (order-independent), rounded 9 at the end; upper triangle only.
+    """
+    WITH x AS (
+      SELECT CAST(i.i AS INTEGER) - 1 AS i,
+             CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE) AS xi,
+             e.embedding AS v
+      FROM embeddings e,
+           UNNEST(generate_series(1, len(e.embedding))) AS i(i)
+    ),
+    p AS (
+      SELECT x.i, CAST(j.j AS INTEGER) - 1 AS j,
+             CAST(x.xi * CAST(x.v[CAST(j.j AS INTEGER)] AS DOUBLE)
+                  AS DECIMAL(38,18)) AS prod
+      FROM x, UNNEST(generate_series(1, len(x.v))) AS j(j)
+      WHERE CAST(j.j AS INTEGER) - 1 >= x.i
+    )
+    SELECT i, j, ROUND(CAST(SUM(prod) AS DOUBLE), 9) AS value
+    FROM p GROUP BY i, j
+    """,
+)
+def s23(spark, sf):
+    """EXACT Gram matrix G = XᵀX over the embedding corpus — the d×d
+    statistic PCA/whitening and covariance screens are built from, and
+    the canonical "reduce 100 TB to a d² summary" shape: per-partition
+    partial sums (map-side combine) mean the shuffle carries only
+    (i, j)-keyed partials and the result is d²-sized regardless of
+    corpus size.  Double-posexplode product expansion in pure JVM
+    codegen; decimal-exact sums (the q01 discipline), upper triangle
+    (`operators/embeddings.py:gram_matrix`)."""
+    from duckdb_graphar_spark.operators.embeddings import gram_matrix
+
+    return gram_matrix(_t(spark, sf, "embeddings"))
+
+
+@_q(
     "q88_observation_metrics",
     # ORACLE: the same aggregates computed directly — the Observation
     # rides the MAIN query's execution (no second scan), so its values
@@ -10132,15 +10468,15 @@ _PRIORITY = [
     # --- r2-stale re-checks (oldest families first).  The ~30 remaining
     # --- r2 names queue at 51+ and must lead the round-8 window.
     # --- round-7 new / changed ---
-    "s21", "m24", "m25", "t27", "d02",
+    "s21", "m24", "m25", "q90", "q91", "s22", "s23", "d09", "t27", "d02",
     # --- 33 entries last driver-checked in round 1 ---
     "q10", "q11", "q12", "q13", "q15", "q16", "q17", "q18", "q18b", "q19",
     "q20", "q21", "q22", "q23", "q27", "q28", "q29", "q30", "q32", "q33",
     "q34", "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43", "q44",
     "q45", "q46", "t11",
-    # --- 12 round-2-stale re-checks, one per surface family ---
-    "st01", "st02", "ga04", "ga10", "s01", "s02", "t04", "t06", "g05",
-    "q02", "q03", "m03",
+    # --- 7 round-2-stale re-checks, one per surface family (the
+    # --- other r2 names queue at 51+ for round 8) ---
+    "st01", "st02", "ga04", "ga10", "s01", "t04", "t06",
     # --- 51+: everything else follows in registry definition order ---
 ]
 

@@ -180,10 +180,16 @@ BENCH_QUERIES = [
     "d08_cluster_split",
     "q89_last_touch_attribution",
     # round-7: SemDeDup production shape (fixed k + cap), palette-tRNS
-    # PNG, local-color-table GIF
+    # PNG, local-color-table GIF; wave 2: linear attribution,
+    # conversion-window funnel, retrieval-quality eval, exact Gram matrix
     "s21_semdedup_fixed_k",
     "m24_palette_trns_png",
     "m25_local_palette_gif",
+    "q90_linear_attribution",
+    "q91_funnel_within_window",
+    "s22_retrieval_recall_mrr",
+    "s23_gram_matrix",
+    "d09_semantic_dedup_corpus",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

@@ -1042,3 +1042,49 @@ def hamming_rerank_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    upper_only: bool = True,
+) -> DataFrame:
+    """EXACT Gram matrix G[i,j] = Σ_rows x_i·x_j over an embedding
+    column → (i, j, value) — the d×d statistic PCA/whitening/ZCA and
+    covariance-based outlier screens are built from, and the classic
+    "reduce a 100 TB matrix to a d² summary" shape: each partition
+    folds its rows into d² per-partition partial sums (map-side
+    combine), the shuffle carries only (i, j) keyed partials, and the
+    driver never sees more than d² rows.
+
+    Implementation is a double posexplode (n·d² product rows feeding a
+    hash aggregate — pure JVM codegen, combinable); each product is one
+    IEEE double multiply of float-to-double-cast inputs, accumulated as
+    DECIMAL(38,18) so the sum is exact and aggregation-order-
+    independent (the q01 discipline), then rounded to 9 at the end.
+    ``upper_only`` emits i ≤ j (G is symmetric).  Ragged rows
+    contribute only their own dims (posexplode is per-row) — callers
+    wanting strict rectangularity should validate d upstream."""
+    # both explodes happen in one pass: the outer posexplode yields
+    # (i, x_i) and keeps the row's own vector alongside, the inner one
+    # expands transform's per-i product array — no self-join
+    prods = df.select(
+        F.posexplode(_as_double(F.col(vec_col))).alias("i", "__xi"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).select(
+        "i",
+        F.posexplode(
+            F.transform(F.col("__v"), lambda xj: F.col("__xi") * xj)
+        ).alias("j", "__p"),
+    )
+    if upper_only:
+        prods = prods.filter(F.col("i") <= F.col("j"))
+    return (
+        prods.groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("__p").cast("decimal(38,18)")).cast("double"), 9
+            ).alias("value")
+        )
+    )

@@ -21,6 +21,7 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     max_events_per_user: int = 1_000_000,
+    max_gap_us: int | None = None,
 ) -> DataFrame:
     """Ordered funnel conversion: per user, how far through ``stages``
     the event sequence progresses.  Stage i+1 counts only if an event of
@@ -30,6 +31,14 @@ def funnel(
     deterministic).  Returns (user, stages_completed, completed_at)
     where completed_at is the timestamp of the last advancing event
     (NULL when stages_completed = 0).
+
+    ``max_gap_us`` adds the CONVERSION-WINDOW semantics every product
+    funnel eventually needs: stage i+1 additionally must occur within
+    that many microseconds of the stage-i completion (a purchase three
+    weeks after the click is not attributable to it).  Anchors stay
+    greedy-earliest like the unbounded funnel — equivalent to the
+    staged-min construction with the window bound folded into each
+    stage's candidate set, which is what the SQL oracle computes.
 
     One groupBy(user) shuffle; the per-user fold is a single
     F.aggregate over the time-sorted event structs — equivalent to the
@@ -54,6 +63,8 @@ def funnel(
         raise ValueError("stages must be non-empty")
     if max_events_per_user < 1:
         raise ValueError("max_events_per_user must be >= 1")
+    if max_gap_us is not None and max_gap_us < 1:
+        raise ValueError("max_gap_us must be >= 1")
     stage_arr = F.array(*[F.lit(s) for s in stages])
     flat = df.select(
         F.col(user_col).alias("user_id"),
@@ -76,10 +87,21 @@ def funnel(
     init = F.struct(
         F.lit(0).alias("stage"), F.lit(None).cast(ts_type).alias("ts")
     )
+
+    def _within_gap(acc, e):
+        if max_gap_us is None:
+            return F.lit(True)
+        # integer µs difference — timestamp_diff accepts TIMESTAMP_NTZ
+        # (unix_micros does not) and replays as epoch_us arithmetic in
+        # the oracle
+        return F.timestamp_diff("MICROSECOND", acc["ts"], e["ts"]) <= F.lit(
+            max_gap_us
+        )
+
     step = lambda acc, e: F.when(
         (acc["stage"] < F.lit(len(stages)))
         & (e["et"] == F.element_at(stage_arr, acc["stage"] + 1))
-        & (acc["ts"].isNull() | (e["ts"] > acc["ts"])),
+        & (acc["ts"].isNull() | ((e["ts"] > acc["ts"]) & _within_gap(acc, e))),
         F.struct(
             (acc["stage"] + 1).alias("stage"), e["ts"].alias("ts")
         ),

@@ -388,3 +388,58 @@ def mips_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "inner_product", "rank")
     )
+
+
+def retrieval_metrics(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval QUALITY of an approximate top-k result
+    against an exact ground truth → (query_id, n_hits, recall_at_k,
+    reciprocal_rank) — the eval primitive every ANN index ships with
+    (the quality gate next to s13's Matryoshka recall, but generic
+    over any two ranked result sets).
+
+    ``recall_at_k`` = |approx∩exact|/k and ``reciprocal_rank`` = 1/rank
+    of the FIRST approx hit that is exact-relevant (0.0 when none) —
+    each one IEEE division of exact small integers, so both metrics
+    are bit-stable across engines.  The ground-truth query set is the
+    spine: queries the approx side missed entirely report 0 hits
+    honestly.
+
+    Scale shape: two rank-filtered projections, one semi-join keyed on
+    (query, neighbor) — k·|queries| rows per side, never corpus-sized
+    — and one map-combinable groupBy(query)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = approx.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(neighbor_col).alias("__n"),
+        F.col(rank_col).alias("__r"),
+    )
+    g = exact.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    )
+    hits = a.join(g, ["__q", "__n"], "left_semi")
+    per_q = hits.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("__hits"), F.min("__r").alias("__first")
+    )
+    spine = g.select("__q").distinct()
+    return (
+        spine.join(per_q, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.coalesce(F.col("__hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("__hits"), F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("recall_at_k"),
+            F.when(
+                F.col("__first").isNull(), F.lit(0.0)
+            ).otherwise(F.lit(1.0) / F.col("__first")).alias("reciprocal_rank"),
+        )
+    )

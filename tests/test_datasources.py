@@ -96,6 +96,27 @@ def test_stream_sink_manifest_exactly_once(spark, tmp_path):
     assert got == {(i, i * i) for i in range(100)}
     assert (999, 999) not in got
 
+    # commit-time GC (round 7): the next batch of the SAME query
+    # lineage (same checkpoint — the sink's exactly-once unit) removes
+    # parquet files no manifest names, so a crashed-driver orphan
+    # doesn't accumulate forever — while committed files all survive
+    spark.range(100, 120).selectExpr("id", "id * id AS sq").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q2 = (
+        spark.readStream.schema("id long, sq long")
+        .parquet(src)
+        .writeStream.format("parquet_stream_sink")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert not os.path.exists(os.path.join(out, "part-orphan.parquet"))
+    got2 = {(r.id, r.sq) for r in read_stream_sink_output(spark, out).collect()}
+    assert got2 == {(i, i * i) for i in range(120)}
+
 
 def test_stream_sink_requires_path(spark):
     from duckdb_graphar_spark.datasources import ParquetStreamSinkDataSource

@@ -286,3 +286,31 @@ def test_hamming_rerank_candidate_bound_and_recall(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.embeddings import gram_matrix
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(20, 5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.i, r.j): r.value for r in gram_matrix(df).collect()}
+    G = X.astype(np.float64).T @ X.astype(np.float64)
+    assert set(got) == {(i, j) for i in range(5) for j in range(5) if i <= j}
+    for (i, j), v in got.items():
+        assert abs(v - G[i, j]) < 1e-6
+
+
+def test_gram_matrix_full_square(spark):
+    from duckdb_graphar_spark.operators.embeddings import gram_matrix
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    got = {(r.i, r.j): r.value for r in gram_matrix(df, upper_only=False).collect()}
+    assert got == {(0, 0): 10.0, (0, 1): 14.0, (1, 0): 14.0, (1, 1): 20.0}

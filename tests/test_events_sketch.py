@@ -113,6 +113,47 @@ def test_funnel_takes_first_qualifying_event(spark):
     assert got[1] == (3, _ts(4))
 
 
+def test_funnel_max_gap_blocks_late_stage(spark):
+    """With a 2-minute conversion window: user 1's click at +3min is
+    outside the view@0's window (stage stalls at 1, even though a
+    LATER anchor would have worked — greedy-earliest pinned); user 2
+    converts fully inside the windows; the gap is measured from the
+    PREVIOUS stage's completion, not the funnel start (user 3: view@0,
+    click@2, purchase@4 — each hop is 2min, total 4min, completes)."""
+    from duckdb_graphar_spark.operators.events import funnel
+
+    rows = [
+        (1, _ts(0), "view"), (1, _ts(3), "click"), (1, _ts(4), "purchase"),
+        (2, _ts(0), "view"), (2, _ts(1), "click"), (2, _ts(2), "purchase"),
+        (3, _ts(0), "view"), (3, _ts(2), "click"), (3, _ts(4), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string"
+    )
+    out = funnel(
+        df, ["view", "click", "purchase"], max_gap_us=2 * 60 * 1_000_000
+    )
+    got = {
+        r["user_id"]: (r["stages_completed"], r["completed_at"])
+        for r in out.collect()
+    }
+    assert got[1] == (1, _ts(0))
+    assert got[2] == (3, _ts(2))
+    assert got[3] == (3, _ts(4))
+
+
+def test_funnel_rejects_bad_gap(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.events import funnel
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), "view")], "user_id long, ts timestamp_ntz, event_type string"
+    )
+    with _pt.raises(ValueError, match="max_gap_us"):
+        funnel(df, ["view"], max_gap_us=0)
+
+
 # ---------------------------------------------------------------------------
 # SCD2 intervals
 # ---------------------------------------------------------------------------

@@ -117,3 +117,53 @@ def test_mips_differs_from_cosine_when_norms_matter(spark):
     q = df.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding AS query_vec")
     got = {r.rank: r.neighbor_id for r in mips_topk(df, q, k=2).collect()}
     assert got == {1: 2, 2: 1}  # inner product ranks the long vector first
+
+
+def test_retrieval_metrics_hand_checked(spark):
+    """recall@k and MRR against a 2-query hand-built pair of result
+    sets: q1's approx hits 2 of 3 relevant with first hit at rank 2;
+    q2's approx misses entirely; a ground-truth-only query (q3, absent
+    from approx) reports 0 honestly."""
+    from duckdb_graphar_spark.operators.similarity import retrieval_metrics
+
+    approx = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),
+            (2, 30, 1), (2, 31, 2), (2, 32, 3),
+        ],
+        "query_id long, neighbor_id long, rank int",
+    )
+    exact = spark.createDataFrame(
+        [
+            (1, 11, 1), (1, 12, 2), (1, 99, 3),
+            (2, 40, 1), (2, 41, 2), (2, 42, 3),
+            (3, 50, 1), (3, 51, 2), (3, 52, 3),
+        ],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {
+        r.query_id: (r.n_hits, r.recall_at_k, r.reciprocal_rank)
+        for r in retrieval_metrics(approx, exact, k=3).collect()
+    }
+    assert got[1] == (2, 2 / 3, 1 / 2)  # hits at ranks 2,3 -> first=2
+    assert got[2] == (0, 0.0, 0.0)
+    assert got[3] == (0, 0.0, 0.0)
+
+
+def test_retrieval_metrics_rank_filter_and_guard(spark):
+    """Entries beyond k on EITHER side are ignored; k<1 raises."""
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.similarity import retrieval_metrics
+
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 5)], "query_id long, neighbor_id long, rank int"
+    )
+    exact = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 4)], "query_id long, neighbor_id long, rank int"
+    )
+    got = retrieval_metrics(approx, exact, k=2).collect()[0]
+    # approx@<=2 = {10}; exact@<=2 = {11} -> no hits
+    assert (got.n_hits, got.reciprocal_rank) == (0, 0.0)
+    with _pt.raises(ValueError, match="k must be"):
+        retrieval_metrics(approx, exact, k=0)
