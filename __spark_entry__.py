@@ -4307,6 +4307,70 @@ def st07(spark, sf):
 
 
 @_q(
+    "st18_stream_semi_join",
+    # ORACLE: the equivalent batch LEFT SEMI join over the events
+    # table — each view emitted at most once iff a same-user purchase
+    # lands within 10 minutes after it.  The stream is staged as TWO
+    # mtime-ordered micro-batches (every non-purchase event, then the
+    # purchases) so the semi state genuinely crosses a batch boundary:
+    # batch-0 views sit in state until their batch-1 matches arrive
+    # (the right side sees no rows in batch 0, so the global watermark
+    # stays at the floor and nothing is late-dropped).
+    """
+    SELECT a.user_id, a.event_id AS a_id, CAST(a.ts AS TIMESTAMP) AS a_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    SEMI JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) >= epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+    """,
+)
+def st18(spark, sf):
+    """Stream-stream LEFT SEMI join — the EXISTENCE shape completing
+    the stream-join family (inner st07, left-outer st13, full-outer
+    st15): keep the views that converted within 10 minutes, emitted at
+    most once each, no right columns and no match-multiplicity blowup.
+    Semi rows emit when their first match ARRIVES (no eviction pass
+    needed), so unlike st13/st15 this entry needs no far-future nudge
+    staging — but the fixture is still split into two micro-batches
+    (non-purchases, then purchases) so the match genuinely reads
+    batch-0 state (`streaming/ops.py:stream_stream_semi_join`)."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_semi_join,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st18_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        base = time.time() - 120
+        for i, frame in enumerate(
+            (
+                ev.filter(F.col("event_type") != "purchase"),
+                ev.filter(F.col("event_type") == "purchase"),
+            )
+        ):
+            tmp = os.path.join(stage, f"__b{i}")
+            frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        left = read_events_stream(spark, stage, max_files=1)
+        right = read_events_stream(spark, stage, max_files=1)
+        joined = stream_stream_semi_join(left, right, within="10 minutes")
+        return run_to_memory(joined, "st18_out", mode="append")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp
@@ -6323,6 +6387,98 @@ def g27(spark, sf):
     return luby_mis(_edges(spark, sf), rounds=3, src_col="src", dst_col="dst")
 
 
+def _coloring_oracle(colors: int, rounds: int) -> str:
+    """Unrolled SQL for greedy_coloring: per color class, the residual
+    adjacency + a FULL g27-style Luby peel (fresh 'color{c}' seed) +
+    the isolated-in-residual vertices, then the residual shrinks.  The
+    MATERIALIZED/ANTI/SEMI discipline is g27's (NOT-IN re-executed the
+    peel per membership test)."""
+    ctes = [
+        f"e AS MATERIALIZED ({_E_SQL})",
+        "ed AS (SELECT src, dst FROM e WHERE src != dst)",
+        "adj AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+        "SELECT src AS a, dst AS b FROM ed "
+        "UNION ALL SELECT dst AS a, src AS b FROM ed))",
+        "rem0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM adj)",
+    ]
+    for c in range(colors):
+        ctes.append(
+            f"adj{c} AS MATERIALIZED (SELECT adj.a, adj.b FROM adj "
+            f"SEMI JOIN rem{c} ra ON ra.v = adj.a "
+            f"SEMI JOIN rem{c} rb ON rb.v = adj.b)"
+        )
+        ctes.append(
+            f"u{c}_0 AS MATERIALIZED (SELECT v, "
+            f"md5('color{c}' || chr(31) || CAST(v AS VARCHAR)) "
+            f"|| lpad(CAST(v AS VARCHAR), 12, '0') AS p "
+            f"FROM (SELECT DISTINCT a AS v FROM adj{c}))"
+        )
+        for r in range(1, rounds + 1):
+            ctes.append(
+                f"n{c}_{r} AS (SELECT ac.a AS v, MIN(ub.p) AS mn "
+                f"FROM adj{c} ac JOIN u{c}_{r-1} ua ON ua.v = ac.a "
+                f"JOIN u{c}_{r-1} ub ON ub.v = ac.b GROUP BY 1)"
+            )
+            ctes.append(
+                f"m{c}_{r} AS MATERIALIZED (SELECT u.v FROM u{c}_{r-1} u "
+                f"LEFT JOIN n{c}_{r} n ON n.v = u.v "
+                f"WHERE n.mn IS NULL OR u.p < n.mn)"
+            )
+            ctes.append(
+                f"r{c}_{r} AS MATERIALIZED (SELECT DISTINCT ac.b AS v "
+                f"FROM adj{c} ac JOIN m{c}_{r} m ON m.v = ac.a "
+                f"ANTI JOIN m{c}_{r} mm ON mm.v = ac.b "
+                f"SEMI JOIN u{c}_{r-1} uu ON uu.v = ac.b)"
+            )
+            ctes.append(
+                f"u{c}_{r} AS MATERIALIZED (SELECT u.* FROM u{c}_{r-1} u "
+                f"ANTI JOIN m{c}_{r} m ON m.v = u.v "
+                f"ANTI JOIN r{c}_{r} rr ON rr.v = u.v)"
+            )
+        ctes.append(
+            f"iso{c} AS MATERIALIZED (SELECT r.v FROM rem{c} r ANTI JOIN "
+            f"(SELECT DISTINCT a AS v FROM adj{c}) ee ON ee.v = r.v)"
+        )
+        ins = " UNION ALL ".join(
+            [f"SELECT v FROM m{c}_{r}" for r in range(1, rounds + 1)]
+            + [f"SELECT v FROM iso{c}"]
+        )
+        ctes.append(f"col{c} AS MATERIALIZED ({ins})")
+        ctes.append(
+            f"rem{c+1} AS MATERIALIZED (SELECT r.v FROM rem{c} r "
+            f"ANTI JOIN col{c} cc ON cc.v = r.v)"
+        )
+    finals = " UNION ALL ".join(
+        [f"SELECT v, {c} AS color FROM col{c}" for c in range(colors)]
+        + [f"SELECT v, -1 AS color FROM rem{colors}"]
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@_q(
+    "g30_greedy_coloring",
+    # ORACLE: the full colors×rounds peel unrolled by _coloring_oracle
+    # — class c is a g27 Luby MIS over the residual adjacency with a
+    # fresh 'color{c}' seed, plus the isolated-in-residual vertices;
+    # residual shrinks between classes; leftovers report -1.
+    _coloring_oracle(colors=3, rounds=2),
+)
+def g30(spark, sf):
+    """Distributed GRAPH COLORING by iterated Luby MIS (Luby's classic
+    reduction): 2 color classes of 2 peel rounds each over the
+    undirected order graph (3 classes of 3 rounds) — adjacent vertices never share a color by
+    construction (each class is independent in its residual), budget
+    leftovers report −1 honestly.  Coloring is the chromatic-scheduling
+    primitive (conflict-free parallel batches); per class the cost is
+    the g27 shape plus two semi-joins to restrict the residual edge
+    set (`operators/graph.py:greedy_coloring`)."""
+    from duckdb_graphar_spark.operators.graph import greedy_coloring
+
+    return greedy_coloring(
+        _edges(spark, sf), colors=3, rounds=2, src_col="src", dst_col="dst"
+    )
+
+
 @_q(
     "g28_random_walks",
     # ORACLE: the four steps unrolled — each step ranks the current
@@ -6788,6 +6944,51 @@ def q60(spark, sf):
     from duckdb_graphar_spark.operators.quantiles import exact_quantiles
 
     return exact_quantiles(_t(spark, sf, "lineitem"), "l_extendedprice", _QPROBS)
+
+
+@_q(
+    "q92_percentile_cont",
+    # ORACLE: the interpolation spelled out with the SAME arithmetic —
+    # pos = (n−1)·p in exact DECIMAL, the two bracketing order
+    # statistics by explicit row_number rank, frac cast to DOUBLE once
+    # (correctly rounded on both engines), one multiply-add — rather
+    # than DuckDB's quantile_cont, whose internal arithmetic is
+    # unspecified.
+    """
+    WITH d AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    o AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM d),
+    nn AS (SELECT COUNT(*) AS n FROM d)
+    """
+    + " UNION ALL ".join(
+        f"""
+        SELECT CAST({p} AS DOUBLE) AS prob,
+               (SELECT lo.x + CAST((n - 1) * {p} - FLOOR((n - 1) * {p}) AS DOUBLE)
+                            * (hi.x - lo.x)
+                FROM nn, o lo, o hi
+                WHERE lo.rn = CAST(FLOOR((n - 1) * {p}) AS BIGINT) + 1
+                  AND hi.rn = CASE
+                        WHEN (n - 1) * {p} > FLOOR((n - 1) * {p})
+                        THEN LEAST(CAST(FLOOR((n - 1) * {p}) AS BIGINT) + 2, n)
+                        ELSE CAST(FLOOR((n - 1) * {p}) AS BIGINT) + 1 END
+               ) AS value,
+               (SELECT n FROM nn) AS n
+        """
+        for p in _QPROBS
+    ),
+)
+def q92(spark, sf):
+    """Exact CONTINUOUS percentiles (ANSI percentile_cont — linear
+    interpolation between the bracketing order statistics) without a
+    global sort: q60's two-phase distributed rank machinery selects
+    BOTH bracketing values per prob from one ranked frame; pos =
+    (n−1)·p is exact driver-side decimal so the floor never rounds the
+    wrong way, and the interpolation is one bit-stable multiply-add
+    (`operators/quantiles.py:exact_quantiles_cont`)."""
+    from duckdb_graphar_spark.operators.quantiles import exact_quantiles_cont
+
+    return exact_quantiles_cont(
+        _t(spark, sf, "lineitem"), "l_extendedprice", _QPROBS
+    )
 
 
 _STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_orderkey", "l_linenumber"]
@@ -7314,6 +7515,55 @@ def m07(spark, sf):
     )
 
     return jpeg_gray_stats(encode_text_jpeg(_t(spark, sf, "documents")))
+
+
+@_q(
+    "m26_jpeg_restart_markers",
+    # ORACLE: m07's flat-block prediction verbatim — identical image
+    # content; what changes is the ENTROPY-STREAM STRUCTURE (DRI
+    # segment + byte-aligned RST0..RST7 every 2 MCUs, DC predictor
+    # reset per segment, modulo-8 sequence verified).  A decoder that
+    # misses the DC reset shifts every post-restart block's gray level;
+    # one that doesn't byte-align reads the marker as entropy bits.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 4 AS wb,
+             1 + doc_id % 3 AS hb, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, wb, hb,
+             unicode(text[CAST(j % L AS INTEGER) + 1]) AS v
+      FROM g, UNNEST(generate_series(0, CAST(wb * hb AS BIGINT) - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           ROUND(CAST(SUM(v) AS DOUBLE) / (wb * hb), 6) AS mean_gray,
+           CAST(MIN(v) AS BIGINT) AS min_gray,
+           CAST(MAX(v) AS BIGINT) AS max_gray
+    FROM b GROUP BY doc_id, wb, hb
+    """,
+)
+def m26(spark, sf):
+    """Baseline JPEG with RESTART MARKERS (DRI + RSTn — the
+    error-resilience / parallel-decode feature virtually every camera
+    JPEG carries, T.81 B.2.4.4): m07's pixels with the entropy stream
+    cut into 2-MCU restart segments — byte-aligned markers cycling
+    D0..D7, DC prediction reset per segment, sequence numbers verified
+    on decode.  Same flat-block oracle as m07: one prediction, three
+    wire formats (m07 plain, m22 16-bit DQT, m26 restarts)
+    (`operators/multimodal.py:encode_gray_jpeg(restart_interval)/
+    decode_jpeg_gray/_BitReader.restart`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_jpeg,
+        jpeg_gray_stats,
+    )
+
+    return jpeg_gray_stats(
+        encode_text_jpeg(_t(spark, sf, "documents"), restart_interval=2)
+    )
 
 
 @_q(
@@ -10468,15 +10718,16 @@ _PRIORITY = [
     # --- r2-stale re-checks (oldest families first).  The ~30 remaining
     # --- r2 names queue at 51+ and must lead the round-8 window.
     # --- round-7 new / changed ---
-    "s21", "m24", "m25", "q90", "q91", "s22", "s23", "d09", "t27", "d02",
+    "s21", "m24", "m25", "q90", "q91", "s22", "s23", "d09", "st18", "m26",
+    "q92", "g30", "t27", "d02",
     # --- 33 entries last driver-checked in round 1 ---
     "q10", "q11", "q12", "q13", "q15", "q16", "q17", "q18", "q18b", "q19",
     "q20", "q21", "q22", "q23", "q27", "q28", "q29", "q30", "q32", "q33",
     "q34", "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43", "q44",
     "q45", "q46", "t11",
-    # --- 7 round-2-stale re-checks, one per surface family (the
-    # --- other r2 names queue at 51+ for round 8) ---
-    "st01", "st02", "ga04", "ga10", "s01", "t04", "t06",
+    # --- 3 round-2-stale re-checks (the other r2 names queue at 51+
+    # --- for round 8 — round-7 new entries take the freshness slots) ---
+    "st01", "ga04", "s01",
     # --- 51+: everything else follows in registry definition order ---
 ]
 

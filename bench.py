@@ -190,6 +190,9 @@ BENCH_QUERIES = [
     "s22_retrieval_recall_mrr",
     "s23_gram_matrix",
     "d09_semantic_dedup_corpus",
+    "q92_percentile_cont",
+    "m26_jpeg_restart_markers",
+    "g30_greedy_coloring",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface
@@ -251,6 +254,7 @@ ST_QUERIES = [
     "st15_stream_full_join",
     "st16_streaming_kmv_distinct",
     "st17_streaming_cms",
+    "st18_stream_semi_join",
 ]
 
 

@@ -1709,6 +1709,86 @@ def luby_mis(
             df.unpersist(blocking=False)
 
 
+def greedy_coloring(
+    edges: DataFrame,
+    *,
+    colors: int = 2,
+    rounds: int = 2,
+    seed: str = "color",
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Distributed GRAPH COLORING by iterated Luby MIS — the classic
+    reduction (Luby 1986): color class c is a maximal-ish independent
+    set of the RESIDUAL graph (vertices not yet colored), so adjacent
+    vertices never share a color by construction; after ``colors``
+    classes the still-uncolored residual reports color −1 honestly
+    (fixed budgets keep the oracle an unrollable CTE chain, the g27
+    discipline).  Coloring is the scheduling/conflict-partitioning
+    primitive: each color class can be processed with no intra-class
+    conflicts (chromatic scheduling, parallel Gauss-Seidel, lock-free
+    updates).
+
+    Each class runs :func:`luby_mis` with a per-color seed
+    (``f"{seed}{c}"`` — fresh content-addressed priorities per class)
+    and the CURRENT residual as the explicit vertex universe, so a
+    vertex whose neighbors are all already colored is isolated in the
+    residual and joins the class immediately.  Scale shape: colors ×
+    rounds edge⋈undecided joins, two semi-joins per class to restrict
+    the edge set, lineage cut per class; no collects, no driver state
+    beyond the loop counters."""
+    if colors < 1:
+        raise ValueError("colors must be >= 1")
+    e = edges.filter(F.col(src_col) != F.col(dst_col)).select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).distinct().persist()
+    pinned = [e]
+    try:
+        remaining = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .distinct()
+            .persist()
+        )
+        pinned.append(remaining)
+        out: DataFrame | None = None
+        for c in range(colors):
+            redges = (
+                e.join(remaining.select(F.col("v").alias("a")), "a", "left_semi")
+                .join(remaining.select(F.col("v").alias("b")), "b", "left_semi")
+                .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            )
+            mis = luby_mis(
+                redges,
+                vertices=remaining,
+                rounds=rounds,
+                seed=f"{seed}{c}",
+                src_col="src",
+                dst_col="dst",
+            )
+            # luby_mis returns an eagerly-checkpointed frame, so the
+            # filter below is cheap lineage — no extra checkpoint job
+            colored = mis.filter(F.col("status") == "in").select("v")
+            frame = colored.withColumn("color", F.lit(c))
+            out = frame if out is None else out.unionByName(frame)
+            # lazy checkpoint: the isEmpty probe doubles as its one
+            # materialization, and later references reuse it
+            remaining = remaining.join(colored, "v", "left_anti").localCheckpoint(
+                eager=False
+            )
+            if remaining.isEmpty():
+                break
+        out = (
+            out.unionByName(remaining.withColumn("color", F.lit(-1)))
+            if out is not None
+            else remaining.withColumn("color", F.lit(-1))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        for df in pinned:
+            df.unpersist(blocking=False)
+
+
 def random_walks(
     edges: DataFrame,
     sources: list[int],

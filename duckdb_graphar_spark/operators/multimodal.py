@@ -459,8 +459,9 @@ def ppm_channel_stats(
 # ---------------------------------------------------------------------------
 # Grayscale baseline sequential DCT, standard JFIF container: SOI, APP0,
 # DQT, SOF0, DHT (canonical Huffman from T.81 Annex K luminance tables),
-# SOS, entropy-coded MCUs with 0xFF byte stuffing, EOI.  No restart
-# markers, no progressive, no chroma subsampling (1 component).  The
+# SOS, entropy-coded MCUs with 0xFF byte stuffing, EOI.  Optional DRI +
+# RSTn restart markers (byte-aligned, DC reset, modulo-8 sequence
+# verified).  No progressive, no chroma subsampling (1 component).  The
 # decoder is GENERAL — canonical-Huffman bit reader, run-length AC loop
 # with ZRL/EOB, dezigzag, dequantize, full 64-coefficient float IDCT —
 # nothing in it assumes the fixture's flat blocks.
@@ -564,10 +565,21 @@ class _BitWriter:
             self.nbits -= 8
             self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
+        """Pad with 1-bits to a byte boundary (T.81 F.1.2.3) — before a
+        restart marker or the final flush."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.put((1 << pad) - 1, pad)  # pad with 1-bits per T.81 F.1.2.3
+            self.put((1 << pad) - 1, pad)
+
+    def put_marker(self, byte2: int) -> None:
+        """Emit a raw 0xFF <byte2> marker (NOT stuffed) at a byte
+        boundary — RSTm inside the entropy stream."""
+        assert self.nbits == 0, "marker must land on a byte boundary"
+        self.out += bytes([0xFF, byte2])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -662,18 +674,28 @@ def _idct_jpeg_block(zz: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(block), 0, 255).astype(np.uint8)
 
 
-def encode_gray_jpeg(pixels: np.ndarray, *, quant16: bool = False) -> bytes:
+def encode_gray_jpeg(
+    pixels: np.ndarray, *, quant16: bool = False, restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w) uint8 grayscale array as a REAL baseline JFIF
     JPEG: genuine forward DCT per 8×8 block, all-ones quantization
     table (so flat blocks round-trip exactly — the property the SQL
     oracle leans on), DPCM DC + run-length AC entropy coding with the
     Annex K luminance Huffman tables.  h and w must be multiples of 8
-    (no edge-block replication — keeps encode/decode exactly inverse)."""
+    (no edge-block replication — keeps encode/decode exactly inverse).
+
+    ``restart_interval`` > 0 writes a DRI segment and emits RSTm
+    markers (byte-aligned, cycling D0..D7) every that-many MCUs with
+    the DC predictor reset — the error-resilience / parallel-decode
+    feature virtually every camera JPEG carries (T.81 B.2.4.4,
+    F.1.2.3)."""
     h, w = pixels.shape
     if h % 8 or w % 8:
         raise ValueError(f"encode_gray_jpeg needs multiple-of-8 dims, got {w}x{h}")
     if h > 65535 or w > 65535:
         raise ValueError("image too large for SOF0")
+    if restart_interval < 0 or restart_interval > 65535:
+        raise ValueError("restart_interval must be in [0, 65535]")
     dc_codes = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
@@ -712,15 +734,23 @@ def encode_gray_jpeg(pixels: np.ndarray, *, quant16: bool = False) -> bytes:
             + bytes(bits)
             + bytes(vals)
         )  # DHT
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"  # SOS
 
     bw = _BitWriter()
     prev_dc = 0
+    idx = 0
     f = pixels.astype(np.float64) - 128.0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if restart_interval and idx and idx % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.put_marker(0xD0 + ((idx // restart_interval - 1) % 8))
+                prev_dc = 0
             block = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             prev_dc = _encode_jpeg_block(bw, block, dc_codes, ac_codes, prev_dc)
+            idx += 1
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -766,6 +796,28 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code in scan")
 
+    def restart(self, expected_m: int) -> None:
+        """Consume an RSTm marker at a restart boundary: discard the
+        encoder's 1-bit padding to the byte boundary, read 0xFF 0xD0+m,
+        and verify the modulo-8 sequence number (a skipped or
+        duplicated restart segment is detectable corruption — the whole
+        point of the markers)."""
+        self.acc = 0
+        self.nbits = 0  # drop pad bits — markers are byte-aligned
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated restart marker")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or not 0xD0 <= b1 <= 0xD7:
+            raise ValueError(
+                f"expected RST marker at {self.pos}, got 0x{b0:02X}{b1:02X}"
+            )
+        if b1 - 0xD0 != expected_m % 8:
+            raise ValueError(
+                f"restart sequence error: got RST{b1 - 0xD0}, "
+                f"expected RST{expected_m % 8}"
+            )
+        self.pos += 2
+
 
 def _jpeg_extend(amp: int, s: int) -> int:
     """T.81 F.2.2.1 EXTEND: amplitude bits -> signed value."""
@@ -788,6 +840,7 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
     comp_q = comp_dc = comp_ac = None
+    restart_interval = 0
     while pos < len(payload):
         if pos + 2 > len(payload):
             raise ValueError(f"truncated marker at {pos}")
@@ -844,6 +897,10 @@ def decode_jpeg_gray(payload: bytes) -> dict:
                 }
                 htables[(cls, tid)] = dec
                 off += 17 + nvals
+        elif marker == 0xDD:  # DRI (T.81 B.2.4.4)
+            if seg_len != 4:
+                raise ValueError(f"bad DRI length {seg_len}")
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
             if seg[0] != 1:
                 raise NotImplementedError("only single-scan grayscale")
@@ -868,11 +925,21 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     br = _BitReader(payload, pos)
     out = np.zeros((h, w), dtype=np.uint8)
     prev_dc = 0
+    idx = 0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if restart_interval and idx and idx % restart_interval == 0:
+                br.restart(idx // restart_interval - 1)
+                prev_dc = 0  # DC prediction resets per restart segment
             zz, prev_dc = _decode_jpeg_block(br, dc_tbl, ac_tbl, prev_dc)
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_jpeg_block(zz, qt)
-    return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
+            idx += 1
+    return {
+        "width": int(w),
+        "height": int(h),
+        "restart_interval": restart_interval,
+        "pixels": out.reshape(-1),
+    }
 
 
 def rgb_to_ycbcr_fixed(r, g, b):
@@ -1162,6 +1229,7 @@ def encode_text_jpeg(
     id_col: str = "doc_id",
     text_col: str = "text",
     quant16: bool = False,
+    restart_interval: int = 0,
 ) -> DataFrame:
     """Render each document as a REAL baseline JPEG whose decoded
     pixels a SQL oracle can predict exactly: the image is wb×hb flat
@@ -1182,7 +1250,11 @@ def encode_text_jpeg(
                 hb = 1 + (int(did) % 3)
                 vals = tb[np.arange(wb * hb) % len(tb)].reshape(hb, wb)
                 px = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
-                payloads.append(encode_gray_jpeg(px, quant16=quant16))
+                payloads.append(
+                    encode_gray_jpeg(
+                        px, quant16=quant16, restart_interval=restart_interval
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )

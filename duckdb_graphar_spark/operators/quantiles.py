@@ -32,6 +32,14 @@ from fractions import Fraction
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _validated(probs: list[float]) -> None:
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob {p} outside [0, 1]")
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,
@@ -44,11 +52,7 @@ def exact_quantiles(
     semantics); ``value`` is the element at sorted 0-based index
     floor((n-1)·p) — DuckDB ``quantile_disc`` / ANSI
     ``percentile_disc`` semantics."""
-    if not probs:
-        raise ValueError("probs must be non-empty")
-    for p in probs:
-        if not 0.0 <= p <= 1.0:
-            raise ValueError(f"prob {p} outside [0, 1]")
+    _validated(probs)
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
@@ -124,4 +128,112 @@ def exact_quantiles(
             F.min("target_rank").alias("target_rank"),
         )
         .select("prob", "value", "target_rank", F.lit(n).cast("long").alias("n"))
+    )
+
+
+def exact_quantiles_cont(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    *,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Exact CONTINUOUS (linearly interpolated) quantiles → one row per
+    prob: (prob, value, n) — ANSI ``percentile_cont`` semantics, the
+    interpolating sibling of :func:`exact_quantiles`: at 0-based
+    position pos = (n−1)·p, value = v⌊pos⌋ + frac·(v⌊pos⌋₊₁ − v⌊pos⌋).
+
+    Same two-phase rank machinery (distinct-value counts → bucketed
+    prefix sums → per-bucket cumsum), so no global sort and bounded
+    driver state; the two bracketing order statistics per prob are two
+    filters over the SAME ranked frame.  Float discipline: pos is an
+    exact ``Fraction`` on the driver (DuckDB's DECIMAL literal math),
+    ``frac`` converts to double once (correctly rounded on both
+    engines), and the interpolation is the same multiply-add either
+    engine evaluates — an oracle spelling the identical formula matches
+    bit-for-bit, unlike engine-native quantile_cont implementations
+    whose internal arithmetic is unspecified."""
+    _validated(probs)
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism
+
+    vc = (
+        df.select(F.col(value_col).cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .cache()
+    )
+    bounds = vc.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
+    if bounds.lo is None:
+        return spark.createDataFrame([], "prob double, value double, n long")
+    lo, hi = float(bounds.lo), float(bounds.hi)
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
+    b = vc.withColumn(
+        "__bucket",
+        F.least(
+            F.floor((F.col("__v") - F.lit(lo)) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ).cast("long"),
+    )
+    sums = {
+        r["__bucket"]: int(r["s"])
+        for r in b.groupBy("__bucket").agg(F.sum("__c").alias("s")).collect()
+    }
+    prefix, acc = {}, 0
+    for k in sorted(sums):
+        prefix[k] = acc
+        acc += sums[k]
+    n = acc
+    prefix_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), int(v)) for k, v in prefix.items()],
+            "__bucket long, __pre long",
+        )
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.join(prefix_df, "__bucket").withColumn(
+        "__cum", F.col("__pre") + F.sum("__c").over(w)
+    )
+
+    # per prob: the two bracketing 1-based inclusive ranks + exact frac
+    targets = []
+    for p in probs:
+        pos = (n - 1) * Fraction(str(p))
+        lo_rank = int(pos) + 1
+        frac = float(pos - int(pos))
+        hi_rank = min(lo_rank + 1, n) if frac > 0 else lo_rank
+        targets.append((float(p), lo_rank, hi_rank, frac))
+    tdf = F.broadcast(
+        spark.createDataFrame(
+            targets, "prob double, __rlo long, __rhi long, __frac double"
+        )
+    )
+    lo_vals = (
+        cum.crossJoin(tdf)
+        .filter(F.col("__cum") >= F.col("__rlo"))
+        .groupBy("prob")
+        .agg(F.min("__v").alias("__vlo"), F.min("__frac").alias("__frac"))
+    )
+    hi_vals = (
+        cum.crossJoin(tdf.select("prob", "__rhi"))
+        .filter(F.col("__cum") >= F.col("__rhi"))
+        .groupBy("prob")
+        .agg(F.min("__v").alias("__vhi"))
+    )
+    return (
+        lo_vals.join(hi_vals, "prob")
+        .select(
+            "prob",
+            (
+                F.col("__vlo")
+                + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
+            ).alias("value"),
+            F.lit(n).cast("long").alias("n"),
+        )
     )

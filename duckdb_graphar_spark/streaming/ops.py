@@ -648,6 +648,54 @@ def stream_stream_full_join(
     )
 
 
+def stream_stream_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    left_type: str = "view",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Stream-stream LEFT SEMI join with an event-time range condition —
+    the EXISTENCE shape completing the stream-join family (inner st07,
+    left-outer st13, full-outer st15): each ``left_type`` event is
+    emitted AT MOST ONCE, iff some same-user ``right_type`` event lands
+    within ``within`` after it.  No right columns leak into the output
+    (the filter-by-stream pattern: keep the views that converted,
+    without paying for the match multiplicity an inner join would
+    emit).
+
+    Unlike the outer shapes, a semi row emits as soon as its FIRST
+    match arrives — no watermark-eviction pass is needed for the
+    positive results, so the entry needs no nudge staging; the
+    watermark still bounds both sides' state (left rows past their
+    match horizon are dropped unmatched-and-unemitted).  In batch mode
+    the same call degrades to a plain left-semi join — the oracle
+    path."""
+    a = left.filter(F.col("event_type") == left_type).select(
+        F.col(on),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"),
+    )
+    b = right.filter(F.col("event_type") == right_type).select(
+        F.col(on).alias("__on_b"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"),
+    )
+    if left.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+    if right.isStreaming:
+        b = b.withWatermark("b_ts", watermark)
+    cond = (
+        (a[on] == b["__on_b"])
+        & (b["b_ts"] >= a["a_ts"])
+        & (b["b_ts"] <= a["a_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond, "leftSemi").select(F.col(on), "a_id", "a_ts")
+
+
 def streaming_ohlc(
     events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -697,3 +697,54 @@ def test_hyperball_exact_on_toy_graph(spark):
         ).collect()
     }
     assert k1[0] == 3 and k1[4] == 2  # 1-hop balls strictly smaller
+
+
+def test_greedy_coloring_valid_and_exhaustive(spark):
+    """Path + triangle: every pair of adjacent colored vertices differs;
+    with enough colors/rounds everything is colored (a triangle needs
+    exactly 3)."""
+    from duckdb_graphar_spark.operators.graph import greedy_coloring
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    got = {
+        r.v: r.color
+        for r in greedy_coloring(
+            edges, colors=3, rounds=3, src_col="src", dst_col="dst"
+        ).collect()
+    }
+    assert all(c != -1 for c in got.values())
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)]:
+        assert got[a] != got[b]
+    assert {got[10], got[11], got[12]} == {0, 1, 2}
+
+
+def test_greedy_coloring_budget_leftovers(spark):
+    """One color class on a triangle colors at most one vertex (any two
+    are adjacent); the rest report -1 honestly."""
+    from duckdb_graphar_spark.operators.graph import greedy_coloring
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 10)], "src long, dst long"
+    )
+    got = {
+        r.v: r.color
+        for r in greedy_coloring(
+            edges, colors=1, rounds=3, src_col="src", dst_col="dst"
+        ).collect()
+    }
+    colored = [v for v, c in got.items() if c == 0]
+    assert len(colored) == 1 and sorted(got) == [10, 11, 12]
+    assert sum(1 for c in got.values() if c == -1) == 2
+
+
+def test_greedy_coloring_rejects_bad_colors(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.graph import greedy_coloring
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pt.raises(ValueError, match="colors"):
+        greedy_coloring(edges, colors=0, src_col="src", dst_col="dst")

@@ -1607,3 +1607,41 @@ def test_bmp32_roundtrip_and_channel_guards():
         assert False, "expected NotImplementedError"
     except NotImplementedError:
         pass
+
+
+def test_jpeg_restart_markers_roundtrip_and_guards():
+    """DRI + RSTn: flat blocks round-trip exactly at several intervals;
+    restart vs no-restart decode identically on noisy content (DC reset
+    + byte alignment are the bits under test); a wrong sequence number
+    and a truncated marker raise; interval 0 emits no DRI."""
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 256, size=(3, 4)).astype(np.uint8)
+    px = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    for ri in (1, 2, 5, 100):
+        d = decode_jpeg_gray(encode_gray_jpeg(px, restart_interval=ri))
+        assert d["restart_interval"] == ri
+        assert np.array_equal(d["pixels"].reshape(px.shape), px)
+    assert decode_jpeg_gray(encode_gray_jpeg(px))["restart_interval"] == 0
+    assert b"\xff\xdd" not in encode_gray_jpeg(px)
+
+    noisy = rng.integers(0, 256, size=(24, 32)).astype(np.uint8)
+    d0 = decode_jpeg_gray(encode_gray_jpeg(noisy))
+    d2 = decode_jpeg_gray(encode_gray_jpeg(noisy, restart_interval=2))
+    assert np.array_equal(d0["pixels"], d2["pixels"])
+
+    buf = bytearray(encode_gray_jpeg(px, restart_interval=2))
+    i = buf.find(b"\xff\xd0")
+    assert i > 0
+    buf[i + 1] = 0xD3
+    with _pt.raises(ValueError, match="restart sequence"):
+        decode_jpeg_gray(bytes(buf))
+    with _pt.raises(ValueError, match="restart_interval"):
+        encode_gray_jpeg(px, restart_interval=-1)

@@ -267,3 +267,56 @@ def test_maintain_join_equals_full_join(spark):
     got = maintain_join(view, a_old, a_delta, b_old, b_delta, "k")
     want = a.join(b, "k").select("aid", "k", "payload")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_exact_quantiles_cont_matches_numpy(spark):
+    """numpy's linear interpolation IS percentile_cont; bucket count
+    must not change the answer."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.quantiles import exact_quantiles_cont
+
+    rng = np.random.default_rng(11)
+    xs = rng.normal(size=101).round(4)
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    probs = [0.0, 0.25, 0.5, 0.913, 1.0]
+    for nb in (3, 7, 32):
+        got = {
+            r.prob: r.value
+            for r in exact_quantiles_cont(df, "x", probs, n_buckets=nb).collect()
+        }
+        for p in probs:
+            want = float(np.quantile(xs, p, method="linear"))
+            assert abs(got[p] - want) < 1e-9, (nb, p, got[p], want)
+        assert all(
+            r.n == 101
+            for r in exact_quantiles_cont(df, "x", probs, n_buckets=nb).collect()
+        )
+
+
+def test_exact_quantiles_cont_interpolates_between_values(spark):
+    """4 values [0, 10, 20, 30]: p=0.5 -> pos 1.5 -> 15.0 (a value NOT
+    in the data — the defining difference from percentile_disc)."""
+    from duckdb_graphar_spark.operators.quantiles import (
+        exact_quantiles,
+        exact_quantiles_cont,
+    )
+
+    df = spark.createDataFrame([(0.0,), (10.0,), (20.0,), (30.0,)], "x double")
+    cont = exact_quantiles_cont(df, "x", [0.5]).collect()[0]
+    disc = exact_quantiles(df, "x", [0.5]).collect()[0]
+    assert cont.value == 15.0 and disc.value == 10.0
+
+
+def test_exact_quantiles_cont_guards_and_empty(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.quantiles import exact_quantiles_cont
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pt.raises(ValueError, match="probs"):
+        exact_quantiles_cont(df, "x", [])
+    with _pt.raises(ValueError, match="outside"):
+        exact_quantiles_cont(df, "x", [1.5])
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantiles_cont(empty, "x", [0.5]).count() == 0

@@ -213,6 +213,32 @@ def test_stream_stream_left_join_batch_twin(spark):
     assert got == {(1, 2), (3, None)}
 
 
+def test_stream_stream_semi_join_batch_twin(spark):
+    """Batch mode degrades to a plain left-semi join: each converting
+    view emits EXACTLY ONCE even with multiple in-window purchases; a
+    view with no in-window purchase never emits; output carries no
+    right columns."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.streaming.ops import stream_stream_semi_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7, "view", 0.0, ""),
+        (2, base + dt.timedelta(minutes=3), 7, "purchase", 0.0, ""),
+        (3, base + dt.timedelta(minutes=5), 7, "purchase", 0.0, ""),
+        (4, base + dt.timedelta(hours=2), 7, "view", 0.0, ""),  # no match
+        (5, base, 8, "view", 0.0, ""),  # other user, no purchase
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = stream_stream_semi_join(df, df).collect()
+    assert [r.a_id for r in out] == [1]  # once, despite 2 matches
+    assert set(out[0].asDict()) == {"user_id", "a_id", "a_ts"}
+
+
 def test_streaming_ohlc_batch_twin(spark):
     """Batch mode: the q72 shape on a window column; deterministic
     open/close via (ts, event_id) tie-breaks."""
