@@ -5074,6 +5074,37 @@ def s16(spark, sf):
 
 
 @_q(
+    "s24_random_projection",
+    # ORACLE: the same content-addressed Rademacher matrix — s(r,j) =
+    # +1 iff ((r·2654435761 + j·40503 + 7) mod 97) is even — the same
+    # DECIMAL(38,18) product sums (order-independent), the same ÷4
+    # exact scaling (out_dim 16 is a perfect square), round 6.
+    """
+    SELECT vec_id, CAST(t.r AS INTEGER) AS r,
+           ROUND(CAST(list_sum([
+             CAST(CAST(embedding[j] AS DOUBLE)
+                  * (CASE WHEN ((t.r * 2654435761 + (j - 1) * 40503 + 7) % 97) % 2 = 0
+                          THEN 1 ELSE -1 END)
+                  AS DECIMAL(38,18))
+             FOR j IN generate_series(1, len(embedding))]) AS DOUBLE) / 4, 6) AS y
+    FROM embeddings, UNNEST(generate_series(0, 15)) AS t(r)
+    """,
+)
+def s24(spark, sf):
+    """Johnson-Lindenstrauss random projection 64→16 dims with a
+    deterministic Rademacher ±1 matrix (Achlioptas 2003) — the cheap
+    dimensionality reduction run before ANN indexing/clustering at
+    100 TB (4× less distance arithmetic downstream, distances
+    preserved within the JL bound).  The matrix is content-addressed
+    integer arithmetic (not sampled), embedded as literal arrays:
+    pure map, no shuffle, no broadcast, decimal-exact sums
+    (`operators/embeddings.py:random_projection`)."""
+    from duckdb_graphar_spark.operators.embeddings import random_projection
+
+    return random_projection(_t(spark, sf, "embeddings"), dim=64, out_dim=16)
+
+
+@_q(
     "s21_semdedup_fixed_k",
     # ORACLE: s16's full chain with the one production difference —
     # k is FIXED at 64 (LIMIT 64, no sqrt scalar subquery).  Same
@@ -8267,6 +8298,58 @@ def m24(spark, sf):
 
 
 @_q(
+    "m27_palette4_png",
+    # ORACLE: m14's index/palette arithmetic verbatim (the fixture's
+    # p ≤ 16 fits depth 4), plus the constant bit_depth the decoder
+    # truthfully reports.  What changes is the WIRE FORMAT: scanlines
+    # pack TWO indices per byte MSB-first with zero-padded row tails,
+    # and the Sub filter runs over the packed bytes — a bit-order or
+    # pad-leak bug scrambles indices and breaks every channel sum
+    # while the container still parses.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 11 AS w,
+             1 + doc_id % 6 AS h,
+             2 + doc_id % 15 AS p, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h, p,
+             unicode(text[CAST(t.j % L AS INTEGER) + 1]) % p AS idx
+      FROM g, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS bit_depth,
+           CAST(p AS BIGINT) AS palette_size,
+           CAST(SUM((37 * idx + 11) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((59 * idx + 23) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((83 * idx + 5) % 256) AS BIGINT) AS sum_b
+    FROM b GROUP BY doc_id, w, h, p
+    """,
+)
+def m27(spark, sf):
+    """SUB-BYTE indexed PNG (bit depth 4 — the icon/sprite wire
+    format; depths 1/2 share the same machinery): scanlines pack two
+    palette indices per byte MSB-first with zero-padded row tails, the
+    Sub filter runs over the PACKED bytes per spec, and the decoder
+    unpacks after reconstruction.  Same pixels as m14 (one oracle,
+    three palette wire formats: m14 depth-8, m24 +tRNS, m27 packed)
+    (`operators/multimodal.py:encode_palette_png(depth)/
+    decode_png_palette`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_palette_png,
+        png_palette_depth_stats,
+    )
+
+    return png_palette_depth_stats(
+        encode_text_palette_png(_t(spark, sf, "documents"), depth=4)
+    )
+
+
+@_q(
     "m25_local_palette_gif",
     # ORACLE: the LOCAL color-table formula — q = 2 + (3·id+1) mod 15
     # entries, entry k = ((41k+13), (67k+29), (89k+3)) mod 256, index
@@ -10719,15 +10802,15 @@ _PRIORITY = [
     # --- r2 names queue at 51+ and must lead the round-8 window.
     # --- round-7 new / changed ---
     "s21", "m24", "m25", "q90", "q91", "s22", "s23", "d09", "st18", "m26",
-    "q92", "g30", "t27", "d02",
+    "q92", "g30", "s24", "m27", "t27", "d02",
     # --- 33 entries last driver-checked in round 1 ---
     "q10", "q11", "q12", "q13", "q15", "q16", "q17", "q18", "q18b", "q19",
     "q20", "q21", "q22", "q23", "q27", "q28", "q29", "q30", "q32", "q33",
     "q34", "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43", "q44",
     "q45", "q46", "t11",
-    # --- 3 round-2-stale re-checks (the other r2 names queue at 51+
+    # --- 1 round-2-stale re-check (the other r2 names queue at 51+
     # --- for round 8 — round-7 new entries take the freshness slots) ---
-    "st01", "ga04", "s01",
+    "st01",
     # --- 51+: everything else follows in registry definition order ---
 ]
 

@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "q92_percentile_cont",
     "m26_jpeg_restart_markers",
     "g30_greedy_coloring",
+    "s24_random_projection",
+    "m27_palette4_png",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

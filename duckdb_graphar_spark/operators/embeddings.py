@@ -1088,3 +1088,62 @@ def gram_matrix(
             ).alias("value")
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss RANDOM PROJECTION with a deterministic
+    Rademacher (±1) matrix → (id, r, y): output component r is
+    Σ_j s(r,j)·x_j / √out_dim, the cheap dimensionality reduction run
+    before ANN indexing / clustering at scale (Achlioptas 2003: ±1
+    entries preserve pairwise distances with the same JL guarantee as
+    Gaussian matrices, and the projection is integer-weight exact).
+
+    The matrix is CONTENT-ADDRESSED, not sampled: s(r,j) = +1 iff
+    ((r·2654435761 + j·40503 + 7) mod 97) is even — replayable as the
+    same integer arithmetic in SQL (the t36/s16 determinism
+    discipline), and embedded as ±1 LITERAL arrays (out_dim × dim
+    known driver-side, the kmeans_assign plan shape).  Per-component
+    products accumulate as DECIMAL(38,18) so sums are aggregation-
+    order-independent; ``out_dim`` must be a perfect square so
+    1/√out_dim is an exact power-of-two-free rational the oracle can
+    write literally (default 16 → ÷4).
+
+    Scale shape: pure map, no shuffle, no Python — O(out_dim·dim) work
+    per row against broadcast-free literals."""
+    if dim < 1 or out_dim < 1:
+        raise ValueError("dim and out_dim must be >= 1")
+    root = int(out_dim**0.5)
+    if root * root != out_dim:
+        raise ValueError(
+            "out_dim must be a perfect square (exact 1/sqrt scaling)"
+        )
+    comps = []
+    for r in range(out_dim):
+        signs = F.array(
+            *[
+                F.lit(
+                    1 if ((r * 2654435761 + j * 40503 + 7) % 97) % 2 == 0 else -1
+                )
+                for j in range(dim)
+            ]
+        )
+        acc = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                signs,
+                lambda x, s: (x.cast("double") * s).cast("decimal(38,18)"),
+            ),
+            F.lit(0).cast("decimal(38,18)"),
+            lambda a, x: (a + x).cast("decimal(38,18)"),
+        )
+        comps.append(F.round(acc.cast("double") / F.lit(float(root)), 6))
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*comps)).alias("r", "y")
+    )

@@ -1746,35 +1746,58 @@ def decode_png_rgb(payload: bytes) -> dict:
 
 
 def encode_palette_png(
-    indices: np.ndarray, palette: np.ndarray, trns: np.ndarray | None = None
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    *,
+    depth: int = 8,
 ) -> bytes:
-    """Write a real 8-bit INDEXED-COLOR PNG (color type 3 — the most
-    common real-corpus PNG after truecolor): PLTE chunk with the RGB
-    palette, Sub-filtered scanlines of palette INDICES (bpp=1 — type-3
-    filtering runs over index bytes, not channels), CRC-stamped.
-    ``indices`` is (h, w) uint8, ``palette`` is (n, 3) uint8, n ≤ 256.
-    ``trns`` (optional, (t,) uint8, t ≤ n) writes a tRNS chunk — per-
-    palette-entry alpha; the spec lets it be SHORTER than the palette
-    (remaining entries are fully opaque)."""
+    """Write a real INDEXED-COLOR PNG (color type 3 — the most common
+    real-corpus PNG after truecolor): PLTE chunk with the RGB palette,
+    Sub-filtered scanlines of palette INDICES (filtering runs over the
+    scanline BYTES per spec), CRC-stamped.  ``indices`` is (h, w)
+    uint8, ``palette`` is (n, 3) uint8, n ≤ 2^depth.  ``depth`` ∈
+    {1, 2, 4, 8}: sub-byte depths pack 8/depth indices per byte
+    MSB-first (the icon/sprite wire format) and the last byte of each
+    row zero-pads.  ``trns`` (optional, (t,) uint8, t ≤ n) writes a
+    tRNS chunk — per-palette-entry alpha; the spec lets it be SHORTER
+    than the palette (remaining entries are fully opaque)."""
     import zlib as _zlib
 
     h, w = indices.shape
     n = palette.shape[0]
-    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= n <= 256:
-        raise ValueError("palette must be (n, 3) with 1 <= n <= 256")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette PNG depth must be 1/2/4/8, got {depth}")
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= n <= (1 << depth):
+        raise ValueError(
+            f"palette must be (n, 3) with 1 <= n <= 2^depth ({1 << depth})"
+        )
     if indices.max(initial=0) >= n:
         raise ValueError("palette index out of range")
     if trns is not None and (trns.ndim != 1 or not 1 <= trns.shape[0] <= n):
         raise ValueError("trns must be (t,) with 1 <= t <= palette size")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)  # 8-bit indexed
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    if depth == 8:
+        lines = indices.astype(np.uint8)
+    else:
+        # pack 8/depth indices per byte MSB-first; zero-pad row tails
+        per = 8 // depth
+        wpad = ((w + per - 1) // per) * per
+        padded = np.zeros((h, wpad), dtype=np.uint8)
+        padded[:, :w] = indices
+        bits = (
+            (padded[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8)
+        lines = np.packbits(bits.reshape(h, wpad * depth), axis=1)
     raw = bytearray()
+    stride = lines.shape[1]
     for y in range(h):
-        row = indices[y].astype(np.int16)
-        sub = np.empty(w, dtype=np.uint8)
+        row = lines[y].astype(np.int16)
+        sub = np.empty(stride, dtype=np.uint8)
         sub[0] = row[0] % 256
-        if w > 1:
+        if stride > 1:
             sub[1:] = ((row[1:] - row[:-1]) % 256).astype(np.uint8)
-        raw.append(1)  # filter type: Sub
+        raw.append(1)  # filter type: Sub (byte-wise per spec)
         raw += sub.tobytes()
     trns_chunk = (
         _png_chunk(b"tRNS", trns.astype(np.uint8).tobytes())
@@ -1792,9 +1815,10 @@ def encode_palette_png(
 
 
 def decode_png_palette(payload: bytes) -> dict:
-    """Decode an 8-bit indexed-color (type 3) PNG with the same GENERAL
-    pipeline as :func:`decode_png_gray` — CRC chunk walk, multi-IDAT
-    inflate, all-five-filter reconstruction at bpp=1 — plus the PLTE
+    """Decode an indexed-color (type 3) PNG at bit depth 1/2/4/8 with
+    the same GENERAL pipeline as :func:`decode_png_gray` — CRC chunk
+    walk, multi-IDAT inflate, all-five-filter reconstruction over the
+    (possibly sub-byte-PACKED) scanline bytes — plus the PLTE
     lookup that maps index scanlines to RGB; Adam7 interlace is
     reassembled pass-by-pass.  Returns {width, height, palette_size,
     pixels (h·w·3 uint8 RGB), trns_size, alpha (h·w uint8)} — a tRNS
@@ -1828,10 +1852,14 @@ def decode_png_palette(payload: bytes) -> dict:
                 )
             except struct.error:
                 raise ValueError("malformed IHDR chunk")
-            if depth != 8 or color != 3:
-                raise NotImplementedError("only 8-bit indexed (type 3) PNG")
+            if color != 3 or depth not in (1, 2, 4, 8):
+                raise NotImplementedError(
+                    "only indexed (type 3) PNG at depth 1/2/4/8"
+                )
             if interlace not in (0, 1):
                 raise ValueError(f"unknown interlace method {interlace}")
+            if interlace and depth != 8:
+                raise NotImplementedError("sub-byte interlaced palette PNG")
         elif ctype == b"PLTE":
             if length == 0 or length % 3 != 0 or length > 256 * 3:
                 raise ValueError(f"invalid PLTE length {length}")
@@ -1861,7 +1889,19 @@ def decode_png_palette(payload: bytes) -> dict:
     except _zlib.error as ex:
         raise ValueError(f"corrupt IDAT stream: {ex}")
     recon = _png_reconstruct_interlaced if interlace else _png_reconstruct
-    idx = recon(raw, w, h, 1)
+    if depth == 8:
+        idx = recon(raw, w, h, 1)
+    else:
+        # sub-byte depths: filters run over PACKED scanline bytes
+        # (bpp distance 1), then each byte unpacks to 8/depth indices
+        # MSB-first; row-tail pad bits are discarded
+        per = 8 // depth
+        row_bytes = (w * depth + 7) // 8
+        packed = _png_reconstruct(raw, row_bytes, h, 1)
+        bits = np.unpackbits(packed, axis=1)
+        groups = bits.reshape(h, row_bytes * per, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        idx = (groups * weights).sum(axis=2).astype(np.uint8)[:, :w]
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     if idx.max(initial=0) >= pal.shape[0]:
         raise ValueError("palette index beyond PLTE size")
@@ -1874,6 +1914,7 @@ def decode_png_palette(payload: bytes) -> dict:
     return {
         "width": int(w),
         "height": int(h),
+        "bit_depth": int(depth),
         "palette_size": int(pal.shape[0]),
         "pixels": pal[flat].reshape(-1),
         "trns_size": len(trns) if trns is not None else 0,
@@ -2318,13 +2359,19 @@ def gif_local_stats(
 
 
 def encode_text_palette_png(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    depth: int = 8,
 ) -> DataFrame:
     """Render each document as a REAL indexed-color PNG (lossless, so
     the oracle predicts every pixel): w = 1 + length mod 11,
     h = 1 + id mod 6, palette size p = 2 + id mod 15 with entry k =
     ((37k+11) mod 256, (59k+23) mod 256, (83k+5) mod 256), index of
-    pixel i = text byte (i mod L) mod p."""
+    pixel i = text byte (i mod L) mod p.  ``depth`` picks the wire
+    format — the fixture's p ≤ 16 fits depth 4 (sub-byte packed
+    scanlines), so the SAME oracle verifies both layouts."""
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2341,7 +2388,9 @@ def encode_text_palette_png(
                     axis=1,
                 ).astype(np.uint8)
                 idx = (tb[np.arange(w * h) % len(tb)] % p).astype(np.uint8)
-                payloads.append(encode_palette_png(idx.reshape(h, w), pal))
+                payloads.append(
+                    encode_palette_png(idx.reshape(h, w), pal, depth=depth)
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
@@ -2403,6 +2452,51 @@ def png_palette_stats(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, PALETTE_PNG_STATS_SCHEMA)
+
+
+PALETTE_DEPTH_PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("bit_depth", T.LongType(), False),
+        T.StructField("palette_size", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def png_palette_depth_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """m14's per-channel pixel sums PLUS the decoded bit depth — the
+    stats lane for sub-byte indexed PNGs: a bit-unpacking bug (wrong
+    bit order, pad bits leaking into the row) scrambles indices and
+    breaks every channel sum while the container still parses.
+    Arrow-batched mapInPandas projection, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in PALETTE_DEPTH_PNG_STATS_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_png_palette(bytes(payload))
+                px = d["pixels"].reshape(-1, 3).astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["bit_depth"].append(int(d["bit_depth"]))
+                out["palette_size"].append(int(d["palette_size"]))
+                out["sum_r"].append(int(px[:, 0].sum()))
+                out["sum_g"].append(int(px[:, 1].sum()))
+                out["sum_b"].append(int(px[:, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, PALETTE_DEPTH_PNG_STATS_SCHEMA)
 
 
 def encode_text_palette_trns_png(

@@ -1126,6 +1126,32 @@ if _HYP:
         assert d["palette_size"] == p
         assert np.array_equal(d["pixels"].reshape(h, w, 3), pal[idx])
 
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 8),
+        depth=st.sampled_from([1, 2, 4, 8]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_palette_subbyte_png_roundtrip_property(w, h, depth, seed):
+        """Sub-byte packed scanlines (MSB-first, zero-padded tails,
+        Sub filter over packed bytes) round-trip at every depth and
+        non-multiple-of-per widths."""
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_png_palette,
+            encode_palette_png,
+        )
+
+        rng = np.random.default_rng(seed)
+        p = int(rng.integers(1, (1 << depth) + 1))
+        pal = rng.integers(0, 256, size=(p, 3)).astype(np.uint8)
+        idx = rng.integers(0, p, size=(h, w)).astype(np.uint8)
+        d = decode_png_palette(encode_palette_png(idx, pal, depth=depth))
+        assert d["bit_depth"] == depth and d["palette_size"] == p
+        assert np.array_equal(d["pixels"].reshape(h, w, 3), pal[idx])
+
     @settings(max_examples=15, deadline=None)
     @given(
         w=st.integers(1, 12),
