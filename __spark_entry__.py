@@ -9903,6 +9903,58 @@ def q89(spark, sf):
 
 
 @_q(
+    "q93_capped_sessionization",
+    # ORACLE: the sequential recurrence replayed with a recursive CTE
+    # over row_number-ordered per-user events — break when the
+    # inactivity gap >= 12h OR the running session duration would
+    # exceed 48h (strictly greater, measured from the session START
+    # chosen by PREVIOUS breaks — the dependence that makes
+    # gaps-and-islands windows unable to express this).
+    """
+    WITH RECURSIVE o AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS rn
+      FROM events
+    ),
+    r(user_id, rn, ts, sess_start, sid) AS (
+      SELECT user_id, rn, ts, ts, 0 FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.ts,
+             CASE WHEN epoch_us(o.ts) - epoch_us(r.ts) >= 43200000000
+                       OR epoch_us(o.ts) - epoch_us(r.sess_start) > 172800000000
+                  THEN o.ts ELSE r.sess_start END,
+             CASE WHEN epoch_us(o.ts) - epoch_us(r.ts) >= 43200000000
+                       OR epoch_us(o.ts) - epoch_us(r.sess_start) > 172800000000
+                  THEN r.sid + 1 ELSE r.sid END
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, sid
+    """,
+)
+def q93(spark, sf):
+    """Sessionization with BOTH production break rules — inactivity
+    gap ≥ 12h OR running duration > 48h (the cap that stops a gap-free
+    bot stream from forming one unbounded session).  The duration rule
+    is SEQUENTIAL per user (each break depends on the session start
+    the previous breaks chose), which the st03/q26 gaps-and-islands
+    window trick cannot express — so it runs as the funnel fold: one
+    user shuffle, a time-sorted accumulator carrying (session_start,
+    prev_ts, sid); the oracle replays the recurrence with a recursive
+    CTE (`operators/events.py:sessionize_capped`)."""
+    from duckdb_graphar_spark.operators.events import sessionize_capped
+
+    return sessionize_capped(
+        _t(spark, sf, "events"),
+        gap_seconds=43_200,
+        max_duration_seconds=172_800,
+    )
+
+
+@_q(
     "q90_linear_attribution",
     # ORACLE: the same two windows — each VIEW's next purchase via
     # FIRST_VALUE IGNORE NULLS over the FOLLOWING frame on the shared
@@ -10802,15 +10854,14 @@ _PRIORITY = [
     # --- r2 names queue at 51+ and must lead the round-8 window.
     # --- round-7 new / changed ---
     "s21", "m24", "m25", "q90", "q91", "s22", "s23", "d09", "st18", "m26",
-    "q92", "g30", "s24", "m27", "t27", "d02",
+    "q92", "g30", "s24", "m27", "q93", "t27", "d02",
     # --- 33 entries last driver-checked in round 1 ---
     "q10", "q11", "q12", "q13", "q15", "q16", "q17", "q18", "q18b", "q19",
     "q20", "q21", "q22", "q23", "q27", "q28", "q29", "q30", "q32", "q33",
     "q34", "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43", "q44",
     "q45", "q46", "t11",
-    # --- 1 round-2-stale re-check (the other r2 names queue at 51+
-    # --- for round 8 — round-7 new entries take the freshness slots) ---
-    "st01",
+    # --- (all r2-stale names queue at 51+ for round 8 — round-7 new
+    # --- entries take the freshness slots) ---
     # --- 51+: everything else follows in registry definition order ---
 ]
 

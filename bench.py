@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "g30_greedy_coloring",
     "s24_random_projection",
     "m27_palette4_png",
+    "q93_capped_sessionization",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

@@ -376,3 +376,105 @@ def scd2_apply(
         weight_col="__w",
     )
     return keep.unionByName(recomputed)
+
+
+def sessionize_capped(
+    df: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    max_duration_seconds: int = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_events_per_user: int = 1_000_000,
+) -> DataFrame:
+    """Sessionization with BOTH break rules real pipelines need: a new
+    session starts at an event when the inactivity gap from the
+    previous event is ≥ ``gap_seconds`` OR the running session's
+    duration would exceed ``max_duration_seconds`` (ts − session_start
+    strictly greater) — the cap that keeps a gap-free bot stream from
+    producing one unbounded session.  → (user_id, session_id,
+    session_start, session_end, n_events), session ids 0-based per
+    user in time order.
+
+    The duration rule makes this SEQUENTIAL per user (each break
+    depends on the session start chosen by previous breaks — the
+    gaps-and-islands window trick CANNOT express it), so it runs as
+    the funnel fold: one groupBy(user) shuffle, a time-sorted
+    F.aggregate whose accumulator carries (session_start, prev_ts,
+    sid) and appends each event's assignment; the oracle replays the
+    same recurrence with a recursive CTE.  ``max_events_per_user`` is
+    funnel's hot-key valve (row_number cap BEFORE the collect, same
+    user-hash exchange)."""
+    if gap_seconds < 1 or max_duration_seconds < 1:
+        raise ValueError("gap_seconds and max_duration_seconds must be >= 1")
+    if max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1")
+    gap_us = gap_seconds * 1_000_000
+    max_us = max_duration_seconds * 1_000_000
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    flat = df.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+    )
+    wcap = Window.partitionBy("user_id").orderBy("ts", "eid")
+    ev = (
+        flat.withColumn("__rn", F.row_number().over(wcap))
+        .filter(F.col("__rn") <= max_events_per_user)
+        .select("user_id", F.struct("ts", "eid").alias("__e"))
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("__e")).alias("__seq")
+    )
+    init = F.struct(
+        F.lit(None).cast(ts_type).alias("start"),
+        F.lit(None).cast(ts_type).alias("prev"),
+        F.lit(-1).cast("int").alias("sid"),
+        F.array().cast(f"array<struct<ts:{ts_type},eid:bigint,sid:int>>").alias(
+            "out"
+        ),
+    )
+
+    def step(acc, e):
+        brk = (
+            acc["start"].isNull()
+            | (F.timestamp_diff("MICROSECOND", acc["prev"], e["ts"]) >= gap_us)
+            | (F.timestamp_diff("MICROSECOND", acc["start"], e["ts"]) > max_us)
+        )
+        sid = F.when(brk, acc["sid"] + 1).otherwise(acc["sid"])
+        start = F.when(brk, e["ts"]).otherwise(acc["start"])
+        return F.struct(
+            start.alias("start"),
+            e["ts"].alias("prev"),
+            sid.alias("sid"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["ts"].alias("ts"),
+                        e["eid"].cast("bigint").alias("eid"),
+                        sid.alias("sid"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = seq.select(
+        "user_id", F.aggregate(F.col("__seq"), init, step)["out"].alias("__o")
+    )
+    assigned = folded.select(
+        "user_id", F.explode("__o").alias("__a")
+    ).select(
+        "user_id",
+        F.col("__a.sid").alias("session_id"),
+        F.col("__a.ts").alias("__ts"),
+    )
+    return (
+        assigned.groupBy("user_id", "session_id")
+        .agg(
+            F.min("__ts").alias("session_start"),
+            F.max("__ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )

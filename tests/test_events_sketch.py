@@ -433,3 +433,46 @@ def test_scd2_apply_extend_close_and_untouched(spark):
     assert got[(3, "purchase", t0)] == (None, 1)
     # user 4 new
     assert got[(4, "view", t0 + dt.timedelta(minutes=30))] == (None, 1)
+
+
+def test_sessionize_capped_duration_and_gap_breaks(spark):
+    """user 1: events every 10 min (no gap breaks) — the 30-min
+    duration cap alone splits into [0..30], [40..70], [80..100] (the
+    boundary event at exactly start+cap STAYS: strictly-greater pin);
+    user 2: a 65-min gap splits despite the duration being fine."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.events import sessionize_capped
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        *[(1, m(x), x) for x in range(0, 101, 10)],
+        (2, m(0), 200), (2, m(5), 201), (2, m(70), 202),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+    got = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in sessionize_capped(
+            df, gap_seconds=1800, max_duration_seconds=1800
+        ).collect()
+    }
+    assert got[(1, 0)] == (m(0), m(30), 4)
+    assert got[(1, 1)] == (m(40), m(70), 4)
+    assert got[(1, 2)] == (m(80), m(100), 3)
+    assert got[(2, 0)] == (m(0), m(5), 2)
+    assert got[(2, 1)] == (m(70), m(70), 1)
+
+
+def test_sessionize_capped_guards(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.events import sessionize_capped
+
+    df = spark.createDataFrame(
+        [(1, None, 1)], "user_id long, ts timestamp_ntz, event_id long"
+    )
+    with _pt.raises(ValueError, match="gap_seconds"):
+        sessionize_capped(df, gap_seconds=0)
+    with _pt.raises(ValueError, match="max_events_per_user"):
+        sessionize_capped(df, max_events_per_user=0)
