@@ -4371,6 +4371,100 @@ def st18(spark, sf):
 
 
 @_q(
+    "st19_streaming_capped_sessions",
+    # ORACLE: q93's recursive-CTE recurrence VERBATIM (gap >= 12h OR
+    # duration > 48h, session ids 0-based per user) — the batches are
+    # TIME-SPLIT (ntile(3) over global (ts, event_id) order), so batch
+    # arrival order equals event-time order and the streaming fold is
+    # the batch fold; the caller keeps each (user, session)'s
+    # max-n_seen emission (closed sessions freeze, the open one's last
+    # emission is final).
+    """
+    WITH RECURSIVE o AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS rn
+      FROM events
+    ),
+    r(user_id, rn, ts, sess_start, sid) AS (
+      SELECT user_id, rn, ts, ts, 0 FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.ts,
+             CASE WHEN epoch_us(o.ts) - epoch_us(r.ts) >= 43200000000
+                       OR epoch_us(o.ts) - epoch_us(r.sess_start) > 172800000000
+                  THEN o.ts ELSE r.sess_start END,
+             CASE WHEN epoch_us(o.ts) - epoch_us(r.ts) >= 43200000000
+                       OR epoch_us(o.ts) - epoch_us(r.sess_start) > 172800000000
+                  THEN r.sid + 1 ELSE r.sid END
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, sid
+    """,
+)
+def st19(spark, sf):
+    """STREAMING capped sessionization — q93's stateful twin and the
+    live session semantics `session_window` cannot express (gap ≥ 12h
+    OR duration > 48h; the cap is sequential).  Per-user state is four
+    numbers; each micro-batch folds its events in time order and emits
+    the sessions it touched; the entry reconstructs the final table
+    from each (user, session)'s max-n_seen emission (the st16/st17
+    discipline).  Three TIME-SPLIT micro-batches, so sessions genuinely
+    span batch boundaries and the batch oracle holds verbatim
+    (`streaming/ops.py:streaming_capped_sessions`)."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_capped_sessions,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st19_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        wt = Window.orderBy("ts", "event_id")
+        tiled = ev.withColumn("__tile", F.ntile(3).over(wt))
+        base = time.time() - 120
+        for i in range(3):
+            tmp = os.path.join(stage, f"__b{i}")
+            tiled.filter(F.col("__tile") == i + 1).drop("__tile").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1)
+        sink = run_to_memory(
+            streaming_capped_sessions(
+                stream, gap_seconds=43_200, max_duration_seconds=172_800
+            ),
+            "st19_out",
+            mode="update",
+        )
+        # localize before self-joining (the st17 MemorySink lesson)
+        raw = spark.createDataFrame(sink.collect(), sink.schema)
+        final_n = raw.groupBy("user_id", "session_id").agg(
+            F.max("n_seen").alias("n_seen")
+        )
+        return raw.join(final_n, ["user_id", "session_id", "n_seen"]).select(
+            "user_id",
+            "session_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp
@@ -10854,7 +10948,7 @@ _PRIORITY = [
     # --- r2 names queue at 51+ and must lead the round-8 window.
     # --- round-7 new / changed ---
     "s21", "m24", "m25", "q90", "q91", "s22", "s23", "d09", "st18", "m26",
-    "q92", "g30", "s24", "m27", "q93", "t27", "d02",
+    "q92", "g30", "s24", "m27", "q93", "st19", "t27", "d02",
     # --- 33 entries last driver-checked in round 1 ---
     "q10", "q11", "q12", "q13", "q15", "q16", "q17", "q18", "q18b", "q19",
     "q20", "q21", "q22", "q23", "q27", "q28", "q29", "q30", "q32", "q33",

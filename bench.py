@@ -258,6 +258,7 @@ ST_QUERIES = [
     "st16_streaming_kmv_distinct",
     "st17_streaming_cms",
     "st18_stream_semi_join",
+    "st19_streaming_capped_sessions",
 ]
 
 

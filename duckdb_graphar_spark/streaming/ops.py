@@ -949,3 +949,114 @@ def streaming_cms(
             update, out_schema, state_schema, "update", "NoTimeout"
         )
     )
+
+
+def streaming_capped_sessions(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 43_200,
+    max_duration_seconds: int = 172_800,
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Streaming CAPPED SESSIONIZATION — the stateful twin of
+    `operators/events.py:sessionize_capped` and the live form of the
+    session semantics Spark's built-in ``session_window`` cannot
+    express (its gap-only sessions have no duration cap, and the cap
+    is SEQUENTIAL: each break depends on the session start previous
+    breaks chose).  Per-user state is four numbers — (sid, session
+    start µs, previous-event µs, open-session event count) — O(active
+    users) regardless of event volume; each micro-batch folds its
+    events in (ts, event_id) order, emits every session TOUCHED in the
+    batch (closed ones finally, the open one provisionally) tagged
+    with the user's strictly-increasing ``n_seen``, and the caller
+    keeps each (user, session_id)'s max-``n_seen`` emission — the
+    st16/st17 reconstruction discipline.
+
+    Arrival-order contract: sessions fold in batch order, so the full
+    batch-twin oracle holds when batches are staged in event-time
+    order (the st19 entry time-splits the fixture); out-of-order
+    arrival is the documented trade every stateful sessionizer makes
+    without a reorder buffer."""
+    if not events.isStreaming:
+        raise ValueError(
+            "streaming_capped_sessions needs a streaming DataFrame; use "
+            "operators.events.sessionize_capped for batch"
+        )
+    gap_us = gap_seconds * 1_000_000
+    max_us = max_duration_seconds * 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("session_id", T.IntegerType(), False),
+            T.StructField("session_start", T.TimestampNTZType(), False),
+            T.StructField("session_end", T.TimestampNTZType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("n_seen", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("sid", T.IntegerType(), False),
+            T.StructField("start_us", T.LongType(), False),
+            T.StructField("prev_us", T.LongType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("seen", T.LongType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        # GroupState.get is a PROPERTY (raises if absent), not a method
+        sid, start_us, prev_us, n, seen = (
+            state.get if state.exists else (-1, 0, 0, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        out = []
+
+        def emit(final_end_us):
+            out.append(
+                (
+                    int(key[0]),
+                    int(sid),
+                    pd.Timestamp(start_us, unit="us"),
+                    pd.Timestamp(final_end_us, unit="us"),
+                    int(n),
+                )
+            )
+
+        for ts, _eid in zip(rows["ts"], rows["event_id"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            seen += 1
+            if sid < 0:
+                sid, start_us, prev_us, n = 0, ts_us, ts_us, 1
+                continue
+            if (ts_us - prev_us) >= gap_us or (ts_us - start_us) > max_us:
+                emit(prev_us)  # the previous session just CLOSED
+                sid, start_us, n = sid + 1, ts_us, 1
+            else:
+                n += 1
+            prev_us = ts_us
+        if sid >= 0:
+            emit(prev_us)  # the open session, provisionally
+        state.update((int(sid), int(start_us), int(prev_us), int(n), int(seen)))
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_id": [r[1] for r in out],
+                "session_start": [r[2] for r in out],
+                "session_end": [r[3] for r in out],
+                "n_events": [r[4] for r in out],
+                "n_seen": [seen] * len(out),
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )

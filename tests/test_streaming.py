@@ -405,3 +405,89 @@ def test_streaming_cms_batch_boundary_invariance(spark, sf_dir, tmp_path):
     staged = final_cells(stage, "cms_staged")
     single = final_cells(f"{sf_dir}/events.parquet", "cms_single")
     assert staged and staged == single
+
+
+def test_streaming_capped_sessions_matches_batch(spark, tmp_path):
+    """Two time-split micro-batches over a fixture whose sessions span
+    the batch boundary: the reconstructed (max-n_seen) session table
+    equals the batch sessionize_capped output exactly — including a
+    session that STARTS in batch 0 and extends in batch 1."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.operators.events import sessionize_capped
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_capped_sessions,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        # user 1: continuous every 10 min; 30-min cap splits mid-stream
+        *[(x, m(x), 1, "view", 0.0, "") for x in range(0, 101, 10)],
+        # user 2: gap break lands exactly at the batch boundary
+        (200, m(0), 2, "view", 0.0, ""), (201, m(5), 2, "view", 0.0, ""),
+        (202, m(70), 2, "view", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 60
+    for i, cond in enumerate((F.col("ts") <= m(50), F.col("ts") > m(50))):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        import shutil
+
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 30 * i, t0 + 30 * i))
+    stream = read_events_stream(spark, stage, max_files=1)
+    sink = run_to_memory(
+        streaming_capped_sessions(
+            stream, gap_seconds=1800, max_duration_seconds=1800
+        ),
+        "st_capped_test",
+        mode="update",
+    )
+    raw = spark.createDataFrame(sink.collect(), sink.schema)
+    final_n = raw.groupBy("user_id", "session_id").agg(
+        F.max("n_seen").alias("n_seen")
+    )
+    got = {
+        (r.user_id, r.session_id): (
+            r.session_start,
+            r.session_end,
+            r.n_events,
+        )
+        for r in raw.join(final_n, ["user_id", "session_id", "n_seen"]).collect()
+    }
+    want = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in sessionize_capped(
+            df, gap_seconds=1800, max_duration_seconds=1800
+        ).collect()
+    }
+    assert got == want and len(want) == 5
+
+
+def test_streaming_capped_sessions_requires_stream(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.streaming.ops import streaming_capped_sessions
+
+    df = spark.createDataFrame(
+        [(1, None, 1, "view", 0.0, "")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    with _pt.raises(ValueError, match="streaming"):
+        streaming_capped_sessions(df)
