@@ -7643,6 +7643,55 @@ def m07(spark, sf):
 
 
 @_q(
+    "m28_tiff_strips",
+    # ORACLE: never sees the TIFF bytes — recomputes the stride-5
+    # cyclic sample straight from the text (ASCII fixture: byte ==
+    # code point), plus the strip count the IFD truthfully reports
+    # (ceil(h/3)).  Byte order alternates by id parity, so a decoder
+    # that only handles II (or misreads MM's left-justified SHORT
+    # value fields) breaks half the rows.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 9 AS w,
+             1 + doc_id % 7 AS h, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h,
+             unicode(text[CAST((t.j * 5) % L AS INTEGER) + 1]) AS v
+      FROM g, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST((h + 2) // 3 AS BIGINT) AS n_strips,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM b GROUP BY doc_id, w, h
+    """,
+)
+def m28(spark, sf):
+    """Baseline TIFF 6.0 modality — the scanned-document/scientific
+    container family the codec suite lacked (BMP/netpbm/PNG/JPEG/GIF/
+    RIFF covered): byte-order header (II little AND MM big, alternating
+    by id parity), IFD walk with SHORT-left-justified value-field
+    semantics, MULTI-STRIP layout with real StripOffsets/
+    StripByteCounts LONG arrays (3 rows per strip — streaming readers'
+    whole reason for strips).  Stride-5 text sample, distinct from
+    BMP/PPM/PGM so the four row-organized decoders can't share a bug.
+    Two Arrow-batched mapInPandas stages, no shuffle
+    (`operators/multimodal.py:encode_gray_tiff/decode_gray_tiff`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_tiff,
+        tiff_gray_stats,
+    )
+
+    return tiff_gray_stats(encode_text_tiff(_t(spark, sf, "documents")))
+
+
+@_q(
     "m26_jpeg_restart_markers",
     # ORACLE: m07's flat-block prediction verbatim — identical image
     # content; what changes is the ENTROPY-STREAM STRUCTURE (DRI
@@ -10948,7 +10997,7 @@ _PRIORITY = [
     # --- r2 names queue at 51+ and must lead the round-8 window.
     # --- round-7 new / changed ---
     "s21", "m24", "m25", "q90", "q91", "s22", "s23", "d09", "st18", "m26",
-    "q92", "g30", "s24", "m27", "q93", "st19", "t27", "d02",
+    "q92", "g30", "s24", "m27", "q93", "st19", "m28", "t27", "d02",
     # --- 33 entries last driver-checked in round 1 ---
     "q10", "q11", "q12", "q13", "q15", "q16", "q17", "q18", "q18b", "q19",
     "q20", "q21", "q22", "q23", "q27", "q28", "q29", "q30", "q32", "q33",

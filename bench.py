@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "s24_random_projection",
     "m27_palette4_png",
     "q93_capped_sessionization",
+    "m28_tiff_strips",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

@@ -4003,3 +4003,269 @@ def bmp32_stats(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, BMP32_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# baseline TIFF 6.0: real pure-struct encoder + decoder (grayscale,
+# uncompressed, strip-organized — the scanned-document/scientific corpus
+# format; the container family the suite lacked after BMP/netpbm/PNG/
+# JPEG/GIF/RIFF)
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {
+    256: "ImageWidth",
+    257: "ImageLength",
+    258: "BitsPerSample",
+    259: "Compression",
+    262: "PhotometricInterpretation",
+    273: "StripOffsets",
+    277: "SamplesPerPixel",
+    278: "RowsPerStrip",
+    279: "StripByteCounts",
+}
+
+
+def encode_gray_tiff(
+    pixels: np.ndarray, *, rows_per_strip: int = 3, big_endian: bool = False
+) -> bytes:
+    """Write a real baseline TIFF 6.0: byte-order header (II/MM), one
+    IFD with the nine baseline grayscale tags (SHORT/LONG types per
+    spec), pixel data split into ``rows_per_strip``-row STRIPS with a
+    real StripOffsets/StripByteCounts array — the wire structure every
+    TIFF reader must walk (multi-strip layout is the format's whole
+    point: readers can stream strip-by-strip).  Grayscale 8-bit
+    uncompressed (Compression=1, BlackIsZero).  ``pixels`` (h, w)
+    uint8."""
+    h, w = pixels.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    if rows_per_strip < 1:
+        raise ValueError("rows_per_strip must be >= 1")
+    bo = ">" if big_endian else "<"
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    strips = [
+        pixels[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
+        for i in range(n_strips)
+    ]
+    # layout: 8-byte header | IFD | offset arrays (if n_strips > 2) | strips
+    entries = []  # (tag, type, count, value_or_offset_placeholder)
+    ifd_off = 8
+    n_entries = 9
+    ifd_size = 2 + n_entries * 12 + 4
+    arrays_off = ifd_off + ifd_size
+    # strip offset/count arrays inline when they fit in 4 bytes
+    # (count 1 → value field), else stored as LONG arrays after the IFD
+    extra = b""
+    if n_strips == 1:
+        strip_data_off = arrays_off
+        offsets_val = strip_data_off
+        counts_val = len(strips[0])
+        offsets_field = (273, 4, 1, offsets_val)
+        counts_field = (279, 4, 1, counts_val)
+    else:
+        offsets_arr_off = arrays_off
+        counts_arr_off = offsets_arr_off + 4 * n_strips
+        strip_data_off = counts_arr_off + 4 * n_strips
+        offs, pos = [], strip_data_off
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        extra = struct.pack(f"{bo}{n_strips}I", *offs) + struct.pack(
+            f"{bo}{n_strips}I", *[len(s) for s in strips]
+        )
+        offsets_field = (273, 4, n_strips, offsets_arr_off)
+        counts_field = (279, 4, n_strips, counts_arr_off)
+    entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, 8),        # BitsPerSample SHORT 8
+        (259, 3, 1, 1),        # Compression: none
+        (262, 3, 1, 1),        # Photometric: BlackIsZero
+        offsets_field,
+        (277, 3, 1, 1),        # SamplesPerPixel
+        (278, 4, 1, rows_per_strip),
+        counts_field,
+    ]
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(f"{bo}H", 42)
+    out += struct.pack(f"{bo}I", ifd_off)
+    out += struct.pack(f"{bo}H", n_entries)
+    for tag, typ, count, val in entries:
+        out += struct.pack(f"{bo}HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            # SHORT is LEFT-justified in the 4-byte value field (TIFF
+            # 6.0 §2) — the same pack covers II and MM
+            out += struct.pack(f"{bo}HH", val, 0)
+        else:
+            out += struct.pack(f"{bo}I", val)
+    out += struct.pack(f"{bo}I", 0)  # next-IFD pointer: none
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_gray_tiff(payload: bytes) -> dict:
+    """Decode a baseline grayscale TIFF with a GENERAL walk: byte-order
+    header (II little / MM big — BOTH wire orders must decode), magic
+    42, IFD entry loop with SHORT-in-value-field semantics, strip
+    offset/count arrays (inline single-strip or stored LONG arrays),
+    strip reassembly.  Returns {width, height, n_strips, pixels (h·w
+    uint8)}.  Raises ValueError on structural corruption and
+    NotImplementedError on compressed / non-gray / multi-sample /
+    non-8-bit images."""
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    order = payload[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"not a TIFF (byte order {order!r})")
+    magic, ifd_off = struct.unpack(f"{bo}HI", payload[2:8])
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("IFD offset beyond file")
+    n = struct.unpack(f"{bo}H", payload[ifd_off : ifd_off + 2])[0]
+    tags: dict[int, tuple[int, int, int]] = {}
+    pos = ifd_off + 2
+    for _ in range(n):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated IFD entry")
+        tag, typ, count = struct.unpack(f"{bo}HHI", payload[pos : pos + 8])
+        if typ == 3 and count == 1:
+            val = struct.unpack(f"{bo}H", payload[pos + 8 : pos + 10])[0]
+        else:
+            val = struct.unpack(f"{bo}I", payload[pos + 8 : pos + 12])[0]
+        tags[tag] = (typ, count, val)
+        pos += 12
+
+    def req(tag: int) -> tuple[int, int, int]:
+        if tag not in tags:
+            raise ValueError(f"missing required tag {tag} ({_TIFF_TAGS.get(tag)})")
+        return tags[tag]
+
+    w = req(256)[2]
+    h = req(257)[2]
+    if req(259)[2] != 1:
+        raise NotImplementedError("compressed TIFF")
+    if req(262)[2] not in (0, 1):
+        raise NotImplementedError("non-grayscale TIFF")
+    if tags.get(258, (3, 1, 8))[2] != 8:
+        raise NotImplementedError("non-8-bit TIFF")
+    if tags.get(277, (3, 1, 1))[2] != 1:
+        raise NotImplementedError("multi-sample TIFF")
+    otyp, ocount, oval = req(273)
+    ctyp, ccount, cval = req(279)
+    if ocount != ccount:
+        raise ValueError("StripOffsets/StripByteCounts count mismatch")
+
+    def longs(typ: int, count: int, val: int) -> list[int]:
+        if count == 1:
+            return [val]
+        end = val + 4 * count
+        if end > len(payload):
+            raise ValueError("strip array beyond file")
+        return list(struct.unpack(f"{bo}{count}I", payload[val:end]))
+
+    offs = longs(otyp, ocount, oval)
+    cnts = longs(ctyp, ccount, cval)
+    data = bytearray()
+    for o, c in zip(offs, cnts):
+        if o + c > len(payload):
+            raise ValueError("strip beyond file")
+        data += payload[o : o + c]
+    if len(data) != w * h:
+        raise ValueError(f"strip bytes {len(data)} != {w}*{h}")
+    px = np.frombuffer(bytes(data), np.uint8)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_strips": int(ocount),
+        "pixels": px,
+    }
+
+
+TIFF_GRAY_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("n_strips", T.LongType(), False),
+        T.StructField("sum_px", T.LongType(), False),
+        T.StructField("min_px", T.LongType(), False),
+        T.StructField("max_px", T.LongType(), False),
+    ]
+)
+
+
+def encode_text_tiff(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL multi-strip baseline TIFF:
+    w = 1 + octet_length mod 9, h = 1 + id mod 7, pixel i = text byte
+    (5·i) mod L (stride 5 — distinct from BMP/PPM/PGM so the four
+    row-organized decoders can't share a bug), 3 rows per strip (so
+    most fixtures are MULTI-strip and the offset arrays are real),
+    byte order alternating by id parity (even → II, odd → MM — both
+    wire orders decode through one walk)."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                did = int(did)
+                w = 1 + (len(tb) % 9)
+                h = 1 + (did % 7)
+                idx = (np.arange(w * h) * 5) % len(tb)
+                px = tb[idx].reshape(h, w)
+                payloads.append(
+                    encode_gray_tiff(
+                        px, rows_per_strip=3, big_endian=bool(did % 2)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def tiff_gray_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact integer stats (sum/min/max + the strip count the IFD
+    truthfully reports) from REAL TIFF decoding — Arrow-batched
+    mapInPandas projection, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in TIFF_GRAY_STATS_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_gray_tiff(bytes(payload))
+                px = d["pixels"].astype(np.int64)
+                out["doc_id"].append(int(did))
+                out["width"].append(int(d["width"]))
+                out["height"].append(int(d["height"]))
+                out["n_strips"].append(int(d["n_strips"]))
+                out["sum_px"].append(int(px.sum()))
+                out["min_px"].append(int(px.min()))
+                out["max_px"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, TIFF_GRAY_STATS_SCHEMA)

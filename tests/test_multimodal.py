@@ -1671,3 +1671,72 @@ def test_jpeg_restart_markers_roundtrip_and_guards():
         decode_jpeg_gray(bytes(buf))
     with _pt.raises(ValueError, match="restart_interval"):
         encode_gray_jpeg(px, restart_interval=-1)
+
+
+def test_tiff_roundtrip_strips_and_guards():
+    """Both byte orders round-trip at several strip layouts; guards:
+    bad magic, unknown byte order, compressed/multi-sample raise
+    NotImplementedError, strip-count mismatch raises ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_gray_tiff,
+        encode_gray_tiff,
+    )
+
+    rng = np.random.default_rng(17)
+    for be in (False, True):
+        for w, h, rps in ((1, 1, 3), (5, 7, 3), (9, 2, 1), (4, 12, 5)):
+            px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+            d = decode_gray_tiff(
+                encode_gray_tiff(px, rows_per_strip=rps, big_endian=be)
+            )
+            assert np.array_equal(d["pixels"].reshape(h, w), px)
+            assert d["n_strips"] == (h + rps - 1) // rps
+
+    px = rng.integers(0, 256, size=(4, 4)).astype(np.uint8)
+    ok = bytearray(encode_gray_tiff(px))
+    with _pt.raises(ValueError, match="byte order"):
+        decode_gray_tiff(b"XX" + bytes(ok[2:]))
+    bad_magic = bytearray(ok)
+    bad_magic[2:4] = struct.pack("<H", 43)
+    with _pt.raises(ValueError, match="magic"):
+        decode_gray_tiff(bytes(bad_magic))
+    # flip Compression (tag 259) to 5 (LZW): honest scope guard
+    comp = bytearray(ok)
+    # IFD starts at 8; entry i at 10 + 12*i; tag 259 is the 4th entry
+    for i in range(9):
+        off = 10 + 12 * i
+        if struct.unpack("<H", comp[off : off + 2])[0] == 259:
+            comp[off + 8 : off + 10] = struct.pack("<H", 5)
+    with _pt.raises(NotImplementedError, match="compressed"):
+        decode_gray_tiff(bytes(comp))
+
+
+if _HYP:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        rps=st.integers(1, 6),
+        be=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_tiff_roundtrip_property(w, h, rps, be, seed):
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_gray_tiff,
+            encode_gray_tiff,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        d = decode_gray_tiff(
+            encode_gray_tiff(px, rows_per_strip=rps, big_endian=be)
+        )
+        assert np.array_equal(d["pixels"].reshape(h, w), px)
