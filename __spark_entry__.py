@@ -6580,6 +6580,88 @@ def _coloring_oracle(colors: int, rounds: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+def _msf_oracle(rounds: int) -> str:
+    """Unrolled SQL for minimum_spanning_forest: per round, the
+    per-component min-outgoing-edge pick (unique md5‖id weights ⇒ the
+    MIN join is the argmin) and a recursive-CTE closure over the
+    forest-so-far re-labels components.  g27's MATERIALIZED
+    discipline; self-loops keep isolated vertices labeled."""
+    ctes = [
+        "ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        f"FROM ({_E_SQL}) WHERE src != dst)",
+        "e AS MATERIALIZED (SELECT a, b, "
+        "md5('msf0' || chr(31) || CAST(a AS VARCHAR) || chr(31) || CAST(b AS VARCHAR)) "
+        "|| lpad(CAST(a AS VARCHAR), 12, '0') "
+        "|| lpad(CAST(b AS VARCHAR), 12, '0') AS w FROM ed)",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT a AS v FROM e UNION ALL SELECT b FROM e))",
+        "lbl0 AS MATERIALIZED (SELECT v, v AS label FROM verts)",
+    ]
+    forest_terms = []
+    for r in range(rounds):
+        ctes.append(
+            f"cand{r} AS (SELECT e.a, e.b, e.w, la.label AS la, lb.label AS lb "
+            f"FROM e JOIN lbl{r} la ON la.v = e.a "
+            f"JOIN lbl{r} lb ON lb.v = e.b WHERE la.label != lb.label)"
+        )
+        ctes.append(
+            f"two{r} AS (SELECT la AS comp, w, a, b FROM cand{r} "
+            f"UNION ALL SELECT lb, w, a, b FROM cand{r})"
+        )
+        ctes.append(
+            f"mw{r} AS (SELECT comp, MIN(w) AS mw FROM two{r} GROUP BY comp)"
+        )
+        ctes.append(
+            f"pick{r} AS MATERIALIZED (SELECT DISTINCT t.a, t.b, "
+            f"{r} AS round_added FROM two{r} t "
+            f"JOIN mw{r} m ON m.comp = t.comp AND t.w = m.mw)"
+        )
+        forest_terms.append(f"SELECT a, b FROM pick{r}")
+        und = " UNION ALL ".join(
+            [f"SELECT a, b FROM pick{i}" for i in range(r + 1)]
+        )
+        ctes.append(
+            f"reach{r}(v, t) AS ("
+            "SELECT v, v FROM verts "
+            "UNION "
+            f"SELECT u.b, reach{r}.t FROM reach{r} JOIN "
+            f"(SELECT a, b FROM ({und}) "
+            f"UNION ALL SELECT b, a FROM ({und})) u ON u.a = reach{r}.v)"
+        )
+        ctes.append(
+            f"lbl{r+1} AS MATERIALIZED "
+            f"(SELECT v, MIN(t) AS label FROM reach{r} GROUP BY v)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT a, b, round_added FROM pick{r}" for r in range(rounds)
+    )
+    return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + finals
+
+
+@_q(
+    "g31_minimum_spanning_forest",
+    # ORACLE: the full Borůvka peel unrolled by _msf_oracle — unique
+    # content-addressed weights make every per-component argmin a MIN
+    # join, and each round's component labels come from a recursive
+    # closure over the forest-so-far (≤ V−1 edges, not the graph).
+    _msf_oracle(rounds=3),
+)
+def g31(spark, sf):
+    """Borůvka MINIMUM SPANNING FOREST over the undirected order graph
+    (3 rounds — each round at least halves the component count):
+    per-component minimum outgoing edge by provably-unique
+    content-addressed weights (md5 ‖ padded ids — deterministic,
+    cycle-free by the classic unique-weights argument, SQL-replayable),
+    picked edges merge components via CC over the forest-so-far.
+    MST/MSF is the single-linkage-clustering / network-design
+    primitive (`operators/graph.py:minimum_spanning_forest`)."""
+    from duckdb_graphar_spark.operators.graph import minimum_spanning_forest
+
+    return minimum_spanning_forest(
+        _edges(spark, sf), rounds=3, src_col="src", dst_col="dst"
+    )
+
+
 @_q(
     "g30_greedy_coloring",
     # ORACLE: the full colors×rounds peel unrolled by _coloring_oracle
@@ -10997,7 +11079,7 @@ _PRIORITY = [
     # --- r2 names queue at 51+ and must lead the round-8 window.
     # --- round-7 new / changed ---
     "s21", "m24", "m25", "q90", "q91", "s22", "s23", "d09", "st18", "m26",
-    "q92", "g30", "s24", "m27", "q93", "st19", "m28", "t27", "d02",
+    "q92", "g30", "s24", "m27", "q93", "st19", "m28", "g31", "t27", "d02",
     # --- 33 entries last driver-checked in round 1 ---
     "q10", "q11", "q12", "q13", "q15", "q16", "q17", "q18", "q18b", "q19",
     "q20", "q21", "q22", "q23", "q27", "q28", "q29", "q30", "q32", "q33",

@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "m27_palette4_png",
     "q93_capped_sessionization",
     "m28_tiff_strips",
+    "g31_minimum_spanning_forest",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

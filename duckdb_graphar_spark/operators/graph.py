@@ -1950,3 +1950,111 @@ def neighborhood_function(
     finally:
         for df in pinned:
             df.unpersist(blocking=False)
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    *,
+    rounds: int = 3,
+    seed: str = "msf0",
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Borůvka MINIMUM SPANNING FOREST, fixed-round, with
+    CONTENT-ADDRESSED unique weights → (a, b, round_added): per round
+    every component picks its minimum-weight OUTGOING edge, the picked
+    edges join the forest, and components merge — THE distributed MST
+    algorithm (each round at least halves the component count, so a
+    full MST needs ⌈log₂ V⌉ rounds; a fixed budget keeps the oracle an
+    unrollable chain and reports the honest partial forest, the
+    g27/g30 discipline).  MSF/MST is the clustering/network-design
+    primitive (single-linkage clustering IS the MST).
+
+    Weights are md5(seed ‖ a ‖ b) ‖ zero-padded a ‖ b over the
+    canonical a<b pair — provably UNIQUE (the id suffix breaks even an
+    md5 collision), so the per-component argmin is deterministic, the
+    picked set is provably cycle-free (the classic unique-weights
+    argument), and the SAME string arithmetic replays in SQL.
+
+    Scale shape per round: one edge ⋈ labels ⋈ labels join, a
+    two-sided per-component map-combinable MIN, a distinct over the
+    picked edges, and a min-label CC over the forest-so-far (≤ V−1
+    edges — NOT the input graph); no collects beyond CC's bounded
+    fast-path probe, lineage cut per round."""
+    from duckdb_graphar_spark.operators.dedup import connected_components
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .distinct()
+    )
+    w = F.concat(
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.lit(seed),
+                F.col("a").cast("string"),
+                F.col("b").cast("string"),
+            )
+        ),
+        F.lpad(F.col("a").cast("string"), 12, "0"),
+        F.lpad(F.col("b").cast("string"), 12, "0"),
+    )
+    e = e.withColumn("__w", w).persist()
+    pinned = [e]
+    try:
+        verts = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .distinct()
+            .persist()
+        )
+        pinned.append(verts)
+        lbl = verts.select("v", F.col("v").alias("label"))
+        forest: DataFrame | None = None
+        for r in range(rounds):
+            cand = (
+                e.join(
+                    lbl.select(F.col("v").alias("a"), F.col("label").alias("__la")),
+                    "a",
+                )
+                .join(
+                    lbl.select(F.col("v").alias("b"), F.col("label").alias("__lb")),
+                    "b",
+                )
+                .filter(F.col("__la") != F.col("__lb"))
+            )
+            two_sided = cand.select(
+                F.col("__la").alias("__comp"), "__w", "a", "b"
+            ).unionAll(cand.select(F.col("__lb").alias("__comp"), "__w", "a", "b"))
+            picked = (
+                two_sided.groupBy("__comp")
+                .agg(F.min_by(F.struct("a", "b"), F.col("__w")).alias("__e"))
+                .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
+                .distinct()
+                .withColumn("round_added", F.lit(r))
+                .localCheckpoint(eager=True)
+            )
+            if picked.isEmpty():
+                break
+            forest = (
+                picked if forest is None else forest.unionByName(picked)
+            )
+            lbl = connected_components(
+                forest.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")),
+                verts,
+            ).select("v", "label")
+        if forest is None:
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                [], "a long, b long, round_added int"
+            )
+        return forest.localCheckpoint(eager=True)
+    finally:
+        for df in pinned:
+            df.unpersist(blocking=False)

@@ -748,3 +748,74 @@ def test_greedy_coloring_rejects_bad_colors(spark):
     edges = spark.createDataFrame([(0, 1)], "src long, dst long")
     with _pt.raises(ValueError, match="colors"):
         greedy_coloring(edges, colors=0, src_col="src", dst_col="dst")
+
+
+def _msf_weight(a, b, seed="msf0"):
+    import hashlib
+
+    h = hashlib.md5(f"{seed}\x1f{a}\x1f{b}".encode()).hexdigest()
+    return h + str(a).zfill(12) + str(b).zfill(12)
+
+
+def test_msf_matches_kruskal(spark):
+    """Borůvka with unique weights yields THE minimum spanning forest —
+    verified edge-for-edge against a driver-side Kruskal over the SAME
+    content-addressed weights on a random graph."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.graph import minimum_spanning_forest
+
+    rng = np.random.default_rng(23)
+    edges = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, 30, size=(120, 2))
+        if a != b
+    }
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        (r.a, r.b)
+        for r in minimum_spanning_forest(
+            df, rounds=5, src_col="src", dst_col="dst"
+        ).collect()
+    }
+    # Kruskal
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for a, b in sorted(edges, key=lambda e: _msf_weight(*e)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want.add((a, b))
+    assert got == want
+
+
+def test_msf_partial_budget_is_acyclic_subset(spark):
+    """One round on a long path: every vertex picks its min incident
+    edge — the result is an acyclic SUBSET of the full forest."""
+    from duckdb_graphar_spark.operators.graph import minimum_spanning_forest
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    one = {
+        (r.a, r.b)
+        for r in minimum_spanning_forest(
+            df, rounds=1, src_col="src", dst_col="dst"
+        ).collect()
+    }
+    full = {
+        (r.a, r.b)
+        for r in minimum_spanning_forest(
+            df, rounds=5, src_col="src", dst_col="dst"
+        ).collect()
+    }
+    assert one <= full and len(full) == 12  # path MST = the path itself
+    with __import__("pytest").raises(ValueError, match="rounds"):
+        minimum_spanning_forest(df, rounds=0, src_col="src", dst_col="dst")
