@@ -399,28 +399,52 @@ def connected_components(
         "v", F.col("v").alias("label")
     )
     labels = incident.select("v", F.col("v").alias("label")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["w"] == labels["v"])
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
-        # carry a per-row changed flag so convergence is read off the
-        # checkpointed result — no extra join-job per iteration
+        # neighbor-min moves a label ONE hop per round — O(diameter)
+        # alone, which a chain of near-dups or a spanning TREE (g31's
+        # forest) exceeds at scale.  The pointer-doubling shortcut
+        # label(v) ← label(label(v)) halves remaining path lengths per
+        # round (every label value is itself an incident vertex, so the
+        # self-join always hits), giving the classic O(log diameter)
+        # convergence.
+        shortcut = labels.select(
+            F.col("v").alias("__lv"), F.col("label").alias("__ll")
+        )
         stepped = (
             labels.join(neighbor_min, labels["v"] == neighbor_min["u"], "left")
             .select(
                 "v",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "__new"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("__mid"),
                 F.col("label").alias("__old"),
+            )
+            .join(shortcut, F.col("__mid") == F.col("__lv"))
+            .select(
+                "v",
+                F.least(F.col("__mid"), F.col("__ll")).alias("__new"),
+                "__old",
             )
             .localCheckpoint(eager=True)
         )
         labels = stepped.select("v", F.col("__new").alias("label"))
         if not stepped.filter(F.col("__new") != F.col("__old")).take(1):
+            converged = True
             break
+    if not converged:
+        # silent partial labels would corrupt every downstream consumer
+        # (a Borůvka round would pick an intra-component edge and build
+        # a CYCLE) — exact-or-raise, the g24 SCC discipline
+        raise ValueError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations; raise max_iters"
+        )
     return labels.unionAll(isolated)
 
 

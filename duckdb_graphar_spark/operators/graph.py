@@ -1959,6 +1959,7 @@ def minimum_spanning_forest(
     seed: str = "msf0",
     src_col: str = SRC_INDEX_COL,
     dst_col: str = DST_INDEX_COL,
+    cc_max_iters: int = 48,
 ) -> DataFrame:
     """Borůvka MINIMUM SPANNING FOREST, fixed-round, with
     CONTENT-ADDRESSED unique weights → (a, b, round_added): per round
@@ -2030,12 +2031,25 @@ def minimum_spanning_forest(
                 .filter(F.col("__la") != F.col("__lb"))
             )
             two_sided = cand.select(
-                F.col("__la").alias("__comp"), "__w", "a", "b"
-            ).unionAll(cand.select(F.col("__lb").alias("__comp"), "__w", "a", "b"))
+                F.col("__la").alias("__comp"), "__w", "a", "b", "__la", "__lb"
+            ).unionAll(
+                cand.select(
+                    F.col("__lb").alias("__comp"), "__w", "a", "b", "__la", "__lb"
+                )
+            )
             picked = (
                 two_sided.groupBy("__comp")
-                .agg(F.min_by(F.struct("a", "b"), F.col("__w")).alias("__e"))
-                .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
+                .agg(
+                    F.min_by(
+                        F.struct("a", "b", "__la", "__lb"), F.col("__w")
+                    ).alias("__e")
+                )
+                .select(
+                    F.col("__e.a").alias("a"),
+                    F.col("__e.b").alias("b"),
+                    F.col("__e.__la").alias("__la"),
+                    F.col("__e.__lb").alias("__lb"),
+                )
                 .distinct()
                 .withColumn("round_added", F.lit(r))
                 .localCheckpoint(eager=True)
@@ -2043,12 +2057,32 @@ def minimum_spanning_forest(
             if picked.isEmpty():
                 break
             forest = (
-                picked if forest is None else forest.unionByName(picked)
+                picked.select("a", "b", "round_added")
+                if forest is None
+                else forest.unionByName(picked.select("a", "b", "round_added"))
             )
-            lbl = connected_components(
-                forest.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")),
-                verts,
-            ).select("v", "label")
+            # merge at the COMPONENT level, not over the accumulated
+            # forest: the round's pick graph has one node per current
+            # component and only this round's edges, so its size (and
+            # the min-label propagation distance) shrinks geometrically
+            # — CC over the growing tree-shaped forest instead would
+            # face a diameter that GROWS every round (a 150k-vertex
+            # spanning tree blew past even pointer-doubling's budget;
+            # caught by CC's exact-or-raise, not silently wrong).
+            # After round 0 the component graph usually fits CC's
+            # driver union-find fast path outright.
+            comp_pairs = picked.select(
+                F.col("__la").alias("id_a"), F.col("__lb").alias("id_b")
+            )
+            comp_nodes = lbl.select(F.col("label").alias("v")).distinct()
+            ccc = connected_components(
+                comp_pairs, comp_nodes, max_iters=cc_max_iters
+            ).select(F.col("v").alias("label"), F.col("label").alias("__nl"))
+            lbl = (
+                lbl.join(ccc, "label")
+                .select("v", F.col("__nl").alias("label"))
+                .localCheckpoint(eager=True)
+            )
         if forest is None:
             spark = edges.sparkSession
             return spark.createDataFrame(

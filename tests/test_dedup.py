@@ -378,3 +378,28 @@ def test_cluster_split_no_leakage(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_cc_distributed_converges_on_long_chain(spark):
+    """A 500-edge chain has diameter 500 ≫ max_iters=20: plain
+    neighbor-min (one hop per round) would silently return partial
+    labels here — the pointer-doubling shortcut converges in O(log D)
+    and the result is exact."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(500)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(501)], "v long")
+    out = D.connected_components(edges, verts, driver_threshold=0, max_iters=20)
+    assert {r.label for r in out.collect()} == {0}
+
+
+def test_cc_distributed_raises_on_exhaustion(spark):
+    """Exact-or-raise: partial labels would corrupt every consumer (a
+    Borůvka round would pick an intra-component edge and build a
+    cycle), so exhausting max_iters is an error, not a result."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(201)], "v long")
+    with pytest.raises(ValueError, match="did not converge"):
+        D.connected_components(edges, verts, driver_threshold=0, max_iters=2)
