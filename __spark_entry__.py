@@ -6457,7 +6457,7 @@ def g26(spark, sf):
              SELECT src AS a, dst AS b FROM ed
              UNION ALL SELECT dst AS a, src AS b FROM ed)),
     u0 AS MATERIALIZED (SELECT v, md5('mis0' || chr(31) || CAST(v AS VARCHAR))
-                    || lpad(CAST(v AS VARCHAR), 12, '0') AS p
+                    || lpad(CAST(v AS VARCHAR), 20, '0') AS p
            FROM (SELECT DISTINCT a AS v FROM adj)),
     n1 AS (SELECT adj.a AS v, MIN(ub.p) AS mn FROM adj
            JOIN u0 ua ON ua.v = adj.a JOIN u0 ub ON ub.v = adj.b GROUP BY 1),
@@ -6535,7 +6535,7 @@ def _coloring_oracle(colors: int, rounds: int) -> str:
         ctes.append(
             f"u{c}_0 AS MATERIALIZED (SELECT v, "
             f"md5('color{c}' || chr(31) || CAST(v AS VARCHAR)) "
-            f"|| lpad(CAST(v AS VARCHAR), 12, '0') AS p "
+            f"|| lpad(CAST(v AS VARCHAR), 20, '0') AS p "
             f"FROM (SELECT DISTINCT a AS v FROM adj{c}))"
         )
         for r in range(1, rounds + 1):
@@ -6591,8 +6591,8 @@ def _msf_oracle(rounds: int) -> str:
         f"FROM ({_E_SQL}) WHERE src != dst)",
         "e AS MATERIALIZED (SELECT a, b, "
         "md5('msf0' || chr(31) || CAST(a AS VARCHAR) || chr(31) || CAST(b AS VARCHAR)) "
-        "|| lpad(CAST(a AS VARCHAR), 12, '0') "
-        "|| lpad(CAST(b AS VARCHAR), 12, '0') AS w FROM ed)",
+        "|| lpad(CAST(a AS VARCHAR), 20, '0') "
+        "|| lpad(CAST(b AS VARCHAR), 20, '0') AS w FROM ed)",
         "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
         "(SELECT a AS v FROM e UNION ALL SELECT b FROM e))",
         "lbl0 AS MATERIALIZED (SELECT v, v AS label FROM verts)",
@@ -6672,8 +6672,8 @@ def g31(spark, sf):
 )
 def g30(spark, sf):
     """Distributed GRAPH COLORING by iterated Luby MIS (Luby's classic
-    reduction): 2 color classes of 2 peel rounds each over the
-    undirected order graph (3 classes of 3 rounds) — adjacent vertices never share a color by
+    reduction): 3 color classes of 2 peel rounds each over the
+    undirected order graph — adjacent vertices never share a color by
     construction (each class is independent in its residual), budget
     leftovers report −1 honestly.  Coloring is the chromatic-scheduling
     primitive (conflict-free parallel batches); per class the cost is

@@ -219,10 +219,25 @@ class _ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
     files of the successful attempt — readers that union manifest-listed
     files get exactly-once semantics even across batch retries (a
     retried batch id atomically overwrites its own manifest); abort
-    removes the orphan partials."""
+    removes the orphan partials.
 
-    def __init__(self, path: str) -> None:
+    Each writer instance carries a driver-generated ``writer_id`` baked
+    into its file names (``part-<writer_id>-<uuid>.parquet``).  The
+    commit-time orphan sweep deletes this writer's own unreferenced
+    files at any age, but FOREIGN files (a crashed previous run's
+    orphans — a restart gets a fresh writer_id) only once they are
+    older than ``gc_grace_seconds``, so two streaming queries (or an
+    external writer) sharing a sink path cannot delete each other's
+    not-yet-committed task files mid-flight.  Readers go by manifests,
+    so sharing a path still interleaves manifests —
+    single-writer-per-path remains the supported contract; the scoped
+    sweep just makes a violation non-destructive."""
+
+    def __init__(self, path: str, gc_grace_seconds: float = 600.0) -> None:
         self.path = path
+        self.gc_grace_seconds = gc_grace_seconds
+        # generated once on the driver, serialized to every task
+        self.writer_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):  # executor-side, per partition per batch
         import pyarrow as pa
@@ -233,7 +248,7 @@ class _ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
             return _StreamFileCommit("", 0)
         table = pa.Table.from_batches(batches)
         os.makedirs(self.path, exist_ok=True)
-        fname = f"part-{uuid.uuid4().hex}.parquet"
+        fname = f"part-{self.writer_id}-{uuid.uuid4().hex}.parquet"
         full = os.path.join(self.path, fname)
         pq.write_table(table, full)
         return _StreamFileCommit(full, table.num_rows)
@@ -252,12 +267,15 @@ class _ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
         # garbage-collect orphans: parquet files named by NO manifest
         # (a driver that died between task completion and commit/abort
         # leaves them; readers already ignore them, this bounds the
-        # directory growth).  Only files from batches <= this one can be
-        # orphans — in-flight later batches never have a manifest yet,
-        # but their task files are uuid-named and unknown here, so the
-        # sweep keeps anything referenced by ANY manifest and anything
-        # written by this batch's messages.
+        # directory growth).  This writer's OWN files
+        # (part-<writer_id>-*) are swept at any age; FOREIGN files
+        # (a crashed previous run — restarts get a fresh writer_id)
+        # only once older than gc_grace_seconds, so a concurrent query
+        # or external writer sharing the path never loses in-flight
+        # task files.  Anything referenced by ANY manifest or written
+        # by this batch's messages is always kept.
         import glob as _glob
+        import time as _time
 
         referenced = set(manifest["files"])
         for mf in _glob.glob(os.path.join(self.path, "_batch_*.json")):
@@ -267,12 +285,21 @@ class _ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
             except (OSError, ValueError):
                 continue
         this_batch = {m.path for m in messages if m and m.path}
+        own_prefix = os.path.join(self.path, f"part-{self.writer_id}-")
+        cutoff = _time.time() - self.gc_grace_seconds
         for pf in _glob.glob(os.path.join(self.path, "part-*.parquet")):
-            if pf not in referenced and pf not in this_batch:
+            if pf in referenced or pf in this_batch:
+                continue
+            if not pf.startswith(own_prefix):
                 try:
-                    os.remove(pf)
+                    if os.path.getmtime(pf) > cutoff:
+                        continue  # foreign + fresh: maybe another writer
                 except OSError:
-                    pass
+                    continue
+            try:
+                os.remove(pf)
+            except OSError:
+                pass
 
     def abort(self, messages, batchId):
         for m in messages:
@@ -296,7 +323,8 @@ class ParquetStreamSinkDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("parquet_stream_sink requires option 'path'")
-        return _ArrowParquetStreamWriter(path)
+        grace = float(self.options.get("gc_grace_seconds", 600.0))
+        return _ArrowParquetStreamWriter(path, gc_grace_seconds=grace)
 
 
 def read_stream_sink_output(spark, path: str):

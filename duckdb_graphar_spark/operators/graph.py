@@ -26,6 +26,7 @@ build a 100-stage plan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
 
 from duckdb_graphar_spark.graphar.metadata import (
     DEGREE_ID_COL,
@@ -1611,7 +1612,8 @@ def luby_mis(
     primitive distributed graph algorithms build on (coloring,
     matching, scheduling) and classically needs randomness — here the
     priority is md5(seed ‖ v) ‖ zero-padded v, which is (a) provably
-    unique (the id suffix breaks even an md5 collision), (b) adversary-
+    unique (the 20-digit pad covers the full int64 range, so the id
+    suffix is injective and breaks even an md5 collision), (b) adversary-
     free like a random draw, and (c) REPLAYABLE: the same string
     arithmetic runs in SQL, so a fixed-round run has a full value
     oracle — the t36/q80 determinism discipline applied to an
@@ -1634,7 +1636,7 @@ def luby_mis(
     trivially belong to every MIS and are reported 'in'."""
     prio = F.concat(
         F.md5(F.concat_ws("\x1f", F.lit(seed), F.col("v").cast("string"))),
-        F.lpad(F.col("v").cast("string"), 12, "0"),
+        F.lpad(F.col("v").cast("string"), 20, "0"),
     )
     e = edges.filter(F.col(src_col) != F.col(dst_col)).select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
@@ -1972,7 +1974,8 @@ def minimum_spanning_forest(
     primitive (single-linkage clustering IS the MST).
 
     Weights are md5(seed ‖ a ‖ b) ‖ zero-padded a ‖ b over the
-    canonical a<b pair — provably UNIQUE (the id suffix breaks even an
+    canonical a<b pair — provably UNIQUE (the 20-digit pad covers the
+    full int64 range, so the id suffix is injective and breaks even an
     md5 collision), so the per-component argmin is deterministic, the
     picked set is provably cycle-free (the classic unique-weights
     argument), and the SAME string arithmetic replays in SQL.
@@ -2003,8 +2006,8 @@ def minimum_spanning_forest(
                 F.col("b").cast("string"),
             )
         ),
-        F.lpad(F.col("a").cast("string"), 12, "0"),
-        F.lpad(F.col("b").cast("string"), 12, "0"),
+        F.lpad(F.col("a").cast("string"), 20, "0"),
+        F.lpad(F.col("b").cast("string"), 20, "0"),
     )
     e = e.withColumn("__w", w).persist()
     pinned = [e]
@@ -2084,10 +2087,18 @@ def minimum_spanning_forest(
                 .localCheckpoint(eager=True)
             )
         if forest is None:
+            # Empty forest: derive a/b types from the canonicalized
+            # edge frame so the schema matches the non-empty path for
+            # any src/dst column type (int32 ids, string ids, ...).
             spark = edges.sparkSession
-            return spark.createDataFrame(
-                [], "a long, b long, round_added int"
+            empty_schema = T.StructType(
+                [
+                    e.schema["a"],
+                    e.schema["b"],
+                    T.StructField("round_added", T.IntegerType(), False),
+                ]
             )
+            return spark.createDataFrame([], empty_schema)
         return forest.localCheckpoint(eager=True)
     finally:
         for df in pinned:

@@ -57,17 +57,18 @@ def exact_quantiles(
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
 
-    # cached: the corpus-sized scan+shuffle behind the distinct-value
-    # table runs ONCE; the bounds probe, the bucket-sum collect, and the
-    # caller's final action all reuse it (it is bounded — one row per
-    # distinct value).  Left cached for the returned plan; Spark's LRU
-    # evicts it under pressure.
+    # localCheckpoint (not cache): the corpus-sized scan+shuffle behind
+    # the distinct-value table runs ONCE; the bounds probe, the
+    # bucket-sum collect, and the caller's final action all reuse the
+    # materialized blocks (bounded — one row per distinct value).
+    # Unlike a never-unpersisted cache, the blocks are released by the
+    # ContextCleaner once the returned frame is unreachable.
     vc = (
         df.select(F.col(value_col).cast("double").alias("__v"))
         .filter(F.col("__v").isNotNull())
         .groupBy("__v")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     bounds = vc.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
     empty_schema = "prob double, value double, target_rank long, n long"
@@ -158,12 +159,16 @@ def exact_quantiles_cont(
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
 
+    # localCheckpoint (not cache): same discipline as exact_quantiles —
+    # materialize once, let the ContextCleaner release the blocks when
+    # the returned frame is unreachable (a bare .cache() held executor
+    # memory for the whole session).
     vc = (
         df.select(F.col(value_col).cast("double").alias("__v"))
         .filter(F.col("__v").isNotNull())
         .groupBy("__v")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     bounds = vc.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
     if bounds.lo is None:

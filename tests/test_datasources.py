@@ -87,11 +87,17 @@ def test_stream_sink_manifest_exactly_once(spark, tmp_path):
     )
     q.awaitTermination()
 
-    # plant an orphan partial that no manifest names
-    pq.write_table(
-        pa.table({"id": [999], "sq": [999]}),
-        os.path.join(out, "part-orphan.parquet"),
-    )
+    # plant an orphan partial that no manifest names; backdate its
+    # mtime past the GC grace period so it models a CRASHED previous
+    # run's leftover (a fresh foreign file would be protected — it
+    # could be another live writer's in-flight task file)
+    orphan = os.path.join(out, "part-orphan.parquet")
+    pq.write_table(pa.table({"id": [999], "sq": [999]}), orphan)
+    old = os.path.getmtime(orphan) - 3600
+    os.utime(orphan, (old, old))
+    # and a FRESH foreign file that must survive the sweep
+    fresh_foreign = os.path.join(out, "part-fresh-foreign.parquet")
+    pq.write_table(pa.table({"id": [998], "sq": [998]}), fresh_foreign)
     got = {(r.id, r.sq) for r in read_stream_sink_output(spark, out).collect()}
     assert got == {(i, i * i) for i in range(100)}
     assert (999, 999) not in got
@@ -113,7 +119,10 @@ def test_stream_sink_manifest_exactly_once(spark, tmp_path):
         .start()
     )
     q2.awaitTermination()
-    assert not os.path.exists(os.path.join(out, "part-orphan.parquet"))
+    assert not os.path.exists(orphan)
+    # a fresh foreign file (possibly another live writer's in-flight
+    # task output) survives the scoped sweep
+    assert os.path.exists(fresh_foreign)
     got2 = {(r.id, r.sq) for r in read_stream_sink_output(spark, out).collect()}
     assert got2 == {(i, i * i) for i in range(120)}
 
