@@ -10098,33 +10098,17 @@ def q83(spark, sf):
 )
 def q89(spark, sf):
     """LAST-TOUCH attribution — the marketing-warehouse pattern: each
-    purchase credits the same user's most recent PRECEDING view.  Two
-    LAST_VALUE-IGNORE-NULLS windows over ONE shared user partitioning
-    and frame (no self-join, no as-of staging, no key packing);
-    purchases with no prior view keep NULL credit honestly.  One
-    exchange, O(1) running state per row."""
-    ev = _t(spark, sf, "events")
-    us = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("__us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    vid = F.when(F.col("event_type") == "view", F.col("event_id"))
-    vus = F.when(F.col("event_type") == "view", F.col("__us"))
-    o = (
-        ev.select("user_id", "event_id", "event_type", us.alias("__us"))
-        .withColumn("__avid", F.last(vid, ignorenulls=True).over(w))
-        .withColumn("__avus", F.last(vus, ignorenulls=True).over(w))
-    )
-    return o.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("__avid").cast("long").alias("attributed_view_id"),
-        (F.col("__us") - F.col("__avus")).cast("long").alias("gap_us"),
-    )
+    purchase credits the same user's most recent PRECEDING view;
+    purchases with no prior view keep NULL credit honestly.  Round-8
+    hot-key fix: the per-user running window is SEGMENTED by
+    (user, day) with an exact boundary stitch (in-segment lookback,
+    else the carried last view of the nearest earlier segment), so a
+    user owning half a 100 TB log is many bounded sorts instead of one
+    straggler task — BIT-IDENTICAL output to the single-window oracle
+    (`operators/events.py:last_touch_attribution`)."""
+    from duckdb_graphar_spark.operators.events import last_touch_attribution
+
+    return last_touch_attribution(_t(spark, sf, "events"))
 
 
 @_q(
@@ -10211,37 +10195,19 @@ def q93(spark, sf):
 def q90(spark, sf):
     """LINEAR multi-touch attribution, since-last-conversion scope —
     q89's sibling: each purchase splits one unit of credit EQUALLY
-    across the views since the user's previous purchase.  Each view
+    across the views since the user's previous purchase; each view
     belongs to exactly ONE purchase (the first purchase at-or-after
-    it, FIRST_VALUE-IGNORE-NULLS over the following frame), so the
-    output is VIEW-linear — no view×purchase pair blowup — and credit
-    = 1/n_touches is one division of exact integers (bit-stable, no
-    float summation anywhere).  Two windows on the same user
-    partitioning + ordering = one exchange."""
-    ev = _t(spark, sf, "events")
-    us = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
-    wf = (
-        Window.partitionBy("user_id")
-        .orderBy("__us", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    pid = F.when(F.col("event_type") == "purchase", F.col("event_id"))
-    o = (
-        ev.select("user_id", "event_id", "event_type", us.alias("__us"))
-        .withColumn("purchase_id", F.first(pid, ignorenulls=True).over(wf))
-    )
-    v = o.filter(
-        (F.col("event_type") == "view") & F.col("purchase_id").isNotNull()
-    )
-    wn = Window.partitionBy("user_id", "purchase_id")
-    return v.select(
-        F.col("purchase_id").cast("long").alias("purchase_id"),
-        "user_id",
-        F.col("event_id").cast("long").alias("view_id"),
-        F.count(F.lit(1)).over(wn).cast("long").alias("n_touches"),
-    ).withColumn("credit", F.lit(1.0) / F.col("n_touches"))
+    it), so the output is VIEW-linear — no view×purchase pair blowup —
+    and credit = 1/n_touches is one division of exact integers.
+    Round-8 hot-key fix: the per-user following window is SEGMENTED by
+    (user, day) with an exact boundary stitch, and n_touches comes
+    from a map-combined groupBy + join instead of an unordered count
+    window (which buffers its whole partition) — BIT-IDENTICAL output
+    to the single-window oracle
+    (`operators/events.py:linear_attribution`)."""
+    from duckdb_graphar_spark.operators.events import linear_attribution
+
+    return linear_attribution(_t(spark, sf, "events"))
 
 
 @_q(

@@ -361,7 +361,35 @@ def main() -> None:
                 "streaming_total": round(sum(st_results.values()), 3),
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
+    )
+    # Compact summary as the FINAL stdout line: the driver captures a
+    # bounded tail of stdout, and the full record above (per-query
+    # medians + minima for ~120 entries) can exceed it — r06/r07 landed
+    # as `parsed: null`.  This line is self-sufficient (metric, value,
+    # unit, sf, slowest-5 queries, canary/streaming totals) and always
+    # fits whatever tail the driver keeps.
+    slowest5 = dict(
+        sorted(results.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(results),
+                "queries": slowest5,
+                "queries_note": "slowest 5 of the full sweep (full record on the previous stdout line)",
+                "canary_total": round(sum(canary.values()), 3),
+                "n_canary": len(canary),
+                "streaming_total": round(sum(st_results.values()), 3),
+                "n_streaming": len(st_results),
+            }
+        ),
+        flush=True,
     )
 
 

@@ -478,3 +478,222 @@ def sessionize_capped(
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    view_type: str = "view",
+    purchase_type: str = "purchase",
+    segment_seconds: int | None = 86_400,
+) -> DataFrame:
+    """LAST-TOUCH attribution → (purchase_id, user_id,
+    attributed_view_id, gap_us): each purchase credits the same user's
+    most recent STRICTLY PRECEDING view (ties broken by the shared
+    (ts, id) ordering); purchases with no prior view keep NULL credit
+    honestly.
+
+    Hot-key design (the q89 skew fix): a naive
+    ``PARTITION BY user ORDER BY ts`` running window puts a hot user's
+    ENTIRE history in one task — one user owning 50% of a 100 TB log is
+    one straggler sort.  Instead the window is SEGMENTED by
+    (user, ⌊ts / segment_seconds⌋) with an exact boundary stitch:
+
+    1. within each (user, segment): the running last-preceding-view
+       window (state O(1)/row, sort bounded by the segment);
+    2. one row per (user, segment): the segment's last view (a
+       map-combined MAX of a (ts, id) struct — never an array);
+    3. a tiny per-user window over SEGMENTS (≤ days-in-retention rows
+       per user, not events) carries the last view of any earlier
+       segment;
+    4. purchases whose in-segment lookback is empty coalesce to the
+       carried value.
+
+    The result is BIT-IDENTICAL to the single-window semantics (the
+    most recent preceding view is either in-segment or the last view of
+    the nearest earlier segment) while the per-task sort is bounded by
+    one user-day.  ``segment_seconds=None`` selects the plain
+    single-window plan (one exchange, fastest when keys are uniform)."""
+    us_expr = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    vid = F.when(F.col("__et") == view_type, F.col("__id"))
+    vus = F.when(F.col("__et") == view_type, F.col("__us"))
+    flat = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__et"),
+        us_expr.alias("__us"),
+    )
+
+    if segment_seconds is None:
+        w = (
+            Window.partitionBy("__u")
+            .orderBy("__us", "__id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        o = flat.withColumn(
+            "__avid", F.last(vid, ignorenulls=True).over(w)
+        ).withColumn("__avus", F.last(vus, ignorenulls=True).over(w))
+    else:
+        if segment_seconds < 1:
+            raise ValueError("segment_seconds must be >= 1 or None")
+        seg_us = segment_seconds * 1_000_000
+        flat = flat.withColumn(
+            "__seg", F.floor(F.col("__us") / F.lit(seg_us)).cast("long")
+        )
+        w_in = (
+            Window.partitionBy("__u", "__seg")
+            .orderBy("__us", "__id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        within = flat.withColumn(
+            "__avid_in", F.last(vid, ignorenulls=True).over(w_in)
+        ).withColumn("__avus_in", F.last(vus, ignorenulls=True).over(w_in))
+        # one row per (user, segment): the segment's LAST view — a
+        # map-combined struct MAX, so the hot user's 10^8 events become
+        # one partial per input partition, never a buffered window
+        segv = (
+            flat.filter(F.col("__et") == view_type)
+            .groupBy("__u", "__seg")
+            .agg(F.max(F.struct("__us", "__id")).alias("__lv"))
+        )
+        segs = (
+            flat.select("__u", "__seg")
+            .distinct()
+            .join(segv, ["__u", "__seg"], "left")
+        )
+        w_seg = (
+            Window.partitionBy("__u")
+            .orderBy("__seg")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carried = segs.withColumn(
+            "__pv", F.last("__lv", ignorenulls=True).over(w_seg)
+        ).select("__u", "__seg", "__pv")
+        o = within.join(carried, ["__u", "__seg"]).select(
+            "__u",
+            "__id",
+            "__et",
+            "__us",
+            F.coalesce("__avid_in", F.col("__pv.__id")).alias("__avid"),
+            F.coalesce("__avus_in", F.col("__pv.__us")).alias("__avus"),
+        )
+
+    return o.filter(F.col("__et") == purchase_type).select(
+        F.col("__id").alias("purchase_id"),
+        F.col("__u").alias(user_col),
+        F.col("__avid").cast("long").alias("attributed_view_id"),
+        (F.col("__us") - F.col("__avus")).cast("long").alias("gap_us"),
+    )
+
+
+def linear_attribution(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    view_type: str = "view",
+    purchase_type: str = "purchase",
+    segment_seconds: int | None = 86_400,
+) -> DataFrame:
+    """LINEAR multi-touch attribution, since-last-conversion scope →
+    (purchase_id, user_id, view_id, n_touches, credit): each view
+    belongs to exactly ONE purchase (the first purchase AT-OR-AFTER it
+    on the shared (ts, id) ordering), each purchase splits one unit of
+    credit equally across its views; views after the user's last
+    purchase are honestly unattributed (dropped).
+
+    Same segmented-window + boundary-stitch design as
+    :func:`last_touch_attribution`, mirrored forward: within-segment
+    FIRST-following-purchase running window, per-segment first
+    purchase (map-combined struct MIN), a per-user window over
+    segments ordered DESC carrying the nearest LATER segment's first
+    purchase, coalesce.  ``n_touches`` comes from a groupBy + join
+    (map-side combine), NOT a count window — an unordered count window
+    buffers the whole (user, purchase) partition, which is the same
+    hot-key trap the segmentation just removed.  Bit-identical to the
+    single-window semantics; ``segment_seconds=None`` selects the
+    plain single-window plan."""
+    us_expr = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    pid = F.when(F.col("__et") == purchase_type, F.col("__id"))
+    flat = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__et"),
+        us_expr.alias("__us"),
+    )
+
+    if segment_seconds is None:
+        wf = (
+            Window.partitionBy("__u")
+            .orderBy("__us", "__id")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        o = flat.withColumn(
+            "__pid", F.first(pid, ignorenulls=True).over(wf)
+        )
+    else:
+        if segment_seconds < 1:
+            raise ValueError("segment_seconds must be >= 1 or None")
+        seg_us = segment_seconds * 1_000_000
+        flat = flat.withColumn(
+            "__seg", F.floor(F.col("__us") / F.lit(seg_us)).cast("long")
+        )
+        w_in = (
+            Window.partitionBy("__u", "__seg")
+            .orderBy("__us", "__id")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        within = flat.withColumn(
+            "__pid_in", F.first(pid, ignorenulls=True).over(w_in)
+        )
+        segp = (
+            flat.filter(F.col("__et") == purchase_type)
+            .groupBy("__u", "__seg")
+            .agg(F.min(F.struct("__us", "__id")).alias("__fp"))
+        )
+        segs = (
+            flat.select("__u", "__seg")
+            .distinct()
+            .join(segp, ["__u", "__seg"], "left")
+        )
+        # DESC over segments: the frame [max-seg .. seg+1]'s LAST
+        # non-null is the nearest LATER segment's first purchase
+        w_seg = (
+            Window.partitionBy("__u")
+            .orderBy(F.col("__seg").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carried = segs.withColumn(
+            "__np", F.last("__fp", ignorenulls=True).over(w_seg)
+        ).select("__u", "__seg", "__np")
+        o = within.join(carried, ["__u", "__seg"]).select(
+            "__u",
+            "__id",
+            "__et",
+            "__us",
+            F.coalesce("__pid_in", F.col("__np.__id")).alias("__pid"),
+        )
+
+    v = o.filter(
+        (F.col("__et") == view_type) & F.col("__pid").isNotNull()
+    ).select(
+        F.col("__pid").cast("long").alias("purchase_id"),
+        F.col("__u").alias(user_col),
+        F.col("__id").cast("long").alias("view_id"),
+    )
+    n = v.groupBy("purchase_id", user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches")
+    )
+    return v.join(n, ["purchase_id", user_col]).withColumn(
+        "credit", F.lit(1.0) / F.col("n_touches")
+    )

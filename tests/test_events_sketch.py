@@ -476,3 +476,48 @@ def test_sessionize_capped_guards(spark):
         sessionize_capped(df, gap_seconds=0)
     with _pt.raises(ValueError, match="max_events_per_user"):
         sessionize_capped(df, max_events_per_user=0)
+
+
+def test_attribution_segmented_equals_single_window(spark):
+    """The (user, segment) boundary stitch is BIT-IDENTICAL to the
+    single-window plan: a content-addressed event log spanning many
+    tiny segments (segment_seconds=60 forces stitches everywhere,
+    including views whose purchase is several segments later and
+    purchases whose last view is several segments earlier) must give
+    the same rows for both attribution operators under both plans."""
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.operators.events import (
+        last_touch_attribution,
+        linear_attribution,
+    )
+
+    ev = (
+        spark.range(0, 600)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.xxhash64(F.col("id"), F.lit("u")) % 7).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000)
+                + (F.xxhash64(F.col("id"), F.lit("t")) % 36_000)
+            )
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            F.element_at(
+                F.array(
+                    F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("view"), F.lit("signup"),
+                ),
+                (F.abs(F.xxhash64(F.col("id"), F.lit("e"))) % 5 + 1).cast("int"),
+            ).alias("event_type"),
+        )
+    )
+    for op in (last_touch_attribution, linear_attribution):
+        seg = {tuple(r) for r in op(ev, segment_seconds=60).collect()}
+        one = {tuple(r) for r in op(ev, segment_seconds=None).collect()}
+        assert seg == one and len(seg) > 20, op.__name__
+
+    with __import__("pytest").raises(ValueError, match="segment_seconds"):
+        last_touch_attribution(ev, segment_seconds=0)
+    with __import__("pytest").raises(ValueError, match="segment_seconds"):
+        linear_attribution(ev, segment_seconds=0)
