@@ -11034,25 +11034,27 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
     # --- window rotates.  Every entry is driver-green at its latest check
-    # --- (r01..r06 union); the freshness debt after r06 is 33 entries at
-    # --- r1 + 42 at r2.  Round-7 window: the 3 NEW entries (s21 fixed-k
-    # --- SemDeDup, m24 palette-tRNS PNG, m25 local-color-table GIF —
-    # --- never driver-checked beats stale), the 2 entries whose
-    # --- IMPLEMENTATION changed this round (t27 re-pointed at trigram
-    # --- terms + new oracle; d02 re-built on bitmap_jaccard_pairs with
-    # --- the simhash cap engaged), then ALL 33 r1-stale names, then 12
-    # --- r2-stale re-checks (oldest families first).  The ~30 remaining
-    # --- r2 names queue at 51+ and must lead the round-8 window.
-    # --- round-7 new / changed ---
-    "s21", "m24", "m25", "q90", "q91", "s22", "s23", "d09", "st18", "m26",
-    "q92", "g30", "s24", "m27", "q93", "st19", "m28", "g31", "t27", "d02",
-    # --- 33 entries last driver-checked in round 1 ---
-    "q10", "q11", "q12", "q13", "q15", "q16", "q17", "q18", "q18b", "q19",
-    "q20", "q21", "q22", "q23", "q27", "q28", "q29", "q30", "q32", "q33",
-    "q34", "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43", "q44",
+    # --- (r01..r07 union; 274 entries, zero never-passed).  Round-8
+    # --- window = EXACTLY 50: the 2 NEW entries (m29 progressive JPEG,
+    # --- g32 real-weight MSF — never driver-checked beats stale), the 4
+    # --- entries whose IMPLEMENTATION changed this round (q89/q90
+    # --- rebuilt on the segmented-window attribution operators; g27/g31
+    # --- tie-break pads widened 12→20 digits, oracles in sync — g30
+    # --- shares the same pad change but is r7-fresh and in-repo
+    # --- oracle-green, so it yields its slot), then ALL 44 remaining
+    # --- r1/r2-stale names — closing the rotation debt the r6/r7
+    # --- verdicts tracked: after this round no entry's latest driver
+    # --- check is older than r3.
+    # --- round-8 new / changed (6) ---
+    "m29", "g32", "q89", "q90", "g27", "g31",
+    # --- 3 entries last driver-checked in round 1 ---
     "q45", "q46", "t11",
-    # --- (all r2-stale names queue at 51+ for round 8 — round-7 new
-    # --- entries take the freshness slots) ---
+    # --- 41 entries last driver-checked in round 2 ---
+    "c01", "d01", "d03", "g01", "g03", "g04", "g05", "g06", "g08",
+    "ga02", "ga04", "ga05", "ga06", "ga07", "ga08", "ga09", "ga10",
+    "ga11", "ga12", "ga13", "m03", "q02", "q03", "q14", "q24", "q25",
+    "q26", "q35", "s01", "s02", "st01", "st02", "st03", "st04", "st05",
+    "st06", "t01", "t04", "t06", "t10", "t12",
     # --- 51+: everything else follows in registry definition order ---
 ]
 
