@@ -7823,6 +7823,60 @@ def m26(spark, sf):
 
 
 @_q(
+    "m29_jpeg_progressive",
+    # ORACLE: m07's flat-block prediction verbatim — identical image
+    # content; what changes is the ENTIRE SCAN ARCHITECTURE (SOF2, six
+    # scans: DC first + two spectral AC bands at successive-
+    # approximation precision Al=1, then DC/AC refinement completing
+    # Al=0, per-scan redefined Huffman tables, cross-block EOBn runs).
+    # A decoder that mis-handles refinement correction bits or EOB
+    # runs shifts gray levels; one that misses the DHT redefinition
+    # between scans reads the wrong codes.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 4 AS wb,
+             1 + doc_id % 3 AS hb, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, wb, hb,
+             unicode(text[CAST(j % L AS INTEGER) + 1]) AS v
+      FROM g, UNNEST(generate_series(0, CAST(wb * hb AS BIGINT) - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           ROUND(CAST(SUM(v) AS DOUBLE) / (wb * hb), 6) AS mean_gray,
+           CAST(MIN(v) AS BIGINT) AS min_gray,
+           CAST(MAX(v) AS BIGINT) AS max_gray
+    FROM b GROUP BY doc_id, wb, hb
+    """,
+)
+def m29(spark, sf):
+    """PROGRESSIVE JPEG (SOF2 — the most common real-corpus JPEG
+    variant after baseline): m07's pixels delivered as a genuine
+    six-scan progressive stream — spectral selection (DC, AC 1–5,
+    AC 6–63) at successive-approximation precision Al=1, then DC and
+    AC refinement scans completing Al=0, each entropy scan with its
+    own optimized Huffman table (the between-scan DHT redefinition
+    path) and real cross-block EOB runs.  The decoder accumulates
+    coefficients across scans per T.81 Annex G and IDCTs once at EOI.
+    Same flat-block oracle as m07: one prediction, FOUR wire formats
+    now (m07 plain, m22 16-bit DQT, m26 restarts, m29 progressive)
+    (`operators/multimodal.py:encode_gray_jpeg_progressive/
+    _decode_prog_scan`; retires the reference-era SOF2 scope guard)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_jpeg,
+        jpeg_gray_stats,
+    )
+
+    return jpeg_gray_stats(
+        encode_text_jpeg(_t(spark, sf, "documents"), progressive=True)
+    )
+
+
+@_q(
     "m22_jpeg_quant16",
     # ORACLE: m07's flat-block prediction verbatim — the image content
     # and therefore every stat is identical; what changes is the WIRE

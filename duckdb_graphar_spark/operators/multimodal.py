@@ -18,7 +18,7 @@ dependency-free codecs (no fake tier remains):
   :func:`pcm_energy_stats`);
 - integer-exact area-average resize (:func:`box_downsample_2x`).
 
-Formats outside these (progressive JPEG, color/interlaced PNG, MP4)
+Formats outside these (progressive COLOR JPEG, MP4, compressed TIFF)
 raise NotImplementedError — honest scope guards, not stubs.
 Everything Spark-side — schema, Arrow batch shape, `mapInPandas`
 signature, partition sizing — is format-agnostic, so adding codecs
@@ -461,10 +461,12 @@ def ppm_channel_stats(
 # DQT, SOF0, DHT (canonical Huffman from T.81 Annex K luminance tables),
 # SOS, entropy-coded MCUs with 0xFF byte stuffing, EOI.  Optional DRI +
 # RSTn restart markers (byte-aligned, DC reset, modulo-8 sequence
-# verified).  No progressive, no chroma subsampling (1 component).  The
-# decoder is GENERAL — canonical-Huffman bit reader, run-length AC loop
-# with ZRL/EOB, dezigzag, dequantize, full 64-coefficient float IDCT —
-# nothing in it assumes the fixture's flat blocks.
+# verified).  Grayscale PROGRESSIVE (SOF2: spectral selection +
+# successive approximation, T.81 Annex G) is implemented further down;
+# no chroma subsampling (1 component).  The decoder is GENERAL —
+# canonical-Huffman bit reader, run-length AC loop with ZRL/EOB,
+# dezigzag, dequantize, full 64-coefficient float IDCT — nothing in it
+# assumes the fixture's flat blocks.
 
 # zigzag order: _JPEG_ZIGZAG[i] = raster index of the i-th zigzag coeff
 _JPEG_ZIGZAG = np.array(
@@ -825,14 +827,17 @@ def _jpeg_extend(amp: int, s: int) -> int:
 
 
 def decode_jpeg_gray(payload: bytes) -> dict:
-    """Decode a baseline grayscale JPEG with a GENERAL pure-numpy
-    pipeline: marker parse (DQT/SOF0/DHT/SOS from the stream — the
-    decoder trusts the file, not this module's encoder), canonical
-    Huffman decode with bit unstuffing, DPCM DC + run-length AC,
-    dezigzag, dequantize, full 64-coefficient float IDCT, +128 level
-    shift, round, clip.  Returns {width, height, pixels (h·w uint8
+    """Decode a BASELINE (SOF0) or PROGRESSIVE (SOF2) grayscale JPEG
+    with a GENERAL pure-numpy pipeline: marker parse (DQT/SOF/DHT/SOS
+    from the stream — the decoder trusts the file, not this module's
+    encoder), canonical Huffman decode with bit unstuffing, then either
+    the sequential DPCM-DC + run-length-AC scan or the full progressive
+    multi-scan accumulation (spectral selection + successive
+    approximation, EOBn runs, correction bits — T.81 Annex G), dezigzag,
+    dequantize, full 64-coefficient float IDCT, +128 level shift,
+    round, clip.  Returns {width, height, pixels (h·w uint8
     row-major)}.  Raises ValueError on structural corruption and
-    NotImplementedError on progressive/multi-component streams."""
+    NotImplementedError on multi-component / SOF1 / SOF3 streams."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -841,6 +846,8 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     w = h = None
     comp_q = comp_dc = comp_ac = None
     restart_interval = 0
+    progressive = False
+    coefs = None
     while pos < len(payload):
         if pos + 2 > len(payload):
             raise ValueError(f"truncated marker at {pos}")
@@ -873,9 +880,9 @@ def decode_jpeg_gray(payload: bytes) -> dict:
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[_JPEG_ZIGZAG] = zz
                 qtables[tq] = tbl
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline sequential (SOF0)")
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC1, 0xC3):
+            raise NotImplementedError("only baseline (SOF0) or progressive (SOF2)")
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit precision")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -884,6 +891,7 @@ def decode_jpeg_gray(payload: bytes) -> dict:
             if seg[7] != 0x11:
                 raise NotImplementedError("only 1x1 sampling")
             comp_q = seg[8]
+            progressive = marker == 0xC2
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(seg):
@@ -903,11 +911,62 @@ def decode_jpeg_gray(payload: bytes) -> dict:
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
             if seg[0] != 1:
-                raise NotImplementedError("only single-scan grayscale")
+                raise NotImplementedError(
+                    "only single-component scans (grayscale)"
+                )
+            if progressive:
+                if w is None:
+                    raise ValueError("SOS before SOF2")
+                dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+                ss, se = seg[3], seg[4]
+                ah, al = seg[5] >> 4, seg[5] & 0x0F
+                if coefs is None:
+                    if h % 8 or w % 8:
+                        raise NotImplementedError(
+                            "partial edge blocks not supported"
+                        )
+                    coefs = np.zeros(((h // 8) * (w // 8), 64), dtype=np.int64)
+                pos = _decode_prog_scan(
+                    payload,
+                    pos + seg_len,
+                    coefs,
+                    ss,
+                    se,
+                    ah,
+                    al,
+                    htables.get((0, dc_id)),
+                    htables.get((1, ac_id)),
+                    restart_interval,
+                )
+                continue  # next marker position already computed
             comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
             pos += seg_len
             break
         pos += seg_len
+
+    if progressive:
+        if coefs is None:
+            raise ValueError("missing SOS")
+        if comp_q not in qtables:
+            raise ValueError(
+                f"scan references undefined quant table {comp_q}"
+            )
+        qt = qtables[comp_q]
+        out = np.zeros((h, w), dtype=np.uint8)
+        i = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_jpeg_block(
+                    coefs[i], qt
+                )
+                i += 1
+        return {
+            "width": int(w),
+            "height": int(h),
+            "restart_interval": restart_interval,
+            "pixels": out.reshape(-1),
+        }
+
     if w is None or comp_dc is None:
         raise ValueError("missing SOF0/SOS")
     if h % 8 or w % 8:
@@ -940,6 +999,395 @@ def decode_jpeg_gray(payload: bytes) -> dict:
         "restart_interval": restart_interval,
         "pixels": out.reshape(-1),
     }
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG (SOF2) — grayscale, spectral selection + successive
+# approximation (T.81 Annex G).  The encoder runs a real 6-scan script
+# (DC first at Al=1, AC first split 1-5 / 6-63 at Al=1, then DC and AC
+# refinement scans to Al=0) with per-scan optimized flat canonical
+# Huffman tables and genuine cross-block EOB runs; the decoder is
+# GENERAL — multi-scan coefficient accumulation, EOBn run decoding,
+# ZRL-in-refinement, correction-bit semantics exactly as libjpeg
+# implements T.81 G.1.2/G.2 — and is wired into decode_jpeg_gray, which
+# now accepts both SOF0 and SOF2 streams.
+# ---------------------------------------------------------------------------
+
+# scan script: (Ss, Se, Ah, Al) per T.81 G.1.1.1.1 ordering rules —
+# DC-first precedes AC-first; each refinement lowers Al by exactly 1
+_JPEG_PROG_SCANS = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
+
+
+def _flat_dht(freq: dict) -> tuple[list[int], list[int]]:
+    """Flat canonical Huffman table over the symbols a scan actually
+    uses: all codes share the smallest length L with 2^L - 1 >= k, so
+    the all-ones code of the maximum length stays reserved (T.81 C.2).
+    Suboptimal compression, unconditionally valid wire format."""
+    syms = sorted(freq)
+    if not syms:
+        syms = [0x00]
+    L = 1
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms
+
+
+class _SymFreq:
+    """Pass-1 scan emitter: counts Huffman symbols, discards raw bits."""
+
+    def __init__(self) -> None:
+        self.freq: dict = {}
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def put(self, v: int, n: int) -> None:
+        pass
+
+    def restart(self, m: int) -> None:
+        pass
+
+
+class _ScanWriter:
+    """Pass-2 scan emitter: writes Huffman codes + raw bits through a
+    _BitWriter, with byte-aligned RSTm markers."""
+
+    def __init__(self, bw: "_BitWriter", codes: dict) -> None:
+        self.bw = bw
+        self.codes = codes
+
+    def sym(self, s: int) -> None:
+        code, length = self.codes[s]
+        self.bw.put(code, length)
+
+    def put(self, v: int, n: int) -> None:
+        if n:
+            self.bw.put(v, n)
+
+    def restart(self, m: int) -> None:
+        self.bw.pad_to_byte()
+        self.bw.put_marker(0xD0 + (m % 8))
+
+
+def _emit_prog_scan(
+    coefs: np.ndarray, ss: int, se: int, ah: int, al: int, em, restart_interval: int
+) -> None:
+    """Emit one progressive scan over the per-block zigzag coefficient
+    array through an emitter (symbol counter or bit writer).  AC first
+    scans carry genuine cross-block EOB runs (EOBn symbols, capped at
+    0x7FFF per G.1.2.2); AC refinement buffers correction bits per
+    block and closes each block with a run-1 EOB when anything pends —
+    bit-exact against the G.2 decoding procedure."""
+    nblk = coefs.shape[0]
+    pred = 0
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            em.sym(nb << 4)
+            em.put(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for i in range(nblk):
+        if restart_interval and i and i % restart_interval == 0:
+            flush_eobrun()
+            em.restart(i // restart_interval - 1)
+            pred = 0
+        if ss == 0:  # DC scan (Se must be 0)
+            dc = int(coefs[i, 0])
+            if ah == 0:
+                tmp = dc >> al  # arithmetic shift — T.81 DC point transform
+                diff = tmp - pred
+                pred = tmp
+                s = _jpeg_category(diff)
+                em.sym(s)
+                if s:
+                    amp = diff if diff > 0 else diff + (1 << s) - 1
+                    em.put(amp, s)
+            else:
+                em.put((dc >> al) & 1, 1)
+            continue
+        vals = [int(v) for v in coefs[i, ss : se + 1]]
+        if ah == 0:  # AC first: magnitude shift toward zero, then sign
+            tv = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in vals]
+            nz = [j for j, v in enumerate(tv) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            r = 0
+            last = nz[-1]
+            for j in range(last + 1):
+                v = tv[j]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    em.sym(0xF0)  # ZRL
+                    r -= 16
+                s = _jpeg_category(v)
+                em.sym((r << 4) | s)
+                amp = v if v > 0 else v + (1 << s) - 1
+                em.put(amp, s)
+                r = 0
+            if last < len(tv) - 1:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        else:  # AC refinement (Ah = Al + 1)
+            t = [abs(v) >> al for v in vals]
+            r = 0
+            br: list[int] = []
+            for j in range(len(vals)):
+                if t[j] == 0:
+                    r += 1
+                    continue
+                if t[j] > 1:
+                    # already-nonzero history: one buffered correction bit
+                    br.append(t[j] & 1)
+                    continue
+                # newly significant at this precision
+                while r > 15:
+                    em.sym(0xF0)
+                    for b in br:
+                        em.put(b, 1)
+                    br = []
+                    r -= 16
+                em.sym((r << 4) | 1)
+                em.put(1 if vals[j] > 0 else 0, 1)
+                for b in br:
+                    em.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                em.sym(0x00)  # run-1 EOB closes the block
+                for b in br:
+                    em.put(b, 1)
+    if ss != 0 and ah == 0:
+        flush_eobrun()
+
+
+def encode_gray_jpeg_progressive(
+    pixels: np.ndarray, *, restart_interval: int = 0
+) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a REAL PROGRESSIVE
+    JFIF JPEG (SOF2): the same forward DCT / all-ones quantization as
+    :func:`encode_gray_jpeg`, delivered as six scans — DC first, two
+    spectral AC bands at successive-approximation precision Al=1, then
+    DC and AC refinement scans completing Al=0.  Because the refinement
+    completes the full coefficient precision, the stream decodes to
+    EXACTLY the pixels the baseline encoding decodes to — one oracle,
+    another wire format (the m22/m26 discipline).  Each entropy scan
+    gets its own optimized flat Huffman table (DHT re-defined between
+    scans — the redefinition path real multi-scan files exercise).
+    ``restart_interval`` > 0 adds DRI + byte-aligned RSTm markers with
+    DC-predictor and EOB-run reset inside EVERY scan."""
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError(
+            f"encode_gray_jpeg_progressive needs multiple-of-8 dims, got {w}x{h}"
+        )
+    if h > 65535 or w > 65535:
+        raise ValueError("image too large for SOF2")
+    if restart_interval < 0 or restart_interval > 65535:
+        raise ValueError("restart_interval must be in [0, 65535]")
+
+    nby, nbx = h // 8, w // 8
+    f = pixels.astype(np.float64) - 128.0
+    coefs = np.zeros((nby * nbx, 64), dtype=np.int64)
+    i = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            block = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            q = np.rint(_JPEG_DCT_M @ block @ _JPEG_DCT_M.T).astype(np.int64)
+            coefs[i] = q.reshape(-1)[_JPEG_ZIGZAG]
+            i += 1
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )  # APP0
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)  # DQT
+    out += (
+        b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01"
+        + b"\x01\x11\x00"
+    )  # SOF2
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+
+    for ss, se, ah, al in _JPEG_PROG_SCANS:
+        counter = _SymFreq()
+        _emit_prog_scan(coefs, ss, se, ah, al, counter, restart_interval)
+        uses_huff = not (ss == 0 and ah > 0)  # DC refinement is raw bits
+        if uses_huff:
+            bits, vals = _flat_dht(counter.freq)
+            cls = 0x00 if ss == 0 else 0x10
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">H", 3 + 16 + len(vals))
+                + bytes([cls])
+                + bytes(bits)
+                + bytes(vals)
+            )  # DHT (re-defines table 0 of its class for this scan)
+            codes = _huff_canonical(bits, vals)
+        else:
+            codes = {}
+        out += (
+            b"\xff\xda"
+            + struct.pack(">H", 8)
+            + b"\x01\x01\x00"
+            + bytes([ss, se, (ah << 4) | al])
+        )  # SOS
+        bw = _BitWriter()
+        _emit_prog_scan(coefs, ss, se, ah, al, _ScanWriter(bw, codes), restart_interval)
+        out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded bytes to the next real marker
+    (skipping stuffed 0xFF00 and any stray RSTm)."""
+    while pos < len(data) - 1:
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not 0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return pos
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    coefs: np.ndarray,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_tbl,
+    ac_tbl,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan into the zigzag coefficient array
+    (T.81 G.2 / libjpeg decode_mcu_* semantics: DC DPCM + point
+    transform, DC refinement bit OR, AC first with EOBn runs and ZRL,
+    AC refinement with zero-history runs and correction bits).
+    Returns the position of the next marker."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se = 0")
+    if ss > se or se > 63:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    if ss == 0 and ah == 0 and dc_tbl is None:
+        raise ValueError("scan references undefined DC Huffman table")
+    if ss != 0 and ac_tbl is None:
+        raise ValueError("scan references undefined AC Huffman table")
+    br = _BitReader(data, pos)
+    nblk = coefs.shape[0]
+    pred = 0
+    eobrun = 0
+    delta = 1 << al
+    for i in range(nblk):
+        if restart_interval and i and i % restart_interval == 0:
+            br.restart(i // restart_interval - 1)
+            pred = 0
+            eobrun = 0
+        blk = coefs[i]
+        if ss == 0:  # DC scan
+            if ah == 0:
+                s = br.huff(dc_tbl)
+                diff = _jpeg_extend(br.bits(s), s) if s else 0
+                pred += diff
+                blk[0] = pred << al
+            else:
+                if br.bits(1):
+                    blk[0] |= delta
+            continue
+        if ah == 0:  # AC first
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = br.huff(ac_tbl)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflows spectral band")
+                blk[k] = _jpeg_extend(br.bits(s), s) << al
+                k += 1
+        else:  # AC refinement
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = br.huff(ac_tbl)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        val = 0  # ZRL: pass 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                f"bad refinement symbol {sym:#x} (size must be 1)"
+                            )
+                        val = delta if br.bits(1) else -delta
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if br.bits(1) and (c & delta) == 0:
+                                blk[k] = c + (delta if c >= 0 else -delta)
+                        else:
+                            if r == 0:
+                                if val:
+                                    blk[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0 and br.bits(1) and (c & delta) == 0:
+                        blk[k] = c + (delta if c >= 0 else -delta)
+                    k += 1
+                eobrun -= 1
+    return _skip_to_marker(data, br.pos)
 
 
 def rgb_to_ycbcr_fixed(r, g, b):
@@ -1230,6 +1678,7 @@ def encode_text_jpeg(
     text_col: str = "text",
     quant16: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> DataFrame:
     """Render each document as a REAL baseline JPEG whose decoded
     pixels a SQL oracle can predict exactly: the image is wb×hb flat
@@ -1250,11 +1699,22 @@ def encode_text_jpeg(
                 hb = 1 + (int(did) % 3)
                 vals = tb[np.arange(wb * hb) % len(tb)].reshape(hb, wb)
                 px = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
-                payloads.append(
-                    encode_gray_jpeg(
-                        px, quant16=quant16, restart_interval=restart_interval
+                if progressive:
+                    if quant16:
+                        raise ValueError(
+                            "progressive + quant16 not a supported combination"
+                        )
+                    payloads.append(
+                        encode_gray_jpeg_progressive(
+                            px, restart_interval=restart_interval
+                        )
                     )
-                )
+                else:
+                    payloads.append(
+                        encode_gray_jpeg(
+                            px, quant16=quant16, restart_interval=restart_interval
+                        )
+                    )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )

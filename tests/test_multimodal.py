@@ -231,10 +231,17 @@ def test_jpeg_rejects_malformed():
     with _pt.raises(ValueError, match="multiple-of-8"):
         encode_gray_jpeg(np.zeros((10, 16), dtype=np.uint8))
     buf = bytearray(encode_gray_jpeg(np.full((8, 8), 7, dtype=np.uint8)))
-    # flip SOF0 marker to SOF2 (progressive) — must refuse, not mis-decode
+    # flip SOF0 marker to SOF2: the stream now claims progressive but
+    # carries a baseline SOS (Ss=0, Se=63 — an illegal DC-scan band).
+    # Round 8 retired the blanket SOF2 guard (progressive decodes for
+    # real now), so this mutant must fail STRUCTURALLY, not mis-decode.
     sof = bytes(buf).find(b"\xff\xc0")
     buf[sof + 1] = 0xC2
-    with _pt.raises(NotImplementedError, match="baseline"):
+    with _pt.raises(ValueError, match="DC scan must have Se = 0"):
+        decode_jpeg_gray(bytes(buf))
+    # SOF1 (extended sequential) stays an honest scope guard
+    buf[sof + 1] = 0xC1
+    with _pt.raises(NotImplementedError, match="SOF0"):
         decode_jpeg_gray(bytes(buf))
 
 
@@ -1740,3 +1747,100 @@ if _HYP:
             encode_gray_tiff(px, rows_per_strip=rps, big_endian=be)
         )
         assert np.array_equal(d["pixels"].reshape(h, w), px)
+
+
+def test_progressive_jpeg_equals_baseline_decode():
+    """The 6-scan progressive stream (DC first + two spectral AC bands
+    at Al=1, then DC/AC refinement to Al=0) decodes to EXACTLY the
+    pixels the baseline stream decodes to — one coefficient array, two
+    wire formats — including with restart markers in every scan."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_gray_jpeg,
+        encode_gray_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for (h, w), ri in [((8, 8), 0), ((24, 32), 0), ((24, 32), 2), ((16, 40), 3)]:
+        px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        base = decode_jpeg_gray(encode_gray_jpeg(px))
+        prog = decode_jpeg_gray(encode_gray_jpeg_progressive(px, restart_interval=ri))
+        assert (prog["width"], prog["height"]) == (base["width"], base["height"])
+        assert np.array_equal(prog["pixels"], base["pixels"])
+        assert prog["restart_interval"] == ri
+
+
+def test_progressive_jpeg_eob_runs_and_structure():
+    """A mostly-flat image forces cross-block EOBn>1 runs in the AC
+    first scans (all-zero AC bands over consecutive blocks) — the
+    decoder's general EOB-run path, not just per-block EOB — and the
+    stream really is SOF2 with six SOS segments."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_gray_jpeg_progressive,
+    )
+
+    vals = (np.arange(24, dtype=np.uint8).reshape(4, 6) * 10 + 5)
+    px = np.kron(vals, np.ones((8, 8), dtype=np.uint8))  # flat 48x32 blocks
+    payload = encode_gray_jpeg_progressive(px)
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    assert payload.count(b"\xff\xda") == 6
+    d = decode_jpeg_gray(payload)
+    assert np.array_equal(d["pixels"].reshape(px.shape), px)
+
+
+def test_progressive_jpeg_restart_sequence_verified():
+    """Corrupting an RSTm sequence number inside a progressive scan is
+    detected (same modulo-8 verification as the baseline decoder)."""
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_gray_jpeg_progressive,
+    )
+
+    px = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
+    buf = bytearray(encode_gray_jpeg_progressive(px, restart_interval=2))
+    # first RST0 in the stream -> RST5: sequence break
+    for i in range(2, len(buf) - 1):
+        if buf[i] == 0xFF and buf[i + 1] == 0xD0:
+            buf[i + 1] = 0xD5
+            break
+    with _pt.raises(ValueError, match="restart sequence"):
+        decode_jpeg_gray(bytes(buf))
+
+
+if _HYP:
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w8=st.integers(1, 4),
+        h8=st.integers(1, 3),
+        seed=st.integers(0, 2**31 - 1),
+        ri=st.integers(0, 3),
+    )
+    def test_progressive_jpeg_matches_baseline_property(w8, h8, seed, ri):
+        """For ANY content/shape/restart interval, progressive and
+        baseline streams of the same pixels decode identically (both
+        carry the same rounded DCT coefficients; the progressive
+        refinement completes full precision)."""
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_jpeg_gray,
+            encode_gray_jpeg,
+            encode_gray_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h8 * 8, w8 * 8)).astype(np.uint8)
+        base = decode_jpeg_gray(encode_gray_jpeg(px))
+        prog = decode_jpeg_gray(
+            encode_gray_jpeg_progressive(px, restart_interval=ri)
+        )
+        assert np.array_equal(prog["pixels"], base["pixels"])
