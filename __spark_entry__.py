@@ -115,6 +115,15 @@ _E_SQL = (
     "SELECT o_custkey AS src, o_orderkey % (SELECT count(*) FROM customer) AS dst FROM orders"
 )
 
+# weighted variant (g32): a REAL integer weight column with heavy ties
+# ((7·orderkey + custkey) mod 1000 — ~45 parallel weights per value at
+# sf0.01), derived from integer keys only so both engines compute the
+# identical value with no float rounding anywhere
+_EW_SQL = (
+    "SELECT o_custkey AS src, o_orderkey % (SELECT count(*) FROM customer) AS dst, "
+    "(o_orderkey * 7 + o_custkey) % 1000 AS wv FROM orders"
+)
+
 # Shared by q81 (batch CMS) and st17 (streaming CMS): counter addition
 # is order- and batch-boundary-independent, so both paths must produce
 # the IDENTICAL point-estimate table.
@@ -6580,43 +6589,58 @@ def _coloring_oracle(colors: int, rounds: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
-def _msf_oracle(rounds: int) -> str:
+def _msf_oracle(rounds: int, *, weighted: bool = False) -> str:
     """Unrolled SQL for minimum_spanning_forest: per round, the
-    per-component min-outgoing-edge pick (unique md5‖id weights ⇒ the
-    MIN join is the argmin) and a recursive-CTE closure over the
+    per-component min-outgoing-edge pick (unique weights ⇒ the MIN
+    join is the argmin) and a recursive-CTE closure over the
     forest-so-far re-labels components.  g27's MATERIALIZED
-    discipline; self-loops keep isolated vertices labeled."""
-    ctes = [
-        "ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
-        f"FROM ({_E_SQL}) WHERE src != dst)",
-        "e AS MATERIALIZED (SELECT a, b, "
+    discipline; self-loops keep isolated vertices labeled.  With
+    ``weighted``, parallel pairs first collapse to their MIN integer
+    weight and the sort key gains the zero-padded-decimal weight
+    prefix — the exact string the Spark side builds."""
+    tie = (
         "md5('msf0' || chr(31) || CAST(a AS VARCHAR) || chr(31) || CAST(b AS VARCHAR)) "
         "|| lpad(CAST(a AS VARCHAR), 20, '0') "
-        "|| lpad(CAST(b AS VARCHAR), 20, '0') AS w FROM ed)",
+        "|| lpad(CAST(b AS VARCHAR), 20, '0')"
+    )
+    if weighted:
+        ctes = [
+            "ed AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, "
+            f"MIN(wv) AS wv FROM ({_EW_SQL}) WHERE src != dst GROUP BY 1, 2)",
+            "e AS MATERIALIZED (SELECT a, b, wv, "
+            f"lpad(CAST(wv AS VARCHAR), 20, '0') || {tie} AS w FROM ed)",
+        ]
+        wv_sel, wv_t = ", wv", ", t.wv"
+    else:
+        ctes = [
+            "ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+            f"FROM ({_E_SQL}) WHERE src != dst)",
+            f"e AS MATERIALIZED (SELECT a, b, {tie} AS w FROM ed)",
+        ]
+        wv_sel, wv_t = "", ""
+    ctes += [
         "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
         "(SELECT a AS v FROM e UNION ALL SELECT b FROM e))",
         "lbl0 AS MATERIALIZED (SELECT v, v AS label FROM verts)",
     ]
-    forest_terms = []
     for r in range(rounds):
         ctes.append(
-            f"cand{r} AS (SELECT e.a, e.b, e.w, la.label AS la, lb.label AS lb "
+            f"cand{r} AS (SELECT e.a, e.b{wv_sel}, e.w, la.label AS la, lb.label AS lb "
             f"FROM e JOIN lbl{r} la ON la.v = e.a "
             f"JOIN lbl{r} lb ON lb.v = e.b WHERE la.label != lb.label)"
         )
         ctes.append(
-            f"two{r} AS (SELECT la AS comp, w, a, b FROM cand{r} "
-            f"UNION ALL SELECT lb, w, a, b FROM cand{r})"
+            f"two{r} AS (SELECT la AS comp, w, a, b{wv_sel} FROM cand{r} "
+            f"UNION ALL SELECT lb, w, a, b{wv_sel} FROM cand{r})"
         )
         ctes.append(
             f"mw{r} AS (SELECT comp, MIN(w) AS mw FROM two{r} GROUP BY comp)"
         )
         ctes.append(
-            f"pick{r} AS MATERIALIZED (SELECT DISTINCT t.a, t.b, "
+            f"pick{r} AS MATERIALIZED (SELECT DISTINCT t.a, t.b{wv_t}, "
             f"{r} AS round_added FROM two{r} t "
             f"JOIN mw{r} m ON m.comp = t.comp AND t.w = m.mw)"
         )
-        forest_terms.append(f"SELECT a, b FROM pick{r}")
         und = " UNION ALL ".join(
             [f"SELECT a, b FROM pick{i}" for i in range(r + 1)]
         )
@@ -6632,9 +6656,15 @@ def _msf_oracle(rounds: int) -> str:
             f"lbl{r+1} AS MATERIALIZED "
             f"(SELECT v, MIN(t) AS label FROM reach{r} GROUP BY v)"
         )
-    finals = " UNION ALL ".join(
-        f"SELECT a, b, round_added FROM pick{r}" for r in range(rounds)
-    )
+    if weighted:
+        finals = " UNION ALL ".join(
+            f"SELECT a, b, CAST(wv AS BIGINT) AS weight, round_added FROM pick{r}"
+            for r in range(rounds)
+        )
+    else:
+        finals = " UNION ALL ".join(
+            f"SELECT a, b, round_added FROM pick{r}" for r in range(rounds)
+        )
     return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + finals
 
 
@@ -6659,6 +6689,39 @@ def g31(spark, sf):
 
     return minimum_spanning_forest(
         _edges(spark, sf), rounds=3, src_col="src", dst_col="dst"
+    )
+
+
+@_q(
+    "g32_weighted_spanning_forest",
+    # ORACLE: the same Borůvka unroll as g31, over REAL integer weights
+    # — parallel (a, b) pairs collapse to their MIN weight first, the
+    # sort key is lpad(weight) ‖ md5 ‖ padded ids (equal weights
+    # tie-break deterministically), and each round's argmin is the MIN
+    # join over that composite string.
+    _msf_oracle(rounds=3, weighted=True),
+)
+def g32(spark, sf):
+    """Borůvka MSF with a REAL WEIGHT COLUMN (g31's production mode —
+    the single-linkage-clustering primitive wants actual pair
+    distances, quantized to integer units upstream): weight =
+    (7·orderkey + custkey) mod 1000, heavy ties by construction, so
+    the deterministic md5‖id tie-break is load-bearing, not
+    decorative; parallel pairs keep their cheapest edge (map-combined
+    MIN, the multigraph contract); output carries the picked weight
+    for downstream cut thresholds
+    (`operators/graph.py:minimum_spanning_forest(weight_col=...)`)."""
+    from duckdb_graphar_spark.operators.graph import minimum_spanning_forest
+
+    ncust = _NCUST_CACHE.get(sf) or _t(spark, sf, "customer").count()
+    _NCUST_CACHE[sf] = ncust
+    we = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % ncust).alias("dst"),
+        ((F.col("o_orderkey") * 7 + F.col("o_custkey")) % 1000).alias("wv"),
+    )
+    return minimum_spanning_forest(
+        we, rounds=3, src_col="src", dst_col="dst", weight_col="wv"
     )
 
 

@@ -1961,24 +1961,37 @@ def minimum_spanning_forest(
     seed: str = "msf0",
     src_col: str = SRC_INDEX_COL,
     dst_col: str = DST_INDEX_COL,
+    weight_col: str | None = None,
     cc_max_iters: int = 48,
 ) -> DataFrame:
-    """Borůvka MINIMUM SPANNING FOREST, fixed-round, with
-    CONTENT-ADDRESSED unique weights → (a, b, round_added): per round
-    every component picks its minimum-weight OUTGOING edge, the picked
-    edges join the forest, and components merge — THE distributed MST
-    algorithm (each round at least halves the component count, so a
-    full MST needs ⌈log₂ V⌉ rounds; a fixed budget keeps the oracle an
-    unrollable chain and reports the honest partial forest, the
-    g27/g30 discipline).  MSF/MST is the clustering/network-design
-    primitive (single-linkage clustering IS the MST).
+    """Borůvka MINIMUM SPANNING FOREST, fixed-round → (a, b[, weight],
+    round_added): per round every component picks its minimum-weight
+    OUTGOING edge, the picked edges join the forest, and components
+    merge — THE distributed MST algorithm (each round at least halves
+    the component count, so a full MST needs ⌈log₂ V⌉ rounds; a fixed
+    budget keeps the oracle an unrollable chain and reports the honest
+    partial forest, the g27/g30 discipline).  MSF/MST is the
+    clustering/network-design primitive (single-linkage clustering IS
+    the MST — pass the pair distances as ``weight_col``).
 
-    Weights are md5(seed ‖ a ‖ b) ‖ zero-padded a ‖ b over the
-    canonical a<b pair — provably UNIQUE (the 20-digit pad covers the
-    full int64 range, so the id suffix is injective and breaks even an
-    md5 collision), so the per-component argmin is deterministic, the
-    picked set is provably cycle-free (the classic unique-weights
-    argument), and the SAME string arithmetic replays in SQL.
+    Two weight modes, one total order:
+
+    * ``weight_col=None`` (clustering-primitive mode): weights are
+      md5(seed ‖ a ‖ b) ‖ zero-padded a ‖ b over the canonical a<b
+      pair — content-addressed pseudo-weights.
+    * ``weight_col='w'`` (real-weight mode): the column must be a
+      NON-NEGATIVE INTEGER weight (quantize real distances to fixed
+      micro-units upstream — the integer-rational house discipline);
+      parallel (a, b) edges collapse to their MIN weight, and the sort
+      key is zero-padded-decimal(weight) ‖ the same md5 ‖ id suffix,
+      so equal weights tie-break DETERMINISTICALLY.
+
+    Either way the total order is provably UNIQUE (the 20-digit pads
+    cover the full int64 range, so the id suffix is injective and
+    breaks even an md5 collision): the per-component argmin is
+    deterministic, the picked set is provably cycle-free (the classic
+    unique-weights argument), and the SAME string arithmetic replays
+    in SQL.
 
     Scale shape per round: one edge ⋈ labels ⋈ labels join, a
     two-sided per-component map-combinable MIN, a distinct over the
@@ -1989,15 +2002,25 @@ def minimum_spanning_forest(
 
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    e = (
-        edges.filter(F.col(src_col) != F.col(dst_col))
-        .select(
+    base = edges.filter(F.col(src_col) != F.col(dst_col))
+    if weight_col is None:
+        e = base.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        ).distinct()
+    else:
+        # multigraph: parallel pairs keep their cheapest edge
+        # (map-combinable MIN — never an array of parallel edges)
+        e = (
+            base.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+                F.col(weight_col).cast("long").alias("__wv"),
+            )
+            .groupBy("a", "b")
+            .agg(F.min("__wv").alias("__wv"))
         )
-        .distinct()
-    )
-    w = F.concat(
+    tie = F.concat(
         F.md5(
             F.concat_ws(
                 "\x1f",
@@ -2008,6 +2031,11 @@ def minimum_spanning_forest(
         ),
         F.lpad(F.col("a").cast("string"), 20, "0"),
         F.lpad(F.col("b").cast("string"), 20, "0"),
+    )
+    w = (
+        tie
+        if weight_col is None
+        else F.concat(F.lpad(F.col("__wv").cast("string"), 20, "0"), tie)
     )
     e = e.withColumn("__w", w).persist()
     pinned = [e]
@@ -2033,25 +2061,26 @@ def minimum_spanning_forest(
                 )
                 .filter(F.col("__la") != F.col("__lb"))
             )
+            side_cols = ["__w", "a", "b", "__la", "__lb"] + (
+                ["__wv"] if weight_col is not None else []
+            )
             two_sided = cand.select(
-                F.col("__la").alias("__comp"), "__w", "a", "b", "__la", "__lb"
+                F.col("__la").alias("__comp"), *side_cols
             ).unionAll(
-                cand.select(
-                    F.col("__lb").alias("__comp"), "__w", "a", "b", "__la", "__lb"
-                )
+                cand.select(F.col("__lb").alias("__comp"), *side_cols)
+            )
+            pick_fields = ["a", "b", "__la", "__lb"] + (
+                ["__wv"] if weight_col is not None else []
             )
             picked = (
                 two_sided.groupBy("__comp")
                 .agg(
                     F.min_by(
-                        F.struct("a", "b", "__la", "__lb"), F.col("__w")
+                        F.struct(*pick_fields), F.col("__w")
                     ).alias("__e")
                 )
                 .select(
-                    F.col("__e.a").alias("a"),
-                    F.col("__e.b").alias("b"),
-                    F.col("__e.__la").alias("__la"),
-                    F.col("__e.__lb").alias("__lb"),
+                    *[F.col(f"__e.{f}").alias(f) for f in pick_fields]
                 )
                 .distinct()
                 .withColumn("round_added", F.lit(r))
@@ -2059,10 +2088,15 @@ def minimum_spanning_forest(
             )
             if picked.isEmpty():
                 break
+            out_cols = (
+                ["a", "b", "round_added"]
+                if weight_col is None
+                else ["a", "b", F.col("__wv").alias("weight"), "round_added"]
+            )
             forest = (
-                picked.select("a", "b", "round_added")
+                picked.select(*out_cols)
                 if forest is None
-                else forest.unionByName(picked.select("a", "b", "round_added"))
+                else forest.unionByName(picked.select(*out_cols))
             )
             # merge at the COMPONENT level, not over the accumulated
             # forest: the round's pick graph has one node per current
@@ -2091,14 +2125,11 @@ def minimum_spanning_forest(
             # edge frame so the schema matches the non-empty path for
             # any src/dst column type (int32 ids, string ids, ...).
             spark = edges.sparkSession
-            empty_schema = T.StructType(
-                [
-                    e.schema["a"],
-                    e.schema["b"],
-                    T.StructField("round_added", T.IntegerType(), False),
-                ]
-            )
-            return spark.createDataFrame([], empty_schema)
+            fields = [e.schema["a"], e.schema["b"]]
+            if weight_col is not None:
+                fields.append(T.StructField("weight", T.LongType(), True))
+            fields.append(T.StructField("round_added", T.IntegerType(), False))
+            return spark.createDataFrame([], T.StructType(fields))
         return forest.localCheckpoint(eager=True)
     finally:
         for df in pinned:

@@ -754,7 +754,7 @@ def _msf_weight(a, b, seed="msf0"):
     import hashlib
 
     h = hashlib.md5(f"{seed}\x1f{a}\x1f{b}".encode()).hexdigest()
-    return h + str(a).zfill(12) + str(b).zfill(12)
+    return h + str(a).zfill(20) + str(b).zfill(20)
 
 
 def test_msf_matches_kruskal(spark):
@@ -819,3 +819,57 @@ def test_msf_partial_budget_is_acyclic_subset(spark):
     assert one <= full and len(full) == 12  # path MST = the path itself
     with __import__("pytest").raises(ValueError, match="rounds"):
         minimum_spanning_forest(df, rounds=0, src_col="src", dst_col="dst")
+
+
+def test_msf_weighted_matches_kruskal(spark):
+    """Real-weight mode: Borůvka over an integer weight column with
+    HEAVY ties (weights in 0..4 over 120 edges) equals a driver-side
+    Kruskal under the identical composite order (weight, then the
+    md5‖id tie-break), parallel pairs collapsed to their MIN weight,
+    and the output carries the picked weight."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.graph import minimum_spanning_forest
+
+    rng = np.random.default_rng(31)
+    raw = [
+        (int(min(a, b)), int(max(a, b)), int(w))
+        for a, b, w in zip(
+            rng.integers(0, 25, 140),
+            rng.integers(0, 25, 140),
+            rng.integers(0, 5, 140),
+        )
+        if a != b
+    ]
+    df = spark.createDataFrame(raw, "src long, dst long, wv long")
+    got = {
+        (r.a, r.b, r.weight)
+        for r in minimum_spanning_forest(
+            df, rounds=6, src_col="src", dst_col="dst", weight_col="wv"
+        ).collect()
+    }
+    # collapse parallel pairs to min weight, then Kruskal on
+    # (zero-padded weight || md5 tie-break)
+    best: dict = {}
+    for a, b, w in raw:
+        if (a, b) not in best or w < best[(a, b)]:
+            best[(a, b)] = w
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for (a, b), w in sorted(
+        best.items(), key=lambda kv: str(kv[1]).zfill(20) + _msf_weight(*kv[0])
+    ):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want.add((a, b, w))
+    assert got == want
+    # total weight is the MST weight regardless of tie-break choices
+    assert sum(w for *_, w in got) == sum(w for *_, w in want)
