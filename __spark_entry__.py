@@ -10267,10 +10267,14 @@ def q93(spark, sf):
     bot stream from forming one unbounded session).  The duration rule
     is SEQUENTIAL per user (each break depends on the session start
     the previous breaks chose), which the st03/q26 gaps-and-islands
-    window trick cannot express — so it runs as the funnel fold: one
-    user shuffle, a time-sorted accumulator carrying (session_start,
-    prev_ts, sid); the oracle replays the recurrence with a recursive
-    CTE (`operators/events.py:sessionize_capped`)."""
+    window trick cannot express — so it runs as one user shuffle into
+    an Arrow-batched applyInPandas whose per-user scan is vectorized
+    (gap breaks from one numpy diff, duration breaks by searchsorted
+    jumps — O(events + sessions·log events), one output row per
+    SESSION; the r8 rewrite of an O(events²) array-append fold the
+    skew probe caught at 64 s/50k-event user); the oracle replays the
+    recurrence with a recursive CTE
+    (`operators/events.py:sessionize_capped`)."""
     from duckdb_graphar_spark.operators.events import sessionize_capped
 
     return sessionize_capped(

@@ -184,15 +184,20 @@ def gap_fill_interpolate(
         Window.partitionBy("__k").orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # next-value lookup as a DESC-ordered RUNNING frame (last non-null
+    # over [unbounded preceding, -1]): identical row set to the literal
+    # [1, unbounded following] frame, but Spark re-scans the tail per
+    # row for unbounded-FOLLOWING frames (O(rows²) on a hot key's
+    # grid) while running frames are incremental O(rows)
     w_next = (
-        Window.partitionBy("__k").orderBy("__b")
-        .rowsBetween(1, Window.unboundedFollowing)
+        Window.partitionBy("__k").orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     hb = F.when(F.col("__v").isNotNull(), F.col("__b"))
     pv = F.last("__v", ignorenulls=True).over(w_prev)
     ph = F.last(hb, ignorenulls=True).over(w_prev)
-    nv = F.first("__v", ignorenulls=True).over(w_next)
-    nh = F.first(hb, ignorenulls=True).over(w_next)
+    nv = F.last("__v", ignorenulls=True).over(w_next)
+    nh = F.last(hb, ignorenulls=True).over(w_next)
     frac = (b - ph).cast("double") / (nh - ph).cast("double")
     # interp is published UNROUNDED: the endpoints are already round-6
     # engine-identical doubles and the op sequence is mirrored, so the
