@@ -11158,16 +11158,18 @@ _PRIORITY = [
     # --- (r01..r07 union; 274 entries, zero never-passed).  Round-8
     # --- window = EXACTLY 50: the 2 NEW entries (m29 progressive JPEG,
     # --- g32 real-weight MSF — never driver-checked beats stale), the 4
-    # --- entries whose IMPLEMENTATION changed this round (q89/q90
-    # --- rebuilt on the segmented-window attribution operators; g27/g31
-    # --- tie-break pads widened 12→20 digits, oracles in sync — g30
-    # --- shares the same pad change but is r7-fresh and in-repo
-    # --- oracle-green, so it yields its slot), then ALL 44 remaining
-    # --- r1/r2-stale names — closing the rotation debt the r6/r7
-    # --- verdicts tracked: after this round no entry's latest driver
-    # --- check is older than r3.
+    # --- highest-risk REWRITES of the round (q89/q90 segmented-window
+    # --- attribution + the O(rows²) following-frame fix; q93's
+    # --- applyInPandas sessionization rewrite; g31 carrying the
+    # --- 12→20-digit tie-break pad change — g27/g30 share that change
+    # --- and q68's window reversal shares q90's, but they are r6/r7-
+    # --- fresh, in-repo oracle-green, and covered by the round-8
+    # --- bare-session sweep, so they yield their slots), then ALL 44
+    # --- remaining r1/r2-stale names — closing the rotation debt the
+    # --- r6/r7 verdicts tracked: after this round no entry's latest
+    # --- driver check is older than r3.
     # --- round-8 new / changed (6) ---
-    "m29", "g32", "q89", "q90", "g27", "g31",
+    "m29", "g32", "q89", "q90", "q93", "g31",
     # --- 3 entries last driver-checked in round 1 ---
     "q45", "q46", "t11",
     # --- 41 entries last driver-checked in round 2 ---
