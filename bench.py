@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "q93_capped_sessionization",
     "m28_tiff_strips",
     "g31_minimum_spanning_forest",
+    "m29_jpeg_progressive",
+    "g32_weighted_spanning_forest",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface
