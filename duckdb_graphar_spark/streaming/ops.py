@@ -1006,6 +1006,7 @@ def streaming_capped_sessions(
     )
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         # GroupState.get is a PROPERTY (raises if absent), not a method
@@ -1014,40 +1015,83 @@ def streaming_capped_sessions(
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        # vectorized batch fold (the sessionize_capped technique — the
+        # row-at-a-time pd.Timestamp loop was the streaming lane's one
+        # >3×/decade reading): gap breaks from one diff (seeded with the
+        # carried prev_us), duration breaks by searchsorted jumps —
+        # the CONTINUATION segment measures duration from the carried
+        # session start, later runs from their own first event
+        us = rows["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        m = len(us)
+        seen += m
         out = []
-
-        def emit(final_end_us):
-            out.append(
-                (
-                    int(key[0]),
-                    int(sid),
-                    pd.Timestamp(start_us, unit="us"),
-                    pd.Timestamp(final_end_us, unit="us"),
-                    int(n),
+        if m:
+            gaps = np.empty(m, dtype=np.int64)
+            gaps[0] = (us[0] - prev_us) if sid >= 0 else gap_us
+            if m > 1:
+                gaps[1:] = us[1:] - us[:-1]
+            run_starts = np.flatnonzero(gaps >= gap_us)
+            run_bounds = np.append(run_starts, m)
+            starts: list[int] = []
+            if sid >= 0:
+                hi = int(run_starts[0]) if run_starts.size else m
+                i, cs = 0, start_us
+                while i < hi:
+                    j = i + int(
+                        np.searchsorted(us[i:hi], cs + max_us, side="right")
+                    )
+                    if j >= hi:
+                        break
+                    starts.append(j)
+                    cs, i = int(us[j]), j
+            for ri in range(len(run_starts)):
+                s_, e_ = int(run_bounds[ri]), int(run_bounds[ri + 1])
+                i = s_
+                while True:
+                    starts.append(i)
+                    j = i + int(
+                        np.searchsorted(us[i:e_], us[i] + max_us, side="right")
+                    )
+                    if j >= e_:
+                        break
+                    i = j
+            starts.sort()
+            if sid >= 0:
+                # the carried OPEN session: extended by the pre-break
+                # prefix (possibly empty — then it closes untouched at
+                # its old end, exactly as the sequential fold emitted)
+                b0 = starts[0] if starts else m
+                end0 = int(us[b0 - 1]) if b0 > 0 else prev_us
+                out.append((int(key[0]), int(sid), start_us, end0, n + b0))
+            for k, sdx in enumerate(starts):
+                e_ = starts[k + 1] if k + 1 < len(starts) else m
+                out.append(
+                    (
+                        int(key[0]),
+                        int(sid) + 1 + k,
+                        int(us[sdx]),
+                        int(us[e_ - 1]),
+                        e_ - sdx,
+                    )
                 )
-            )
-
-        for ts, _eid in zip(rows["ts"], rows["event_id"]):
-            ts_us = int(pd.Timestamp(ts).value // 1000)
-            seen += 1
-            if sid < 0:
-                sid, start_us, prev_us, n = 0, ts_us, ts_us, 1
-                continue
-            if (ts_us - prev_us) >= gap_us or (ts_us - start_us) > max_us:
-                emit(prev_us)  # the previous session just CLOSED
-                sid, start_us, n = sid + 1, ts_us, 1
+            if starts:
+                sid = sid + len(starts)
+                start_us = int(us[starts[-1]])
+                n = m - starts[-1]
             else:
-                n += 1
-            prev_us = ts_us
-        if sid >= 0:
-            emit(prev_us)  # the open session, provisionally
+                n = n + m
+            prev_us = int(us[-1])
+        elif sid >= 0:
+            # empty batch for an existing user: re-emit the open session
+            # provisionally (same as the sequential fold's tail emit)
+            out.append((int(key[0]), int(sid), start_us, prev_us, n))
         state.update((int(sid), int(start_us), int(prev_us), int(n), int(seen)))
         yield pd.DataFrame(
             {
                 "user_id": [r[0] for r in out],
                 "session_id": [r[1] for r in out],
-                "session_start": [r[2] for r in out],
-                "session_end": [r[3] for r in out],
+                "session_start": [pd.Timestamp(r[2], unit="us") for r in out],
+                "session_end": [pd.Timestamp(r[3], unit="us") for r in out],
                 "n_events": [r[4] for r in out],
                 "n_seen": [seen] * len(out),
             }
