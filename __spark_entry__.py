@@ -6589,7 +6589,16 @@ def _coloring_oracle(colors: int, rounds: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
-def _msf_oracle(rounds: int, *, weighted: bool = False) -> str:
+def _msf_oracle(
+    rounds: int,
+    *,
+    weighted: bool = False,
+    edges_sql: str | None = None,
+    seed: str = "msf0",
+    finals_sql: str | None = None,
+    pre_ctes: list[str] | None = None,
+    post_ctes: list[str] | None = None,
+) -> str:
     """Unrolled SQL for minimum_spanning_forest: per round, the
     per-component min-outgoing-edge pick (unique weights ⇒ the MIN
     join is the argmin) and a recursive-CTE closure over the
@@ -6599,14 +6608,14 @@ def _msf_oracle(rounds: int, *, weighted: bool = False) -> str:
     weight and the sort key gains the zero-padded-decimal weight
     prefix — the exact string the Spark side builds."""
     tie = (
-        "md5('msf0' || chr(31) || CAST(a AS VARCHAR) || chr(31) || CAST(b AS VARCHAR)) "
+        f"md5('{seed}' || chr(31) || CAST(a AS VARCHAR) || chr(31) || CAST(b AS VARCHAR)) "
         "|| lpad(CAST(a AS VARCHAR), 20, '0') "
         "|| lpad(CAST(b AS VARCHAR), 20, '0')"
     )
     if weighted:
-        ctes = [
+        ctes = list(pre_ctes or []) + [
             "ed AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, "
-            f"MIN(wv) AS wv FROM ({_EW_SQL}) WHERE src != dst GROUP BY 1, 2)",
+            f"MIN(wv) AS wv FROM ({edges_sql or _EW_SQL}) WHERE src != dst GROUP BY 1, 2)",
             "e AS MATERIALIZED (SELECT a, b, wv, "
             f"lpad(CAST(wv AS VARCHAR), 20, '0') || {tie} AS w FROM ed)",
         ]
@@ -6656,7 +6665,13 @@ def _msf_oracle(rounds: int, *, weighted: bool = False) -> str:
             f"lbl{r+1} AS MATERIALIZED "
             f"(SELECT v, MIN(t) AS label FROM reach{r} GROUP BY v)"
         )
-    if weighted:
+    ctes += list(post_ctes or [])
+    if finals_sql is not None:
+        # caller-provided tail (e.g. a threshold cut + closure over the
+        # forest); with post_ctes it can reference pick0..pick{rounds-1}
+        # and verts
+        finals = finals_sql
+    elif weighted:
         finals = " UNION ALL ".join(
             f"SELECT a, b, CAST(wv AS BIGINT) AS weight, round_added FROM pick{r}"
             for r in range(rounds)
@@ -10564,6 +10579,154 @@ def d09(spark, sf):
     )
 
 
+_D10_PAIR_CTES = [
+    # s21's pair chain verbatim (the d09 oracle), kept as plain CTEs so
+    # the weighted-MSF unroll can consume them as its edge source
+    """c AS (
+      SELECT embedding AS cv,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 64)
+    )""",
+    """dd AS (
+      SELECT e.vec_id, c.cidx,
+             list_sum([CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            AS DECIMAL(38,18))
+                       FOR i IN generate_series(1, len(e.embedding))]) AS d2
+      FROM embeddings e CROSS JOIN c
+    )""",
+    """asg AS (
+      SELECT vec_id, cidx AS cluster
+      FROM (SELECT vec_id, cidx,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cidx ASC) AS rn
+            FROM dd)
+      WHERE rn = 1
+    )""",
+    """memb AS (SELECT asg.cluster, e.vec_id, e.embedding
+          FROM asg JOIN embeddings e USING (vec_id))""",
+    """pr AS (
+      SELECT cluster, vec_id, embedding,
+             list_sum([CAST(CAST(embedding[i] AS DOUBLE)
+                            * (((i - 1) * 2654435761) % 97 - 48)
+                            AS DECIMAL(38,12))
+                       FOR i IN generate_series(1, len(embedding))]) AS proj
+      FROM memb
+    )""",
+    """mm AS (
+      SELECT cluster,
+             CAST((row_number() OVER (PARTITION BY cluster
+                                      ORDER BY proj, vec_id) - 1) // 10
+                  AS BIGINT) AS sub,
+             vec_id, embedding
+      FROM pr
+    )""",
+    """prs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS r6
+      FROM mm a JOIN mm b ON a.cluster = b.cluster AND a.sub = b.sub
+                         AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    )""",
+]
+
+_D10_ROUNDS = 4
+_D10_CUT = 500_000  # integer micro-distance: keep forest edges with cosine >= 0.5
+
+_D10_POST_CTES = [
+    "cutf AS (SELECT a, b FROM ("
+    + " UNION ALL ".join(
+        f"SELECT a, b, wv FROM pick{r}" for r in range(_D10_ROUNDS)
+    )
+    + f") WHERE wv <= {_D10_CUT})",
+    """und2 AS (SELECT a, b FROM cutf
+            UNION SELECT b, a FROM cutf
+            UNION SELECT vec_id, vec_id FROM embeddings)""",
+    """reachF(v, r) AS (
+      SELECT DISTINCT a AS v, a AS r FROM und2
+      UNION
+      SELECT und2.b, reachF.r FROM reachF JOIN und2 ON und2.a = reachF.v
+    )""",
+    "repF AS (SELECT v AS vec_id, MIN(r) AS cluster_rep FROM reachF GROUP BY v)",
+]
+
+
+@_q(
+    "d10_single_linkage_clusters",
+    # ORACLE: the s21 pair chain (d09's CTEs) feeding the weighted
+    # Borůvka unroll — weight = round-6 cosine distance in integer
+    # micro-units, the SAME near-integer both engines round to — then
+    # a threshold cut over the picked forest edges and a recursive
+    # closure with per-vector self-loops (the full-corpus spine).
+    _msf_oracle(
+        _D10_ROUNDS,
+        weighted=True,
+        edges_sql=(
+            "SELECT src, dst, "
+            "CAST(ROUND((1 - r6) * 1000000) AS BIGINT) AS wv FROM prs"
+        ),
+        pre_ctes=_D10_PAIR_CTES,
+        post_ctes=_D10_POST_CTES,
+        finals_sql=(
+            "SELECT vec_id, cluster_rep, "
+            "CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) "
+            "AS cluster_size, vec_id = cluster_rep AS keep FROM repF"
+        ),
+    ),
+)
+def d10(spark, sf):
+    """SINGLE-LINKAGE clustering over embeddings — the dendrogram form
+    of d09 and the operation g32's real-weight MSF exists for: the
+    production-shape pair sweep (s21: fixed k=64 + projection-slice
+    cap, cosine ≥ 0.3) becomes a weighted edge list (weight = cosine
+    DISTANCE quantized to integer micro-units — the round-6 value both
+    engines compute identically), Borůvka picks the minimum spanning
+    forest (single linkage IS the MST), a threshold cut at distance
+    ≤ 0.5 drops the weak merges, and CC over the surviving forest
+    edges (≤ V−1, never the pair graph) with the full-corpus vertex
+    spine yields (vec_id, cluster_rep, cluster_size, keep).  Unlike
+    d09's flat CC-at-threshold, the forest's weights ARE the merge
+    order: re-cutting at any other threshold is a filter over ≤ V−1
+    rows, not a recomputed pair sweep.  Fixed 4-round budget = honest
+    partial forest, replayed verbatim by the oracle
+    (`operators/embeddings.py:semdedup`,
+    `operators/graph.py:minimum_spanning_forest(weight_col)`,
+    `operators/dedup.py:connected_components`)."""
+    from duckdb_graphar_spark.operators.dedup import connected_components
+    from duckdb_graphar_spark.operators.embeddings import (
+        seed_centroids,
+        semdedup,
+    )
+    from duckdb_graphar_spark.operators.graph import minimum_spanning_forest
+
+    e = _t(spark, sf, "embeddings")
+    pairs = semdedup(e, seed_centroids(e, 64), threshold=0.3, max_cluster_size=10)
+    we = pairs.select(
+        F.col("id_keep").alias("src"),
+        F.col("id_drop").alias("dst"),
+        F.round((F.lit(1.0) - F.col("cosine")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("wv"),
+    ).localCheckpoint(eager=True)  # the d07/d09 pin: MSF's rounds would re-run the sweep
+    forest = minimum_spanning_forest(
+        we, rounds=_D10_ROUNDS, weight_col="wv", src_col="src", dst_col="dst"
+    )
+    cut = forest.filter(F.col("weight") <= _D10_CUT).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )
+    verts = e.select(F.col("vec_id").alias("v"))
+    cc = connected_components(cut, verts)
+    w = Window.partitionBy("label")
+    return cc.select(
+        F.col("v").alias("vec_id"),
+        F.col("label").alias("cluster_rep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("v") == F.col("label")).alias("keep"),
+    )
+
+
 @_q(
     "s23_gram_matrix",
     # ORACLE: the same n·d² product expansion — one IEEE double
@@ -11160,16 +11323,17 @@ _PRIORITY = [
     # --- g32 real-weight MSF — never driver-checked beats stale), the 4
     # --- highest-risk REWRITES of the round (q89/q90 segmented-window
     # --- attribution + the O(rows²) following-frame fix; q93's
-    # --- applyInPandas sessionization rewrite; g31 carrying the
-    # --- 12→20-digit tie-break pad change — g27/g30 share that change
-    # --- and q68's window reversal shares q90's, but they are r6/r7-
-    # --- fresh, in-repo oracle-green, and covered by the round-8
-    # --- bare-session sweep, so they yield their slots), then ALL 44
-    # --- remaining r1/r2-stale names — closing the rotation debt the
-    # --- r6/r7 verdicts tracked: after this round no entry's latest
-    # --- driver check is older than r3.
+    # --- applyInPandas sessionization rewrite; d10 the third NEW entry
+    # --- — never-checked beats stale.  g27/g30/g31 carry the 12→20-
+    # --- digit tie-break pad change and q68 shares q90's window
+    # --- reversal, but all four are r6/r7-fresh, in-repo oracle-green,
+    # --- and PASS the round-8 bare-session sweep (/tmp-independent
+    # --- recheck of all 12 touched entries), so they yield their
+    # --- slots), then ALL 44 remaining r1/r2-stale names — closing the
+    # --- rotation debt the r6/r7 verdicts tracked: after this round no
+    # --- entry's latest driver check is older than r3.
     # --- round-8 new / changed (6) ---
-    "m29", "g32", "q89", "q90", "q93", "g31",
+    "m29", "g32", "d10", "q89", "q90", "q93",
     # --- 3 entries last driver-checked in round 1 ---
     "q45", "q46", "t11",
     # --- 41 entries last driver-checked in round 2 ---

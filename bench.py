@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "g31_minimum_spanning_forest",
     "m29_jpeg_progressive",
     "g32_weighted_spanning_forest",
+    "d10_single_linkage_clusters",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface
