@@ -7852,6 +7852,55 @@ def m28(spark, sf):
 
 
 @_q(
+    "m30_tiff_packbits",
+    # ORACLE: m28's stride-5 prediction verbatim — identical pixels;
+    # what changes is the STRIP ENCODING (Compression=32773: per-row
+    # PackBits runs/literals, StripByteCounts carrying COMPRESSED
+    # lengths).  A decoder that ignores the compression tag reads RLE
+    # control bytes as pixels; one that crosses row boundaries in a
+    # run desynchronizes every following strip.
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 9 AS w,
+             1 + doc_id % 7 AS h, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h,
+             unicode(text[CAST((t.j * 5) % L AS INTEGER) + 1]) AS v
+      FROM g, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST((h + 2) // 3 AS BIGINT) AS n_strips,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM b GROUP BY doc_id, w, h
+    """,
+)
+def m30(spark, sf):
+    """PACKBITS-compressed TIFF (Compression=32773 — the baseline RLE
+    every fax/scan pipeline ships; retires half of m28's
+    compressed-TIFF guard): per-ROW PackBits runs and literals (the
+    spec's boundary rule — a run never crosses rows), real COMPRESSED
+    StripByteCounts, decompression inside the same general IFD walk,
+    both byte orders.  Same stride-5 oracle as m28: one prediction,
+    two strip encodings
+    (`operators/multimodal.py:_packbits_row/_packbits_decode`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_tiff,
+        tiff_gray_stats,
+    )
+
+    return tiff_gray_stats(
+        encode_text_tiff(_t(spark, sf, "documents"), packbits=True)
+    )
+
+
+@_q(
     "m26_jpeg_restart_markers",
     # ORACLE: m07's flat-block prediction verbatim — identical image
     # content; what changes is the ENTROPY-STREAM STRUCTURE (DRI
@@ -11332,7 +11381,9 @@ _PRIORITY = [
     # --- slots), then ALL 44 remaining r1/r2-stale names — closing the
     # --- rotation debt the r6/r7 verdicts tracked: after this round no
     # --- entry's latest driver check is older than r3.
-    # --- round-8 new / changed (6) ---
+    # --- round-8 new / changed (6; the round's 4th new entry m30
+    # --- PackBits TIFF queues at 51+ — it must lead the r9 window
+    # --- with g27/g30/g31/q68) ---
     "m29", "g32", "d10", "q89", "q90", "q93",
     # --- 3 entries last driver-checked in round 1 ---
     "q45", "q46", "t11",

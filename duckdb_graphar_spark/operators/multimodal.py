@@ -4485,8 +4485,68 @@ _TIFF_TAGS = {
 }
 
 
+def _packbits_row(row: bytes) -> bytes:
+    """PackBits-compress one row (TIFF 6.0 §9: runs of 2..128 become
+    (257−run, byte); literals of 1..128 become (len−1, bytes); the
+    compression never crosses row boundaries)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and row[i + run] == row[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+        else:
+            lit = i + 1
+            while (
+                lit < n
+                and (lit + 1 >= n or row[lit] != row[lit + 1])
+                and lit - i < 128
+            ):
+                lit += 1
+            out.append(lit - i - 1)
+            out += row[i:lit]
+            i = lit
+    return bytes(out)
+
+
+def _packbits_decode(buf: bytes, expected: int) -> bytes:
+    """Decompress a PackBits stream to exactly ``expected`` bytes
+    (control < 128: literal of control+1 bytes; == 128: no-op;
+    > 128: repeat next byte 257−control times)."""
+    out = bytearray()
+    i = 0
+    while i < len(buf) and len(out) < expected:
+        c = buf[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > len(buf):
+                raise ValueError("truncated PackBits literal")
+            out += buf[i : i + c + 1]
+            i += c + 1
+        elif c == 128:
+            continue  # spec: no-op
+        else:
+            if i >= len(buf):
+                raise ValueError("truncated PackBits run")
+            out += bytes([buf[i]]) * (257 - c)
+            i += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits strip decoded to {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
 def encode_gray_tiff(
-    pixels: np.ndarray, *, rows_per_strip: int = 3, big_endian: bool = False
+    pixels: np.ndarray,
+    *,
+    rows_per_strip: int = 3,
+    big_endian: bool = False,
+    packbits: bool = False,
 ) -> bytes:
     """Write a real baseline TIFF 6.0: byte-order header (II/MM), one
     IFD with the nine baseline grayscale tags (SHORT/LONG types per
@@ -4503,10 +4563,23 @@ def encode_gray_tiff(
         raise ValueError("rows_per_strip must be >= 1")
     bo = ">" if big_endian else "<"
     n_strips = (h + rows_per_strip - 1) // rows_per_strip
-    strips = [
-        pixels[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
-        for i in range(n_strips)
-    ]
+    if packbits:
+        # PackBits per ROW (the spec's boundary rule), concatenated per
+        # strip; StripByteCounts carry the COMPRESSED lengths
+        strips = [
+            b"".join(
+                _packbits_row(pixels[r].tobytes())
+                for r in range(
+                    i * rows_per_strip, min((i + 1) * rows_per_strip, h)
+                )
+            )
+            for i in range(n_strips)
+        ]
+    else:
+        strips = [
+            pixels[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
+            for i in range(n_strips)
+        ]
     # layout: 8-byte header | IFD | offset arrays (if n_strips > 2) | strips
     entries = []  # (tag, type, count, value_or_offset_placeholder)
     ifd_off = 8
@@ -4539,7 +4612,7 @@ def encode_gray_tiff(
         (256, 4, 1, w),
         (257, 4, 1, h),
         (258, 3, 1, 8),        # BitsPerSample SHORT 8
-        (259, 3, 1, 1),        # Compression: none
+        (259, 3, 1, 32773 if packbits else 1),  # Compression: PackBits / none
         (262, 3, 1, 1),        # Photometric: BlackIsZero
         offsets_field,
         (277, 3, 1, 1),        # SamplesPerPixel
@@ -4570,10 +4643,11 @@ def decode_gray_tiff(payload: bytes) -> dict:
     header (II little / MM big — BOTH wire orders must decode), magic
     42, IFD entry loop with SHORT-in-value-field semantics, strip
     offset/count arrays (inline single-strip or stored LONG arrays),
-    strip reassembly.  Returns {width, height, n_strips, pixels (h·w
+    strip reassembly, per-strip PackBits decompression when
+    Compression=32773.  Returns {width, height, n_strips, pixels (h·w
     uint8)}.  Raises ValueError on structural corruption and
-    NotImplementedError on compressed / non-gray / multi-sample /
-    non-8-bit images."""
+    NotImplementedError on LZW-or-other-compressed / non-gray /
+    multi-sample / non-8-bit images."""
     if len(payload) < 8:
         raise ValueError("truncated TIFF header")
     order = payload[:2]
@@ -4609,8 +4683,11 @@ def decode_gray_tiff(payload: bytes) -> dict:
 
     w = req(256)[2]
     h = req(257)[2]
-    if req(259)[2] != 1:
-        raise NotImplementedError("compressed TIFF")
+    comp = req(259)[2]
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            "compressed TIFF (only none and PackBits supported)"
+        )
     if req(262)[2] not in (0, 1):
         raise NotImplementedError("non-grayscale TIFF")
     if tags.get(258, (3, 1, 8))[2] != 8:
@@ -4632,11 +4709,16 @@ def decode_gray_tiff(payload: bytes) -> dict:
 
     offs = longs(otyp, ocount, oval)
     cnts = longs(ctyp, ccount, cval)
+    rps = tags.get(278, (4, 1, h))[2]
     data = bytearray()
-    for o, c in zip(offs, cnts):
+    for k, (o, c) in enumerate(zip(offs, cnts)):
         if o + c > len(payload):
             raise ValueError("strip beyond file")
-        data += payload[o : o + c]
+        raw = payload[o : o + c]
+        if comp == 32773:
+            rows_here = min(rps, h - k * rps)
+            raw = _packbits_decode(raw, rows_here * w)
+        data += raw
     if len(data) != w * h:
         raise ValueError(f"strip bytes {len(data)} != {w}*{h}")
     px = np.frombuffer(bytes(data), np.uint8)
@@ -4662,7 +4744,11 @@ TIFF_GRAY_STATS_SCHEMA = T.StructType(
 
 
 def encode_text_tiff(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    packbits: bool = False,
 ) -> DataFrame:
     """Render each document as a REAL multi-strip baseline TIFF:
     w = 1 + octet_length mod 9, h = 1 + id mod 7, pixel i = text byte
@@ -4685,7 +4771,10 @@ def encode_text_tiff(
                 px = tb[idx].reshape(h, w)
                 payloads.append(
                     encode_gray_tiff(
-                        px, rows_per_strip=3, big_endian=bool(did % 2)
+                        px,
+                        rows_per_strip=3,
+                        big_endian=bool(did % 2),
+                        packbits=packbits,
                     )
                 )
             yield pd.DataFrame(

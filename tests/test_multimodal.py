@@ -1844,3 +1844,77 @@ if _HYP:
             encode_gray_jpeg_progressive(px, restart_interval=ri)
         )
         assert np.array_equal(prog["pixels"], base["pixels"])
+
+
+def test_tiff_packbits_roundtrip_and_guards():
+    """PackBits TIFF: noise / flat / mixed content round-trips exactly
+    through both byte orders and strip layouts; compressed byte counts
+    are genuinely smaller on runs; truncated RLE streams are detected;
+    LZW stays an honest guard."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_gray_tiff,
+        encode_gray_tiff,
+    )
+
+    rng = np.random.default_rng(17)
+    flat = np.full((7, 200), 42, np.uint8)
+    noise = rng.integers(0, 256, (5, 33)).astype(np.uint8)
+    for px in (flat, noise):
+        for be in (False, True):
+            d = decode_gray_tiff(
+                encode_gray_tiff(px, rows_per_strip=3, big_endian=be, packbits=True)
+            )
+            assert np.array_equal(d["pixels"].reshape(px.shape), px)
+    # runs compress: the flat image's payload is far smaller than raw
+    assert len(encode_gray_tiff(flat, packbits=True)) < len(
+        encode_gray_tiff(flat)
+    ) - 1000
+    # truncated run: chop the last strip bytes
+    buf = encode_gray_tiff(flat, rows_per_strip=3, packbits=True)
+    with _pt.raises(ValueError):
+        decode_gray_tiff(buf[:-3])
+    # LZW (Compression=5) stays a scope guard
+    buf2 = bytearray(encode_gray_tiff(noise))
+    # II header: find the Compression entry (tag 259) and set value 5
+    n = struct.unpack("<H", buf2[8:10])[0]
+    for k in range(n):
+        off = 10 + k * 12
+        if struct.unpack("<H", buf2[off : off + 2])[0] == 259:
+            buf2[off + 8 : off + 10] = struct.pack("<H", 5)
+    with _pt.raises(NotImplementedError, match="PackBits"):
+        decode_gray_tiff(bytes(buf2))
+
+
+if _HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 10),
+        seed=st.integers(0, 2**31 - 1),
+        be=st.booleans(),
+        rps=st.integers(1, 4),
+    )
+    def test_tiff_packbits_roundtrip_property(w, h, seed, be, rps):
+        """ANY content/shape/byte-order/strip-layout round-trips
+        losslessly through the PackBits path."""
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_gray_tiff,
+            encode_gray_tiff,
+        )
+
+        rng = np.random.default_rng(seed)
+        # mix runs and noise so both RLE branches execute
+        px = rng.integers(0, 4, (h, w)).astype(np.uint8) * 80
+        d = decode_gray_tiff(
+            encode_gray_tiff(px, rows_per_strip=rps, big_endian=be, packbits=True)
+        )
+        assert np.array_equal(d["pixels"].reshape(h, w), px)
+        assert d["n_strips"] == (h + rps - 1) // rps
