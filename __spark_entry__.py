@@ -4474,6 +4474,78 @@ def st19(spark, sf):
 
 
 @_q(
+    "st20_stream_anti_join",
+    # ORACLE: the equivalent batch LEFT ANTI join — views of users who
+    # NEVER purchase.  The stream is staged as TWO mtime-ordered
+    # micro-batches (every non-purchase event, then the purchases), so
+    # batch-0 emits every view matched=false and batch-1 must CORRECT
+    # the views of every purchasing user out of per-key state — the
+    # emit-and-correct protocol is load-bearing, not decorative.
+    """
+    SELECT v.user_id, v.event_id
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (SELECT 1 FROM events p
+                      WHERE p.event_type = 'purchase'
+                        AND p.user_id = v.user_id)
+    """,
+)
+def st20(spark, sf):
+    """Stream-stream LEFT ANTI join — the join shape Spark's native
+    stream-stream machinery refuses outright ('LeftAnti joins with a
+    streaming DataFrame/Dataset on the right are not supported'),
+    completing the family (inner st07, left st13, full st15, semi
+    st18): the views whose user never purchases.  Anti is a NEGATIVE
+    existence claim, so verdicts are provisional by construction — the
+    operator emits every left's current verdict tagged with the key's
+    strictly-increasing n_seen, corrections re-emit pending lefts when
+    a key's first right arrives, and the caller keeps each left's
+    max-n_seen emission (the st16/st17/st19 reconstruction).  Final
+    matched=false rows equal the batch ANTI oracle
+    (`streaming/ops.py:stream_stream_anti_join`)."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_anti_join,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st20_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        base = time.time() - 120
+        for i, frame in enumerate(
+            (
+                ev.filter(F.col("event_type") != "purchase"),
+                ev.filter(F.col("event_type") == "purchase"),
+            )
+        ):
+            tmp = os.path.join(stage, f"__b{i}")
+            frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1)
+        out = run_to_memory(
+            stream_stream_anti_join(stream), "st20_out", mode="update"
+        )
+        w = Window.partitionBy("event_id").orderBy(F.col("n_seen").desc())
+        final = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(~F.col("matched"))
+        )
+        return final.select("user_id", "event_id")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp

@@ -264,6 +264,7 @@ ST_QUERIES = [
     "st17_streaming_cms",
     "st18_stream_semi_join",
     "st19_streaming_capped_sessions",
+    "st20_stream_anti_join",
 ]
 
 

@@ -1104,3 +1104,108 @@ def streaming_capped_sessions(
             update, out_schema, state_schema, "update", "NoTimeout"
         )
     )
+
+
+def stream_stream_anti_join(
+    events: DataFrame,
+    *,
+    on: str = "user_id",
+    left_type: str = "view",
+    right_type: str = "purchase",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Stream-stream LEFT ANTI join on a key — the one join shape
+    Spark's native stream-stream machinery REFUSES ("LeftAnti joins
+    with a streaming DataFrame/Dataset on the right are not
+    supported"): the ``left_type`` events whose key NEVER sees a
+    ``right_type`` event.  Anti is intrinsically a negative existence
+    claim, so no row's verdict is final until the stream ends — the
+    operator therefore runs the st16/st17/st19 EMIT-AND-CORRECT
+    protocol over per-key state:
+
+    * state per key: (right_seen, pending left ids, n_seen);
+    * a batch with only lefts emits them ``matched=false`` and appends
+      to pending;
+    * the batch bringing the key's FIRST right emits every pending
+      left ``matched=true`` (the correction) and clears pending;
+      later lefts emit ``matched=true`` immediately with empty state;
+    * every emission carries the key's strictly-increasing ``n_seen``
+      — the caller keeps each left event's max-``n_seen`` emission and
+      the final ``matched=false`` rows are the anti result, equal to
+      the batch ANTI oracle over the same input.
+
+    State honesty: pending is bounded by the lefts a key accumulates
+    BEFORE its first right — for true anti keys that is their full
+    left set, i.e. the result itself; keys that do match collapse to a
+    boolean.  A production deployment bounds it with an event-time
+    horizon (watermark timeout eviction = "no match within T counts as
+    anti"); this operator keeps the exact unbounded-horizon semantics
+    the batch oracle states."""
+    if not events.isStreaming:
+        raise ValueError(
+            "stream_stream_anti_join needs a streaming DataFrame "
+            "(applyInPandasWithState is stream-only); in batch use a "
+            "plain LEFT ANTI join — the oracle path"
+        )
+    flat = events.select(
+        F.col(on).alias("k"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.when(F.col("event_type") == left_type, F.lit(1))
+        .when(F.col("event_type") == right_type, F.lit(2))
+        .otherwise(F.lit(0))
+        .alias("side"),
+    ).filter(F.col("side") > 0).withWatermark("ts", watermark)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("matched", T.BooleanType(), False),
+            T.StructField("n_seen", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("right_seen", T.BooleanType(), False),
+            T.StructField("pending", T.ArrayType(T.LongType()), False),
+            T.StructField("seen", T.LongType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        right_seen, pending, seen = (
+            state.get if state.exists else (False, [], 0)
+        )
+        pending = list(pending)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        seen += len(rows)
+        lefts = [int(e) for e in rows.loc[rows["side"] == 1, "event_id"]]
+        has_right = bool((rows["side"] == 2).any())
+        out_ids: list[int] = []
+        out_matched: list[bool] = []
+        if right_seen:
+            out_ids, out_matched = lefts, [True] * len(lefts)
+        elif has_right:
+            # the key's first right: correct every pending left
+            out_ids = pending + lefts
+            out_matched = [True] * len(out_ids)
+            right_seen, pending = True, []
+        else:
+            pending = pending + lefts
+            out_ids, out_matched = lefts, [False] * len(lefts)
+        state.update((bool(right_seen), pending, int(seen)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(out_ids),
+                "event_id": out_ids,
+                "matched": out_matched,
+                "n_seen": [seen] * len(out_ids),
+            }
+        )
+
+    return flat.groupBy("k").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

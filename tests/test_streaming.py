@@ -491,3 +491,92 @@ def test_streaming_capped_sessions_requires_stream(spark):
     )
     with _pt.raises(ValueError, match="streaming"):
         streaming_capped_sessions(df)
+
+
+def test_stream_anti_join_corrects_across_batches(spark, tmp_path):
+    """Hand-built two-batch fixture: users 1 and 2 view in batch 0;
+    user 2's first purchase arrives only in batch 1, so its batch-0
+    matched=false emissions MUST be corrected out of state; user 3
+    purchases before ever viewing (later views emit matched=true
+    immediately).  The reconstructed anti set = user 1's views only —
+    the batch LEFT ANTI result."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_anti_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        (1, m(0), 1, "view", 0.0, ""),
+        (2, m(1), 1, "view", 0.0, ""),
+        (3, m(2), 2, "view", 0.0, ""),
+        (4, m(3), 2, "view", 0.0, ""),
+        (5, m(4), 3, "purchase", 0.0, ""),
+        # batch 1 (ts > 30)
+        (6, m(40), 2, "purchase", 0.0, ""),
+        (7, m(41), 3, "view", 0.0, ""),
+        (8, m(42), 1, "view", 0.0, ""),
+        (9, m(43), 4, "click", 0.0, ""),  # neither side: ignored
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 60
+    for i, cond in enumerate((F.col("ts") <= m(30), F.col("ts") > m(30))):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 30 * i, t0 + 30 * i))
+    stream = read_events_stream(spark, stage, max_files=1)
+    sink = run_to_memory(
+        stream_stream_anti_join(stream), "st_anti_test", mode="update"
+    )
+    raw = spark.createDataFrame(sink.collect(), sink.schema)
+    # user 2's batch-0 views were provisionally emitted matched=false
+    assert raw.filter(
+        (F.col("user_id") == 2) & ~F.col("matched")
+    ).count() == 2
+    final_n = raw.groupBy("event_id").agg(F.max("n_seen").alias("n_seen"))
+    final = raw.join(final_n, ["event_id", "n_seen"])
+    anti = {
+        (r.user_id, r.event_id)
+        for r in final.filter(~F.col("matched")).collect()
+    }
+    assert anti == {(1, 1), (1, 2), (1, 8)}
+    # ...and the corrected user-2 / immediate user-3 verdicts are true
+    assert {
+        (r.user_id, r.event_id)
+        for r in final.filter(F.col("matched")).collect()
+    } == {(2, 3), (2, 4), (3, 7)}
+
+
+def test_stream_anti_join_requires_stream(spark):
+    """applyInPandasWithState is stream-only: batch input must raise
+    the documented ValueError, not an opaque JVM error."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from duckdb_graphar_spark.streaming.ops import stream_stream_anti_join
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "click", 0.0, "")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    with _pt.raises(ValueError, match="streaming"):
+        stream_stream_anti_join(df)
