@@ -7973,6 +7973,58 @@ def m30(spark, sf):
 
 
 @_q(
+    "m31_tiff_lzw",
+    # ORACLE: m28's stride-5 prediction verbatim — identical pixels;
+    # what changes is the STRIP ENCODING (Compression=5: per-strip LZW
+    # with MSB-first codes and the spec's EARLY-CHANGE width rule —
+    # the wire-level opposite of the GIF LZW already in the suite,
+    # which is LSB-first with late change; a decoder that confuses the
+    # two desynchronizes at the first 9→10-bit boundary).
+    """
+    WITH g AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 9 AS w,
+             1 + doc_id % 7 AS h, text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h,
+             unicode(text[CAST((t.j * 5) % L AS INTEGER) + 1]) AS v
+      FROM g, UNNEST(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST((h + 2) // 3 AS BIGINT) AS n_strips,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM b GROUP BY doc_id, w, h
+    """,
+)
+def m31(spark, sf):
+    """LZW-compressed TIFF (Compression=5 — closing the compressed-
+    TIFF guard m30's PackBits halved): per-STRIP LZW with TIFF's wire
+    choices — MSB-first bit packing, EARLY-CHANGE code widths (bump at
+    next-available == 2^w − 1, one code before GIF's rule), ClearCode
+    reset at the 4094 boundary — decompressed inside the same general
+    IFD walk, both byte orders.  The suite now carries BOTH LZW wire
+    variants (GIF m17: LSB-first late-change; TIFF m31: MSB-first
+    early-change), so a shared-bug shortcut between them is
+    structurally impossible.  Same stride-5 oracle as m28/m30: one
+    prediction, three strip encodings
+    (`operators/multimodal.py:_lzw_encode_tiff/_lzw_decode_tiff`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_tiff,
+        tiff_gray_stats,
+    )
+
+    return tiff_gray_stats(
+        encode_text_tiff(_t(spark, sf, "documents"), lzw=True)
+    )
+
+
+@_q(
     "m26_jpeg_restart_markers",
     # ORACLE: m07's flat-block prediction verbatim — identical image
     # content; what changes is the ENTROPY-STREAM STRUCTURE (DRI
@@ -11453,9 +11505,10 @@ _PRIORITY = [
     # --- slots), then ALL 44 remaining r1/r2-stale names — closing the
     # --- rotation debt the r6/r7 verdicts tracked: after this round no
     # --- entry's latest driver check is older than r3.
-    # --- round-8 new / changed (6; the round's 4th new entry m30
-    # --- PackBits TIFF queues at 51+ — it must lead the r9 window
-    # --- with g27/g30/g31/q68) ---
+    # --- round-8 new / changed (6; the round's 4th-6th new entries
+    # --- m30 PackBits TIFF, m31 LZW TIFF, st20 stream anti join queue
+    # --- at 51+ — they must lead the r9 window with g27/g30/g31/q68;
+    # --- all are in-repo oracle-green AND bare-session-sweep green) ---
     "m29", "g32", "d10", "q89", "q90", "q93",
     # --- 3 entries last driver-checked in round 1 ---
     "q45", "q46", "t11",

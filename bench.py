@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "m29_jpeg_progressive",
     "g32_weighted_spanning_forest",
     "d10_single_linkage_clusters",
+    "m30_tiff_packbits",
+    "m31_tiff_lzw",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

@@ -4541,12 +4541,130 @@ def _packbits_decode(buf: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode_tiff(raw: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): 8-bit symbols, ClearCode=256,
+    EOI=257, MSB-first bit packing, and the spec's EARLY CHANGE — the
+    code width bumps when the next available code equals 2^width − 1
+    (one code earlier than GIF's rule); table resets via ClearCode at
+    4094 (the 12-bit early-change boundary).  Differs from
+    :func:`_lzw_encode_gif` in all three wire-level choices."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    w = b""
+    for s_ in raw:
+        k = w + bytes([s_])
+        if k in table:
+            w = k
+            continue
+        put(table[w], width)
+        table[k] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change
+        if next_code == 4094:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([s_])
+    if w:
+        put(table[w], width)
+        # the decoder appends one phantom entry for this final data code
+        # too — mirror its accounting so EOI's width agrees
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)  # left-justified pad
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, n_expected: int) -> bytes:
+    """TIFF-variant LZW decode: MSB-first codes, early-change width
+    growth (next available code == 2^width − 1), ClearCode resets, the
+    KwKwK corner.  Raises ValueError on out-of-range codes, missing
+    EOI, or byte-count mismatch."""
+    CLEAR, EOI = 256, 257
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before EOI")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        return code
+
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    while True:
+        code = get(width)
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"LZW first code {code} not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table {len(table)}")
+        out += entry
+        prev = entry
+        # early change, counting the encoder's PENDING entry (the
+        # decoder's table is one entry behind — the same offset the
+        # KwKwK case exists for): bump when len + 1 == 2^width − 1
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != n_expected:
+        raise ValueError(
+            f"LZW decoded {len(out)} bytes, expected {n_expected}"
+        )
+    return bytes(out)
+
+
 def encode_gray_tiff(
     pixels: np.ndarray,
     *,
     rows_per_strip: int = 3,
     big_endian: bool = False,
     packbits: bool = False,
+    lzw: bool = False,
 ) -> bytes:
     """Write a real baseline TIFF 6.0: byte-order header (II/MM), one
     IFD with the nine baseline grayscale tags (SHORT/LONG types per
@@ -4561,9 +4679,20 @@ def encode_gray_tiff(
         raise ValueError("empty image")
     if rows_per_strip < 1:
         raise ValueError("rows_per_strip must be >= 1")
+    if packbits and lzw:
+        raise ValueError("pick at most one of packbits/lzw")
     bo = ">" if big_endian else "<"
     n_strips = (h + rows_per_strip - 1) // rows_per_strip
-    if packbits:
+    if lzw:
+        # LZW per STRIP (TIFF 6.0 §13: strips compress independently);
+        # StripByteCounts carry the COMPRESSED lengths
+        strips = [
+            _lzw_encode_tiff(
+                pixels[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
+            )
+            for i in range(n_strips)
+        ]
+    elif packbits:
         # PackBits per ROW (the spec's boundary rule), concatenated per
         # strip; StripByteCounts carry the COMPRESSED lengths
         strips = [
@@ -4612,7 +4741,8 @@ def encode_gray_tiff(
         (256, 4, 1, w),
         (257, 4, 1, h),
         (258, 3, 1, 8),        # BitsPerSample SHORT 8
-        (259, 3, 1, 32773 if packbits else 1),  # Compression: PackBits / none
+        # Compression: LZW(5) / PackBits(32773) / none(1)
+        (259, 3, 1, 5 if lzw else (32773 if packbits else 1)),
         (262, 3, 1, 1),        # Photometric: BlackIsZero
         offsets_field,
         (277, 3, 1, 1),        # SamplesPerPixel
@@ -4684,9 +4814,9 @@ def decode_gray_tiff(payload: bytes) -> dict:
     w = req(256)[2]
     h = req(257)[2]
     comp = req(259)[2]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            "compressed TIFF (only none and PackBits supported)"
+            "compressed TIFF (only none, LZW, and PackBits supported)"
         )
     if req(262)[2] not in (0, 1):
         raise NotImplementedError("non-grayscale TIFF")
@@ -4715,9 +4845,11 @@ def decode_gray_tiff(payload: bytes) -> dict:
         if o + c > len(payload):
             raise ValueError("strip beyond file")
         raw = payload[o : o + c]
+        rows_here = min(rps, h - k * rps)
         if comp == 32773:
-            rows_here = min(rps, h - k * rps)
             raw = _packbits_decode(raw, rows_here * w)
+        elif comp == 5:
+            raw = _lzw_decode_tiff(raw, rows_here * w)
         data += raw
     if len(data) != w * h:
         raise ValueError(f"strip bytes {len(data)} != {w}*{h}")
@@ -4749,6 +4881,7 @@ def encode_text_tiff(
     id_col: str = "doc_id",
     text_col: str = "text",
     packbits: bool = False,
+    lzw: bool = False,
 ) -> DataFrame:
     """Render each document as a REAL multi-strip baseline TIFF:
     w = 1 + octet_length mod 9, h = 1 + id mod 7, pixel i = text byte
@@ -4775,6 +4908,7 @@ def encode_text_tiff(
                         rows_per_strip=3,
                         big_endian=bool(did % 2),
                         packbits=packbits,
+                        lzw=lzw,
                     )
                 )
             yield pd.DataFrame(

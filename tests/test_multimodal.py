@@ -1712,13 +1712,15 @@ def test_tiff_roundtrip_strips_and_guards():
     bad_magic[2:4] = struct.pack("<H", 43)
     with _pt.raises(ValueError, match="magic"):
         decode_gray_tiff(bytes(bad_magic))
-    # flip Compression (tag 259) to 5 (LZW): honest scope guard
+    # flip Compression (tag 259) to 2 (CCITT G3): honest scope guard
+    # (PackBits and LZW were retired as guards by m30/m31 — they
+    # decode for real now)
     comp = bytearray(ok)
     # IFD starts at 8; entry i at 10 + 12*i; tag 259 is the 4th entry
     for i in range(9):
         off = 10 + 12 * i
         if struct.unpack("<H", comp[off : off + 2])[0] == 259:
-            comp[off + 8 : off + 10] = struct.pack("<H", 5)
+            comp[off + 8 : off + 10] = struct.pack("<H", 2)
     with _pt.raises(NotImplementedError, match="compressed"):
         decode_gray_tiff(bytes(comp))
 
@@ -1878,14 +1880,15 @@ def test_tiff_packbits_roundtrip_and_guards():
     buf = encode_gray_tiff(flat, rows_per_strip=3, packbits=True)
     with _pt.raises(ValueError):
         decode_gray_tiff(buf[:-3])
-    # LZW (Compression=5) stays a scope guard
+    # CCITT G3 (Compression=2) stays a scope guard (LZW was retired
+    # as a guard by m31 — it decodes for real now)
     buf2 = bytearray(encode_gray_tiff(noise))
-    # II header: find the Compression entry (tag 259) and set value 5
+    # II header: find the Compression entry (tag 259) and set value 2
     n = struct.unpack("<H", buf2[8:10])[0]
     for k in range(n):
         off = 10 + k * 12
         if struct.unpack("<H", buf2[off : off + 2])[0] == 259:
-            buf2[off + 8 : off + 10] = struct.pack("<H", 5)
+            buf2[off + 8 : off + 10] = struct.pack("<H", 2)
     with _pt.raises(NotImplementedError, match="PackBits"):
         decode_gray_tiff(bytes(buf2))
 
@@ -1918,3 +1921,69 @@ if _HYP:
         )
         assert np.array_equal(d["pixels"].reshape(h, w), px)
         assert d["n_strips"] == (h + rps - 1) // rps
+
+
+def test_tiff_lzw_roundtrip_and_wire_choices():
+    """TIFF LZW: round-trips through both byte orders; the stream is
+    genuinely MSB-first early-change (flipping the compression tag to
+    GIF-style decode is impossible here, but the two variants' encoders
+    produce different bytes for the same input — pinned); truncation is
+    detected; width-boundary content (256 distinct bytes) survives."""
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        _lzw_encode_gif,
+        _lzw_encode_tiff,
+        decode_gray_tiff,
+        encode_gray_tiff,
+    )
+
+    rng = np.random.default_rng(29)
+    ramp = np.arange(256, dtype=np.uint8).reshape(8, 32)  # forces 9->10 bits
+    noise = rng.integers(0, 256, (7, 41)).astype(np.uint8)
+    flat = np.full((6, 500), 3, np.uint8)  # long KwKwK runs
+    for px in (ramp, noise, flat):
+        for be in (False, True):
+            d = decode_gray_tiff(
+                encode_gray_tiff(px, rows_per_strip=3, big_endian=be, lzw=True)
+            )
+            assert np.array_equal(d["pixels"].reshape(px.shape), px)
+    # the two LZW wire variants disagree on bytes for identical input
+    raw = ramp.reshape(-1)
+    assert _lzw_encode_tiff(raw.tobytes()) != _lzw_encode_gif(raw, 8)
+    # truncated stream detected
+    buf = encode_gray_tiff(noise, lzw=True)
+    with _pt.raises(ValueError):
+        decode_gray_tiff(buf[:-4])
+    with _pt.raises(ValueError, match="at most one"):
+        encode_gray_tiff(noise, lzw=True, packbits=True)
+
+
+if _HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 10),
+        seed=st.integers(0, 2**31 - 1),
+        be=st.booleans(),
+        rps=st.integers(1, 4),
+        alphabet=st.integers(2, 256),
+    )
+    def test_tiff_lzw_roundtrip_property(w, h, seed, be, rps, alphabet):
+        """ANY content/shape/byte-order/strip-layout/alphabet-size
+        round-trips losslessly through the TIFF LZW path."""
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_gray_tiff,
+            encode_gray_tiff,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, alphabet, (h, w)).astype(np.uint8)
+        d = decode_gray_tiff(
+            encode_gray_tiff(px, rows_per_strip=rps, big_endian=be, lzw=True)
+        )
+        assert np.array_equal(d["pixels"].reshape(h, w), px)
