@@ -8286,6 +8286,85 @@ def m16(spark, sf):
 
 
 @_q(
+    "m32_progressive_color_jpeg",
+    # ORACLE: m10's fixed-point BT.601 round-trip verbatim — the
+    # fixture's flat 16×16 MCUs make the 4:2:0 chroma mean an identity,
+    # so the 4:4:4 PROGRESSIVE encoding decodes to the same colors;
+    # what changes is the ENTIRE scan architecture (SOF2, eight scans:
+    # interleaved DC with PER-COMPONENT predictors, per-component
+    # spectral AC at Al=1, DC/AC refinement to Al=0, per-scan Huffman
+    # redefinition).
+    """
+    WITH docs AS (
+      SELECT doc_id, length(text) AS L,
+             1 + length(text) % 3 AS wm,
+             1 + doc_id % 2 AS hm, text
+      FROM documents
+    ),
+    mcus AS (
+      SELECT doc_id, wm, hm,
+             unicode(text[CAST(m % L AS INTEGER) + 1]) AS vr,
+             unicode(text[CAST((2 * m + 1) % L AS INTEGER) + 1]) AS vg,
+             unicode(text[CAST((3 * m + 2) % L AS INTEGER) + 1]) AS vb
+      FROM docs, UNNEST(generate_series(0, CAST(wm * hm AS BIGINT) - 1)) AS t(m)
+    ),
+    yc AS (
+      SELECT doc_id, wm, hm,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          (19595 * vr + 38470 * vg + 7471 * vb + 32768) / 65536.0) AS BIGINT)))
+          AS y,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          (-11059 * vr - 21709 * vg + 32768 * vb + 32768) / 65536.0) AS BIGINT)
+          + 128)) AS cb,
+        LEAST(255, GREATEST(0, CAST(FLOOR(
+          (32768 * vr - 27439 * vg - 5329 * vb + 32768) / 65536.0) AS BIGINT)
+          + 128)) AS cr
+      FROM mcus
+    ),
+    rgb AS (
+      SELECT doc_id, wm, hm,
+        LEAST(255, GREATEST(0, y + CAST(FLOOR(
+          (91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS rr,
+        LEAST(255, GREATEST(0, y - CAST(FLOOR(
+          (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) / 65536.0)
+          AS BIGINT))) AS gg,
+        LEAST(255, GREATEST(0, y + CAST(FLOOR(
+          (116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS bb
+      FROM yc
+    )
+    SELECT doc_id,
+           CAST(16 * wm AS BIGINT) AS width,
+           CAST(16 * hm AS BIGINT) AS height,
+           CAST(256 * SUM(rr) AS BIGINT) AS sum_r,
+           CAST(256 * SUM(gg) AS BIGINT) AS sum_g,
+           CAST(256 * SUM(bb) AS BIGINT) AS sum_b
+    FROM rgb GROUP BY doc_id, wm, hm
+    """,
+)
+def m32(spark, sf):
+    """PROGRESSIVE COLOR JPEG (SOF2, 4:4:4) — closing the JPEG family:
+    the interleaved-DC progressive structure real photo JPEGs carry
+    (T.81 allows interleave only for progressive DC scans; the three
+    components keep separate predictors inside one MCU loop), plus
+    per-component spectral-selection AC scans and successive-
+    approximation refinement, decoded by accumulating three coefficient
+    planes across eight scans and IDCT-ing once at EOI — then the same
+    fixed-point YCbCr→RGB as baseline.  m10's oracle verbatim: one
+    fixed-point prediction, THREE color wire formats now (m10 4:2:0
+    baseline, 4:4:4 baseline, m32 4:4:4 progressive)
+    (`operators/multimodal.py:encode_color_jpeg_progressive/
+    _decode_prog_dc_scan`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_color_jpeg,
+        jpeg_color_stats,
+    )
+
+    return jpeg_color_stats(
+        encode_text_color_jpeg(_t(spark, sf, "documents"), progressive=True)
+    )
+
+
+@_q(
     "m10_color_jpeg",
     # ORACLE: never sees the JPEG bytes — the fixture image is wm×hm
     # FLAT 16×16 MCUs (MCU m's RGB = text bytes m, 2m+1, 3m+2 mod L),
@@ -11505,10 +11584,11 @@ _PRIORITY = [
     # --- slots), then ALL 44 remaining r1/r2-stale names — closing the
     # --- rotation debt the r6/r7 verdicts tracked: after this round no
     # --- entry's latest driver check is older than r3.
-    # --- round-8 new / changed (6; the round's 4th-6th new entries
-    # --- m30 PackBits TIFF, m31 LZW TIFF, st20 stream anti join queue
-    # --- at 51+ — they must lead the r9 window with g27/g30/g31/q68;
-    # --- all are in-repo oracle-green AND bare-session-sweep green) ---
+    # --- round-8 new / changed (6; the round's 4th-7th new entries
+    # --- m30 PackBits TIFF, m31 LZW TIFF, m32 progressive color JPEG,
+    # --- st20 stream anti join queue at 51+ — they must lead the r9
+    # --- window with g27/g30/g31/q68; all are in-repo oracle-green
+    # --- AND bare-session-sweep green) ---
     "m29", "g32", "d10", "q89", "q90", "q93",
     # --- 3 entries last driver-checked in round 1 ---
     "q45", "q46", "t11",

@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "d10_single_linkage_clusters",
     "m30_tiff_packbits",
     "m31_tiff_lzw",
+    "m32_progressive_color_jpeg",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

@@ -1432,6 +1432,168 @@ def ycbcr_to_rgb_fixed(y, cb, cr):
     return clip(r), clip(g), clip(b)
 
 
+def _emit_prog_dc_interleaved(coefs_list, ah: int, al: int, em) -> None:
+    """Emit one INTERLEAVED progressive DC scan (Ns > 1 — T.81 allows
+    interleave only for DC scans): per MCU (one block per component at
+    1×1 sampling), each component codes its DC with its OWN predictor;
+    refinement scans are one raw bit per block per component."""
+    nblk = coefs_list[0].shape[0]
+    preds = [0] * len(coefs_list)
+    for i in range(nblk):
+        for c, coefs in enumerate(coefs_list):
+            dc = int(coefs[i, 0])
+            if ah == 0:
+                tmp = dc >> al
+                diff = tmp - preds[c]
+                preds[c] = tmp
+                sz = _jpeg_category(diff)
+                em.sym(sz)
+                if sz:
+                    amp = diff if diff > 0 else diff + (1 << sz) - 1
+                    em.put(amp, sz)
+            else:
+                em.put((dc >> al) & 1, 1)
+
+
+def _decode_prog_dc_scan(
+    data: bytes, pos: int, coefs_list, dc_tbls, ah: int, al: int
+) -> int:
+    """Decode one progressive DC scan (interleaved or single-component
+    — ``coefs_list``/``dc_tbls`` carry the scan's components in scan
+    order) into the per-component zigzag coefficient arrays; returns
+    the position of the next marker."""
+    if ah == 0 and any(t is None for t in dc_tbls):
+        raise ValueError("scan references undefined DC Huffman table")
+    br = _BitReader(data, pos)
+    nblk = coefs_list[0].shape[0]
+    preds = [0] * len(coefs_list)
+    delta = 1 << al
+    for i in range(nblk):
+        for c, blk in enumerate(coefs_list):
+            if ah == 0:
+                sz = br.huff(dc_tbls[c])
+                diff = _jpeg_extend(br.bits(sz), sz) if sz else 0
+                preds[c] += diff
+                blk[i, 0] = preds[c] << al
+            else:
+                if br.bits(1):
+                    blk[i, 0] |= delta
+    return _skip_to_marker(data, br.pos)
+
+
+def encode_color_jpeg_progressive(pixels_rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a REAL PROGRESSIVE COLOR
+    JFIF JPEG — SOF2, 4:4:4 (1×1 sampling; T.81 allows interleave only
+    for progressive DC scans, and 1×1 keeps the MCU = one block per
+    component): the same fixed-point BT.601 transform and all-ones
+    quantization as :func:`encode_color_jpeg`, delivered as EIGHT
+    scans — interleaved DC first (per-component predictors, Al=1),
+    per-component AC 1–63 first at Al=1, interleaved DC refinement,
+    per-component AC refinement to Al=0.  Refinement completes full
+    coefficient precision, so the stream decodes to EXACTLY the pixels
+    the baseline 4:4:4 encoding decodes to.  Per-scan optimized flat
+    Huffman tables (DHT redefined between scans)."""
+    h, w, c = pixels_rgb.shape
+    if c != 3:
+        raise ValueError("encode_color_jpeg_progressive expects (h, w, 3) RGB")
+    if h % 8 or w % 8:
+        raise ValueError(
+            f"encode_color_jpeg_progressive needs multiple-of-8 dims, got {w}x{h}"
+        )
+    if h > 65535 or w > 65535:
+        raise ValueError("image too large for SOF2")
+    px = pixels_rgb.astype(np.int64)
+    planes = rgb_to_ycbcr_fixed(px[..., 0], px[..., 1], px[..., 2])
+    nby, nbx = h // 8, w // 8
+    coefs = []
+    for plane in planes:
+        f = plane.astype(np.float64) - 128.0
+        cc = np.zeros((nby * nbx, 64), dtype=np.int64)
+        i = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                block = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.rint(_JPEG_DCT_M @ block @ _JPEG_DCT_M.T).astype(np.int64)
+                cc[i] = q.reshape(-1)[_JPEG_ZIGZAG]
+                i += 1
+        coefs.append(cc)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )  # APP0
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc2"
+        + struct.pack(">H", 8 + 3 * 3)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + b"\x01\x11\x00"
+        + b"\x02\x11\x00"
+        + b"\x03\x11\x00"
+    )  # SOF2: 3 components, all 1x1, qtable 0
+
+    def emit_dht(freq: dict, cls: int) -> dict:
+        bits, vals = _flat_dht(freq)
+        nonlocal out
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 3 + 16 + len(vals))
+            + bytes([cls])
+            + bytes(bits)
+            + bytes(vals)
+        )
+        return _huff_canonical(bits, vals)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> None:
+        nonlocal out
+        ns = len(comp_ids)
+        out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ns) + bytes([ns])
+        for cid in comp_ids:
+            out += bytes([cid, 0x00])  # every scan uses table 0 of its class
+        out += bytes([ss, se, (ah << 4) | al])
+
+    # 1. interleaved DC first (Al=1)
+    cnt = _SymFreq()
+    _emit_prog_dc_interleaved(coefs, 0, 1, cnt)
+    codes = emit_dht(cnt.freq, 0x00)
+    sos([1, 2, 3], 0, 0, 0, 1)
+    bw = _BitWriter()
+    _emit_prog_dc_interleaved(coefs, 0, 1, _ScanWriter(bw, codes))
+    out += bw.flush()
+    # 2-4. per-component AC first (Al=1)
+    for ci in range(3):
+        cnt = _SymFreq()
+        _emit_prog_scan(coefs[ci], 1, 63, 0, 1, cnt, 0)
+        codes = emit_dht(cnt.freq, 0x10)
+        sos([ci + 1], 1, 63, 0, 1)
+        bw = _BitWriter()
+        _emit_prog_scan(coefs[ci], 1, 63, 0, 1, _ScanWriter(bw, codes), 0)
+        out += bw.flush()
+    # 5. interleaved DC refinement (raw bits, no Huffman)
+    sos([1, 2, 3], 0, 0, 1, 0)
+    bw = _BitWriter()
+    _emit_prog_dc_interleaved(coefs, 1, 0, _ScanWriter(bw, {}))
+    out += bw.flush()
+    # 6-8. per-component AC refinement
+    for ci in range(3):
+        cnt = _SymFreq()
+        _emit_prog_scan(coefs[ci], 1, 63, 1, 0, cnt, 0)
+        codes = emit_dht(cnt.freq, 0x10)
+        sos([ci + 1], 1, 63, 1, 0)
+        bw = _BitWriter()
+        _emit_prog_scan(coefs[ci], 1, 63, 1, 0, _ScanWriter(bw, codes), 0)
+        out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def encode_color_jpeg(
     pixels_rgb: np.ndarray, *, subsampling: str = "420"
 ) -> bytes:
@@ -1545,9 +1707,13 @@ def decode_color_jpeg(payload: bytes) -> dict:
     fixed-point YCbCr→RGB).  Handles BOTH baseline color samplings:
     4:2:0 (luma 2×2, 16×16 MCUs, replication upsample) and 4:4:4
     (all 1×1, 8×8 MCUs, full-resolution chroma).  Returns {width,
-    height, pixels (h·w·3 uint8 row-major RGB)}.  Raises ValueError on
-    structural corruption and NotImplementedError on progressive
-    streams or other samplings."""
+    height, pixels (h·w·3 uint8 row-major RGB)}.  Also decodes
+    PROGRESSIVE (SOF2) color at 4:4:4: interleaved DC scans with
+    per-component predictors, per-component spectral/successive-
+    approximation AC scans, coefficients accumulated across scans, one
+    IDCT per component at EOI.  Raises ValueError on structural
+    corruption and NotImplementedError on SOF1/SOF3, subsampled
+    progressive, or other samplings."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1556,6 +1722,8 @@ def decode_color_jpeg(payload: bytes) -> dict:
     w = h = None
     comps: list[tuple[int, int, int, int]] = []  # (id, hsamp, vsamp, tq)
     scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (dc tid, ac tid)
+    progressive = False
+    pcoefs: list[np.ndarray] | None = None
     while pos < len(payload):
         if pos + 2 > len(payload):
             raise ValueError(f"truncated marker at {pos}")
@@ -1588,9 +1756,9 @@ def decode_color_jpeg(payload: bytes) -> dict:
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[_JPEG_ZIGZAG] = zz
                 qtables[tq] = tbl
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline sequential (SOF0)")
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC1, 0xC3):
+            raise NotImplementedError("only baseline (SOF0) or progressive (SOF2)")
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit precision")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -1601,6 +1769,13 @@ def decode_color_jpeg(payload: bytes) -> dict:
                 cid = seg[6 + 3 * ci]
                 samp = seg[7 + 3 * ci]
                 comps.append((cid, samp >> 4, samp & 0x0F, seg[8 + 3 * ci]))
+            progressive = marker == 0xC2
+            if progressive and any(
+                (hs, vs) != (1, 1) for _, hs, vs, _ in comps
+            ):
+                raise NotImplementedError(
+                    "progressive color only supports 4:4:4 (1x1 sampling)"
+                )
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(seg):
@@ -1616,6 +1791,60 @@ def decode_color_jpeg(payload: bytes) -> dict:
                 off += 17 + nvals
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if progressive:
+                if w is None:
+                    raise ValueError("SOS before SOF2")
+                if h % 8 or w % 8:
+                    raise NotImplementedError("partial edge blocks not supported")
+                if pcoefs is None:
+                    nblk = (h // 8) * (w // 8)
+                    pcoefs = [
+                        np.zeros((nblk, 64), dtype=np.int64) for _ in comps
+                    ]
+                cidx = {cid: k for k, (cid, *_rest) in enumerate(comps)}
+                scomps = []
+                for si in range(ns):
+                    cid = seg[1 + 2 * si]
+                    if cid not in cidx:
+                        raise ValueError(f"scan references unknown component {cid}")
+                    scomps.append(
+                        (cidx[cid], seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 0x0F)
+                    )
+                ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah_, al_ = ahal >> 4, ahal & 0x0F
+                if ss_ == 0:  # DC scan (the only interleavable kind)
+                    if se_ != 0:
+                        raise ValueError("progressive DC scan must have Se = 0")
+                    pos = _decode_prog_dc_scan(
+                        payload,
+                        pos + seg_len,
+                        [pcoefs[k] for k, _, _ in scomps],
+                        [htables.get((0, d)) for _, d, _ in scomps]
+                        if ah_ == 0
+                        else [None] * ns,
+                        ah_,
+                        al_,
+                    )
+                else:
+                    if ns != 1:
+                        raise ValueError(
+                            "progressive AC scans must be single-component"
+                        )
+                    k, _, ac_id = scomps[0]
+                    pos = _decode_prog_scan(
+                        payload,
+                        pos + seg_len,
+                        pcoefs[k],
+                        ss_,
+                        se_,
+                        ah_,
+                        al_,
+                        None,
+                        htables.get((1, ac_id)),
+                        0,
+                    )
+                continue
             if ns != 3:
                 raise NotImplementedError("only full interleaved 3-component scan")
             for si in range(ns):
@@ -1624,6 +1853,29 @@ def decode_color_jpeg(payload: bytes) -> dict:
             pos += seg_len
             break
         pos += seg_len
+
+    if progressive:
+        if pcoefs is None:
+            raise ValueError("missing SOS")
+        try:
+            qts = [qtables[tq] for _, _, _, tq in comps]
+        except KeyError as ex:
+            raise ValueError(f"scan references undefined quant table {ex}")
+        planes = []
+        for k in range(3):
+            plane = np.zeros((h, w), dtype=np.uint8)
+            i = 0
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _idct_jpeg_block(pcoefs[k][i], qts[k])
+                    )
+                    i += 1
+            planes.append(plane)
+        r, g, b = ycbcr_to_rgb_fixed(*planes)
+        out = np.stack([r, g, b], axis=-1).astype(np.uint8)
+        return {"width": int(w), "height": int(h), "pixels": out.reshape(-1)}
+
     if w is None or not scan_tables:
         raise ValueError("missing SOF0/SOS")
     samp = [(hs, vs) for _, hs, vs, _ in comps]
@@ -1839,7 +2091,11 @@ def png_rgb_stats(
 
 
 def encode_text_color_jpeg(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    progressive: bool = False,
 ) -> DataFrame:
     """Render each document as a REAL baseline 4:2:0 COLOR JPEG whose
     decoded pixels a SQL oracle can predict exactly: the image is
@@ -1868,7 +2124,14 @@ def encode_text_color_jpeg(
                     axis=-1,
                 ).reshape(hm, wm, 3)
                 img = np.repeat(np.repeat(cols_rgb, 16, axis=0), 16, axis=1)
-                payloads.append(encode_color_jpeg(img.astype(np.uint8)))
+                if progressive:
+                    # 4:4:4 SOF2 — on flat MCUs the 4:2:0 chroma mean
+                    # is identity, so m10's oracle holds verbatim
+                    payloads.append(
+                        encode_color_jpeg_progressive(img.astype(np.uint8))
+                    )
+                else:
+                    payloads.append(encode_color_jpeg(img.astype(np.uint8)))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )

@@ -1987,3 +1987,62 @@ if _HYP:
             encode_gray_tiff(px, rows_per_strip=rps, big_endian=be, lzw=True)
         )
         assert np.array_equal(d["pixels"].reshape(h, w), px)
+
+
+def test_progressive_color_jpeg_equals_baseline_444():
+    """Progressive 4:4:4 color decode equals baseline 4:4:4 decode for
+    arbitrary content (same coefficient planes, eight-scan wire), the
+    stream really is SOF2 with 8 SOS segments, and subsampled
+    progressive stays an honest guard."""
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_color_jpeg,
+        encode_color_jpeg,
+        encode_color_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    for h, w in [(8, 8), (16, 24), (24, 16)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        base = decode_color_jpeg(encode_color_jpeg(px, subsampling="444"))
+        buf = encode_color_jpeg_progressive(px)
+        assert b"\xff\xc2" in buf and buf.count(b"\xff\xda") == 8
+        prog = decode_color_jpeg(buf)
+        assert np.array_equal(prog["pixels"], base["pixels"])
+    with _pt.raises(ValueError, match="multiple-of-8"):
+        encode_color_jpeg_progressive(np.zeros((12, 16, 3), np.uint8))
+    # a 4:2:0 SOF0 stream flipped to SOF2 must hit the sampling guard
+    px = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    mut = bytearray(encode_color_jpeg(px))
+    sof = bytes(mut).find(b"\xff\xc0")
+    mut[sof + 1] = 0xC2
+    with _pt.raises(NotImplementedError, match="4:4:4"):
+        decode_color_jpeg(bytes(mut))
+
+
+if _HYP:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w8=st.integers(1, 3),
+        h8=st.integers(1, 3),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_progressive_color_matches_baseline_property(w8, h8, seed):
+        """ANY content/shape: progressive and baseline 4:4:4 streams of
+        the same pixels decode identically."""
+        import numpy as np
+
+        from duckdb_graphar_spark.operators.multimodal import (
+            decode_color_jpeg,
+            encode_color_jpeg,
+            encode_color_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h8 * 8, w8 * 8, 3)).astype(np.uint8)
+        base = decode_color_jpeg(encode_color_jpeg(px, subsampling="444"))
+        prog = decode_color_jpeg(encode_color_jpeg_progressive(px))
+        assert np.array_equal(prog["pixels"], base["pixels"])
