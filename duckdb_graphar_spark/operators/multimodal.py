@@ -18,8 +18,8 @@ dependency-free codecs (no fake tier remains):
   :func:`pcm_energy_stats`);
 - integer-exact area-average resize (:func:`box_downsample_2x`).
 
-Formats outside these (progressive COLOR JPEG, MP4, compressed TIFF)
-raise NotImplementedError — honest scope guards, not stubs.
+Formats outside these (MP4, CCITT/JPEG-in-TIFF, subsampled progressive
+color) raise NotImplementedError — honest scope guards, not stubs.
 Everything Spark-side — schema, Arrow batch shape, `mapInPandas`
 signature, partition sizing — is format-agnostic, so adding codecs
 only widens the set of accepted magics.
