@@ -11598,7 +11598,12 @@ _PRIORITY = [
     "ga11", "ga12", "ga13", "m03", "q02", "q03", "q14", "q24", "q25",
     "q26", "q35", "s01", "s02", "st01", "st02", "st03", "st04", "st05",
     "st06", "t01", "t04", "t06", "t10", "t12",
-    # --- 51+: everything else follows in registry definition order ---
+    # --- 51+: the round-8 entries that missed the window lead the r9
+    # --- queue (new m30/m31/m32/st20, then the pad/window-change
+    # --- family g27/g30/q68 — all in-repo oracle-green and round-8
+    # --- bare-session-sweep green); everything else follows in
+    # --- registry definition order ---
+    "m30", "m31", "m32", "st20", "g27", "g30", "q68",
 ]
 
 
