@@ -9137,6 +9137,61 @@ def m15(spark, sf):
 
 
 @_q(
+    "m33_quad_wav",
+    # ORACLE: never sees the WAV bytes — channel c replays
+    # (byte ((c+1)·i + c) mod L − 80)·256, four distinct stride
+    # derivations; per-channel integer energy/peak ARRAYS in channel
+    # order, so an interleave, de-interleave, or channel-order bug
+    # breaks specific array positions.
+    """
+    WITH g AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    s AS (
+      SELECT doc_id, L, c.c AS c,
+             [(unicode(text[CAST(((c.c + 1) * (i - 1) + c.c) % L AS INTEGER) + 1])
+               - 80) * 256
+              FOR i IN generate_series(1, L)] AS smp
+      FROM g, UNNEST(generate_series(0, 3)) AS c(c)
+    ),
+    agg AS (
+      SELECT doc_id, L, c,
+             CAST(list_sum([CAST(v AS BIGINT) * v FOR v IN smp]) AS BIGINT) AS e,
+             CAST(list_max([abs(v) FOR v IN smp]) AS BIGINT) AS p
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(4 AS BIGINT) AS n_channels,
+           CAST(MIN(L) AS BIGINT) AS n_frames,
+           array_to_string(list(e ORDER BY c), ',') AS energies,
+           array_to_string(list(p ORDER BY c), ',') AS peaks
+    FROM agg GROUP BY doc_id
+    """,
+)
+def m33(spark, sf):
+    """MULTI-CHANNEL WAV (4-channel quad — retiring the mono/stereo
+    channel guard: `decode_wav` now de-interleaves ANY channel count,
+    the 5.1/7.1 layouts real audio corpora carry): per-document
+    4-channel RIFF/WAVE with a DIFFERENT stride waveform per channel,
+    frames interleaved per spec, decoded to per-channel integer
+    energy/peak ARRAYS.  Two Arrow-batched mapInPandas stages, no
+    shuffle (`operators/multimodal.py:encode_text_quad_wav/
+    multichannel_wav_stats`)."""
+    from duckdb_graphar_spark.operators.multimodal import (
+        encode_text_quad_wav,
+        multichannel_wav_stats,
+    )
+
+    st = multichannel_wav_stats(encode_text_quad_wav(_t(spark, sf, "documents")))
+    as_str = lambda c: F.array_join(  # noqa: E731 — driver hash canon
+        F.transform(F.col(c), lambda v: v.cast("string")), ","
+    ).alias(c)
+    return st.select(
+        "doc_id", "sample_rate", "n_channels", "n_frames",
+        as_str("energies"), as_str("peaks"),
+    )
+
+
+@_q(
     "q67_delta_agg_maintenance",
     # ORACLE: state-equivalence, not mechanism replay — base is the
     # aggregate over orderkey%10<8, the delta inserts the %10=8 rows
@@ -11603,7 +11658,7 @@ _PRIORITY = [
     # --- family g27/g30/q68 — all in-repo oracle-green and round-8
     # --- bare-session-sweep green); everything else follows in
     # --- registry definition order ---
-    "m30", "m31", "m32", "st20", "g27", "g30", "q68",
+    "m30", "m31", "m32", "m33", "st20", "g27", "g30", "q68",
 ]
 
 

@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "m30_tiff_packbits",
     "m31_tiff_lzw",
     "m32_progressive_color_jpeg",
+    "m33_quad_wav",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

@@ -3709,16 +3709,17 @@ def encode_wav(samples: np.ndarray, *, sample_rate: int = 8000) -> bytes:
     """Write a real RIFF/WAVE file around little-endian int16 PCM:
     canonical 'fmt ' chunk (PCM format 1, block align 2·ch, byte rate
     rate·2·ch) + 'data' chunk, word-aligned — the container every audio
-    pipeline actually reads.  ``samples`` 1-D = mono; (n, 2) = stereo
-    (frames interleaved L R L R …, the spec's channel order)."""
+    pipeline actually reads.  ``samples`` 1-D = mono; (n, ch) =
+    ch-channel, frames interleaved ch₀ ch₁ … per frame (the spec's
+    channel order — L R for stereo, FL FR C LFE BL BR for 5.1)."""
     if samples.ndim == 1:
         nch = 1
         data = samples.astype("<i2").tobytes()
-    elif samples.ndim == 2 and samples.shape[1] == 2:
-        nch = 2
+    elif samples.ndim == 2 and 1 <= samples.shape[1] <= 65535:
+        nch = int(samples.shape[1])
         data = samples.astype("<i2").tobytes()  # C-order rows == interleaved
     else:
-        raise ValueError("samples must be 1-D (mono) or (n, 2) (stereo)")
+        raise ValueError("samples must be 1-D (mono) or (frames, channels)")
     fmt = struct.pack(
         "<HHIIHH", 1, nch, sample_rate, sample_rate * 2 * nch, 2 * nch, 16
     )
@@ -3733,10 +3734,12 @@ def encode_wav(samples: np.ndarray, *, sample_rate: int = 8000) -> bytes:
 def decode_wav(payload: bytes) -> dict:
     """Parse a RIFF/WAVE file with a GENERAL chunk walk (fourcc + size
     + word alignment — unknown chunks are skipped, not assumed away):
-    validates the fmt chunk is 16-bit mono OR stereo PCM, returns
-    {sample_rate, n_channels, samples} — samples int32, 1-D for mono,
-    (frames, 2) de-interleaved for stereo.  Raises ValueError on
-    structural corruption, NotImplementedError on non-PCM/>2-channel."""
+    validates the fmt chunk is 16-bit PCM (or 32-bit IEEE float),
+    returns {sample_rate, n_channels, samples} — samples int32 (or
+    float32), 1-D for mono, (frames, n_channels) de-interleaved for
+    ANY multi-channel layout (stereo, quad, 5.1, …).  Raises
+    ValueError on structural corruption, NotImplementedError on
+    other sample formats."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF WAVE")
     total = struct.unpack("<I", payload[4:8])[0]
@@ -3765,8 +3768,8 @@ def decode_wav(payload: bytes) -> dict:
                 raise NotImplementedError(
                     "only 16-bit PCM or 32-bit IEEE-float WAV"
                 )
-            if nch not in (1, 2):
-                raise NotImplementedError("only mono/stereo WAV")
+            if nch < 1:
+                raise ValueError("fmt chunk declares zero channels")
             channels = nch
             fmt_tag = afmt
         elif fourcc == b"data":
@@ -3782,14 +3785,16 @@ def decode_wav(payload: bytes) -> dict:
         flat = np.frombuffer(data, dtype="<f4")
     else:
         flat = np.frombuffer(data, dtype="<i2").astype(np.int32)
-    if channels == 2:
-        if flat.size % 2:
-            raise ValueError("stereo data chunk with an odd sample count")
+    if channels > 1:
+        if flat.size % channels:
+            raise ValueError(
+                f"{channels}-channel data chunk with a non-multiple sample count"
+            )
         return {
             "sample_rate": int(rate),
-            "n_channels": 2,
+            "n_channels": int(channels),
             "format_tag": int(fmt_tag),
-            "samples": flat.reshape(-1, 2),
+            "samples": flat.reshape(-1, channels),
         }
     return {
         "sample_rate": int(rate),
@@ -3911,6 +3916,94 @@ def stereo_wav_stats(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, STEREO_WAV_STATS_SCHEMA)
+
+
+def encode_text_quad_wav(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Render each document as a REAL 4-CHANNEL (quad) WAV: channel c's
+    sample i = (byte ((c+1)·i + c) mod L − 80)·256 — four DISTINCT
+    stride derivations, so any interleave/de-interleave/channel-order
+    bug breaks specific channels' oracles rather than averaging out."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                tb = _ascii_text_bytes(text, did)
+                n = len(tb)
+                i = np.arange(n)
+                chans = [
+                    (tb[((c + 1) * i + c) % n].astype(np.int32) - 80) * 256
+                    for c in range(4)
+                ]
+                payloads.append(encode_wav(np.stack(chans, axis=1)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return cols.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+MULTI_WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("n_channels", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("energies", T.ArrayType(T.LongType()), False),
+        T.StructField("peaks", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def multichannel_wav_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel audio features from REAL multi-channel-WAV-decoded
+    frames (:func:`decode_wav` de-interleaves ANY channel count):
+    integer energy and peak arrays in channel order — exact oracle.
+    Arrow-batched mapInPandas projection, no shuffle."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("__payload")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "sample_rate", "n_channels",
+                    "n_frames", "energies", "peaks",
+                )
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["__payload"]):
+                d = decode_wav(bytes(payload))
+                ch = d["samples"].astype(np.int64)
+                if d["n_channels"] == 1:
+                    ch = ch.reshape(-1, 1)
+                out["doc_id"].append(int(did))
+                out["sample_rate"].append(int(d["sample_rate"]))
+                out["n_channels"].append(int(d["n_channels"]))
+                out["n_frames"].append(int(ch.shape[0]))
+                out["energies"].append(
+                    [int(v) for v in (ch ** 2).sum(axis=0)]
+                )
+                out["peaks"].append(
+                    [int(v) for v in np.abs(ch).max(axis=0, initial=0)]
+                )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, MULTI_WAV_STATS_SCHEMA)
 
 
 WAV_STATS_SCHEMA = T.StructType(

@@ -1202,18 +1202,23 @@ def test_stereo_wav_roundtrip_and_guards():
     mono = rng.integers(-32768, 32768, size=9).astype(np.int32)
     dm = decode_wav(encode_wav(mono))
     assert dm["n_channels"] == 1 and np.array_equal(dm["samples"], mono)
-    # 3-channel fmt is a scope guard
+    # 3-channel fmt DECODES now (m33 retired the channel guard); the
+    # remaining scope guard is non-PCM sample formats (ADPCM = tag 2)
     import struct
 
     from duckdb_graphar_spark.operators.multimodal import _riff_chunk
 
     fmt = struct.pack("<HHIIHH", 1, 3, 8000, 8000 * 6, 6, 16)
     body = b"WAVE" + _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"data", b"\x00" * 6)
-    with _pt.raises(NotImplementedError, match="mono/stereo"):
+    d3 = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert d3["n_channels"] == 3 and d3["samples"].shape == (1, 3)
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000 * 2, 2, 16)  # ADPCM
+    body = b"WAVE" + _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"data", b"\x00" * 4)
+    with _pt.raises(NotImplementedError, match="PCM"):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
     # bad-shape encoder input
-    with _pt.raises(ValueError, match="stereo"):
-        encode_wav(np.zeros((4, 3), np.int32))
+    with _pt.raises(ValueError, match="channels"):
+        encode_wav(np.zeros((4, 3, 2), np.int32))
 
 
 def test_interlaced_png_roundtrip_gray_rgb_palette():
@@ -2046,3 +2051,36 @@ if _HYP:
         base = decode_color_jpeg(encode_color_jpeg(px, subsampling="444"))
         prog = decode_color_jpeg(encode_color_jpeg_progressive(px))
         assert np.array_equal(prog["pixels"], base["pixels"])
+
+
+def test_multichannel_wav_roundtrip_and_guards():
+    """ANY channel count round-trips through encode_wav/decode_wav with
+    exact de-interleaving; mono/stereo callers are unchanged; a
+    non-multiple data chunk is structural corruption."""
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(41)
+    for ch in (1, 2, 3, 4, 6, 8):
+        n = int(rng.integers(1, 400))
+        x = (
+            rng.integers(-32768, 32768, (n, ch)).astype(np.int32)
+            if ch > 1
+            else rng.integers(-32768, 32768, n).astype(np.int32)
+        )
+        d = decode_wav(encode_wav(x))
+        assert d["n_channels"] == ch and np.array_equal(d["samples"], x)
+    # 3-channel file with a sample count not divisible by 3
+    buf = bytearray(encode_wav(np.zeros((4, 3), np.int32)))
+    # shrink the data chunk by one int16 sample: patch RIFF size and
+    # the data chunk size, drop the last 2 bytes
+    import struct
+
+    dpos = bytes(buf).find(b"data")
+    dsize = struct.unpack("<I", buf[dpos + 4 : dpos + 8])[0]
+    buf[dpos + 4 : dpos + 8] = struct.pack("<I", dsize - 2)
+    buf[4:8] = struct.pack("<I", struct.unpack("<I", buf[4:8])[0] - 2)
+    with _pt.raises(ValueError, match="non-multiple"):
+        decode_wav(bytes(buf[:-2]))
