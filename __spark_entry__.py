@@ -4546,6 +4546,156 @@ def st20(spark, sf):
 
 
 @_q(
+    "st21_stream_anti_join_horizon",
+    # ORACLE: the batch RANGE anti join — views with no same-user
+    # purchase in event time [ts, ts + 24 h].  The horizon is what
+    # makes per-key state a CONSTANT (st20's unbounded mode documents
+    # its bound; this mode enforces one): a verdict is final once the
+    # watermark passes ts + 24 h, pending lefts are watermark-evicted
+    # via EventTimeTimeout, idle keys drop to zero state.  Staged
+    # non-purchases-then-purchases so batch-1 must CORRECT batch-0's
+    # provisional matched=false emissions out of state; at sf0.01 the
+    # horizon splits the views 1295 anti / 687 matched (unbounded anti
+    # is 0 here — the horizon semantics, not the key-existence check,
+    # is what the oracle pins).
+    """
+    SELECT v.user_id, v.event_id
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (SELECT 1 FROM events p
+                      WHERE p.event_type = 'purchase'
+                        AND p.user_id = v.user_id
+                        AND p.ts >= v.ts
+                        AND p.ts <= v.ts + INTERVAL 24 HOUR)
+    """,
+)
+def st21(spark, sf):
+    """Stream-stream LEFT ANTI join with an EVENT-TIME HORIZON — the
+    production form of st20 ("no match within T ⇒ anti"): per-key
+    state is bounded by the horizon window instead of the anti-result
+    size, with EventTimeTimeout eviction
+    (`streaming/ops.py:stream_stream_anti_join(horizon_seconds=...)`).
+    Same emit-and-correct protocol and max-n_seen reconstruction as
+    st20."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_anti_join,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st21_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        base = time.time() - 120
+        for i, frame in enumerate(
+            (
+                ev.filter(F.col("event_type") != "purchase"),
+                ev.filter(F.col("event_type") == "purchase"),
+            )
+        ):
+            tmp = os.path.join(stage, f"__b{i}")
+            frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1)
+        out = run_to_memory(
+            stream_stream_anti_join(stream, horizon_seconds=86_400),
+            "st21_out",
+            mode="update",
+        )
+        w = Window.partitionBy("event_id").orderBy(F.col("n_seen").desc())
+        final = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(~F.col("matched"))
+        )
+        return final.select("user_id", "event_id")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
+    "st22_streaming_funnel",
+    # ORACLE: q58's staged-min funnel VERBATIM — t_{i+1} = first
+    # stage-(i+1) event STRICTLY after t_i.  Batches are TIME-SPLIT
+    # (ntile(3) over global (ts, event_id) order) so the greedy
+    # anchor-carrying streaming fold equals the batch staged-min; the
+    # caller keeps each user's max-n_seen emission.
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stages_completed,
+           COALESCE(t3, t2, t1) AS completed_at
+    FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    """,
+)
+def st22(spark, sf):
+    """STREAMING funnel view→click→purchase — q58's stateful twin and
+    the CEP pattern (MATCH_RECOGNIZE core) Structured Streaming lacks
+    natively: per-user state is (stage, anchor µs, n_seen), each batch
+    advances through at most len(stages) searchsorted jumps, emissions
+    are reconstructed by max-n_seen
+    (`streaming/ops.py:streaming_funnel`).  Three TIME-SPLIT batches so
+    funnels genuinely progress across batch boundaries."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_funnel,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st22_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        wt = Window.orderBy("ts", "event_id")
+        tiled = ev.withColumn("__tile", F.ntile(3).over(wt))
+        base = time.time() - 120
+        for i in range(3):
+            tmp = os.path.join(stage, f"__b{i}")
+            tiled.filter(F.col("__tile") == i + 1).drop("__tile").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1)
+        sink = run_to_memory(
+            streaming_funnel(stream, ["view", "click", "purchase"]),
+            "st22_out",
+            mode="update",
+        )
+        raw = spark.createDataFrame(sink.collect(), sink.schema)
+        final_n = raw.groupBy("user_id").agg(F.max("n_seen").alias("n_seen"))
+        return raw.join(final_n, ["user_id", "n_seen"]).select(
+            "user_id",
+            "stages_completed",
+            F.col("completed_at").cast("timestamp_ntz").alias("completed_at"),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp
@@ -9868,12 +10018,21 @@ def d07(spark, sf):
         .unionAll(pairs.select(F.col("id_b").alias("v")))
         .distinct()
     )
-    cc = connected_components(pairs, verts)
-    w = Window.partitionBy("label")
-    return cc.select(
+    # cluster_size via groupBy + join, NOT an unordered count window: a
+    # count window over PARTITION BY label buffers the whole partition,
+    # and at 100 TB one giant boilerplate cluster = one buffered
+    # partition (the q90 discipline, events.py).  groupBy is map-side
+    # combinable; the sizes side is one row per component, so AQE
+    # broadcasts it.  Lazy localCheckpoint so cc computes once for
+    # both consumers.
+    cc = connected_components(pairs, verts).localCheckpoint(eager=False)
+    sizes = cc.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cc.join(sizes, "label").select(
         F.col("v").alias("doc_id"),
         F.col("label").alias("cluster_rep"),
-        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        F.col("cluster_size"),
         (F.col("v") == F.col("label")).alias("is_canonical"),
     )
 
@@ -10876,12 +11035,15 @@ def d09(spark, sf):
         .localCheckpoint(eager=True)
     )
     verts = e.select(F.col("vec_id").alias("v"))
-    cc = connected_components(pairs, verts)
-    w = Window.partitionBy("label")
-    return cc.select(
+    # groupBy + join for cluster_size (not a count window) — see d07
+    cc = connected_components(pairs, verts).localCheckpoint(eager=False)
+    sizes = cc.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cc.join(sizes, "label").select(
         F.col("v").alias("vec_id"),
         F.col("label").alias("cluster_rep"),
-        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        F.col("cluster_size"),
         (F.col("v") == F.col("label")).alias("keep"),
     )
 
@@ -11024,12 +11186,15 @@ def d10(spark, sf):
         F.col("a").alias("id_a"), F.col("b").alias("id_b")
     )
     verts = e.select(F.col("vec_id").alias("v"))
-    cc = connected_components(cut, verts)
-    w = Window.partitionBy("label")
-    return cc.select(
+    # groupBy + join for cluster_size (not a count window) — see d07
+    cc = connected_components(cut, verts).localCheckpoint(eager=False)
+    sizes = cc.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cc.join(sizes, "label").select(
         F.col("v").alias("vec_id"),
         F.col("label").alias("cluster_rep"),
-        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        F.col("cluster_size"),
         (F.col("v") == F.col("label")).alias("keep"),
     )
 
@@ -11624,41 +11789,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order.
 _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
-    # --- window rotates.  Every entry is driver-green at its latest check
-    # --- (r01..r07 union; 274 entries, zero never-passed).  Round-8
-    # --- window = EXACTLY 50: the 2 NEW entries (m29 progressive JPEG,
-    # --- g32 real-weight MSF — never driver-checked beats stale), the 4
-    # --- highest-risk REWRITES of the round (q89/q90 segmented-window
-    # --- attribution + the O(rows²) following-frame fix; q93's
-    # --- applyInPandas sessionization rewrite; d10 the third NEW entry
-    # --- — never-checked beats stale.  g27/g30/g31 carry the 12→20-
-    # --- digit tie-break pad change and q68 shares q90's window
-    # --- reversal, but all four are r6/r7-fresh, in-repo oracle-green,
-    # --- and PASS the round-8 bare-session sweep (/tmp-independent
-    # --- recheck of all 12 touched entries), so they yield their
-    # --- slots), then ALL 44 remaining r1/r2-stale names — closing the
-    # --- rotation debt the r6/r7 verdicts tracked: after this round no
-    # --- entry's latest driver check is older than r3.
-    # --- round-8 new / changed (6; the round's 4th-7th new entries
-    # --- m30 PackBits TIFF, m31 LZW TIFF, m32 progressive color JPEG,
-    # --- st20 stream anti join queue at 51+ — they must lead the r9
-    # --- window with g27/g30/g31/q68; all are in-repo oracle-green
-    # --- AND bare-session-sweep green) ---
-    "m29", "g32", "d10", "q89", "q90", "q93",
-    # --- 3 entries last driver-checked in round 1 ---
-    "q45", "q46", "t11",
-    # --- 41 entries last driver-checked in round 2 ---
-    "c01", "d01", "d03", "g01", "g03", "g04", "g05", "g06", "g08",
-    "ga02", "ga04", "ga05", "ga06", "ga07", "ga08", "ga09", "ga10",
-    "ga11", "ga12", "ga13", "m03", "q02", "q03", "q14", "q24", "q25",
-    "q26", "q35", "s01", "s02", "st01", "st02", "st03", "st04", "st05",
-    "st06", "t01", "t04", "t06", "t10", "t12",
-    # --- 51+: the round-8 entries that missed the window lead the r9
-    # --- queue (new m30/m31/m32/st20, then the pad/window-change
-    # --- family g27/g30/q68 — all in-repo oracle-green and round-8
-    # --- bare-session-sweep green); everything else follows in
-    # --- registry definition order ---
-    "m30", "m31", "m32", "m33", "st20", "g27", "g30", "q68",
+    # --- window rotates.  Round-9 window = EXACTLY 50, in three tiers:
+    # --- (1) the 6 NEVER-driver-checked entries — st21 is NEW this
+    # --- round (horizon-bounded stream anti join); m30/m31/m32/m33/st20
+    # --- landed in round 8 after that window filled (all in-repo
+    # --- oracle-green and round-8 bare-session-sweep green);
+    "st21", "st22", "m30", "m31", "m32", "m33", "st20",
+    # --- (2) the 4 entries whose round-8 code changes carry only
+    # --- pre-change driver evidence (g27/g30/g31 the 12→20-digit
+    # --- tie-break pad, last checked r6/r7; q68 the DESC-frame
+    # --- rewrite, last checked r4) plus the 10 entries CHANGED this
+    # --- round: d07/d09/d10 (cluster_size groupBy+join instead of a
+    # --- count window), g32 (MSF weight validation), q93/st19 (epoch-
+    # --- micros DST-safe sessionization), q60/q92/q70 (lazy instead of
+    # --- eager quantile checkpoint), m10 (color-JPEG DRI restart
+    # --- support touches the shared decoder);
+    "g27", "g30", "g31", "q68",
+    "d07", "d09", "d10", "g32", "q93", "st19", "q60", "q92", "q70", "m10",
+    # --- (3) 30 of the 44 entries whose latest driver check is round 3
+    # --- (the oldest evidence in the registry after round 8 closed the
+    # --- r1/r2 debt) ---
+    "q50", "q55", "q57", "q56", "q51", "q52", "u02", "u03", "q49",
+    "q47", "q54", "q48", "t22", "t24", "t25", "d04", "u01", "g09",
+    "g12", "g10", "t02", "t03", "t05", "t07", "t08", "t09", "m04",
+    "m05", "s03",
+    # --- 51+: the remaining 15 r3-stale entries lead the round-10
+    # --- queue; everything else follows in registry definition order ---
+    "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07", "t18",
+    "t19", "t20", "t21", "s05", "s06", "st08",
 ]
 
 

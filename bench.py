@@ -269,6 +269,8 @@ ST_QUERIES = [
     "st18_stream_semi_join",
     "st19_streaming_capped_sessions",
     "st20_stream_anti_join",
+    "st21_stream_anti_join_horizon",
+    "st22_streaming_funnel",
 ]
 
 

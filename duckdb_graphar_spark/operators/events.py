@@ -428,11 +428,26 @@ def sessionize_capped(
         F.col(ts_col).alias("ts"),
         F.col(id_col).alias("eid"),
     )
-    wcap = Window.partitionBy("user_id").orderBy("ts", "eid")
+    # gap/duration arithmetic runs on EPOCH MICROS computed in the Spark
+    # plan, not on the tz-naive wall-clock datetimes Arrow hands to
+    # pandas: for TimestampType (LTZ) input under a DST session
+    # timezone, wall-clock diffs across a transition are off by the DST
+    # offset (and wall-clock sort order can even invert at fall-back).
+    # unix_micros is instant-exact; NTZ input keeps the literal-epoch
+    # diff (no zone to be wrong about).  Output timestamps are SELECTED
+    # original values, never arithmetic results.
+    if isinstance(flat.schema["ts"].dataType, T.TimestampType):
+        us_expr = F.unix_micros(F.col("ts"))
+    else:
+        us_expr = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    flat = flat.withColumn("__us", us_expr.cast("long"))
+    wcap = Window.partitionBy("user_id").orderBy("__us", "eid")
     ev = (
         flat.withColumn("__rn", F.row_number().over(wcap))
         .filter(F.col("__rn") <= max_events_per_user)
-        .select("user_id", "ts", "eid")
+        .select("user_id", "ts", "eid", "__us")
     )
     out_schema = T.StructType(
         [
@@ -445,8 +460,8 @@ def sessionize_capped(
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "eid"], kind="mergesort")
-        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        pdf = pdf.sort_values(["__us", "eid"], kind="mergesort")
+        us = pdf["__us"].to_numpy().astype(np.int64)
         n = len(us)
         # session-start candidates from the GAP rule (first event always
         # breaks); between consecutive gap breaks no gap can break, so
@@ -476,8 +491,8 @@ def sessionize_capped(
             {
                 "user_id": np.repeat(pdf["user_id"].iloc[0], len(b)),
                 "session_id": np.arange(len(b), dtype=np.int32),
-                "session_start": us[b].astype("datetime64[us]"),
-                "session_end": us[e - 1].astype("datetime64[us]"),
+                "session_start": pdf["ts"].iloc[b].reset_index(drop=True),
+                "session_end": pdf["ts"].iloc[e - 1].reset_index(drop=True),
                 "n_events": (e - b).astype(np.int64),
             }
         )

@@ -2009,13 +2009,44 @@ def minimum_spanning_forest(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
         ).distinct()
     else:
+        # the zero-padded-decimal sort key is only an order embedding
+        # for NON-NEGATIVE INTEGERS (-9 would sort after -5; floats
+        # would silently truncate) — so enforce the contract instead
+        # of documenting it: integral type checked driver-side (free),
+        # negativity checked in-plan via raise_error (no extra job;
+        # fails the first task that sees a bad row)
+        wfield = {f.name: f.dataType for f in base.schema.fields}.get(weight_col)
+        if wfield is None:
+            raise ValueError(f"weight_col {weight_col!r} not in edges schema")
+        if not isinstance(wfield, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            raise TypeError(
+                f"weight_col {weight_col!r} must be an integral type "
+                f"(quantize real distances to micro-units upstream), got "
+                f"{wfield.simpleString()}"
+            )
+        guarded = (
+            F.when(
+                F.col(weight_col) < 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "minimum_spanning_forest: negative weight in "
+                            f"{weight_col!r}: "
+                        ),
+                        F.col(weight_col).cast("string"),
+                    )
+                ),
+            )
+            .otherwise(F.col(weight_col))
+            .cast("long")
+        )
         # multigraph: parallel pairs keep their cheapest edge
         # (map-combinable MIN — never an array of parallel edges)
         e = (
             base.select(
                 F.least(F.col(src_col), F.col(dst_col)).alias("a"),
                 F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-                F.col(weight_col).cast("long").alias("__wv"),
+                guarded.alias("__wv"),
             )
             .groupBy("a", "b")
             .agg(F.min("__wv").alias("__wv"))

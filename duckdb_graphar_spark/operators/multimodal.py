@@ -1432,14 +1432,21 @@ def ycbcr_to_rgb_fixed(y, cb, cr):
     return clip(r), clip(g), clip(b)
 
 
-def _emit_prog_dc_interleaved(coefs_list, ah: int, al: int, em) -> None:
+def _emit_prog_dc_interleaved(
+    coefs_list, ah: int, al: int, em, restart_interval: int = 0
+) -> None:
     """Emit one INTERLEAVED progressive DC scan (Ns > 1 — T.81 allows
     interleave only for DC scans): per MCU (one block per component at
     1×1 sampling), each component codes its DC with its OWN predictor;
-    refinement scans are one raw bit per block per component."""
+    refinement scans are one raw bit per block per component.  A
+    restart interval resets every predictor and byte-aligns an RSTm
+    at each boundary (T.81 E.1.4)."""
     nblk = coefs_list[0].shape[0]
     preds = [0] * len(coefs_list)
     for i in range(nblk):
+        if restart_interval and i and i % restart_interval == 0:
+            em.restart(i // restart_interval - 1)
+            preds = [0] * len(coefs_list)
         for c, coefs in enumerate(coefs_list):
             dc = int(coefs[i, 0])
             if ah == 0:
@@ -1456,12 +1463,21 @@ def _emit_prog_dc_interleaved(coefs_list, ah: int, al: int, em) -> None:
 
 
 def _decode_prog_dc_scan(
-    data: bytes, pos: int, coefs_list, dc_tbls, ah: int, al: int
+    data: bytes,
+    pos: int,
+    coefs_list,
+    dc_tbls,
+    ah: int,
+    al: int,
+    restart_interval: int = 0,
 ) -> int:
     """Decode one progressive DC scan (interleaved or single-component
     — ``coefs_list``/``dc_tbls`` carry the scan's components in scan
     order) into the per-component zigzag coefficient arrays; returns
-    the position of the next marker."""
+    the position of the next marker.  A DRI-declared restart interval
+    resets every predictor and consumes the byte-aligned RSTm at each
+    boundary (refinement scans have no predictors, but the marker and
+    the discarded pad bits still apply)."""
     if ah == 0 and any(t is None for t in dc_tbls):
         raise ValueError("scan references undefined DC Huffman table")
     br = _BitReader(data, pos)
@@ -1469,6 +1485,9 @@ def _decode_prog_dc_scan(
     preds = [0] * len(coefs_list)
     delta = 1 << al
     for i in range(nblk):
+        if restart_interval and i and i % restart_interval == 0:
+            br.restart(i // restart_interval - 1)
+            preds = [0] * len(coefs_list)
         for c, blk in enumerate(coefs_list):
             if ah == 0:
                 sz = br.huff(dc_tbls[c])
@@ -1481,7 +1500,9 @@ def _decode_prog_dc_scan(
     return _skip_to_marker(data, br.pos)
 
 
-def encode_color_jpeg_progressive(pixels_rgb: np.ndarray) -> bytes:
+def encode_color_jpeg_progressive(
+    pixels_rgb: np.ndarray, *, restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a REAL PROGRESSIVE COLOR
     JFIF JPEG — SOF2, 4:4:4 (1×1 sampling; T.81 allows interleave only
     for progressive DC scans, and 1×1 keeps the MCU = one block per
@@ -1496,6 +1517,8 @@ def encode_color_jpeg_progressive(pixels_rgb: np.ndarray) -> bytes:
     h, w, c = pixels_rgb.shape
     if c != 3:
         raise ValueError("encode_color_jpeg_progressive expects (h, w, 3) RGB")
+    if restart_interval < 0 or restart_interval > 65535:
+        raise ValueError("restart_interval must be in [0, 65535]")
     if h % 8 or w % 8:
         raise ValueError(
             f"encode_color_jpeg_progressive needs multiple-of-8 dims, got {w}x{h}"
@@ -1559,43 +1582,46 @@ def encode_color_jpeg_progressive(pixels_rgb: np.ndarray) -> bytes:
             out += bytes([cid, 0x00])  # every scan uses table 0 of its class
         out += bytes([ss, se, (ah << 4) | al])
 
+    ri = restart_interval
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)  # DRI
     # 1. interleaved DC first (Al=1)
     cnt = _SymFreq()
-    _emit_prog_dc_interleaved(coefs, 0, 1, cnt)
+    _emit_prog_dc_interleaved(coefs, 0, 1, cnt, ri)
     codes = emit_dht(cnt.freq, 0x00)
     sos([1, 2, 3], 0, 0, 0, 1)
     bw = _BitWriter()
-    _emit_prog_dc_interleaved(coefs, 0, 1, _ScanWriter(bw, codes))
+    _emit_prog_dc_interleaved(coefs, 0, 1, _ScanWriter(bw, codes), ri)
     out += bw.flush()
     # 2-4. per-component AC first (Al=1)
     for ci in range(3):
         cnt = _SymFreq()
-        _emit_prog_scan(coefs[ci], 1, 63, 0, 1, cnt, 0)
+        _emit_prog_scan(coefs[ci], 1, 63, 0, 1, cnt, ri)
         codes = emit_dht(cnt.freq, 0x10)
         sos([ci + 1], 1, 63, 0, 1)
         bw = _BitWriter()
-        _emit_prog_scan(coefs[ci], 1, 63, 0, 1, _ScanWriter(bw, codes), 0)
+        _emit_prog_scan(coefs[ci], 1, 63, 0, 1, _ScanWriter(bw, codes), ri)
         out += bw.flush()
     # 5. interleaved DC refinement (raw bits, no Huffman)
     sos([1, 2, 3], 0, 0, 1, 0)
     bw = _BitWriter()
-    _emit_prog_dc_interleaved(coefs, 1, 0, _ScanWriter(bw, {}))
+    _emit_prog_dc_interleaved(coefs, 1, 0, _ScanWriter(bw, {}), ri)
     out += bw.flush()
     # 6-8. per-component AC refinement
     for ci in range(3):
         cnt = _SymFreq()
-        _emit_prog_scan(coefs[ci], 1, 63, 1, 0, cnt, 0)
+        _emit_prog_scan(coefs[ci], 1, 63, 1, 0, cnt, ri)
         codes = emit_dht(cnt.freq, 0x10)
         sos([ci + 1], 1, 63, 1, 0)
         bw = _BitWriter()
-        _emit_prog_scan(coefs[ci], 1, 63, 1, 0, _ScanWriter(bw, codes), 0)
+        _emit_prog_scan(coefs[ci], 1, 63, 1, 0, _ScanWriter(bw, codes), ri)
         out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 def encode_color_jpeg(
-    pixels_rgb: np.ndarray, *, subsampling: str = "420"
+    pixels_rgb: np.ndarray, *, subsampling: str = "420", restart_interval: int = 0
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a REAL baseline color
     JFIF JPEG: fixed-point BT.601 color transform
@@ -1612,6 +1638,8 @@ def encode_color_jpeg(
         raise ValueError("encode_color_jpeg expects (h, w, 3) RGB")
     if subsampling not in ("420", "444"):
         raise ValueError(f"unknown subsampling {subsampling!r}")
+    if restart_interval < 0 or restart_interval > 65535:
+        raise ValueError("restart_interval must be in [0, 65535]")
     granule = 16 if subsampling == "420" else 8
     if h % granule or w % granule:
         raise ValueError(
@@ -1667,6 +1695,8 @@ def encode_color_jpeg(
             + bytes(bits)
             + bytes(vals)
         )  # DHT
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     out += b"\xff\xda" + struct.pack(">H", 6 + 2 * 3) + b"\x03" + (
         b"\x01\x00"  # Y  uses DC0/AC0
         b"\x02\x11"  # Cb uses DC1/AC1
@@ -1679,8 +1709,14 @@ def encode_color_jpeg(
     fcr = cr.astype(np.float64) - 128.0
     dcs = [0, 0, 0]  # per-component DC predictors
     n_y = 2 if subsampling == "420" else 1  # Y blocks per MCU side
+    mcu = 0
     for my in range(h // granule):
         for mx in range(w // granule):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.put_marker(0xD0 + ((mcu // restart_interval - 1) % 8))
+                dcs = [0, 0, 0]
+            mcu += 1
             for by in range(n_y):  # Y blocks, raster order within MCU
                 for bx in range(n_y):
                     r0, c0 = my * granule + by * 8, mx * granule + bx * 8
@@ -1711,9 +1747,11 @@ def decode_color_jpeg(payload: bytes) -> dict:
     PROGRESSIVE (SOF2) color at 4:4:4: interleaved DC scans with
     per-component predictors, per-component spectral/successive-
     approximation AC scans, coefficients accumulated across scans, one
-    IDCT per component at EOI.  Raises ValueError on structural
-    corruption and NotImplementedError on SOF1/SOF3, subsampled
-    progressive, or other samplings."""
+    IDCT per component at EOI.  DRI restart intervals are honored in
+    BOTH paths (baseline MCU loop and every progressive scan kind —
+    predictors/EOB runs reset, RSTm sequence verified).  Raises
+    ValueError on structural corruption and NotImplementedError on
+    SOF1/SOF3, subsampled progressive, or other samplings."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1723,6 +1761,7 @@ def decode_color_jpeg(payload: bytes) -> dict:
     comps: list[tuple[int, int, int, int]] = []  # (id, hsamp, vsamp, tq)
     scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (dc tid, ac tid)
     progressive = False
+    restart_interval = 0
     pcoefs: list[np.ndarray] | None = None
     while pos < len(payload):
         if pos + 2 > len(payload):
@@ -1789,6 +1828,10 @@ def decode_color_jpeg(payload: bytes) -> dict:
                 }
                 htables[(cls, tid)] = dec
                 off += 17 + nvals
+        elif marker == 0xDD:  # DRI (T.81 B.2.4.4)
+            if seg_len != 4:
+                raise ValueError(f"bad DRI length {seg_len}")
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             if progressive:
@@ -1825,6 +1868,7 @@ def decode_color_jpeg(payload: bytes) -> dict:
                         else [None] * ns,
                         ah_,
                         al_,
+                        restart_interval,
                     )
                 else:
                     if ns != 1:
@@ -1842,7 +1886,7 @@ def decode_color_jpeg(payload: bytes) -> dict:
                         al_,
                         None,
                         htables.get((1, ac_id)),
-                        0,
+                        restart_interval,
                     )
                 continue
             if ns != 3:
@@ -1902,8 +1946,13 @@ def decode_color_jpeg(payload: bytes) -> dict:
     cb = np.zeros((h // sub, w // sub), dtype=np.uint8)
     cr = np.zeros((h // sub, w // sub), dtype=np.uint8)
     dcs = [0, 0, 0]
+    mcu = 0
     for my in range(h // granule):
         for mx in range(w // granule):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart(mcu // restart_interval - 1)
+                dcs = [0, 0, 0]  # every predictor resets per restart segment
+            mcu += 1
             for by in range(sub):
                 for bx in range(sub):
                     zz, dcs[0] = _decode_jpeg_block(br, *tbls[0], dcs[0])

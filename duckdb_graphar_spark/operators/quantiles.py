@@ -57,18 +57,20 @@ def exact_quantiles(
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
 
-    # localCheckpoint (not cache): the corpus-sized scan+shuffle behind
-    # the distinct-value table runs ONCE; the bounds probe, the
-    # bucket-sum collect, and the caller's final action all reuse the
-    # materialized blocks (bounded — one row per distinct value).
-    # Unlike a never-unpersisted cache, the blocks are released by the
+    # LAZY localCheckpoint (not cache, not eager): the corpus-sized
+    # scan+shuffle behind the distinct-value table runs ONCE — the
+    # bounds probe is the first action, so it materializes the blocks
+    # in the same pass (eager=True paid a dedicated up-front job: the
+    # round-8 bench read it as +60% on the sf0.1 floor); the bucket-sum
+    # collect and the caller's final action reuse them.  Unlike a
+    # never-unpersisted cache, the blocks are released by the
     # ContextCleaner once the returned frame is unreachable.
     vc = (
         df.select(F.col(value_col).cast("double").alias("__v"))
         .filter(F.col("__v").isNotNull())
         .groupBy("__v")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bounds = vc.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
     empty_schema = "prob double, value double, target_rank long, n long"
@@ -159,16 +161,17 @@ def exact_quantiles_cont(
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
 
-    # localCheckpoint (not cache): same discipline as exact_quantiles —
-    # materialize once, let the ContextCleaner release the blocks when
-    # the returned frame is unreachable (a bare .cache() held executor
-    # memory for the whole session).
+    # LAZY localCheckpoint (not cache, not eager): same discipline as
+    # exact_quantiles — the bounds probe materializes the blocks in its
+    # own pass (no dedicated up-front job), the ContextCleaner releases
+    # them when the returned frame is unreachable (a bare .cache() held
+    # executor memory for the whole session).
     vc = (
         df.select(F.col(value_col).cast("double").alias("__v"))
         .filter(F.col("__v").isNotNull())
         .groupBy("__v")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bounds = vc.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
     if bounds.lo is None:

@@ -1014,14 +1014,17 @@ def streaming_capped_sessions(
             state.get if state.exists else (-1, 0, 0, 0, 0)
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        rows = rows.sort_values(["__us", "event_id"], kind="mergesort")
         # vectorized batch fold (the sessionize_capped technique — the
         # row-at-a-time pd.Timestamp loop was the streaming lane's one
         # >3×/decade reading): gap breaks from one diff (seeded with the
         # carried prev_us), duration breaks by searchsorted jumps —
         # the CONTINUATION segment measures duration from the carried
-        # session start, later runs from their own first event
-        us = rows["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # session start, later runs from their own first event.
+        # __us is plan-side epoch micros (unix_micros for LTZ input),
+        # never the tz-naive wall clock Arrow hands over — wall-clock
+        # diffs across a DST transition are off by the DST offset.
+        us = rows["__us"].to_numpy().astype(np.int64)
         m = len(us)
         seen += m
         out = []
@@ -1097,8 +1100,137 @@ def streaming_capped_sessions(
             }
         )
 
+    if isinstance(events.schema["ts"].dataType, T.TimestampType):
+        us_in = F.unix_micros(F.col("ts"))  # instant-exact for LTZ input
+    else:
+        us_in = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
     return (
         events.withWatermark("ts", watermark)
+        .withColumn("__us", us_in.cast("long"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    stages: list[str],
+    *,
+    watermark: str = "365 days",
+) -> DataFrame:
+    """STREAMING ordered-funnel conversion — the stateful twin of
+    `operators/events.py:funnel` and the CEP shape (MATCH_RECOGNIZE's
+    core pattern) Spark Structured Streaming has no native operator
+    for: per user, how far through ``stages`` the live event sequence
+    has progressed, where stage i+1 counts only if an event of that
+    type occurs STRICTLY after the event that completed stage i (the
+    staged-min construction — greedy-earliest anchors are optimal
+    because a smaller anchor only widens every later stage's candidate
+    set).
+
+    Per-user state is three numbers — (stage, anchor µs, n_seen) —
+    O(active users) regardless of event volume.  Each micro-batch
+    advances the anchor through AT MOST ``len(stages)`` searchsorted
+    jumps over the batch's per-type time-sorted arrays (never a
+    per-event Python loop), then emits the user's current
+    (stages_completed, completed_at) tagged with the strictly-
+    increasing ``n_seen``; the caller keeps each user's max-``n_seen``
+    emission — the st16/st17/st19 reconstruction.  completed_at is
+    reconstructed from the anchor's epoch micros (plan-side
+    ``unix_micros`` — DST-safe for LTZ input, exact for NTZ).
+
+    Arrival-order contract (st19's): folds run in batch order, so the
+    batch-twin oracle holds when batches are staged in event-time
+    order; out-of-order arrival is the documented trade every
+    anchor-carrying CEP operator makes without a reorder buffer.
+
+    Scale note: every event of the key reaches its state task (one
+    user-hash exchange), but state never grows with volume; at 100 TB
+    pre-filter to ``event_type IN stages`` and union the distinct
+    non-participating users back as stage 0 if the full user roster
+    matters."""
+    if not events.isStreaming:
+        raise ValueError(
+            "streaming_funnel needs a streaming DataFrame; use "
+            "operators.events.funnel for batch"
+        )
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    n_stages = len(stages)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("stages_completed", T.IntegerType(), False),
+            T.StructField("completed_at", T.TimestampNTZType(), True),
+            T.StructField("n_seen", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("stage", T.IntegerType(), False),
+            T.StructField("anchor_us", T.LongType(), False),
+            T.StructField("seen", T.LongType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        stage, anchor_us, seen = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        seen += len(rows)
+        if stage < n_stages and len(rows):
+            et = rows["event_type"].to_numpy()
+            us = rows["__us"].to_numpy().astype(np.int64)
+            by_type = {
+                s: np.sort(us[et == s])
+                for s in dict.fromkeys(stages[stage:])
+            }
+            while stage < n_stages:
+                arr = by_type[stages[stage]]
+                # stage 0 takes its earliest event unconditionally;
+                # later stages need STRICTLY after the anchor
+                idx = (
+                    0
+                    if stage == 0
+                    else int(np.searchsorted(arr, anchor_us, side="right"))
+                )
+                if idx >= len(arr):
+                    break
+                anchor_us = int(arr[idx])
+                stage += 1
+        state.update((int(stage), int(anchor_us), int(seen)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "stages_completed": [int(stage)],
+                "completed_at": [
+                    pd.Timestamp(anchor_us, unit="us") if stage else pd.NaT
+                ],
+                "n_seen": [seen],
+            }
+        )
+
+    if isinstance(events.schema["ts"].dataType, T.TimestampType):
+        us_in = F.unix_micros(F.col("ts"))
+    else:
+        us_in = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            us_in.cast("long").alias("__us"),
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", "NoTimeout"
@@ -1113,6 +1245,7 @@ def stream_stream_anti_join(
     left_type: str = "view",
     right_type: str = "purchase",
     watermark: str = "365 days",
+    horizon_seconds: int | None = None,
 ) -> DataFrame:
     """Stream-stream LEFT ANTI join on a key — the one join shape
     Spark's native stream-stream machinery REFUSES ("LeftAnti joins
@@ -1134,23 +1267,36 @@ def stream_stream_anti_join(
       the final ``matched=false`` rows are the anti result, equal to
       the batch ANTI oracle over the same input.
 
-    State honesty: pending is bounded by the lefts a key accumulates
-    BEFORE its first right — for true anti keys that is their full
-    left set, i.e. the result itself; keys that do match collapse to a
-    boolean.  A production deployment bounds it with an event-time
-    horizon (watermark timeout eviction = "no match within T counts as
-    anti"); this operator keeps the exact unbounded-horizon semantics
-    the batch oracle states."""
+    State honesty: with the default ``horizon_seconds=None`` pending is
+    bounded by the lefts a key accumulates BEFORE its first right —
+    for true anti keys that is their full left set, i.e. the result
+    itself; keys that do match collapse to a boolean.
+
+    ``horizon_seconds=T`` selects the PRODUCTION mode: a left is
+    matched iff a same-key right lands in event time
+    ``[left_ts, left_ts + T]`` — "no match within T ⇒ anti".  That
+    verdict is FINAL once the watermark passes ``left_ts + T``, so
+    per-key state is a constant (the lefts of the last T window plus
+    the not-yet-watermarked rights), watermark-evicted via
+    EventTimeTimeout — idle keys drop to zero state.  The batch oracle
+    is the NOT-EXISTS range anti join with the same bounds."""
     if not events.isStreaming:
         raise ValueError(
             "stream_stream_anti_join needs a streaming DataFrame "
             "(applyInPandasWithState is stream-only); in batch use a "
             "plain LEFT ANTI join — the oracle path"
         )
+    if isinstance(events.schema["ts"].dataType, T.TimestampType):
+        us_in = F.unix_micros(F.col("ts"))  # instant-exact for LTZ input
+    else:
+        us_in = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
     flat = events.select(
         F.col(on).alias("k"),
         F.col("ts"),
         F.col("event_id"),
+        us_in.cast("long").alias("__us"),
         F.when(F.col("event_type") == left_type, F.lit(1))
         .when(F.col("event_type") == right_type, F.lit(2))
         .otherwise(F.lit(0))
@@ -1206,6 +1352,111 @@ def stream_stream_anti_join(
             }
         )
 
+    if horizon_seconds is None:
+        return flat.groupBy("k").applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+
+    if horizon_seconds < 1:
+        raise ValueError("horizon_seconds must be >= 1 or None")
+    hor_us = horizon_seconds * 1_000_000
+    h_state_schema = T.StructType(
+        [
+            T.StructField("rights", T.ArrayType(T.LongType()), False),
+            T.StructField("pend_eid", T.ArrayType(T.LongType()), False),
+            T.StructField("pend_us", T.ArrayType(T.LongType()), False),
+            T.StructField("seen", T.LongType(), False),
+        ]
+    )
+
+    def update_horizon(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        def emit(eids, matched, seen):
+            return pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(eids),
+                    "event_id": eids,
+                    "matched": matched,
+                    "n_seen": [seen] * len(eids),
+                }
+            )
+
+        if state.hasTimedOut:
+            # every pending left's ts_l + T is behind the watermark —
+            # their provisional matched=false emissions are final; the
+            # key's state drops to ZERO (the bound the unbounded mode
+            # can only document)
+            state.remove()
+            yield emit([], [], 0)
+            return
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rights, pend_eid, pend_us, seen = (
+            state.get if state.exists else ([], [], [], 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        seen += len(rows)
+        b_us = rows["__us"].to_numpy().astype(np.int64)
+        b_side = rows["side"].to_numpy()
+        rts = np.sort(
+            np.concatenate(
+                [np.asarray(rights, dtype=np.int64), b_us[b_side == 2]]
+            )
+        )
+
+        def is_matched(ts_arr: np.ndarray) -> np.ndarray:
+            # exists right in [ts, ts + T]: the first right >= ts must
+            # be <= ts + T (searchsorted on the sorted right times)
+            if len(rts) == 0:
+                return np.zeros(len(ts_arr), dtype=bool)
+            idx = np.searchsorted(rts, ts_arr, side="left")
+            hit = idx < len(rts)
+            nxt = np.where(hit, rts[np.minimum(idx, len(rts) - 1)], 0)
+            return hit & (nxt <= ts_arr + hor_us)
+
+        out_ids: list[int] = []
+        out_matched: list[bool] = []
+        # pending lefts: corrected if a batch right now falls in range,
+        # silently finalized (anti) once watermark passes ts_l + T,
+        # kept otherwise
+        keep_eid: list[int] = []
+        keep_us: list[int] = []
+        if pend_eid:
+            p_us = np.asarray(pend_us, dtype=np.int64)
+            p_hit = is_matched(p_us)
+            for e, u, hit in zip(pend_eid, p_us, p_hit):
+                if hit:
+                    out_ids.append(int(e))
+                    out_matched.append(True)
+                elif u + hor_us >= wm_us:
+                    keep_eid.append(int(e))
+                    keep_us.append(int(u))
+        # batch lefts: immediate verdict; unmatched ones go pending
+        l_eid = rows.loc[b_side == 1, "event_id"].to_numpy().astype(np.int64)
+        l_us = b_us[b_side == 1]
+        l_hit = is_matched(l_us) if len(l_us) else np.zeros(0, dtype=bool)
+        for e, u, hit in zip(l_eid, l_us, l_hit):
+            out_ids.append(int(e))
+            out_matched.append(bool(hit))
+            if not hit:
+                keep_eid.append(int(e))
+                keep_us.append(int(u))
+        # a right is dead once the watermark passes it: any left it
+        # could match has ts_l <= ts_r < wm, i.e. already dropped late
+        live_rights = [int(r) for r in rts[rts >= wm_us]]
+        if keep_eid or live_rights:
+            state.update((live_rights, keep_eid, keep_us, int(seen)))
+            deadline_us = max(
+                [u + hor_us for u in keep_us] + live_rights
+            )
+            state.setTimeoutTimestamp(
+                max(deadline_us // 1000 + 1, wm_us // 1000 + 1)
+            )
+        else:
+            state.remove()
+        yield emit(out_ids, out_matched, seen)
+
     return flat.groupBy("k").applyInPandasWithState(
-        update, out_schema, state_schema, "update", "NoTimeout"
+        update_horizon, out_schema, h_state_schema, "update", "EventTimeTimeout"
     )

@@ -521,3 +521,45 @@ def test_attribution_segmented_equals_single_window(spark):
         last_touch_attribution(ev, segment_seconds=0)
     with __import__("pytest").raises(ValueError, match="segment_seconds"):
         linear_attribution(ev, segment_seconds=0)
+
+
+def test_sessionize_capped_dst_transition_instant_gaps(spark):
+    """LTZ input under a DST session timezone: two events 45 real
+    minutes apart straddle the US 2024-03-10 spring-forward (01:30 PST
+    → 03:15 PDT — the WALL clock jumps 1 h 45 m).  With gap=1 h the
+    old wall-clock arithmetic split the session; epoch-micros
+    arithmetic keeps ONE session.  Output timestamps are the original
+    event instants (selected, never recomputed)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.operators.events import sessionize_capped
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        # 2024-03-10 09:30:00Z and 10:15:00Z — 45 real minutes apart
+        us = [1710063000000000, 1710065700000000]
+        df = spark.createDataFrame(
+            [(1, u, i) for i, u in enumerate(us)],
+            "user_id long, us long, event_id long",
+        ).select(
+            "user_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "event_id",
+        )
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        rows = sessionize_capped(
+            df, gap_seconds=3600, max_duration_seconds=86400
+        ).collect()
+        assert len(rows) == 1, [
+            (r.session_id, r.session_start, r.session_end) for r in rows
+        ]
+        r = rows[0]
+        assert r.n_events == 2
+        # start/end are the original instants
+        starts = df.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        assert r.session_start == starts.lo and r.session_end == starts.hi
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

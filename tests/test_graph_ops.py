@@ -873,3 +873,45 @@ def test_msf_weighted_matches_kruskal(spark):
     assert got == want
     # total weight is the MST weight regardless of tie-break choices
     assert sum(w for *_, w in got) == sum(w for *_, w in want)
+
+
+def test_msf_weight_contract_enforced(spark):
+    """The zero-padded sort key only embeds the order of NON-NEGATIVE
+    INTEGERS: a float weight column is rejected at plan time (silent
+    truncation would pick wrong edges), a negative weight fails the
+    first task that sees it (raise_error in the plan — no extra
+    validation job on the clean path)."""
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.graph import minimum_spanning_forest
+
+    fdf = spark.createDataFrame(
+        [(0, 1, 1.5), (1, 2, 0.5)], "src long, dst long, wv double"
+    )
+    with _pt.raises(TypeError, match="integral"):
+        minimum_spanning_forest(fdf, src_col="src", dst_col="dst", weight_col="wv")
+
+    missing = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pt.raises(ValueError, match="not in edges schema"):
+        minimum_spanning_forest(
+            missing, src_col="src", dst_col="dst", weight_col="wv"
+        )
+
+    ndf = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, -9), (2, 3, 5)], "src long, dst long, wv long"
+    )
+    # MSF materializes its rounds eagerly, so the in-plan raise_error
+    # surfaces during construction — either way, before any result
+    with _pt.raises(Exception, match="negative weight"):
+        minimum_spanning_forest(
+            ndf, rounds=2, src_col="src", dst_col="dst", weight_col="wv"
+        ).collect()
+
+    # the clean path is untouched: all-non-negative still builds a forest
+    ok = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, 0), (2, 3, 5)], "src long, dst long, wv long"
+    )
+    rows = minimum_spanning_forest(
+        ok, rounds=2, src_col="src", dst_col="dst", weight_col="wv"
+    ).collect()
+    assert {(r.a, r.b, r.weight) for r in rows} == {(0, 1, 3), (1, 2, 0), (2, 3, 5)}

@@ -2084,3 +2084,55 @@ def test_multichannel_wav_roundtrip_and_guards():
     buf[4:8] = struct.pack("<I", struct.unpack("<I", buf[4:8])[0] - 2)
     with _pt.raises(ValueError, match="non-multiple"):
         decode_wav(bytes(buf[:-2]))
+
+
+def test_color_jpeg_restart_markers_roundtrip():
+    """DRI restart markers in COLOR streams — both paths the r8 advice
+    named: baseline 4:4:4 / 4:2:0 MCU loops and every progressive scan
+    kind (interleaved DC, per-component AC, refinements) reset
+    predictors/EOB runs at byte-aligned RSTm boundaries and decode to
+    the exact pixels of the DRI-free stream; a flipped sequence number
+    is detected as corruption."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.multimodal import (
+        decode_color_jpeg,
+        encode_color_jpeg,
+        encode_color_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(907)
+    px = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    ref_prog = decode_color_jpeg(encode_color_jpeg_progressive(px))["pixels"]
+    for ri in (1, 3, 5):
+        got = decode_color_jpeg(
+            encode_color_jpeg_progressive(px, restart_interval=ri)
+        )["pixels"]
+        assert np.array_equal(np.asarray(got), np.asarray(ref_prog)), ri
+    ref_444 = decode_color_jpeg(encode_color_jpeg(px, subsampling="444"))["pixels"]
+    for ri in (2, 7):
+        got = decode_color_jpeg(
+            encode_color_jpeg(px, subsampling="444", restart_interval=ri)
+        )["pixels"]
+        assert np.array_equal(np.asarray(got), np.asarray(ref_444)), ri
+    px2 = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    ref_420 = decode_color_jpeg(encode_color_jpeg(px2))["pixels"]
+    got = decode_color_jpeg(
+        encode_color_jpeg(px2, restart_interval=1)
+    )["pixels"]
+    assert np.array_equal(np.asarray(got), np.asarray(ref_420))
+
+    # a wrong RSTm sequence number is structural corruption
+    import pytest as _pt
+
+    buf = bytearray(encode_color_jpeg(px, subsampling="444", restart_interval=2))
+    i = buf.find(b"\xff\xd0")
+    assert i != -1
+    buf[i + 1] = 0xD7
+    with _pt.raises(ValueError, match="restart sequence"):
+        decode_color_jpeg(bytes(buf))
+
+    with _pt.raises(ValueError, match="restart_interval"):
+        encode_color_jpeg_progressive(px, restart_interval=-1)
+    with _pt.raises(ValueError, match="restart_interval"):
+        encode_color_jpeg(px, restart_interval=70000)

@@ -580,3 +580,198 @@ def test_stream_anti_join_requires_stream(spark):
     )
     with _pt.raises(ValueError, match="streaming"):
         stream_stream_anti_join(df)
+
+
+def test_stream_anti_join_horizon(spark, tmp_path):
+    """Horizon mode ('no match within T ⇒ anti', T = 1 h): user 1 has
+    no purchase at all (anti); user 2's views are corrected by a
+    purchase 38/39 min later arriving in a LATER batch; user 3's
+    purchase precedes its view (anti — the case unbounded mode calls
+    matched); user 4's purchase lands 90 min after the view, outside
+    the horizon (anti).  Two far-future nudge batches then drag the
+    watermark past every deadline so the EventTimeTimeout eviction
+    branch actually fires — final verdicts must be unchanged, proving
+    finalized state can be dropped."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_anti_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        # batch 0 (ts <= 30)
+        (1, m(0), 1, "view", 0.0, ""),
+        (2, m(1), 2, "view", 0.0, ""),
+        (3, m(2), 2, "view", 0.0, ""),
+        (4, m(4), 3, "purchase", 0.0, ""),
+        (5, m(0), 4, "view", 0.0, ""),
+        # batch 1 (30 < ts <= 200)
+        (6, m(40), 2, "purchase", 0.0, ""),
+        (7, m(41), 3, "view", 0.0, ""),
+        (8, m(90), 4, "purchase", 0.0, ""),
+        # batches 2-3: watermark nudges (user 99 excluded from asserts)
+        (90, m(100000), 99, "view", 0.0, ""),
+        (91, m(100100), 99, "view", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 120
+    conds = (
+        F.col("ts") <= m(30),
+        (F.col("ts") > m(30)) & (F.col("ts") <= m(200)),
+        F.col("event_id") == 90,
+        F.col("event_id") == 91,
+    )
+    for i, cond in enumerate(conds):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 20 * i, t0 + 20 * i))
+    stream = read_events_stream(spark, stage, max_files=1)
+    sink = run_to_memory(
+        stream_stream_anti_join(
+            stream, horizon_seconds=3600, watermark="30 minutes"
+        ),
+        "st_anti_horizon_test",
+        mode="update",
+    )
+    raw = spark.createDataFrame(sink.collect(), sink.schema).filter(
+        F.col("user_id") != 99
+    )
+    # user 2's batch-0 views were provisionally emitted matched=false
+    assert raw.filter((F.col("user_id") == 2) & ~F.col("matched")).count() == 2
+    final_n = raw.groupBy("event_id").agg(F.max("n_seen").alias("n_seen"))
+    final = raw.join(final_n, ["event_id", "n_seen"])
+    anti = {
+        (r.user_id, r.event_id)
+        for r in final.filter(~F.col("matched")).collect()
+    }
+    assert anti == {(1, 1), (3, 7), (4, 5)}
+    assert {
+        (r.user_id, r.event_id)
+        for r in final.filter(F.col("matched")).collect()
+    } == {(2, 2), (2, 3)}
+
+
+def test_stream_anti_join_horizon_validation(spark):
+    """horizon_seconds=0 is rejected before any stream machinery."""
+    import pytest as _pt
+
+    from duckdb_graphar_spark.streaming.ops import stream_stream_anti_join
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value AS event_id",
+            "timestamp AS ts",
+            "value AS user_id",
+            "'view' AS event_type",
+        )
+    )
+    with _pt.raises(ValueError, match="horizon_seconds"):
+        stream_stream_anti_join(stream, horizon_seconds=0)
+
+
+def test_streaming_funnel_anchors_across_batches(spark, tmp_path):
+    """Funnel anchors survive micro-batch boundaries: user 1 views in
+    batch 0 and clicks+purchases in batch 1 (full conversion, so the
+    batch-0 provisional stage-1 emission is superseded); user 2's
+    purchase at the SAME timestamp as its click must NOT advance
+    (strictly-after tie semantics); user 3 clicks without ever viewing
+    (stage 0, NULL completed_at)."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_funnel,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        # batch 0
+        (1, m(0), 1, "view", 0.0, ""),
+        (2, m(1), 2, "view", 0.0, ""),
+        (3, m(2), 3, "click", 0.0, ""),
+        # batch 1
+        (4, m(40), 1, "click", 0.0, ""),
+        (5, m(41), 1, "purchase", 0.0, ""),
+        (6, m(42), 2, "click", 0.0, ""),
+        (7, m(42), 2, "purchase", 0.0, ""),  # tie with the click: no advance
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 60
+    for i, cond in enumerate((F.col("ts") <= m(30), F.col("ts") > m(30))):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 30 * i, t0 + 30 * i))
+    stream = read_events_stream(spark, stage, max_files=1)
+    sink = run_to_memory(
+        streaming_funnel(stream, ["view", "click", "purchase"]),
+        "st_funnel_test",
+        mode="update",
+    )
+    raw = spark.createDataFrame(sink.collect(), sink.schema)
+    # user 1's batch-0 emission is provisional stage 1
+    b0 = raw.filter((F.col("user_id") == 1) & (F.col("stages_completed") == 1))
+    assert b0.count() == 1
+    final_n = raw.groupBy("user_id").agg(F.max("n_seen").alias("n_seen"))
+    final = {
+        r.user_id: (r.stages_completed, r.completed_at)
+        for r in raw.join(final_n, ["user_id", "n_seen"]).collect()
+    }
+    assert final[1] == (3, m(41))
+    assert final[2] == (2, m(42))  # purchase tied with click: stage 2
+    assert final[3] == (0, None)
+
+
+def test_streaming_funnel_guards(spark):
+    import datetime as dt
+
+    import pytest as _pt
+
+    from duckdb_graphar_spark.streaming.ops import streaming_funnel
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "view", 0.0, "")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    with _pt.raises(ValueError, match="streaming"):
+        streaming_funnel(df, ["view"])
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("timestamp AS ts", "value AS user_id", "'view' AS event_type")
+    )
+    with _pt.raises(ValueError, match="stages"):
+        streaming_funnel(stream, [])
