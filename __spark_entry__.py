@@ -4696,6 +4696,87 @@ def st22(spark, sf):
 
 
 @_q(
+    "st23_streaming_funnel_window",
+    # ORACLE: q91's staged-min-with-conversion-window funnel VERBATIM —
+    # stage i+1 is the first event STRICTLY after t_i AND within 6 h of
+    # it.  Under time-split batches the window verdict is
+    # incremental-final (the first needed-type event beyond the window
+    # proves no qualifying one can arrive), so the streaming fold
+    # freezes stuck funnels and still equals the batch recurrence.
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND epoch_us(e.ts) - epoch_us(s1.t1) <= 21600000000
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND epoch_us(e.ts) - epoch_us(s2.t2) <= 21600000000
+           GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stages_completed,
+           COALESCE(t3, t2, t1) AS completed_at
+    FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    """,
+)
+def st23(spark, sf):
+    """STREAMING conversion-window funnel — q91's stateful twin
+    (view→click→purchase, each stage within 6 h of the previous):
+    st22's anchor-carrying fold plus the one extra boolean that makes
+    window verdicts incremental-final
+    (`streaming/ops.py:streaming_funnel(max_gap_us=...)`)."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_funnel,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st23_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        wt = Window.orderBy("ts", "event_id")
+        tiled = ev.withColumn("__tile", F.ntile(3).over(wt))
+        base = time.time() - 120
+        for i in range(3):
+            tmp = os.path.join(stage, f"__b{i}")
+            tiled.filter(F.col("__tile") == i + 1).drop("__tile").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1)
+        sink = run_to_memory(
+            streaming_funnel(
+                stream,
+                ["view", "click", "purchase"],
+                max_gap_us=21_600_000_000,
+            ),
+            "st23_out",
+            mode="update",
+        )
+        raw = spark.createDataFrame(sink.collect(), sink.schema)
+        final_n = raw.groupBy("user_id").agg(F.max("n_seen").alias("n_seen"))
+        return raw.join(final_n, ["user_id", "n_seen"]).select(
+            "user_id",
+            "stages_completed",
+            F.col("completed_at").cast("timestamp_ntz").alias("completed_at"),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp
@@ -11794,7 +11875,7 @@ _PRIORITY = [
     # --- round (horizon-bounded stream anti join); m30/m31/m32/m33/st20
     # --- landed in round 8 after that window filled (all in-repo
     # --- oracle-green and round-8 bare-session-sweep green);
-    "st21", "st22", "m30", "m31", "m32", "m33", "st20",
+    "st21", "st22", "st23", "m30", "m31", "m32", "m33", "st20",
     # --- (2) the 4 entries whose round-8 code changes carry only
     # --- pre-change driver evidence (g27/g30/g31 the 12→20-digit
     # --- tie-break pad, last checked r6/r7; q68 the DESC-frame
@@ -11812,11 +11893,11 @@ _PRIORITY = [
     "q50", "q55", "q57", "q56", "q51", "q52", "u02", "u03", "q49",
     "q47", "q54", "q48", "t22", "t24", "t25", "d04", "u01", "g09",
     "g12", "g10", "t02", "t03", "t05", "t07", "t08", "t09", "m04",
-    "m05", "s03",
-    # --- 51+: the remaining 15 r3-stale entries lead the round-10
+    "m05",
+    # --- 51+: the remaining 16 r3-stale entries lead the round-10
     # --- queue; everything else follows in registry definition order ---
-    "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07", "t18",
-    "t19", "t20", "t21", "s05", "s06", "st08",
+    "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
+    "t18", "t19", "t20", "t21", "s05", "s06", "st08",
 ]
 
 

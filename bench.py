@@ -271,6 +271,7 @@ ST_QUERIES = [
     "st20_stream_anti_join",
     "st21_stream_anti_join_horizon",
     "st22_streaming_funnel",
+    "st23_streaming_funnel_window",
 ]
 
 

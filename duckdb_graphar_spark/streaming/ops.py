@@ -1120,6 +1120,7 @@ def streaming_funnel(
     events: DataFrame,
     stages: list[str],
     *,
+    max_gap_us: int | None = None,
     watermark: str = "365 days",
 ) -> DataFrame:
     """STREAMING ordered-funnel conversion — the stateful twin of
@@ -1143,6 +1144,15 @@ def streaming_funnel(
     reconstructed from the anchor's epoch micros (plan-side
     ``unix_micros`` — DST-safe for LTZ input, exact for NTZ).
 
+    ``max_gap_us`` adds the CONVERSION-WINDOW semantics (the batch
+    funnel's q91 mode): stage i+1 must land within that many
+    microseconds of the stage-i anchor.  Under event-time-ordered
+    batches the window verdict is INCREMENTAL-FINAL: the first
+    needed-type event after the anchor being beyond the window proves
+    no qualifying event can ever arrive (later events are larger), so
+    the funnel freezes — state carries one extra boolean and stuck
+    keys stop scanning.
+
     Arrival-order contract (st19's): folds run in batch order, so the
     batch-twin oracle holds when batches are staged in event-time
     order; out-of-order arrival is the documented trade every
@@ -1160,6 +1170,8 @@ def streaming_funnel(
         )
     if not stages:
         raise ValueError("stages must be non-empty")
+    if max_gap_us is not None and max_gap_us < 1:
+        raise ValueError("max_gap_us must be >= 1 or None")
     n_stages = len(stages)
 
     out_schema = T.StructType(
@@ -1174,6 +1186,7 @@ def streaming_funnel(
         [
             T.StructField("stage", T.IntegerType(), False),
             T.StructField("anchor_us", T.LongType(), False),
+            T.StructField("stuck", T.BooleanType(), False),
             T.StructField("seen", T.LongType(), False),
         ]
     )
@@ -1182,10 +1195,12 @@ def streaming_funnel(
         import numpy as np
         import pandas as pd
 
-        stage, anchor_us, seen = state.get if state.exists else (0, 0, 0)
+        stage, anchor_us, stuck, seen = (
+            state.get if state.exists else (0, 0, False, 0)
+        )
         rows = pd.concat(list(pdfs), ignore_index=True)
         seen += len(rows)
-        if stage < n_stages and len(rows):
+        if stage < n_stages and not stuck and len(rows):
             et = rows["event_type"].to_numpy()
             us = rows["__us"].to_numpy().astype(np.int64)
             by_type = {
@@ -1203,9 +1218,21 @@ def streaming_funnel(
                 )
                 if idx >= len(arr):
                     break
-                anchor_us = int(arr[idx])
+                cand = int(arr[idx])
+                if (
+                    max_gap_us is not None
+                    and stage > 0
+                    and cand - anchor_us > max_gap_us
+                ):
+                    # the FIRST needed-type event after the anchor is
+                    # already beyond the window — with time-ordered
+                    # batches no qualifying event can ever arrive:
+                    # freeze the funnel (final verdict)
+                    stuck = True
+                    break
+                anchor_us = cand
                 stage += 1
-        state.update((int(stage), int(anchor_us), int(seen)))
+        state.update((int(stage), int(anchor_us), bool(stuck), int(seen)))
         yield pd.DataFrame(
             {
                 "user_id": [int(key[0])],

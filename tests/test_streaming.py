@@ -775,3 +775,82 @@ def test_streaming_funnel_guards(spark):
     )
     with _pt.raises(ValueError, match="stages"):
         streaming_funnel(stream, [])
+
+
+def test_streaming_funnel_window_freezes_across_batches(spark, tmp_path):
+    """Conversion-window mode (1 h): user 1 clicks 30 min after the
+    view (advances) then purchases 2 h after the click — the FIRST
+    purchase after the anchor is beyond the window, so the funnel
+    freezes at 2 even though a later batch has another purchase; user
+    2's click lands 90 min after the view in a LATER batch — frozen at
+    1 the moment that click is seen, and its in-window purchase right
+    after must NOT resurrect it."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_funnel,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        # batch 0 (<= 60)
+        (1, m(0), 1, "view", 0.0, ""),
+        (2, m(30), 1, "click", 0.0, ""),
+        (3, m(5), 2, "view", 0.0, ""),
+        # batch 1 (60 < ts <= 200)
+        (4, m(150), 1, "purchase", 0.0, ""),  # 2 h after click: stuck at 2
+        (5, m(95), 2, "click", 0.0, ""),      # 90 min after view: stuck at 1
+        (6, m(100), 2, "purchase", 0.0, ""),  # within window of the click,
+                                              # but the funnel already froze
+        # batch 2 (> 200)
+        (7, m(210), 1, "purchase", 0.0, ""),  # frozen funnels stay frozen
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 90
+    conds = (
+        F.col("ts") <= m(60),
+        (F.col("ts") > m(60)) & (F.col("ts") <= m(200)),
+        F.col("ts") > m(200),
+    )
+    for i, cond in enumerate(conds):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 20 * i, t0 + 20 * i))
+    stream = read_events_stream(spark, stage, max_files=1)
+    sink = run_to_memory(
+        streaming_funnel(
+            stream, ["view", "click", "purchase"], max_gap_us=3_600_000_000
+        ),
+        "st_funnel_window_test",
+        mode="update",
+    )
+    raw = spark.createDataFrame(sink.collect(), sink.schema)
+    final_n = raw.groupBy("user_id").agg(F.max("n_seen").alias("n_seen"))
+    final = {
+        r.user_id: (r.stages_completed, r.completed_at)
+        for r in raw.join(final_n, ["user_id", "n_seen"]).collect()
+    }
+    assert final[1] == (2, m(30))
+    assert final[2] == (1, m(5))
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_gap_us"):
+        streaming_funnel(stream, ["view"], max_gap_us=0)
