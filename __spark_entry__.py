@@ -4777,6 +4777,69 @@ def st23(spark, sf):
 
 
 @_q(
+    "st24_stream_scd2_enrich",
+    # ORACLE: q59's gaps-and-islands interval CTE verbatim, joined back
+    # to the purchase events on half-open containment — ts >= valid_from
+    # AND (valid_to IS NULL OR ts < valid_to).  Intervals partition each
+    # user's timeline from their first event, so every purchase matches
+    # exactly ONE row in both engines; zero-length runs (ts ties) are
+    # skipped identically by the half-open predicate.
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+          FROM o),
+    c AS (SELECT user_id, run, MIN(event_type) AS state, MIN(ts) AS valid_from
+          FROM r GROUP BY user_id, run),
+    iv AS (SELECT user_id, state, valid_from,
+                  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+           FROM c)
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value,
+           i.state AS state_asof,
+           CAST(i.valid_from AS TIMESTAMP) AS state_since
+    FROM events e JOIN iv i ON e.user_id = i.user_id
+     AND e.ts >= i.valid_from AND (i.valid_to IS NULL OR e.ts < i.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def st24(spark, sf):
+    """STREAM-STATIC SCD2 point-in-time enrichment — each purchase event
+    picks up the user's state run valid AT ITS EVENT TIME (the q76
+    point-in-time join shape, live; `streaming/ops.py:
+    stream_scd2_enrich`).  Stream-static inner joins run with NO state
+    store and no watermark: the SCD2 dimension (built batch-side by
+    q59's `scd2_intervals`) is broadcast per micro-batch and output is
+    append-only per event.  Completes the stream-join family:
+    stream-stream inner/left/full/semi/anti + stream-static equi (st08
+    lane) + stream-static INTERVAL (this)."""
+    from duckdb_graphar_spark.operators.events import scd2_intervals
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_scd2_enrich,
+    )
+
+    dim = scd2_intervals(_t(spark, sf, "events"))
+    stream = read_events_stream(spark, f"{sf}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    sink = run_to_memory(stream_scd2_enrich(stream, dim), "st24_out", mode="append")
+    return sink.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+        "state_asof",
+        F.col("state_since").cast("timestamp_ntz").alias("state_since"),
+    )
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp
@@ -11875,7 +11938,7 @@ _PRIORITY = [
     # --- round (horizon-bounded stream anti join); m30/m31/m32/m33/st20
     # --- landed in round 8 after that window filled (all in-repo
     # --- oracle-green and round-8 bare-session-sweep green);
-    "st21", "st22", "st23", "m30", "m31", "m32", "m33", "st20",
+    "st21", "st22", "st23", "st24", "m30", "m31", "m32", "m33", "st20",
     # --- (2) the 4 entries whose round-8 code changes carry only
     # --- pre-change driver evidence (g27/g30/g31 the 12→20-digit
     # --- tie-break pad, last checked r6/r7; q68 the DESC-frame

@@ -272,6 +272,7 @@ ST_QUERIES = [
     "st21_stream_anti_join_horizon",
     "st22_streaming_funnel",
     "st23_streaming_funnel_window",
+    "st24_stream_scd2_enrich",
 ]
 
 

@@ -522,6 +522,49 @@ def stream_static_enrich_agg(
     )
 
 
+def stream_scd2_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "state",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """POINT-IN-TIME SCD2 enrichment of a stream (§2.E): attach to each
+    event the dimension row whose half-open validity interval
+    ``[valid_from, valid_to)`` contains the event time — the warehouse
+    "attribute as-of the event" lookup (q76's batch shape), live.  A
+    NULL ``valid_to`` is the current state (open interval).
+
+    Stream-static INNER joins carry no condition restrictions and use
+    NO state store: Spark re-plans the dimension as an ordinary
+    broadcast hash join per micro-batch (equi-key on ``key``; the
+    containment predicate filters post-probe), so dimension swaps
+    between batches are picked up for free, output is append-only per
+    event, and no watermark is needed.
+
+    Scale shape: the dim is one row per (entity, state run) —
+    broadcast-sized for real dimensions, and the probe side never
+    shuffles; a corpus-sized "dimension" belongs in a stream-stream
+    interval join instead.  Intervals partition each entity's timeline,
+    so every in-range event matches exactly one row (no fan-out).
+    """
+    d = dim.select(
+        F.col(key).alias("__dk"),
+        F.col(state_col).alias("state_asof"),
+        F.col(valid_from).alias("state_since"),
+        F.col(valid_to).alias("__vt"),
+    )
+    cond = (
+        (stream[key] == F.col("__dk"))
+        & (stream[ts_col] >= F.col("state_since"))
+        & (F.col("__vt").isNull() | (stream[ts_col] < F.col("__vt")))
+    )
+    return stream.join(F.broadcast(d), cond, "inner").drop("__dk", "__vt")
+
+
 def windowed_hll_distinct(
     stream: DataFrame,
     *,

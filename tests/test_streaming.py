@@ -854,3 +854,68 @@ def test_streaming_funnel_window_freezes_across_batches(spark, tmp_path):
 
     with _pt.raises(ValueError, match="max_gap_us"):
         streaming_funnel(stream, ["view"], max_gap_us=0)
+
+
+def test_stream_scd2_enrich_point_in_time(spark, tmp_path):
+    """Hand-built dimension with two state runs per user (open-ended
+    current state) driven by a two-batch purchase stream: each purchase
+    must pick up the run containing its event time, the open interval
+    must catch late events, and a pre-history event (before the first
+    valid_from) must NOT match — and the whole thing runs stateless
+    (append mode, no watermark)."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_scd2_enrich,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", m(0), m(60)),
+            (1, "gold", m(60), None),
+            (2, "trial", m(30), None),
+        ],
+        "user_id long, state string, valid_from timestamp_ntz, valid_to timestamp_ntz",
+    )
+    rows = [
+        (10, m(5), 1, "purchase", 1.0, ""),    # bronze (first run)
+        (11, m(60), 1, "purchase", 2.0, ""),   # boundary: half-open -> gold
+        (12, m(500), 1, "purchase", 3.0, ""),  # open current interval
+        (13, m(10), 2, "purchase", 4.0, ""),   # PRE-history: no dim row
+        (14, m(31), 2, "purchase", 5.0, ""),   # trial
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 60
+    for i, cond in enumerate((F.col("ts") <= m(60), F.col("ts") > m(60))):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 30 * i, t0 + 30 * i))
+    stream = read_events_stream(spark, stage, max_files=1)
+    sink = run_to_memory(
+        stream_scd2_enrich(stream, dim), "st_scd2_enrich_test", mode="append"
+    )
+    got = {r.event_id: (r.state_asof, r.state_since) for r in sink.collect()}
+    assert got == {
+        10: ("bronze", m(0)),
+        11: ("gold", m(60)),
+        12: ("gold", m(60)),
+        14: ("trial", m(30)),
+    }
