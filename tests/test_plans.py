@@ -681,3 +681,21 @@ def test_twap_single_user_exchange(spark, qs):
     df = qs["q85_time_weighted_average"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_stream_scd2_enrich_broadcasts_dim(spark):
+    """st24's per-micro-batch plan shape, checked on the batch twin:
+    the SCD2 dimension must BROADCAST (equi-key BroadcastHashJoin with
+    the interval containment as the post-probe condition) — the stream
+    side never shuffles and no SortMergeJoin appears."""
+    from duckdb_graphar_spark.operators.events import scd2_intervals
+    from duckdb_graphar_spark.streaming.ops import stream_scd2_enrich
+    from duckdb_graphar_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    df = stream_scd2_enrich(
+        ev.filter("event_type = 'purchase'"), scd2_intervals(ev)
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
