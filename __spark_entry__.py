@@ -7107,6 +7107,52 @@ def g32(spark, sf):
 
 
 @_q(
+    "g33_adamic_adar",
+    # ORACLE: g20's wedge enumeration with the center's AA weight —
+    # ROUND(1/LN(deg), 9) cast to DECIMAL(38,12) — stamped on each
+    # neighbor row; the per-pair sum is exact decimal (order-
+    # independent), the DECIMAL is the sort key (u, w ties), and only
+    # the published score is a rounded double.  Degree-1 centers are
+    # filtered on both sides (they close no wedge).
+    f"""
+    WITH e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM ({_E_SQL}) WHERE src <> dst),
+    nb AS (SELECT a AS c, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT n AS v, COUNT(*) AS d FROM nb GROUP BY 1),
+    nbw AS (SELECT nb.c, nb.n,
+                   CAST(ROUND(CAST(1.0 AS DOUBLE) / LN(CAST(deg.d AS DOUBLE)), 9)
+                        AS DECIMAL(38,12)) AS wc
+            FROM nb JOIN deg ON deg.v = nb.c WHERE deg.d >= 2),
+    aa AS (SELECT l.n AS u, r.n AS w, COUNT(*) AS n_common, SUM(l.wc) AS s
+           FROM nbw l JOIN nbw r ON l.c = r.c AND l.n < r.n GROUP BY 1, 2),
+    ne AS (SELECT aa.u, aa.w, aa.n_common, aa.s FROM aa
+           ANTI JOIN e0 ON aa.u = e0.a AND aa.w = e0.b)
+    SELECT u, w, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(CAST(s AS DOUBLE), 6) AS adamic_adar
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, u, w) AS rk FROM ne)
+    WHERE rk <= 50
+    """,
+)
+def g33(spark, sf):
+    """Adamic–Adar link prediction: top-50 non-adjacent pairs by
+    Σ 1/ln(deg(center)) over shared neighbors — the hub-down-weighted
+    refinement of g20's raw common-neighbor count (a shared celebrity
+    is weak evidence, a shared 3-degree contact is strong).  Same
+    capped wedge join; the weight is stamped per NEIGHBOR row (2·|E|),
+    never per wedge row (Σdeg²), and the pair aggregate stays
+    map-combinable (`operators/graph.py:adamic_adar_candidates`)."""
+    from duckdb_graphar_spark.operators.graph import adamic_adar_candidates
+
+    return adamic_adar_candidates(
+        _edges(spark, sf),
+        k=50,
+        max_center_degree=1000,
+        src_col="src",
+        dst_col="dst",
+    )
+
+
+@_q(
     "g30_greedy_coloring",
     # ORACLE: the full colors×rounds peel unrolled by _coloring_oracle
     # — class c is a g27 Luby MIS over the residual adjacency with a

@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "m31_tiff_lzw",
     "m32_progressive_color_jpeg",
     "m33_quad_wav",
+    "g33_adamic_adar",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

@@ -1036,6 +1036,93 @@ def common_neighbor_candidates(
     )
 
 
+def adamic_adar_candidates(
+    edges: DataFrame,
+    *,
+    k: int = 50,
+    max_center_degree: int | None = None,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Adamic–Adar link prediction: the top-``k`` NON-adjacent vertex
+    pairs ranked by ``Σ_{c ∈ CN(u,w)} 1 / ln(deg(c))`` →
+    (u, w, n_common, adamic_adar), u < w, ordered by (score desc, u, w).
+
+    The AA index down-weights common neighbors that are themselves
+    hubs (a shared celebrity follower is weak evidence; a shared
+    3-degree contact is strong) — the standard refinement of
+    :func:`common_neighbor_candidates`'s raw count.
+
+    Same wedge-join scale shape as common_neighbor_candidates (Σdeg²
+    enumeration bounded by u < w orientation and the
+    ``max_center_degree`` hub cap); the only addition is the center's
+    weight stamped onto each wedge row BEFORE the (u, w) groupBy, so
+    the aggregate stays map-combinable.  Degree-1 centers are dropped
+    (1/ln(1) is undefined, and a degree-1 vertex closes no wedge
+    anyway — semantics-neutral).
+
+    Float determinism: the per-center weight is ONE double division of
+    an exact integer's ln, rounded to 9 and cast to DECIMAL(38,12);
+    the per-pair sum is exact-decimal (order-independent); the
+    published score is one double cast rounded to 6 — the decimal, not
+    the double, is the sort key, so the top-k cut is engine-stable.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    nb = canon.select(F.col("a").alias("c"), F.col("b").alias("n")).unionAll(
+        canon.select(F.col("b").alias("c"), F.col("a").alias("n"))
+    )
+    deg = (
+        nb.groupBy(F.col("n").alias("v"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    if max_center_degree is not None:
+        hubs = deg.filter(F.col("d") > max_center_degree).select(
+            F.col("v").alias("c")
+        )
+        nb = nb.join(F.broadcast(hubs), "c", "left_anti")
+    # stamp the center's AA weight onto its neighbor rows once (|E|·2
+    # rows), not onto wedge rows (Σdeg² rows) — the join is by far the
+    # smaller relation side
+    wdeg = deg.filter(F.col("d") >= 2).select(
+        F.col("v").alias("c"),
+        F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 9)
+        .cast("decimal(38,12)")
+        .alias("wc"),
+    )
+    nbw = nb.join(wdeg, "c")
+    left = nbw.select("c", F.col("n").alias("u"), "wc")
+    right = nbw.select(F.col("c").alias("c2"), F.col("n").alias("w"))
+    aa = (
+        left.join(right, (F.col("c") == F.col("c2")) & (F.col("u") < F.col("w")))
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("wc").alias("__s"),
+        )
+    )
+    non_edges = aa.join(
+        canon,
+        (aa["u"] == canon["a"]) & (aa["w"] == canon["b"]),
+        "left_anti",
+    )
+    return (
+        non_edges.orderBy(F.col("__s").desc(), "u", "w")
+        .limit(k)
+        .select(
+            "u",
+            "w",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(F.col("__s").cast("double"), 6).alias("adamic_adar"),
+        )
+    )
+
+
 def bipartiteness(
     edges: DataFrame,
     *,

@@ -915,3 +915,50 @@ def test_msf_weight_contract_enforced(spark):
         ok, rounds=2, src_col="src", dst_col="dst", weight_col="wv"
     ).collect()
     assert {(r.a, r.b, r.weight) for r in rows} == {(0, 1, 3), (1, 2, 0), (2, 3, 5)}
+
+
+def test_adamic_adar_known_graph(spark):
+    """Hand-checked AA scores: path graph 0-1-2-3-4 plus edge 1-3.
+    Degrees: 0:1, 1:3, 2:2, 3:3, 4:1.  Non-adjacent pairs with common
+    neighbors: (0,2)&(0,3) via center 1; (1,4)&(2,4) via center 3;
+    (0,4) none; (2,? ) — 2's neighbors {1,3}: pair (1,3) is an edge.
+    AA(0,2)=1/ln(3); AA(0,3)=1/ln(3); AA(2,4)=1/ln(3); AA(1,4)=1/ln(3);
+    and (1,3) adjacent so excluded; (0,2) vs (2,4) tie — order by (u,w)."""
+    import math
+
+    from duckdb_graphar_spark.operators.graph import adamic_adar_candidates
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long"
+    )
+    rows = adamic_adar_candidates(edges, k=10, src_col="src", dst_col="dst").collect()
+    w3 = round(round(1.0 / math.log(3.0), 9), 6)
+    got = {(r.u, r.w): (r.n_common, r.adamic_adar) for r in rows}
+    assert got == {
+        (0, 2): (1, w3),
+        (0, 3): (1, w3),
+        (1, 4): (1, w3),
+        (2, 4): (1, w3),
+    }
+    # ties broken by (u, w): deterministic full ordering
+    assert [(r.u, r.w) for r in rows] == [(0, 2), (0, 3), (1, 4), (2, 4)]
+
+
+def test_adamic_adar_hub_cap_drops_center(spark):
+    """A star hub above max_center_degree stops being a wedge center:
+    its leaf pairs vanish, while low-degree centers keep theirs."""
+    from duckdb_graphar_spark.operators.graph import adamic_adar_candidates
+
+    star = [(100, i) for i in range(5)]  # deg(100)=5
+    tail = [(0, 200), (1, 200)]  # center 200 (deg 2) closes pair (0, 1)
+    edges = spark.createDataFrame(star + tail, "src long, dst long")
+    capped = adamic_adar_candidates(
+        edges, k=100, max_center_degree=4, src_col="src", dst_col="dst"
+    ).collect()
+    # center 100 (deg 5 > 4) contributes nothing; center 200 still
+    # closes (0, 1); leaves 0 and 1 (deg 2 each) close (100, 200)
+    assert {(r.u, r.w) for r in capped} == {(0, 1), (100, 200)}
+    uncapped = adamic_adar_candidates(
+        edges, k=100, src_col="src", dst_col="dst"
+    ).collect()
+    assert {(r.u, r.w) for r in uncapped} > {(0, 1), (100, 200)}
