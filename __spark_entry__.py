@@ -11003,6 +11003,50 @@ def q90(spark, sf):
 
 
 @_q(
+    "q94_running_distinct",
+    # ORACLE: the single-window form — a first-occurrence flag (1 iff
+    # this (user, type) pair's ROW_NUMBER on the shared (ts, event_id)
+    # ordering is 1) running-summed per user.  Integer arithmetic
+    # end-to-end; the Spark side computes the SAME numbers with the
+    # (user, day)-segmented stitch and a groupBy-min first-occurrence
+    # stamp (no per-(user,type) window, no collect_set buffer).
+    """
+    WITH f AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS ff
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(ff) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_distinct
+    FROM f
+    """,
+)
+def q94(spark, sf):
+    """Running DISTINCT count per user (how many distinct event types
+    seen so far, inclusive) — the COUNT(DISTINCT) OVER Spark lacks,
+    rebuilt scalably: first-occurrence = one map-combinable
+    MIN(struct) groupBy stamped back by hash join (a skewed probe side
+    is AQE-splittable — no sort), then the q89-style (user, day)-
+    segmented running sum with an exact boundary stitch; a naive
+    size(collect_set() OVER ...) buffers a per-row set per window row
+    (`operators/events.py:running_distinct`)."""
+    from duckdb_graphar_spark.operators.events import running_distinct
+
+    return running_distinct(
+        _t(spark, sf, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        value_col="event_type",
+        segment_seconds=86_400,
+    )
+
+
+@_q(
     "q91_funnel_within_window",
     # ORACLE: q58's staged-min construction with the conversion window
     # folded into each stage's candidate set — stage i+1 is the first

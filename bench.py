@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "m32_progressive_color_jpeg",
     "m33_quad_wav",
     "g33_adamic_adar",
+    "q94_running_distinct",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

@@ -724,3 +724,99 @@ def linear_attribution(
     return v.join(n, ["purchase_id", user_col]).withColumn(
         "credit", F.lit(1.0) / F.col("n_touches")
     )
+
+
+def running_distinct(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "event_type",
+    segment_seconds: int | None = 86_400,
+) -> DataFrame:
+    """RUNNING DISTINCT COUNT per key: for every event, how many
+    distinct ``value_col`` values the key has produced UP TO AND
+    INCLUDING this event on the shared (ts, id) ordering →
+    (id, key, n_distinct).
+
+    Spark has no ``COUNT(DISTINCT) OVER`` — and the naive emulation
+    (``size(collect_set() OVER running-frame)``) materializes a
+    per-row set, O(rows·cardinality) memory in one window buffer.
+    The scalable identity: a value's FIRST occurrence per key
+    contributes 1, every later occurrence 0, so the running distinct
+    count is a RUNNING SUM of first-occurrence flags:
+
+    1. first occurrence per (key, value) = one map-combinable
+       ``MIN(struct(ts, id))`` aggregate (never a window);
+    2. the flag is an equality test against that min, stamped by a
+       hash join (AQE splits a skewed probe side — no sort anywhere);
+    3. the running sum uses the SAME (key, day)-segmented window +
+       boundary stitch as :func:`last_touch_attribution`: within-
+       segment running sum, per-segment totals (map-combined), a tiny
+       per-key window over SEGMENTS carrying the earlier-segment
+       prefix, one addition.
+
+    Bit-identical to the single-window semantics (integer arithmetic,
+    exact stitch); ``segment_seconds=None`` selects the plain
+    single-window plan."""
+    us_expr = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    flat = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__v"),
+        us_expr.alias("__us"),
+    )
+    firsts = flat.groupBy("__k", "__v").agg(
+        F.min(F.struct("__us", "__id")).alias("__fo")
+    )
+    flagged = flat.join(firsts, ["__k", "__v"]).withColumn(
+        "__ff",
+        (
+            (F.col("__us") == F.col("__fo.__us"))
+            & (F.col("__id") == F.col("__fo.__id"))
+        ).cast("long"),
+    )
+
+    if segment_seconds is None:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__us", "__id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = flagged.withColumn("__nd", F.sum("__ff").over(w))
+    else:
+        if segment_seconds < 1:
+            raise ValueError("segment_seconds must be >= 1 or None")
+        seg_us = segment_seconds * 1_000_000
+        flagged = flagged.withColumn(
+            "__seg", F.floor(F.col("__us") / F.lit(seg_us)).cast("long")
+        )
+        w_in = (
+            Window.partitionBy("__k", "__seg")
+            .orderBy("__us", "__id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = flagged.withColumn("__nd_in", F.sum("__ff").over(w_in))
+        segsum = flagged.groupBy("__k", "__seg").agg(
+            F.sum("__ff").alias("__ss")
+        )
+        w_seg = (
+            Window.partitionBy("__k")
+            .orderBy("__seg")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carried = segsum.withColumn(
+            "__pfx", F.coalesce(F.sum("__ss").over(w_seg), F.lit(0))
+        ).select("__k", "__seg", "__pfx")
+        out = within.join(carried, ["__k", "__seg"]).withColumn(
+            "__nd", F.col("__nd_in") + F.col("__pfx")
+        )
+
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__k").alias(key_col),
+        F.col("__nd").cast("long").alias("n_distinct"),
+    )

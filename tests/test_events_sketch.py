@@ -563,3 +563,52 @@ def test_sessionize_capped_dst_transition_instant_gaps(spark):
         assert r.session_start == starts.lo and r.session_end == starts.hi
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_running_distinct_segment_stitch(spark):
+    """Segmented running-distinct equals the single-window plan on a
+    fixture where repeats and first occurrences straddle segment
+    boundaries, and where two events share a timestamp (id tie)."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.events import running_distinct
+
+    t0 = dt.datetime(2024, 3, 1, 23, 50)
+    rows = [
+        # user 1: 'a' first in seg0, repeats in seg1; 'b' first in seg1
+        (1, 1, "a", t0),
+        (2, 1, "a", t0 + dt.timedelta(minutes=5)),
+        (3, 1, "b", t0 + dt.timedelta(hours=1)),   # next day-segment
+        (4, 1, "a", t0 + dt.timedelta(hours=2)),
+        (5, 1, "c", t0 + dt.timedelta(days=3)),
+        # user 2: timestamp tie — ids 6 and 7 at the same instant
+        (6, 2, "x", t0),
+        (7, 2, "y", t0),
+        (8, 2, "x", t0 + dt.timedelta(days=1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    seg = {
+        (r.event_id): r.n_distinct
+        for r in running_distinct(df, segment_seconds=3600).collect()
+    }
+    single = {
+        (r.event_id): r.n_distinct
+        for r in running_distinct(df, segment_seconds=None).collect()
+    }
+    assert seg == single
+    assert seg == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 1, 7: 2, 8: 2}
+
+
+def test_running_distinct_rejects_bad_segment(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.events import running_distinct
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", __import__("datetime").datetime(2024, 1, 1))],
+        "event_id long, user_id long, event_type string, ts timestamp_ntz",
+    )
+    with _pt.raises(ValueError, match="segment_seconds"):
+        running_distinct(df, segment_seconds=0)
