@@ -11003,6 +11003,64 @@ def q90(spark, sf):
 
 
 @_q(
+    "q96_time_decay_attribution",
+    # ORACLE: q90's FOLLOWING-frame pairing carrying the purchase's
+    # epoch micros alongside its id (two FIRST_VALUE windows over the
+    # identical frame), decay quantized to WHOLE half-lives so every
+    # weight is the exact integer 2^(50-n) (no exp() — engines
+    # disagree on transcendental last-ulps, never on integers), an
+    # exact DECIMAL(38,0) normalizer, and credit = ONE IEEE division.
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pid,
+             FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pus
+      FROM events
+    ),
+    v AS (SELECT user_id, event_id AS view_id, pid, pus, epoch_us(ts) AS vus
+          FROM o WHERE event_type = 'view' AND pid IS NOT NULL),
+    wt AS (SELECT user_id, view_id, pid,
+                  LEAST((pus - vus) // 86400000000, 50) AS halflives,
+                  (CAST(1 AS BIGINT) << CAST(50 - LEAST((pus - vus) // 86400000000, 50)
+                                             AS INTEGER)) AS weight
+           FROM v),
+    s AS (SELECT user_id, pid, SUM(CAST(weight AS DECIMAL(38,0))) AS sw
+          FROM wt GROUP BY 1, 2)
+    SELECT CAST(wt.pid AS BIGINT) AS purchase_id, wt.user_id,
+           CAST(wt.view_id AS BIGINT) AS view_id,
+           CAST(wt.halflives AS BIGINT) AS halflives,
+           CAST(wt.weight AS BIGINT) AS weight,
+           CAST(wt.weight AS DOUBLE) / CAST(s.sw AS DOUBLE) AS credit
+    FROM wt JOIN s ON s.user_id = wt.user_id AND s.pid = wt.pid
+    """,
+)
+def q96(spark, sf):
+    """Time-decay multi-touch attribution: q90's view→purchase scope
+    with recency-weighted credit — a touch n half-lives (1 day) before
+    the conversion carries relative weight 2^-n, quantized to whole
+    half-lives so weights are EXACT integers (2^(50-n)), the
+    normalizer is an exact decimal groupBy+join (never a count
+    window), and credit is one IEEE division.  Same segmented
+    DESC-running-window + boundary-stitch plan as q90, with the
+    purchase's epoch micros carried in the window's struct payload
+    (`operators/events.py:time_decay_attribution`)."""
+    from duckdb_graphar_spark.operators.events import time_decay_attribution
+
+    return time_decay_attribution(
+        _t(spark, sf, "events"),
+        half_life_seconds=86_400,
+        max_halflives=50,
+        segment_seconds=86_400,
+    )
+
+
+@_q(
     "q94_running_distinct",
     # ORACLE: the single-window form — a first-occurrence flag (1 iff
     # this (user, type) pair's ROW_NUMBER on the shared (ts, event_id)

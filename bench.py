@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "m33_quad_wav",
     "g33_adamic_adar",
     "q94_running_distinct",
+    "q96_time_decay_attribution",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

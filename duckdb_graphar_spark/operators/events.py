@@ -820,3 +820,134 @@ def running_distinct(
         F.col("__k").alias(key_col),
         F.col("__nd").cast("long").alias("n_distinct"),
     )
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    view_type: str = "view",
+    purchase_type: str = "purchase",
+    half_life_seconds: int = 86_400,
+    max_halflives: int = 50,
+    segment_seconds: int | None = 86_400,
+) -> DataFrame:
+    """TIME-DECAY multi-touch attribution → (purchase_id, user_id,
+    view_id, halflives, weight, credit): same view→purchase scope as
+    :func:`linear_attribution` (each view belongs to the first
+    purchase at-or-after it on the shared (ts, id) ordering), but
+    credit decays by recency — a touch ``n`` half-lives before the
+    conversion carries relative weight ``2^-n``.
+
+    Exactness contract: the decay exponent is quantized to WHOLE
+    half-lives (``n = gap_us div half_life_us``, capped at
+    ``max_halflives``), so every weight is the exact integer
+    ``2^(max_halflives - n)`` — the per-purchase normalizer is an
+    exact DECIMAL(38,0) sum (order-independent, map-combinable
+    groupBy + join, never a window) and ``credit`` is ONE IEEE
+    division of two exact integers.  No ``exp()`` anywhere: engines
+    disagree on transcendental last-ulps; they cannot disagree on
+    integers.  ``max_halflives`` must stay ≤ 62 (shift width); at 50,
+    touches ≥ 50 half-lives out share the floor weight 1.
+
+    Scale shape: the view→purchase pairing reuses the segmented
+    DESC-running-window + boundary-stitch plan (hot-key safe, no
+    unbounded-FOLLOWING frame); the struct payload carries the
+    purchase's epoch micros alongside its id so the gap needs no
+    second join."""
+    if not 0 <= max_halflives <= 62:
+        raise ValueError("max_halflives must be in [0, 62]")
+    if half_life_seconds < 1:
+        raise ValueError("half_life_seconds must be >= 1")
+    us_expr = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    flat = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__et"),
+        us_expr.alias("__us"),
+    )
+    pstruct = F.when(
+        F.col("__et") == purchase_type, F.struct("__us", "__id")
+    )
+
+    if segment_seconds is None:
+        wf = (
+            Window.partitionBy("__u")
+            .orderBy(F.col("__us").desc(), F.col("__id").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        o = flat.withColumn("__p", F.last(pstruct, ignorenulls=True).over(wf))
+    else:
+        if segment_seconds < 1:
+            raise ValueError("segment_seconds must be >= 1 or None")
+        seg_us = segment_seconds * 1_000_000
+        flat = flat.withColumn(
+            "__seg", F.floor(F.col("__us") / F.lit(seg_us)).cast("long")
+        )
+        w_in = (
+            Window.partitionBy("__u", "__seg")
+            .orderBy(F.col("__us").desc(), F.col("__id").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = flat.withColumn(
+            "__p_in", F.last(pstruct, ignorenulls=True).over(w_in)
+        )
+        segp = (
+            flat.filter(F.col("__et") == purchase_type)
+            .groupBy("__u", "__seg")
+            .agg(F.min(F.struct("__us", "__id")).alias("__fp"))
+        )
+        segs = (
+            flat.select("__u", "__seg")
+            .distinct()
+            .join(segp, ["__u", "__seg"], "left")
+        )
+        w_seg = (
+            Window.partitionBy("__u")
+            .orderBy(F.col("__seg").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carried = segs.withColumn(
+            "__np", F.last("__fp", ignorenulls=True).over(w_seg)
+        ).select("__u", "__seg", "__np")
+        o = within.join(carried, ["__u", "__seg"]).withColumn(
+            "__p", F.coalesce("__p_in", "__np")
+        )
+
+    hl_us = half_life_seconds * 1_000_000
+    v = (
+        o.filter((F.col("__et") == view_type) & F.col("__p").isNotNull())
+        .select(
+            F.col("__p.__id").cast("long").alias("purchase_id"),
+            F.col("__u").alias(user_col),
+            F.col("__id").cast("long").alias("view_id"),
+            F.least(
+                F.expr(f"(__p.__us - __us) DIV {hl_us}"),
+                F.lit(max_halflives).cast("long"),
+            ).alias("halflives"),
+        )
+        .withColumn(
+            "weight",
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast({max_halflives} - halflives as int))"
+            ),
+        )
+    )
+    s = v.groupBy("purchase_id", user_col).agg(
+        F.sum(F.col("weight").cast("decimal(38,0)")).alias("__sw")
+    )
+    return v.join(s, ["purchase_id", user_col]).select(
+        "purchase_id",
+        user_col,
+        "view_id",
+        "halflives",
+        "weight",
+        (F.col("weight").cast("double") / F.col("__sw").cast("double")).alias(
+            "credit"
+        ),
+    )

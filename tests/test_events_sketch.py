@@ -612,3 +612,63 @@ def test_running_distinct_rejects_bad_segment(spark):
     )
     with _pt.raises(ValueError, match="segment_seconds"):
         running_distinct(df, segment_seconds=0)
+
+
+def test_time_decay_attribution_weights_and_stitch(spark):
+    """Dyadic weights: a view n whole days before its purchase gets
+    2^(50-n); the cap floors at 2^0; segmented == single-window; per-
+    purchase credit sums to 1 exactly."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.events import time_decay_attribution
+
+    p = dt.datetime(2024, 6, 1, 12, 0)
+    rows = [
+        (1, 7, "view", p - dt.timedelta(days=3)),          # 3 half-lives
+        (2, 7, "view", p - dt.timedelta(days=1, hours=2)), # 1 (floor of 1.08)
+        (3, 7, "view", p - dt.timedelta(minutes=5)),       # 0
+        (4, 7, "view", p - dt.timedelta(days=400)),        # capped at 50
+        (5, 7, "purchase", p),
+        (6, 7, "view", p + dt.timedelta(hours=1)),         # after last purchase: dropped
+        (7, 8, "view", p),
+        (8, 8, "purchase", p + dt.timedelta(days=60)),     # capped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {
+        r.view_id: (r.purchase_id, r.halflives, r.weight, r.credit)
+        for r in time_decay_attribution(df).collect()
+    }
+    tot = (1 << 47) + (1 << 49) + (1 << 50) + 1
+    assert got == {
+        1: (5, 3, 1 << 47, (1 << 47) / tot),
+        2: (5, 1, 1 << 49, (1 << 49) / tot),
+        3: (5, 0, 1 << 50, (1 << 50) / tot),
+        4: (5, 50, 1, 1 / tot),
+        7: (8, 50, 1, 1.0),
+    }
+    single = {
+        r.view_id: (r.purchase_id, r.halflives, r.weight, r.credit)
+        for r in time_decay_attribution(df, segment_seconds=None).collect()
+    }
+    assert single == got
+
+
+def test_time_decay_attribution_guards(spark):
+    import datetime as dt
+
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.events import time_decay_attribution
+
+    df = spark.createDataFrame(
+        [(1, 1, "view", dt.datetime(2024, 1, 1))],
+        "event_id long, user_id long, event_type string, ts timestamp_ntz",
+    )
+    with _pt.raises(ValueError, match="max_halflives"):
+        time_decay_attribution(df, max_halflives=63)
+    with _pt.raises(ValueError, match="half_life_seconds"):
+        time_decay_attribution(df, half_life_seconds=0)
+    with _pt.raises(ValueError, match="segment_seconds"):
+        time_decay_attribution(df, segment_seconds=0)
