@@ -11003,6 +11003,95 @@ def q90(spark, sf):
 
 
 @_q(
+    "q95_rfm_segmentation",
+    # ORACLE: plain global NTILE(5) windows over each metric with the
+    # custkey tie-break making every ordering total.  The Spark side
+    # computes the SAME buckets with the two-phase distributed rank
+    # (range partitions + broadcast prefix offsets + per-partition
+    # windows) — an unpartitioned NTILE window would put the whole
+    # table on one task.  Metrics are exact integers (epoch-µs days,
+    # counts, cents), so there is no float anywhere.
+    """
+    WITH b AS (SELECT o_custkey AS custkey, epoch_us(o_orderdate) AS ous,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    a AS (SELECT custkey, MAX(ous) AS last_us, COUNT(*) AS frequency,
+                 CAST(SUM(cents) AS BIGINT) AS monetary_cents
+          FROM b GROUP BY 1),
+    t AS (SELECT custkey,
+                 ((SELECT MAX(ous) FROM b) - last_us) // 86400000000 AS recency_days,
+                 frequency, monetary_cents
+          FROM a),
+    s AS (SELECT custkey, recency_days, frequency, monetary_cents,
+                 NTILE(5) OVER (ORDER BY recency_days, custkey) AS r_tile,
+                 NTILE(5) OVER (ORDER BY frequency, custkey) AS f_tile,
+                 NTILE(5) OVER (ORDER BY monetary_cents, custkey) AS m_tile
+          FROM t)
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+           CAST(r_tile AS BIGINT) AS r_tile, CAST(f_tile AS BIGINT) AS f_tile,
+           CAST(m_tile AS BIGINT) AS m_tile,
+           CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR)
+               || CAST(m_tile AS VARCHAR) AS segment
+    FROM s
+    """,
+)
+def q95(spark, sf):
+    """RFM customer segmentation: per-customer recency (whole days
+    since last order, epoch-µs exact), frequency, and monetary (exact
+    cents), each scored into equal-depth quintiles — tile 1 = most
+    recent / least frequent / smallest spend, ties broken by custkey.
+    The quintiles come from `operators/ranking.py:global_ntile`, the
+    two-phase distributed rank (range-partition → lazy-checkpoint pin
+    → broadcast prefix offsets → per-partition windows) that replaces
+    the single-task unpartitioned NTILE window."""
+    from duckdb_graphar_spark.operators.ranking import global_ntile
+
+    orders = _t(spark, sf, "orders")
+    ous = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+    )
+    base = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        ous.alias("__ous"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("__cents"),
+    )
+    agg = base.groupBy("custkey").agg(
+        F.max("__ous").alias("__last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("__cents").alias("monetary_cents"),
+    )
+    max_us = base.agg(F.max("__ous")).first()[0]
+    rfm = agg.select(
+        "custkey",
+        F.expr(f"({max_us} - __last_us) DIV 86400000000").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    scored = global_ntile(
+        rfm, value_col="recency_days", id_col="custkey", tiles=5, out_col="r_tile"
+    )
+    scored = global_ntile(
+        scored, value_col="frequency", id_col="custkey", tiles=5, out_col="f_tile"
+    )
+    scored = global_ntile(
+        scored,
+        value_col="monetary_cents",
+        id_col="custkey",
+        tiles=5,
+        out_col="m_tile",
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_tile").cast("string"),
+            F.col("f_tile").cast("string"),
+            F.col("m_tile").cast("string"),
+        ),
+    )
+
+
+@_q(
     "q96_time_decay_attribution",
     # ORACLE: q90's FOLLOWING-frame pairing carrying the purchase's
     # epoch micros alongside its id (two FIRST_VALUE windows over the

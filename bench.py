@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "g33_adamic_adar",
     "q94_running_distinct",
     "q96_time_decay_attribution",
+    "q95_rfm_segmentation",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface
