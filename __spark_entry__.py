@@ -6264,6 +6264,93 @@ def t37(spark, sf):
 
 
 @_q(
+    "t41_url_canonical_dedup",
+    # ORACLE: both engines synthesize the same deterministic URL
+    # variants (mixed scheme case, www./bare, upper-cased hosts, utm_*
+    # tracking params in every position, fragments, trailing slashes —
+    # the fixture has no URL column, and an all-unique canonicalization
+    # proves nothing), then apply the LITERALLY identical RE2-safe
+    # regex pipeline and group.  n_variants > 1 rows pin that the
+    # normalization actually merges spellings.
+    """
+    WITH u AS (
+      SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
+                              ELSE 'HTTPS://' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN UPPER(source) ELSE source END)
+             || '.example.com/articles/' || CAST(doc_id % 40 AS VARCHAR)
+             || (CASE WHEN doc_id % 5 = 0 AND doc_id % 4 = 3 THEN '/' ELSE '' END)
+             || (CASE doc_id % 4
+                 WHEN 0 THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+                 WHEN 1 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR) || '&utm_medium=email'
+                 WHEN 2 THEN '?utm_term=x&id=' || CAST(doc_id % 20 AS VARCHAR)
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(LOWER(url), '#.*$', '', 'g'),
+                         '^https?://', '', 'g'),
+                       '^www\\.', '', 'g'),
+                     'utm_[a-z]+=[^&]*&', '', 'g'),
+                   '[?&]utm_[a-z]+=[^&]*$', '', 'g'),
+                 '\\?$', '', 'g'),
+               '/$', '', 'g') AS canonical_url
+      FROM u
+    )
+    SELECT canonical_url, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS first_doc
+    FROM c GROUP BY 1
+    """,
+)
+def t41(spark, sf):
+    """URL canonicalization dedup — the CCNet/C4 web-corpus key:
+    lowercase, strip fragment/scheme/www./utm_* tracking params and
+    the dangling delimiters, then group (canonical → doc count,
+    spelling-variant count, keep-first representative).  Pure
+    JVM-side regexp_replace composition, RE2-compatible patterns
+    (`operators/text.py:canonicalize_url`); the shuffle carries only
+    the canonical key, never document text."""
+    from duckdb_graphar_spark.operators.text import canonicalize_url
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("https://"))
+        .when(d % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit("HTTPS://")),
+        F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+        F.lit(".example.com/articles/"),
+        (d % 40).cast("string"),
+        F.when((d % 5 == 0) & (d % 4 == 3), F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=feed&utm_campaign=c"), (d % 3).cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("?id="), (d % 20).cast("string"), F.lit("&utm_medium=email")))
+        .when(d % 4 == 2, F.concat(F.lit("?utm_term=x&id="), (d % 20).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf, "documents").select(d.alias("doc_id"), url.alias("url"))
+    return (
+        docs.withColumn("canonical_url", canonicalize_url(F.col("url")))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@_q(
     "t40_fingerprint_decontam",
     # ORACLE: t38's winnowing SQL on both halves (train = even doc_id,
     # eval = odd), distinct train fingerprints, one semi-join, and the

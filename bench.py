@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "q94_running_distinct",
     "q96_time_decay_attribution",
     "q95_rfm_segmentation",
+    "t41_url_canonical_dedup",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

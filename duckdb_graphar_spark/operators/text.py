@@ -1438,3 +1438,27 @@ def fingerprint_decontamination(
             ).alias("contaminated"),
         )
     )
+
+
+def canonicalize_url(url: F.Column) -> F.Column:
+    """URL canonicalization for web-corpus dedup (the CCNet/C4-style
+    normalization step): lowercase, strip the fragment, the scheme,
+    a leading ``www.``, every ``utm_*`` tracking parameter, then any
+    dangling ``?`` / trailing ``/`` the removals exposed.
+
+    Pure JVM-side ``regexp_replace`` composition — no UDF — and every
+    pattern is RE2-compatible (no backrefs/lookaround), so the DuckDB
+    oracle applies the literally identical pipeline.  Two passes
+    remove utm parameters wherever they sit: ``utm_x=v&`` (followed by
+    another parameter — global replace eats consecutive runs) and
+    ``[?&]utm_x=v$`` (the trailing one, taking its delimiter).
+    """
+    u = F.lower(url)
+    u = F.regexp_replace(u, "#.*$", "")
+    u = F.regexp_replace(u, "^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, "utm_[a-z]+=[^&]*&", "")
+    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.regexp_replace(u, "/$", "")
+    return u

@@ -541,3 +541,27 @@ def test_fingerprint_decontam_partial_copy(spark):
     assert got[1].hit_frac > 0.9 and got[1].contaminated
     assert got[2].n_hit > 0 and got[2].contaminated
     assert got[3].n_hit == 0 and not got[3].contaminated
+
+
+def test_canonicalize_url_cases(spark):
+    """Every normalization rule hand-checked, including the dangling-
+    delimiter cleanups the utm removal exposes."""
+    from duckdb_graphar_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/A/B#frag", "example.com/a/b"),
+        ("http://example.com/a/", "example.com/a"),
+        ("https://example.com/a?utm_source=x", "example.com/a"),
+        ("https://example.com/a?utm_a=1&utm_b=2", "example.com/a"),
+        ("https://example.com/a?id=3&utm_a=1&utm_b=2", "example.com/a?id=3"),
+        ("https://example.com/a?utm_a=1&id=3", "example.com/a?id=3"),
+        ("www.example.com/x", "example.com/x"),
+        # www elsewhere in the host is preserved; only the leading label drops
+        ("https://www.www2.example.com/", "www2.example.com"),
+        ("https://example.com/?utm_x=", "example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
