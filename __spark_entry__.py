@@ -5845,6 +5845,76 @@ def s19(spark, sf):
 
 
 @_q(
+    "s25_sq8_rerank_topk",
+    # ORACLE: the whole two-stage pipeline replayed — per-dimension
+    # float min/max (exact) baked into list columns, the IDENTICAL
+    # IEEE multiply-then-divide + floor code formula (constant dims
+    # guarded to 0, no NaN path on either engine), integer dot-product
+    # stage 1 at m=20 ((score, id) ties), then the s01/s19 cosine
+    # discipline over only the survivors.  sq_score pins stage-1
+    # provenance exactly like s19's hamming column.
+    """
+    WITH mm AS (
+      SELECT t.i AS i,
+             MIN(embedding[CAST(t.i AS INTEGER) + 1]) AS lo,
+             MAX(embedding[CAST(t.i AS INTEGER) + 1]) AS hi
+      FROM embeddings, range(0, 64) t(i) GROUP BY 1),
+    ml AS (SELECT list(CAST(lo AS DOUBLE) ORDER BY i) AS los,
+                  list(CAST(hi AS DOUBLE) ORDER BY i) AS his FROM mm),
+    c AS (
+      SELECT vec_id, embedding,
+             [CASE WHEN his[CAST(i AS INTEGER) + 1] > los[CAST(i AS INTEGER) + 1]
+                   THEN CAST(LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+                        FLOOR((CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE)
+                               - los[CAST(i AS INTEGER) + 1]) * 255.0
+                              / (his[CAST(i AS INTEGER) + 1]
+                                 - los[CAST(i AS INTEGER) + 1])))) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END
+              FOR i IN generate_series(0, 63)] AS codes
+      FROM embeddings CROSS JOIN ml),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, codes AS qc
+          FROM c WHERE vec_id < 3),
+    sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                  CAST(list_sum([q.qc[CAST(i AS INTEGER) + 1]
+                                 * c.codes[CAST(i AS INTEGER) + 1]
+                                 FOR i IN generate_series(0, 63)]) AS BIGINT)
+                      AS sq_score,
+                  q.qv, c.embedding AS cv
+           FROM c CROSS JOIN q WHERE c.vec_id != q.query_id),
+    cand AS (SELECT query_id, neighbor_id, sq_score, qv, cv FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sq_score DESC, neighbor_id) AS srank
+               FROM sc) WHERE srank <= 20)
+    SELECT query_id, neighbor_id, sq_score, cosine_sim, rank FROM (
+      SELECT query_id, neighbor_id, sq_score,
+             ROUND(list_cosine_similarity(CAST(cv AS DOUBLE[]),
+                                          CAST(qv AS DOUBLE[])), 6) AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY ROUND(list_cosine_similarity(CAST(cv AS DOUBLE[]),
+                                CAST(qv AS DOUBLE[])), 6) DESC,
+                         neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def s25(spark, sf):
+    """SCALAR-QUANTIZED two-stage retrieval (FAISS-SQ8 shape): per-
+    dimension uint8 codes from one map-combinable min/max aggregate
+    (dim rows collected, baked as plan literals), an integer
+    dot-product broadcast scan to 20 candidates per query, exact
+    cosine re-rank to top-5 — the code table is what scans at 100 TB,
+    floats are a candidate-sized join
+    (`operators/embeddings.py:sq8_rerank_topk`)."""
+    from duckdb_graphar_spark.operators.embeddings import sq8_rerank_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sq8_rerank_topk(e, q, k=5, m=20, dim=64)
+
+
+@_q(
     "s07_kmeans_update",
     # ORACLE: s05's assignment CTE, then per-(cluster, dim) DECIMAL sums
     # → means → ordered list per cluster (list(... ORDER BY) mirrors the

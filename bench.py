@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "q96_time_decay_attribution",
     "q95_rfm_segmentation",
     "t41_url_canonical_dedup",
+    "s25_sq8_rerank_topk",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

@@ -13,7 +13,7 @@ DuckDB oracle (both round() halves away from zero).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _as_double(vec: Column) -> Column:
@@ -1040,6 +1040,132 @@ def hamming_rerank_topk(
             F.round(sim, 6).alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sq8_codes(
+    vec: Column, los: list[float], his: list[float]
+) -> Column:
+    """Per-DIMENSION uint8 scalar quantization (asymmetric min/max
+    scheme — the per-VECTOR absmax twin is :func:`quantize_int8_stats`):
+    ``code_i = clamp(floor((x_i - lo_i) * 255 / (hi_i - lo_i)), 0, 255)``,
+    constant dimensions (hi == lo) code to 0.
+
+    Exactness: min/max of floats are exact, and the code is one IEEE
+    multiply-then-divide + floor on doubles — the same op sequence in
+    any engine, so codes replay bit-identically in SQL with no
+    rounding step anywhere."""
+    lo_arr = F.array(*[F.lit(float(v)).cast("double") for v in los])
+    hi_arr = F.array(*[F.lit(float(v)).cast("double") for v in his])
+    zipped = F.arrays_zip(
+        _as_double(vec).alias("x"), lo_arr.alias("lo"), hi_arr.alias("hi")
+    )
+    return F.transform(
+        zipped,
+        lambda e: F.when(
+            e["hi"] > e["lo"],
+            F.least(
+                F.lit(255.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.floor((e["x"] - e["lo"]) * F.lit(255.0) / (e["hi"] - e["lo"])),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("long"),
+    )
+
+
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    m: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """TWO-STAGE retrieval over SCALAR-QUANTIZED vectors: per-dimension
+    uint8 codes (4× smaller than float32, 8× than float64), an
+    INTEGER dot-product scan to ``m`` candidates per query, then exact
+    cosine re-ranking to the final top-``k`` →
+    (query_id, neighbor_id, sq_score, cosine_sim, rank).
+
+    The per-dimension min/max stats are one map-combinable aggregate
+    (``dim`` rows collected — bounded like a centroid collect) baked
+    into the plan as literal arrays; stage 1 is then a pure
+    integer-arithmetic broadcast scan (codes ≤ 255, a 64-dim score
+    ≤ 64·255² < 2³¹ — no overflow in long), and stage 2 fetches float
+    vectors for only m·|queries| candidate rows.  This is the
+    IVF-free SQ baseline every vector store ships (FAISS SQ8,
+    pgvector halfvec-style): at 100 TB the code table is what scans,
+    the float table is what a candidate-sized join touches.
+    Deterministic ((score, id) ties both stages) — replays exactly in
+    SQL; recall vs exact cosine is approximate BY DESIGN (quantization
+    can reorder near-ties across the stage-1 cut)."""
+    from duckdb_graphar_spark.operators.similarity import dot, norm
+
+    if k < 1 or m < k:
+        raise ValueError("need m >= k >= 1")
+    stats = (
+        corpus.select(F.posexplode(_as_double(F.col(vec_col))).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    if len(stats) != dim:
+        raise ValueError(f"corpus dimension {len(stats)} != declared {dim}")
+    by_i = {r["i"]: (r["lo"], r["hi"]) for r in stats}
+    los = [by_i[i][0] for i in range(dim)]
+    his = [by_i[i][1] for i in range(dim)]
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        sq8_codes(F.col(vec_col), los, his).alias("__cc"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        sq8_codes(F.col(query_vec_col), los, his).alias("__qc"),
+    )
+    pair = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pair = pair.filter(F.col("neighbor_id") != F.col("query_id"))
+    score = F.aggregate(
+        F.zip_with(F.col("__qc"), F.col("__cc"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("sq_score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        pair.withColumn("sq_score", score)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= m)
+    )
+    denom = norm(F.col("__cv")) * norm(F.col("__qv"))
+    sim = F.when(
+        denom > 0, dot(F.col("__cv"), F.col("__qv")) / denom
+    ).otherwise(F.lit(0.0))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            "sq_score",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
 

@@ -5,6 +5,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -314,3 +315,55 @@ def test_gram_matrix_full_square(spark):
     )
     got = {(r.i, r.j): r.value for r in gram_matrix(df, upper_only=False).collect()}
     assert got == {(0, 0): 10.0, (0, 1): 14.0, (1, 0): 14.0, (1, 1): 20.0}
+
+
+def test_sq8_codes_known_values(spark):
+    """Hand-checked codes: lo=0, hi=10 per dim -> x=5 codes to
+    floor(5*255/10)=127; x=hi codes to 255; constant dim codes to 0."""
+    from duckdb_graphar_spark.operators.embeddings import sq8_codes
+
+    df = spark.createDataFrame(
+        [([0.0, 5.0, 3.0],), ([10.0, 0.0, 3.0],)], "v array<float>"
+    )
+    rows = df.select(
+        sq8_codes(F.col("v"), [0.0, 0.0, 3.0], [10.0, 10.0, 3.0]).alias("c")
+    ).collect()
+    assert rows[0].c == [0, 127, 0]
+    assert rows[1].c == [255, 0, 0]
+
+
+def test_sq8_rerank_exact_on_separable_corpus(spark):
+    """On a well-separated corpus the SQ prefilter keeps the true
+    neighbors and the rerank returns the exact cosine order."""
+    import numpy as np
+
+    from duckdb_graphar_spark.operators.embeddings import sq8_rerank_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 8))
+    rows = []
+    for i in range(40):
+        v = base[i % 4] + rng.normal(scale=0.01, size=8)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sq8_rerank_topk(corpus, q, k=3, m=10, dim=8).collect()
+    assert [r.rank for r in got] == [1, 2, 3]
+    # top-3 must be same-cluster ids (i % 4 == 0), none the query itself
+    assert all(r.neighbor_id % 4 == 0 and r.neighbor_id != 0 for r in got)
+    assert all(r.cosine_sim > 0.99 for r in got)
+
+
+def test_sq8_rerank_guards(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.embeddings import sq8_rerank_topk
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    q = df.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    with _pt.raises(ValueError, match="m >= k"):
+        sq8_rerank_topk(df, q, k=5, m=2, dim=2)
+    with _pt.raises(ValueError, match="dimension"):
+        sq8_rerank_topk(df, q, k=1, m=1, dim=64)
