@@ -4840,6 +4840,82 @@ def st24(spark, sf):
 
 
 @_q(
+    "st25_streaming_last_touch",
+    # ORACLE: q89's LAST_VALUE IGNORE NULLS lookback window VERBATIM —
+    # each purchase's most recent strictly-preceding view on the shared
+    # (ts, event_id) ordering, NULL when none.  Batches are TIME-SPLIT
+    # (ntile(3) over global (ts, event_id) order) so the carried
+    # (last-view µs, id) state is load-bearing across batch boundaries;
+    # append semantics — every purchase's verdict is final when
+    # processed, so no max-n_seen reconstruction is needed.
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS)
+               OVER w AS attributed_view_id,
+             LAST_VALUE(CASE WHEN event_type = 'view'
+                             THEN CAST(epoch_us(ts) AS BIGINT) END
+                        IGNORE NULLS)
+               OVER w AS view_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(attributed_view_id AS BIGINT) AS attributed_view_id,
+           CAST(epoch_us(ts) - view_us AS BIGINT) AS gap_us
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def st25(spark, sf):
+    """STREAMING last-touch attribution — q89's stateful twin: per-user
+    state is the last view's (µs, id), TWO numbers (the minimal
+    attribution state — constant per active user at any volume); each
+    batch's purchases resolve against a vectorized in-batch prefix
+    count with the carried state as fallback, and every emission is
+    FINAL (a preceding view can only be in the past — append
+    semantics, no emit-and-correct)
+    (`streaming/ops.py:streaming_last_touch`).  Three time-split
+    batches make the cross-batch state carry load-bearing."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_last_touch,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st25_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        wt = Window.orderBy("ts", "event_id")
+        tiled = ev.withColumn("__tile", F.ntile(3).over(wt))
+        base = time.time() - 120
+        for i in range(3):
+            tmp = os.path.join(stage, f"__b{i}")
+            tiled.filter(F.col("__tile") == i + 1).drop("__tile").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1)
+        sink = run_to_memory(
+            streaming_last_touch(stream), "st25_out", mode="append"
+        )
+        return sink.select(
+            "purchase_id", "user_id", "attributed_view_id", "gap_us"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp

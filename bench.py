@@ -279,6 +279,7 @@ ST_QUERIES = [
     "st22_streaming_funnel",
     "st23_streaming_funnel_window",
     "st24_stream_scd2_enrich",
+    "st25_streaming_last_touch",
 ]
 
 

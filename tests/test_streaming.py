@@ -919,3 +919,77 @@ def test_stream_scd2_enrich_point_in_time(spark, tmp_path):
         12: ("gold", m(60)),
         14: ("trial", m(30)),
     }
+
+
+def test_streaming_last_touch_cross_batch_carry(spark, tmp_path):
+    """Carried state attributes across batch boundaries: user 1's
+    batch-1 purchase credits its batch-0 view; user 2's purchase has no
+    prior view anywhere (NULL, final); user 3's purchase at the SAME
+    timestamp as a view with a SMALLER id credits it (strict (ts, id)
+    precedence); a later view then a second purchase re-attributes to
+    the newer view."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_last_touch,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        # batch 0
+        (1, m(0), 1, "view", 0.0, ""),
+        (2, m(1), 2, "click", 0.0, ""),
+        (3, m(2), 3, "view", 0.0, ""),
+        (4, m(2), 3, "purchase", 0.0, ""),  # same ts as id 3: view id<4 wins
+        # batch 1
+        (5, m(40), 1, "purchase", 0.0, ""),  # credits view 1 via carried state
+        (6, m(41), 2, "purchase", 0.0, ""),  # never any view: NULL
+        (7, m(42), 1, "view", 0.0, ""),
+        (8, m(43), 1, "purchase", 0.0, ""),  # credits the NEWER view 7
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 60
+    for i, cond in enumerate((F.col("ts") <= m(30), F.col("ts") > m(30))):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 10 * i, t0 + 10 * i))
+    stream = read_events_stream(spark, stage, max_files=1)
+    out = run_to_memory(streaming_last_touch(stream), "lt_test", mode="append")
+    got = {
+        r.purchase_id: (r.attributed_view_id, r.gap_us) for r in out.collect()
+    }
+    assert got == {
+        4: (3, 0),
+        5: (1, 40 * 60_000_000),
+        6: (None, None),
+        8: (7, 60_000_000),
+    }
+
+
+def test_streaming_last_touch_rejects_batch_input(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.streaming.ops import streaming_last_touch
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    with _pt.raises(ValueError, match="streaming"):
+        streaming_last_touch(df)
