@@ -12422,13 +12422,19 @@ _PRIORITY = [
     "d07", "d09", "d10", "g32", "q93", "st19", "q60", "q92", "q70", "m10",
     # --- (3) 30 of the 44 entries whose latest driver check is round 3
     # --- (the oldest evidence in the registry after round 8 closed the
+    # --- (2b) the 7 entries NEW this round's build sessions — never
+    # --- driver-checked by definition (first-time checks outrank
+    # --- another refresh of r3-stale evidence) ---
+    "g33", "q94", "q96", "q95", "t41", "s25", "st25",
+    # --- (3) 20 of the 44 entries whose latest driver check is round 3
+    # --- (the oldest evidence in the registry after round 8 closed the
     # --- r1/r2 debt) ---
     "q50", "q55", "q57", "q56", "q51", "q52", "u02", "u03", "q49",
     "q47", "q54", "q48", "t22", "t24", "t25", "d04", "u01", "g09",
-    "g12", "g10", "t02", "t03", "t05", "t07", "t08", "t09", "m04",
-    "m05",
-    # --- 51+: the remaining 16 r3-stale entries lead the round-10
+    "g12", "g10",
+    # --- 51+: the remaining r3-stale entries lead the round-10
     # --- queue; everything else follows in registry definition order ---
+    "t02", "t03", "t05", "t07", "t08", "t09", "m04", "m05",
     "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
     "t18", "t19", "t20", "t21", "s05", "s06", "st08",
 ]

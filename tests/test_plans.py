@@ -699,3 +699,53 @@ def test_stream_scd2_enrich_broadcasts_dim(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_global_ntile_never_single_task_sorts(spark, qs):
+    """q95's quintiles must come from the two-phase rank: range
+    exchanges (parallel, boundary-sampled) + a broadcast offsets join —
+    never Spark's own ntile over an unpartitioned window (whose plan
+    hash-exchanges everything to ONE partition)."""
+    df = qs["q95_rfm_segmentation"](spark, SF_DIR)
+    plan = _plan(df)
+    # the range exchange lives behind the lazy localCheckpoint that
+    # pins partition placement (it shows as Scan ExistingRDD here);
+    # what the final plan must show: per-__pid windows (parallel),
+    # a broadcast offsets join, and NO ntile / single-partition window
+    assert "ntile" not in plan.lower()
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(__pid" in plan
+    assert "BroadcastHashJoin" in plan  # the n_buckets-row offsets table
+    # and the un-checkpointed first phase must be a range repartition
+    from duckdb_graphar_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    probe = (
+        load_table(spark, SF_DIR, "orders")
+        .select(F.col("o_custkey").alias("id"), F.col("o_orderkey").alias("v"))
+        .repartitionByRange(8, F.col("v").asc(), F.col("id").asc())
+    )
+    assert "rangepartitioning" in _plan(probe)
+
+
+def test_attribution_family_no_unbounded_following(spark, qs):
+    """q96 (like q90 since r8) must express 'first purchase at-or-after'
+    as a DESC running frame — Spark evaluates unbounded-FOLLOWING
+    frames O(rows²) per partition."""
+    df = qs["q96_time_decay_attribution"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "unboundedfollowing" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_running_distinct_no_collect_set_window(spark, qs):
+    """q94 must use the first-occurrence-flag running sum — a
+    collect_set window would buffer a per-row set; the first-occurrence
+    stamp must be a map-combinable min-struct aggregate feeding a hash
+    join, not a per-(user,type) window."""
+    df = qs["q94_running_distinct"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "collect_set" not in plan.lower()
+    # exactly the two segmented windows (in-segment running sum + the
+    # per-user segment-prefix carry); the first-occurrence flag adds none
+    assert plan.count("Window") == 2
