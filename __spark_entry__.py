@@ -4916,6 +4916,85 @@ def st25(spark, sf):
 
 
 @_q(
+    "st26_streaming_clamped_balance",
+    # ORACLE: q97's Lindley closed form VERBATIM (running sum, running
+    # min, B = S − min(0, runmin)) — the streaming side instead runs
+    # the vectorized per-batch fold started at the carried balance;
+    # the reflection map composes across batches, so three TIME-SPLIT
+    # batches equal the one-shot batch computation exactly.
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN -CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS delta
+      FROM events
+    ),
+    p AS (SELECT user_id, ts, event_id,
+                 SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pre
+          FROM d),
+    m AS (SELECT user_id, event_id, pre,
+                 MIN(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS runmin
+          FROM p)
+    SELECT event_id, user_id,
+           CAST(pre - LEAST(CAST(0 AS BIGINT), runmin) AS BIGINT) AS balance
+    FROM m
+    """,
+)
+def st26(spark, sf):
+    """STREAMING zero-clamped running balance — q97's stateful twin
+    with the minimal possible state: ONE long per user (the current
+    balance); each batch replays the Lindley closed form vectorized
+    from the carried balance (cumsum + minimum.accumulate, no per-event
+    loop), emissions FINAL per event (append — balances depend only on
+    the past) (`streaming/ops.py:streaming_clamped_balance`).  Three
+    time-split batches make the balance carry load-bearing."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_clamped_balance,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st26_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        wt = Window.orderBy("ts", "event_id")
+        tiled = ev.withColumn("__tile", F.ntile(3).over(wt))
+        base = time.time() - 120
+        for i in range(3):
+            tmp = os.path.join(stage, f"__b{i}")
+            tiled.filter(F.col("__tile") == i + 1).drop("__tile").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1).withColumn(
+            "delta",
+            F.when(
+                F.col("event_type") == "purchase",
+                -F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.round(F.col("value") * 100).cast("long")),
+        )
+        sink = run_to_memory(
+            streaming_clamped_balance(stream), "st26_out", mode="append"
+        )
+        return sink.select("event_id", "user_id", "balance")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp
@@ -11236,6 +11315,137 @@ def q90(spark, sf):
 
 
 @_q(
+    "q98_mad_outliers",
+    # ORACLE: an INDEPENDENT construction — per-group row_number rank
+    # selection at floor((n−1)/2)+1 for both the median and the MAD
+    # (the Spark side uses the two-phase grouped rank scan instead of
+    # any per-group sorted window).  Everything is integer cents: the
+    # median is a data element, deviations are |int − int|, the MAD is
+    # a data element, and the 3·MAD fence is an integer comparison —
+    # no float anywhere.
+    """
+    WITH d AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL),
+    med AS (SELECT event_type, c AS mc FROM (
+              SELECT event_type, c,
+                     row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM d) WHERE rn = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1),
+    dev AS (SELECT d.event_type, d.c, med.mc, ABS(d.c - med.mc) AS dv
+            FROM d JOIN med USING (event_type)),
+    mad AS (SELECT event_type, dv AS madc FROM (
+              SELECT event_type, dv,
+                     row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM dev) WHERE rn = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1)
+    SELECT dev.event_type,
+           CAST(MIN(dev.mc) AS BIGINT) AS median_cents,
+           CAST(MIN(mad.madc) AS BIGINT) AS mad_cents,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN dev.dv > 3 * mad.madc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q98(spark, sf):
+    """Robust per-group outlier fences — median + MAD (median absolute
+    deviation) + the 3·MAD count, the robust-statistics sibling of
+    q61's moment stats: two passes of
+    `quantiles.py:grouped_quantile_disc` (the two-phase grouped rank
+    scan — distinct-value counts, per-(group, bucket) prefix sums
+    collected bounded, parallel bucket windows — never a per-group
+    sorted buffer), a broadcast join back, and an integer fence.
+    Exact end-to-end: cents in, data elements out."""
+    from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
+
+    d = (
+        _t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+        )
+    )
+    med = grouped_quantile_disc(d, ["event_type"], "c", 0.5).select(
+        "event_type", F.col("value").cast("long").alias("mc")
+    )
+    dev = d.join(F.broadcast(med), "event_type").withColumn(
+        "dv", F.abs(F.col("c") - F.col("mc"))
+    )
+    mad = grouped_quantile_disc(dev, ["event_type"], "dv", 0.5).select(
+        "event_type", F.col("value").cast("long").alias("madc")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("mc").alias("median_cents"),
+            F.min("madc").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("dv") > 3 * F.col("madc"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@_q(
+    "q97_clamped_balance",
+    # ORACLE: the closed form itself — running sum, running min of it,
+    # B = S − min(0, runmin) — over the shared (ts, event_id) ordering
+    # with integer-cent deltas (purchases debit, everything else
+    # credits).  The Lindley identity is what makes the recurrence
+    # max(0, B+δ) windowable at all; tests/test_events_sketch.py pins
+    # the identity against a literal per-row fold.
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN -CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS delta
+      FROM events
+    ),
+    p AS (SELECT user_id, ts, event_id,
+                 SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pre
+          FROM d),
+    m AS (SELECT user_id, event_id, pre,
+                 MIN(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS runmin
+          FROM p)
+    SELECT event_id, user_id,
+           CAST(pre - LEAST(CAST(0 AS BIGINT), runmin) AS BIGINT) AS balance
+    FROM m
+    """,
+)
+def q97(spark, sf):
+    """Zero-clamped running balance per user (B = max(0, B + δ) — the
+    inventory/prepaid-ledger recurrence): purchases debit exact cents,
+    other events credit.  The sequential-looking fold is solved in
+    CLOSED FORM by the Lindley/Skorokhod reflection identity —
+    B = S − min(0, running-min(S)) — two incremental running windows,
+    no UDF, both (user, day)-segmented with an exact carried-sum/
+    carried-low-water stitch
+    (`operators/events.py:clamped_running_balance`)."""
+    from duckdb_graphar_spark.operators.events import clamped_running_balance
+
+    ev = _t(spark, sf, "events").withColumn(
+        "delta",
+        F.when(
+            F.col("event_type") == "purchase",
+            -F.round(F.col("value") * 100).cast("long"),
+        ).otherwise(F.round(F.col("value") * 100).cast("long")),
+    )
+    return clamped_running_balance(ev, segment_seconds=86_400)
+
+
+@_q(
     "q95_rfm_segmentation",
     # ORACLE: plain global NTILE(5) windows over each metric with the
     # custkey tie-break making every ordering total.  The Spark side
@@ -12426,14 +12636,15 @@ _PRIORITY = [
     # --- driver-checked by definition (first-time checks outrank
     # --- another refresh of r3-stale evidence) ---
     "g33", "q94", "q96", "q95", "t41", "s25", "st25",
-    # --- (3) 20 of the 44 entries whose latest driver check is round 3
+    "q97", "q98", "st26",
+    # --- (3) 17 of the 44 entries whose latest driver check is round 3
     # --- (the oldest evidence in the registry after round 8 closed the
     # --- r1/r2 debt) ---
     "q50", "q55", "q57", "q56", "q51", "q52", "u02", "u03", "q49",
-    "q47", "q54", "q48", "t22", "t24", "t25", "d04", "u01", "g09",
-    "g12", "g10",
+    "q47", "q54", "q48", "t22", "t24", "t25", "d04", "u01",
     # --- 51+: the remaining r3-stale entries lead the round-10
     # --- queue; everything else follows in registry definition order ---
+    "g09", "g12", "g10",
     "t02", "t03", "t05", "t07", "t08", "t09", "m04", "m05",
     "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
     "t18", "t19", "t20", "t21", "s05", "s06", "st08",

@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "q94_running_distinct",
     "q96_time_decay_attribution",
     "q95_rfm_segmentation",
+    "q97_clamped_balance",
+    "q98_mad_outliers",
     "t41_url_canonical_dedup",
     "s25_sq8_rerank_topk",
 ]
@@ -280,6 +282,7 @@ ST_QUERIES = [
     "st23_streaming_funnel_window",
     "st24_stream_scd2_enrich",
     "st25_streaming_last_touch",
+    "st26_streaming_clamped_balance",
 ]
 
 

@@ -951,3 +951,111 @@ def time_decay_attribution(
             "credit"
         ),
     )
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    delta_col: str = "delta",
+    segment_seconds: int | None = 86_400,
+) -> DataFrame:
+    """RUNNING BALANCE CLAMPED AT ZERO per key → (id, key, balance):
+    ``B_i = max(0, B_{i-1} + delta_i)`` on the shared (ts, id)
+    ordering — the inventory/credit-ledger recurrence (stock can't go
+    negative, prepaid balances floor at zero) that LOOKS like it needs
+    a per-row sequential fold.
+
+    It doesn't: the Lindley/Skorokhod reflection identity solves the
+    recurrence in closed form from TWO running windows —
+
+        B_i = S_i − min(0, min_{j≤i} S_j)
+
+    where ``S`` is the plain running sum of deltas (the reflected walk
+    equals the free walk minus its running low-water mark below zero).
+    So the operator is running-sum + running-min — incremental O(rows)
+    frames, no UDF, no recurrence — and, like every per-key scan here,
+    both windows are (key, day)-SEGMENTED with an exact stitch: a
+    segment's rows see global prefix = carried_sum + local prefix, and
+    the global running min is min(carried_min, carried_sum + local
+    running min), where carried_min is itself a running min over
+    SEGMENT summaries (≤ days-per-key rows).  ``delta_col`` must be
+    integral (exact arithmetic end-to-end); bit-identical to the
+    single-window plan, which ``segment_seconds=None`` selects."""
+    us_expr = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    flat = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(id_col).alias("__id"),
+        F.col(delta_col).cast("long").alias("__d"),
+        us_expr.alias("__us"),
+    )
+
+    if segment_seconds is None:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__us", "__id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = flat.withColumn("__pre", F.sum("__d").over(w)).withColumn(
+            "__runmin", F.min("__pre").over(w)
+        )
+    else:
+        if segment_seconds < 1:
+            raise ValueError("segment_seconds must be >= 1 or None")
+        seg_us = segment_seconds * 1_000_000
+        flat = flat.withColumn(
+            "__seg", F.floor(F.col("__us") / F.lit(seg_us)).cast("long")
+        )
+        w_in = (
+            Window.partitionBy("__k", "__seg")
+            .orderBy("__us", "__id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = flat.withColumn("__lp", F.sum("__d").over(w_in)).withColumn(
+            "__lm", F.min("__lp").over(w_in)
+        )
+        # one summary row per (key, segment): total delta + min local
+        # prefix — both map-combinable after the in-segment window
+        segsum = within.groupBy("__k", "__seg").agg(
+            F.sum("__d").alias("__ss"), F.min("__lp").alias("__sm")
+        )
+        w_prev = (
+            Window.partitionBy("__k")
+            .orderBy("__seg")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # carried_sum = total of all earlier segments; carried_min =
+        # min over earlier segments s of (carried_sum before s + s's
+        # min local prefix) — the earlier segments' global low-water
+        carried = (
+            segsum.withColumn(
+                "__csum", F.coalesce(F.sum("__ss").over(w_prev), F.lit(0))
+            )
+            .withColumn(
+                "__cmin", F.min(F.col("__csum") + F.col("__sm")).over(w_prev)
+            )
+            .select("__k", "__seg", "__csum", "__cmin")
+        )
+        out = (
+            within.join(carried, ["__k", "__seg"])
+            .withColumn("__pre", F.col("__csum") + F.col("__lp"))
+            .withColumn(
+                "__runmin",
+                F.least(
+                    F.coalesce("__cmin", F.col("__csum") + F.col("__lm")),
+                    F.col("__csum") + F.col("__lm"),
+                ),
+            )
+        )
+
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__k").alias(key_col),
+        (
+            F.col("__pre") - F.least(F.lit(0).cast("long"), F.col("__runmin"))
+        ).alias("balance"),
+    )

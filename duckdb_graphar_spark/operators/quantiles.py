@@ -245,3 +245,119 @@ def exact_quantiles_cont(
             F.lit(n).cast("long").alias("n"),
         )
     )
+
+
+def grouped_quantile_disc(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    prob: float,
+    *,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """PER-GROUP exact discrete quantile → one row per group:
+    (*group_cols, value, target_rank, n) — :func:`exact_quantiles`
+    generalized over a grouping key, with the same percentile_disc
+    semantics (element at sorted 0-based index floor((n_g−1)·p) within
+    each group).
+
+    The naive plan is ``row_number() OVER (PARTITION BY group ORDER BY
+    v)`` — one sorted buffer per group, i.e. a hot group's entire value
+    set on one task.  Here each group's rank scan uses the two-phase
+    machinery instead: distinct (group, value) counts (map-combinable),
+    per-(group, bucket) sums collected to the driver (bounded by
+    |groups|·n_buckets — the group key must be LOW-CARDINALITY, the
+    dimension-like contract every centroid/bucket collect here shares),
+    broadcast prefix offsets, parallel within-(group, bucket) window
+    cumsums, one filter per group at its exact decimal target rank.
+
+    NULL values are excluded (SQL aggregate semantics); empty groups
+    do not appear."""
+    _validated([prob])
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism
+    gcols = [F.col(c) for c in group_cols]
+
+    vc = (
+        df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*group_cols, "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = {
+        tuple(r[c] for c in group_cols): (float(r["lo"]), float(r["hi"]))
+        for r in vc.groupBy(*group_cols)
+        .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"))
+        .collect()
+    }
+    if not bounds:
+        empty_schema = (
+            df.select(*gcols)
+            .schema.add("value", "double")
+            .add("target_rank", "long")
+            .add("n", "long")
+        )
+        return spark.createDataFrame([], empty_schema)
+    bdf = F.broadcast(
+        spark.createDataFrame(
+            [(*k, lo, (hi - lo) / n_buckets if hi > lo else 1.0) for k, (lo, hi) in bounds.items()],
+            df.select(*gcols).schema.add("__lo", "double").add("__w", "double"),
+        )
+    )
+    b = vc.join(bdf, group_cols).withColumn(
+        "__bucket",
+        F.least(
+            F.floor((F.col("__v") - F.col("__lo")) / F.col("__w")),
+            F.lit(n_buckets - 1),
+        ).cast("long"),
+    )
+
+    sums: dict[tuple, dict[int, int]] = {}
+    for r in (
+        b.groupBy(*group_cols, "__bucket").agg(F.sum("__c").alias("s")).collect()
+    ):
+        k = tuple(r[c] for c in group_cols)
+        sums.setdefault(k, {})[r["__bucket"]] = int(r["s"])
+    prefix_rows, target_rows = [], []
+    for k, per in sums.items():
+        acc = 0
+        for bk in sorted(per):
+            prefix_rows.append((*k, bk, acc))
+            acc += per[bk]
+        n_g = acc
+        target_rows.append(
+            (*k, int((n_g - 1) * Fraction(str(prob))) + 1, n_g)
+        )
+    prefix_df = F.broadcast(
+        spark.createDataFrame(
+            prefix_rows,
+            df.select(*gcols).schema.add("__bucket", "long").add("__pre", "long"),
+        )
+    )
+    target_df = F.broadcast(
+        spark.createDataFrame(
+            target_rows,
+            df.select(*gcols).schema.add("target_rank", "long").add("n", "long"),
+        )
+    )
+
+    w = (
+        Window.partitionBy(*group_cols, "__bucket")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.join(prefix_df, [*group_cols, "__bucket"]).withColumn(
+        "__cum", F.col("__pre") + F.sum("__c").over(w)
+    )
+    return (
+        cum.join(target_df, group_cols)
+        .filter(F.col("__cum") >= F.col("target_rank"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__v").alias("value"),
+            F.min("target_rank").alias("target_rank"),
+            F.min("n").alias("n"),
+        )
+    )

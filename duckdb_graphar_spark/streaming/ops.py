@@ -1647,3 +1647,85 @@ def streaming_last_touch(
             update, out_schema, state_schema, "append", "NoTimeout"
         )
     )
+
+
+def streaming_clamped_balance(
+    events: DataFrame,
+    *,
+    delta_col: str = "delta",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """STREAMING zero-clamped running balance — the stateful twin of
+    `operators/events.py:clamped_running_balance`: per-user state is
+    ONE long (the current balance), each batch applies the same
+    Lindley closed form VECTORIZED over its per-user slice started at
+    the carried balance — ``B = (b0 + S) − min(0, runmin(b0 + S))`` —
+    cumsum + minimum.accumulate, never a per-event Python loop (the
+    reflection map composes: finishing a batch at balance b and
+    starting the next from b is the same walk) →
+    (event_id, user_id, balance), one FINAL row per event (append
+    semantics — a balance depends only on the past).
+
+    Arrival-order contract (st19/st22/st25's): folds run in batch
+    order, so the batch-twin oracle holds when batches are staged in
+    event-time order."""
+    if not events.isStreaming:
+        raise ValueError(
+            "streaming_clamped_balance needs a streaming DataFrame; use "
+            "operators.events.clamped_running_balance for batch"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("balance", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("bal", T.LongType(), False)])
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        (bal,) = state.get if state.exists else (0,)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        us = rows["__us"].to_numpy().astype(np.int64)
+        ids = rows["event_id"].to_numpy().astype(np.int64)
+        deltas = rows["__d"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, us))
+        ids, deltas = ids[order], deltas[order]
+        pre = bal + np.cumsum(deltas)
+        runmin = np.minimum.accumulate(np.minimum(pre, 0))
+        out = pre - runmin
+        if len(out):
+            bal = int(out[-1])
+        state.update((int(bal),))
+        yield pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": np.full(len(ids), int(key[0]), dtype=np.int64),
+                "balance": out.astype(np.int64),
+            }
+        )
+
+    if isinstance(events.schema["ts"].dataType, T.TimestampType):
+        us_in = F.unix_micros(F.col("ts"))
+    else:
+        us_in = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            us_in.cast("long").alias("__us"),
+            F.col(delta_col).cast("long").alias("__d"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )

@@ -672,3 +672,56 @@ def test_time_decay_attribution_guards(spark):
         time_decay_attribution(df, half_life_seconds=0)
     with _pt.raises(ValueError, match="segment_seconds"):
         time_decay_attribution(df, segment_seconds=0)
+
+
+def test_clamped_balance_equals_recurrence(spark):
+    """The Lindley closed form must equal the literal per-row fold
+    max(0, B + delta) on a randomized fixture, and the segmented plan
+    must equal the single-window plan (cross-boundary low-water
+    carries included)."""
+    import datetime as dt
+    import random
+
+    from duckdb_graphar_spark.operators.events import clamped_running_balance
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 2, 1)
+    rows, want = [], {}
+    eid = 0
+    for user in (1, 2, 3):
+        bal = 0
+        for i in range(60):
+            eid += 1
+            delta = rng.randint(-50, 40)
+            ts = base + dt.timedelta(hours=i * 7)  # crosses day segments
+            bal = max(0, bal + delta)
+            rows.append((eid, user, delta, ts))
+            want[eid] = bal
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, delta long, ts timestamp_ntz"
+    )
+    seg = {
+        r.event_id: r.balance
+        for r in clamped_running_balance(df, segment_seconds=86_400).collect()
+    }
+    single = {
+        r.event_id: r.balance
+        for r in clamped_running_balance(df, segment_seconds=None).collect()
+    }
+    assert seg == want
+    assert single == want
+
+
+def test_clamped_balance_guards(spark):
+    import datetime as dt
+
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.events import clamped_running_balance
+
+    df = spark.createDataFrame(
+        [(1, 1, 5, dt.datetime(2024, 1, 1))],
+        "event_id long, user_id long, delta long, ts timestamp_ntz",
+    )
+    with _pt.raises(ValueError, match="segment_seconds"):
+        clamped_running_balance(df, segment_seconds=0)

@@ -320,3 +320,50 @@ def test_exact_quantiles_cont_guards_and_empty(spark):
         exact_quantiles_cont(df, "x", [1.5])
     empty = spark.createDataFrame([], "x double")
     assert exact_quantiles_cont(empty, "x", [0.5]).count() == 0
+
+
+def test_grouped_quantile_disc_matches_sorted_selection(spark):
+    """Per-group two-phase rank == per-group sorted element at
+    floor((n-1)*p), across uneven group sizes, duplicate values, and a
+    single-value group; NULLs excluded; empty input returns no rows."""
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
+
+    rows = []
+    data = {
+        "a": [5, 1, 9, 1, 7, 3, 3],     # n=7, median idx 3 -> sorted[3]=3
+        "b": [10, 20],                  # n=2, idx floor(0.5)=0 -> 10
+        "c": [4],                       # n=1 -> 4
+    }
+    for g, vals in data.items():
+        rows += [(g, float(v)) for v in vals]
+    rows.append(("a", None))
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.g: (r.value, r.target_rank, r.n)
+        for r in grouped_quantile_disc(df, ["g"], "v", 0.5, n_buckets=3).collect()
+    }
+    import math
+
+    want = {}
+    for g, vals in data.items():
+        s = sorted(vals)
+        n = len(s)
+        idx = math.floor((n - 1) * 0.5)
+        want[g] = (float(s[idx]), idx + 1, n)
+    assert got == want
+
+    empty = spark.createDataFrame([], "g string, v double")
+    assert grouped_quantile_disc(empty, ["g"], "v", 0.5).count() == 0
+
+
+def test_grouped_quantile_disc_other_probs(spark):
+    from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], "g string, v double"
+    )
+    for p, want in ((0.0, 1.0), (0.25, 3.0), (0.9, 9.0), (1.0, 10.0)):
+        r = grouped_quantile_disc(df, ["g"], "v", p, n_buckets=4).collect()[0]
+        assert r.value == want, (p, r.value)

@@ -993,3 +993,91 @@ def test_streaming_last_touch_rejects_batch_input(spark):
     )
     with _pt.raises(ValueError, match="streaming"):
         streaming_last_touch(df)
+
+
+def test_streaming_clamped_balance_cross_batch(spark, tmp_path):
+    """The carried balance composes across batches: user 1 ends batch 0
+    clamped at 0 and batch 1 must start from 0, not the unclamped
+    negative; user 2's balance survives the boundary unchanged."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_clamped_balance,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        # batch 0: user 1 goes 10 -> clamp(10-25)=0; user 2 -> 7
+        (1, m(0), 1, "x", 10, ""),
+        (2, m(1), 1, "x", -25, ""),
+        (3, m(2), 2, "x", 7, ""),
+        # batch 1: user 1 from 0 (not -15); user 2 from 7
+        (4, m(40), 1, "x", 5, ""),
+        (5, m(41), 2, "x", -3, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, delta long, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 60
+    for i, cond in enumerate((F.col("ts") <= m(30), F.col("ts") > m(30))):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 10 * i, t0 + 10 * i))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("delta", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        # watermarks demand TIMESTAMP (LTZ) — same naive-UTC conversion
+        # read_events_stream applies
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ),
+        )
+    )
+    out = run_to_memory(
+        streaming_clamped_balance(stream), "cb_test", mode="append"
+    )
+    got = {r.event_id: r.balance for r in out.collect()}
+    assert got == {1: 10, 2: 0, 3: 7, 4: 5, 5: 4}
+
+
+def test_streaming_clamped_balance_rejects_batch_input(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.streaming.ops import streaming_clamped_balance
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp_ntz, user_id long, delta long"
+    )
+    with _pt.raises(ValueError, match="streaming"):
+        streaming_clamped_balance(df)
