@@ -6576,6 +6576,62 @@ def t41(spark, sf):
 
 
 @_q(
+    "t42_greedy_pack_bins",
+    # ORACLE: the capped-accumulator recurrence replayed with a
+    # recursive CTE over row_number-ordered per-shard documents (q93's
+    # oracle pattern — each break depends on the bin total the previous
+    # breaks chose, which no gaps-and-islands window expresses); a doc
+    # larger than the budget takes its own bin and the accumulator
+    # carries its overflow, pushing the NEXT doc into a fresh bin —
+    # the corner both sides must agree on.
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                 AS rn
+          FROM t),
+    r(shard, rn, doc_id, n_tokens, acc, bin) AS (
+      SELECT shard, rn, doc_id, n_tokens, n_tokens, 0 FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN r.acc + o.n_tokens > 256 THEN o.n_tokens
+                  ELSE r.acc + o.n_tokens END,
+             CASE WHEN r.acc + o.n_tokens > 256 THEN r.bin + 1 ELSE r.bin END
+      FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, CAST(bin AS BIGINT) AS bin,
+           n_tokens > 256 AS oversize
+    FROM r
+    """,
+)
+def t42(spark, sf):
+    """Greedy sample packing WITHOUT document splitting (the padding-
+    waste/no-straddle alternative to t17's concat-and-chunk): walk each
+    shard's docs in id order, new bin when the total would exceed 256
+    tokens; oversize docs get their own flagged bin.  The bin id is a
+    capped-accumulator recurrence (q93's class — unwindowable), so the
+    scan is SHARDED by contract (doc_id % 8) and each shard folds
+    vectorized — cumsum + one searchsorted per BIN
+    (`operators/packing.py:greedy_pack_bins`)."""
+    from duckdb_graphar_spark.operators.packing import greedy_pack_bins
+    from duckdb_graphar_spark.operators.text import token_count
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    return greedy_pack_bins(
+        docs, id_col="doc_id", token_col="n_tok", shard_col="shard", budget=256
+    )
+
+
+@_q(
     "t40_fingerprint_decontam",
     # ORACLE: t38's winnowing SQL on both halves (train = even doc_id,
     # eval = odd), distinct train fingerprints, one semi-join, and the
@@ -12636,15 +12692,15 @@ _PRIORITY = [
     # --- driver-checked by definition (first-time checks outrank
     # --- another refresh of r3-stale evidence) ---
     "g33", "q94", "q96", "q95", "t41", "s25", "st25",
-    "q97", "q98", "st26",
+    "q97", "q98", "st26", "t42",
     # --- (3) 17 of the 44 entries whose latest driver check is round 3
     # --- (the oldest evidence in the registry after round 8 closed the
     # --- r1/r2 debt) ---
     "q50", "q55", "q57", "q56", "q51", "q52", "u02", "u03", "q49",
-    "q47", "q54", "q48", "t22", "t24", "t25", "d04", "u01",
+    "q47", "q54", "q48", "t22", "t24", "t25", "d04",
     # --- 51+: the remaining r3-stale entries lead the round-10
     # --- queue; everything else follows in registry definition order ---
-    "g09", "g12", "g10",
+    "u01", "g09", "g12", "g10",
     "t02", "t03", "t05", "t07", "t08", "t09", "m04", "m05",
     "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
     "t18", "t19", "t20", "t21", "s05", "s06", "st08",

@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "q98_mad_outliers",
     "t41_url_canonical_dedup",
     "s25_sq8_rerank_topk",
+    "t42_greedy_pack_bins",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface

@@ -120,3 +120,87 @@ def pack_offsets(
         last.alias("last_seq"),
         (last - first + 1).alias("n_seqs"),
     )
+
+
+def greedy_pack_bins(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    token_col: str,
+    shard_col: str,
+    budget: int,
+) -> DataFrame:
+    """GREEDY sample packing WITHOUT document splitting → (id, shard,
+    n_tokens, bin, oversize): walk each shard's documents in id order,
+    appending to the current bin while the bin's token total stays
+    within ``budget``; a document that would overflow starts a new bin.
+    (The other standard packing next to :func:`pack_offsets`'s
+    concat-and-chunk: no document straddles a training sequence, at the
+    cost of padding waste.)
+
+    The bin id is a CAPPED-ACCUMULATOR recurrence — each break depends
+    on the bin total the previous breaks chose — which no
+    gaps-and-islands window can express (q93's argument exactly).  And
+    unlike the prefix-sum of pack_offsets it is inherently sequential
+    PER SCAN, so the operator is sharded by contract: ``shard_col``
+    (assign ``doc_id % k`` or a range bucket upstream) bounds every
+    sequential scan, shards pack in parallel via one Arrow-batched
+    applyInPandas, and bin ids are per-shard.  Per-shard the fold is
+    vectorized q93-style: one cumulative token sum, then one
+    ``searchsorted`` jump PER BIN (never per document) finds each
+    break — O(bins) python steps over O(docs) numpy work.
+
+    A single document larger than ``budget`` still gets its own bin,
+    flagged ``oversize`` (the caller decides truncate-vs-drop);
+    zero/negative budgets are rejected."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(shard_col, T.LongType(), False),
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("bin", T.LongType(), False),
+            T.StructField("oversize", T.BooleanType(), False),
+        ]
+    )
+
+    def pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
+        toks = pdf["__tok"].to_numpy().astype(np.int64)
+        n = len(toks)
+        cum = np.cumsum(toks)
+        bins = np.zeros(n, dtype=np.int64)
+        start = 0  # first doc index of the current bin
+        b = 0
+        while True:
+            # first index whose running total exceeds the bin's budget
+            base = cum[start - 1] if start > 0 else 0
+            nxt = int(np.searchsorted(cum, base + budget, side="right"))
+            if nxt == start:
+                nxt = start + 1  # oversize doc: alone in its bin
+            bins[start:nxt] = b
+            if nxt >= n:
+                break
+            start, b = nxt, b + 1
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                shard_col: pdf["__shard"].astype("int64"),
+                "n_tokens": toks,
+                "bin": bins,
+                "oversize": toks > budget,
+            }
+        )
+
+    flat = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(shard_col).cast("long").alias("__shard"),
+        F.col(token_col).cast("long").alias("__tok"),
+    )
+    return flat.groupBy("__shard").applyInPandas(pack, out_schema)

@@ -73,3 +73,49 @@ def test_empty_input(spark):
 def test_bad_budget(spark, docs):
     with pytest.raises(ValueError):
         pack_offsets(docs, id_col="doc_id", token_col="n_tok", budget=0)
+
+
+def test_greedy_pack_bins_recurrence_and_oversize(spark):
+    """Hand-checked packing incl. the oversize corner: an over-budget
+    doc takes its own bin AND its overflow pushes the next doc (even a
+    zero-token one) into a fresh bin."""
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.operators.packing import greedy_pack_bins
+
+    rows = [
+        # shard 0: 100, 200 -> breaks; 50 joins the 200-bin; 300 oversize;
+        # 0-token doc lands in the bin AFTER the oversize; 10 joins it
+        (0, 0, 100), (2, 0, 200), (4, 0, 50), (6, 0, 300), (8, 0, 0), (10, 0, 10),
+        # shard 1: exactly-at-budget fills inclusively
+        (1, 1, 256), (3, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n_tok long")
+    got = {
+        r.doc_id: (r.shard, r.bin, r.oversize)
+        for r in greedy_pack_bins(
+            df, id_col="doc_id", token_col="n_tok", shard_col="shard", budget=256
+        ).collect()
+    }
+    assert got == {
+        0: (0, 0, False),
+        2: (0, 1, False),
+        4: (0, 1, False),
+        6: (0, 2, True),
+        8: (0, 3, False),
+        10: (0, 3, False),
+        1: (1, 0, False),
+        3: (1, 1, False),
+    }
+
+
+def test_greedy_pack_bins_budget_guard(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.packing import greedy_pack_bins
+
+    df = spark.createDataFrame([(1, 0, 5)], "doc_id long, shard long, n_tok long")
+    with _pt.raises(ValueError, match="budget"):
+        greedy_pack_bins(
+            df, id_col="doc_id", token_col="n_tok", shard_col="shard", budget=0
+        )
