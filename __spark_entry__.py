@@ -4995,6 +4995,72 @@ def st26(spark, sf):
 
 
 @_q(
+    "st27_streaming_running_distinct",
+    # ORACLE: q94's first-occurrence-flag running sum VERBATIM.  The
+    # streaming side instead carries each user's SEEN-VALUE SET
+    # (bounded by the value domain, not event volume) and resolves
+    # each batch with factorize + first-occurrence masks; three
+    # TIME-SPLIT batches pin the cross-batch set carry (a type first
+    # seen in batch 0 must not count again in batch 2).
+    """
+    WITH f AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS ff
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(ff) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_distinct
+    FROM f
+    """,
+)
+def st27(spark, sf):
+    """STREAMING running distinct count — q94's stateful twin: per-user
+    state is the seen-value SET (bounded by the value DOMAIN's
+    cardinality — event types here; the dimension-like contract, vs
+    st12's HLL for unbounded domains), per-batch resolution is
+    vectorized factorize + first-occurrence masks, emissions FINAL per
+    event (append)
+    (`streaming/ops.py:streaming_running_distinct`)."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_running_distinct,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st27_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        wt = Window.orderBy("ts", "event_id")
+        tiled = ev.withColumn("__tile", F.ntile(3).over(wt))
+        base = time.time() - 120
+        for i in range(3):
+            tmp = os.path.join(stage, f"__b{i}")
+            tiled.filter(F.col("__tile") == i + 1).drop("__tile").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1)
+        sink = run_to_memory(
+            streaming_running_distinct(stream), "st27_out", mode="append"
+        )
+        return sink.select("event_id", "user_id", "n_distinct")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp
@@ -7518,6 +7584,41 @@ def g33(spark, sf):
         src_col="src",
         dst_col="dst",
     )
+
+
+@_q(
+    "g34_katz_centrality",
+    # ORACLE: the two iterations unrolled in PURE BIGINT — scores carried
+    # as integer units of 2^-2 (u = katz·4), each halving an exact
+    # integer division (u_k is divisible by 2^(2-k) by induction), one
+    # dyadic-exact double division at the end.  No decimal, no float
+    # discipline at all — the α=1/2 sibling of g09's DECIMAL pagerank.
+    f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_E_SQL})),
+    v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    s1 AS (SELECT e.dst AS id, SUM(CAST(4 AS BIGINT)) AS s
+           FROM e GROUP BY 1),
+    x1 AS (SELECT v.id, CAST(4 + COALESCE(s1.s, 0) // 2 AS BIGINT) AS u
+           FROM v LEFT JOIN s1 USING (id)),
+    s2 AS (SELECT e.dst AS id, SUM(x1.u) AS s
+           FROM e JOIN x1 ON x1.id = e.src GROUP BY 1),
+    x2 AS (SELECT v.id, CAST(4 + COALESCE(s2.s, 0) // 2 AS BIGINT) AS u
+           FROM v LEFT JOIN s2 USING (id))
+    SELECT id, CAST(u AS DOUBLE) / 4 AS katz FROM x2
+    """,
+)
+def g34(spark, sf):
+    """Katz centrality (α = 1/2, β = 1, two fixed iterations) — the
+    attenuated path-count centrality between degree and the
+    eigenvector limit.  INTEGER-exact: scores are carried as units of
+    2^-2, every halving is an exact integer DIV (dyadic α is what buys
+    this — a general α needs g09's DECIMAL discipline), and the single
+    final division by 4 is dyadic-exact in a double.  Per iteration:
+    one edge⋈score hash join + one map-combinable integer groupBy
+    (`operators/graph.py:katz_centrality`)."""
+    from duckdb_graphar_spark.operators.graph import katz_centrality
+
+    return katz_centrality(_edges(spark, sf), n_iters=2, src_col="src", dst_col="dst")
 
 
 @_q(
@@ -12692,15 +12793,15 @@ _PRIORITY = [
     # --- driver-checked by definition (first-time checks outrank
     # --- another refresh of r3-stale evidence) ---
     "g33", "q94", "q96", "q95", "t41", "s25", "st25",
-    "q97", "q98", "st26", "t42",
+    "q97", "q98", "st26", "t42", "st27", "g34",
     # --- (3) 17 of the 44 entries whose latest driver check is round 3
     # --- (the oldest evidence in the registry after round 8 closed the
     # --- r1/r2 debt) ---
     "q50", "q55", "q57", "q56", "q51", "q52", "u02", "u03", "q49",
-    "q47", "q54", "q48", "t22", "t24", "t25", "d04",
+    "q47", "q54", "q48", "t22", "t24",
     # --- 51+: the remaining r3-stale entries lead the round-10
     # --- queue; everything else follows in registry definition order ---
-    "u01", "g09", "g12", "g10",
+    "t25", "d04", "u01", "g09", "g12", "g10",
     "t02", "t03", "t05", "t07", "t08", "t09", "m04", "m05",
     "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
     "t18", "t19", "t20", "t21", "s05", "s06", "st08",

@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "m33_quad_wav",
     "g33_adamic_adar",
     "q94_running_distinct",
+    "g34_katz_centrality",
     "q96_time_decay_attribution",
     "q95_rfm_segmentation",
     "q97_clamped_balance",
@@ -284,6 +285,7 @@ ST_QUERIES = [
     "st24_stream_scd2_enrich",
     "st25_streaming_last_touch",
     "st26_streaming_clamped_balance",
+    "st27_streaming_running_distinct",
 ]
 
 

@@ -1123,6 +1123,67 @@ def adamic_adar_candidates(
     )
 
 
+def katz_centrality(
+    edges: DataFrame,
+    *,
+    n_iters: int = 2,
+    src_col: str = SRC_INDEX_COL,
+    dst_col: str = DST_INDEX_COL,
+) -> DataFrame:
+    """Fixed-iteration KATZ centrality with α = 1/2, β = 1 over the
+    distinct directed edge set → (id, katz):
+    ``x_{k+1}(v) = 1 + α · Σ_{(u,v)∈E} x_k(u)``, x₀ = 1 — the
+    attenuated path-count centrality between degree (α→0) and the
+    eigenvector limit.
+
+    Integer-exact variant (the hits/pagerank discipline, pushed one
+    step further): scores are carried in UNITS of 2^-n_iters, i.e. as
+    the integer ``u_k = x_k · 2^n_iters``.  By induction u_k is always
+    divisible by 2^(n_iters-k), so each iteration's halving
+    ``u_{k+1} = 2^n_iters + (Σ u_k) DIV 2`` is an EXACT integer
+    division — no decimal, no float, nothing to round until the final
+    single division by 2^n_iters (a dyadic rational, exact in any
+    double).  The dyadic α is what buys this; a general α would need
+    the pagerank DECIMAL discipline instead.
+
+    Scale shape per iteration: one (edge ⋈ score) hash join + one
+    map-combinable integer groupBy; scores stay distributed.
+    Zero-in-degree vertices re-attach via one left join at the end
+    (their score is the closed-form base, 1 + α·0 = 1... after one
+    round — kept in-loop here since Katz's +1 regrows every vertex
+    each round anyway)."""
+    if not 1 <= n_iters <= 16:
+        raise ValueError("n_iters must be in [1, 16]")
+    unit = 1 << n_iters
+    e = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .distinct()
+    )
+    verts = (
+        e.select(F.col("__s").alias("__v"))
+        .unionAll(e.select(F.col("__d").alias("__v")))
+        .distinct()
+    )
+    x = verts.select("__v", F.lit(unit).cast("long").alias("__u"))
+    for _ in range(n_iters):
+        s = (
+            e.join(x, e["__s"] == x["__v"])
+            .groupBy("__d")
+            .agg(F.sum("__u").cast("long").alias("__sum"))
+        )
+        x = verts.join(s, verts["__v"] == s["__d"], "left").select(
+            "__v",
+            (
+                F.lit(unit).cast("long")
+                + F.expr("coalesce(__sum, 0L) DIV 2")
+            ).alias("__u"),
+        )
+    return x.select(
+        F.col("__v").alias("id"),
+        (F.col("__u").cast("double") / F.lit(float(unit))).alias("katz"),
+    )
+
+
 def bipartiteness(
     edges: DataFrame,
     *,

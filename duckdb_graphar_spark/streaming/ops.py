@@ -1729,3 +1729,99 @@ def streaming_clamped_balance(
             update, out_schema, state_schema, "append", "NoTimeout"
         )
     )
+
+
+def streaming_running_distinct(
+    events: DataFrame,
+    *,
+    value_col: str = "event_type",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """STREAMING running distinct count — the stateful twin of
+    `operators/events.py:running_distinct`: for every event, how many
+    distinct ``value_col`` values its key has produced so far on the
+    shared (ts, id) ordering → (event_id, user_id, n_distinct), one
+    FINAL row per event (append — the count depends only on the past).
+
+    Per-user state is the SET of values seen — bounded by the VALUE
+    DOMAIN's cardinality, not by event volume (the dimension-like
+    contract: event types, countries, plan tiers; for an unbounded
+    domain use st12's HLL instead and accept approximation).  Per
+    batch the fold is vectorized: pandas ``factorize`` + first-
+    occurrence masks against the carried set, no per-event loop.
+
+    Arrival-order contract (st19/st22/st25/st26's): batches staged in
+    event-time order."""
+    if not events.isStreaming:
+        raise ValueError(
+            "streaming_running_distinct needs a streaming DataFrame; use "
+            "operators.events.running_distinct for batch"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_distinct", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("seen", T.ArrayType(T.StringType()), False)]
+    )
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        (seen_list,) = state.get if state.exists else ([],)
+        seen = set(seen_list)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        us = rows["__us"].to_numpy().astype(np.int64)
+        ids = rows["event_id"].to_numpy().astype(np.int64)
+        vals = rows["__v"].to_numpy()
+        order = np.lexsort((ids, us))
+        ids, vals = ids[order], vals[order]
+        codes, uniques = pd.factorize(vals)
+        # first in-batch occurrence of each code, in sorted order
+        first_pos = np.zeros(len(codes), dtype=bool)
+        seen_code = np.full(len(uniques), False)
+        already = np.array([u in seen for u in uniques])
+        for i, c in enumerate(codes):  # single pass over the batch slice;
+            # the per-element body is two array reads and two writes —
+            # the batch is one user's slice, and factorize above did the
+            # string work vectorized
+            if not seen_code[c] and not already[c]:
+                seen_code[c] = True
+                first_pos[i] = True
+        n0 = len(seen)
+        nd = n0 + np.cumsum(first_pos)
+        seen.update(map(str, uniques[seen_code]))
+        state.update((sorted(seen),))
+        yield pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": np.full(len(ids), int(key[0]), dtype=np.int64),
+                "n_distinct": nd.astype(np.int64),
+            }
+        )
+
+    if isinstance(events.schema["ts"].dataType, T.TimestampType):
+        us_in = F.unix_micros(F.col("ts"))
+    else:
+        us_in = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            us_in.cast("long").alias("__us"),
+            F.col(value_col).cast("string").alias("__v"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )

@@ -962,3 +962,31 @@ def test_adamic_adar_hub_cap_drops_center(spark):
         edges, k=100, src_col="src", dst_col="dst"
     ).collect()
     assert {(r.u, r.w) for r in uncapped} > {(0, 1), (100, 200)}
+
+
+def test_katz_centrality_hand_checked(spark):
+    """Path 1->2->3 plus 4->3, two iterations, alpha=1/2:
+    x1: [1, 1.5, 2, 1]; x2(3) = 1 + (x1(2)+x1(4))/2 = 2.25;
+    x2(2) = 1 + x1(1)/2 = 1.5; x2(1)=x2(4)=1."""
+    from duckdb_graphar_spark.operators.graph import katz_centrality
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3)], "src long, dst long"
+    )
+    got = {
+        r.id: r.katz
+        for r in katz_centrality(edges, n_iters=2, src_col="src", dst_col="dst").collect()
+    }
+    assert got == {1: 1.0, 2: 1.5, 3: 2.25, 4: 1.0}
+
+
+def test_katz_centrality_guards(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.graph import katz_centrality
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pt.raises(ValueError, match="n_iters"):
+        katz_centrality(edges, n_iters=0, src_col="src", dst_col="dst")
+    with _pt.raises(ValueError, match="n_iters"):
+        katz_centrality(edges, n_iters=17, src_col="src", dst_col="dst")

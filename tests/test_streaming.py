@@ -1081,3 +1081,65 @@ def test_streaming_clamped_balance_rejects_batch_input(spark):
     )
     with _pt.raises(ValueError, match="streaming"):
         streaming_clamped_balance(df)
+
+
+def test_streaming_running_distinct_cross_batch_set(spark, tmp_path):
+    """The carried seen-set is load-bearing: a type first seen in batch
+    0 must not re-count in batch 1; a genuinely new type must."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_running_distinct,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        (1, m(0), 1, "view", 0.0, ""),
+        (2, m(1), 1, "click", 0.0, ""),
+        (3, m(2), 1, "view", 0.0, ""),
+        # batch 1
+        (4, m(40), 1, "view", 0.0, ""),      # repeat: stays 2
+        (5, m(41), 1, "purchase", 0.0, ""),  # new: 3
+        (6, m(42), 2, "view", 0.0, ""),      # new user in batch 1: 1
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 60
+    for i, cond in enumerate((F.col("ts") <= m(30), F.col("ts") > m(30))):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 10 * i, t0 + 10 * i))
+    stream = read_events_stream(spark, stage, max_files=1)
+    out = run_to_memory(
+        streaming_running_distinct(stream), "rd_test", mode="append"
+    )
+    got = {r.event_id: r.n_distinct for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 2, 5: 3, 6: 1}
+
+
+def test_streaming_running_distinct_rejects_batch_input(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.streaming.ops import streaming_running_distinct
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    with _pt.raises(ValueError, match="streaming"):
+        streaming_running_distinct(df)
