@@ -771,8 +771,16 @@ def running_distinct(
     )
     firsts = flat.groupBy("__k", "__v").agg(
         F.min(F.struct("__us", "__id")).alias("__fo")
+    ).select(
+        F.col("__k").alias("__fk"), F.col("__v").alias("__fv"), "__fo"
     )
-    flagged = flat.join(firsts, ["__k", "__v"]).withColumn(
+    # NULL-SAFE stamp join: SQL's window trick counts NULL as its own
+    # distinct value (the per-(key, NULL) partition exists), so a plain
+    # equi-join — which drops null-valued rows — would silently diverge
+    flagged = flat.join(
+        firsts,
+        (F.col("__k") == F.col("__fk")) & F.col("__v").eqNullSafe(F.col("__fv")),
+    ).withColumn(
         "__ff",
         (
             (F.col("__us") == F.col("__fo.__us"))

@@ -725,3 +725,26 @@ def test_clamped_balance_guards(spark):
     )
     with _pt.raises(ValueError, match="segment_seconds"):
         clamped_running_balance(df, segment_seconds=0)
+
+
+def test_running_distinct_null_value_counts_as_distinct(spark):
+    """SQL window semantics: NULL is its own distinct value — the
+    null-safe stamp join must keep (and count) null-valued rows."""
+    import datetime as dt
+
+    from duckdb_graphar_spark.operators.events import running_distinct
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        (1, 1, "a", t0),
+        (2, 1, None, t0 + dt.timedelta(minutes=1)),
+        (3, 1, None, t0 + dt.timedelta(minutes=2)),
+        (4, 1, "b", t0 + dt.timedelta(days=2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {
+        r.event_id: r.n_distinct for r in running_distinct(df).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 3}
