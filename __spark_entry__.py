@@ -5061,6 +5061,90 @@ def st27(spark, sf):
 
 
 @_q(
+    "st28_streaming_time_decay",
+    # ORACLE: q96's oracle VERBATIM — FIRST_VALUE pair windows, whole-
+    # half-life quantization, exact integer weights 2^(50-n), decimal
+    # normalizer, one double division.  The streaming side carries each
+    # user's PENDING-VIEW list and settles it at each purchase; three
+    # time-split batches make carried pending views load-bearing
+    # (a batch-0 view credited by a batch-1 purchase).
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pid,
+             FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pus
+      FROM events
+    ),
+    v AS (SELECT user_id, event_id AS view_id, pid, pus, epoch_us(ts) AS vus
+          FROM o WHERE event_type = 'view' AND pid IS NOT NULL),
+    wt AS (SELECT user_id, view_id, pid,
+                  LEAST((pus - vus) // 86400000000, 50) AS halflives,
+                  (CAST(1 AS BIGINT) << CAST(50 - LEAST((pus - vus) // 86400000000, 50)
+                                             AS INTEGER)) AS weight
+           FROM v),
+    s AS (SELECT user_id, pid, SUM(CAST(weight AS DECIMAL(38,0))) AS sw
+          FROM wt GROUP BY 1, 2)
+    SELECT CAST(wt.pid AS BIGINT) AS purchase_id, wt.user_id,
+           CAST(wt.view_id AS BIGINT) AS view_id,
+           CAST(wt.halflives AS BIGINT) AS halflives,
+           CAST(wt.weight AS BIGINT) AS weight,
+           CAST(wt.weight AS DOUBLE) / CAST(s.sw AS DOUBLE) AS credit
+    FROM wt JOIN s ON s.user_id = wt.user_id AND s.pid = wt.pid
+    """,
+)
+def st28(spark, sf):
+    """STREAMING time-decay attribution — q96's stateful twin: per-user
+    state is the PENDING-VIEW list since the last purchase (bounded by
+    the user's purchase cadence), settled at each purchase with the
+    same dyadic-exact 2^(50−halflives) weights and one double
+    division; emissions FINAL (append).  Completes the attribution
+    family's batch/streaming matrix: last-touch (q89/st25), linear
+    (q90), time-decay (q96/st28)
+    (`streaming/ops.py:streaming_time_decay_attribution`)."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_time_decay_attribution,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st28_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        wt = Window.orderBy("ts", "event_id")
+        tiled = ev.withColumn("__tile", F.ntile(3).over(wt))
+        base = time.time() - 120
+        for i in range(3):
+            tmp = os.path.join(stage, f"__b{i}")
+            tiled.filter(F.col("__tile") == i + 1).drop("__tile").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1)
+        sink = run_to_memory(
+            streaming_time_decay_attribution(stream), "st28_out", mode="append"
+        )
+        return sink.select(
+            "purchase_id", "user_id", "view_id", "halflives", "weight", "credit"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp
@@ -12793,15 +12877,15 @@ _PRIORITY = [
     # --- driver-checked by definition (first-time checks outrank
     # --- another refresh of r3-stale evidence) ---
     "g33", "q94", "q96", "q95", "t41", "s25", "st25",
-    "q97", "q98", "st26", "t42", "st27", "g34",
+    "q97", "q98", "st26", "t42", "st27", "g34", "st28",
     # --- (3) 17 of the 44 entries whose latest driver check is round 3
     # --- (the oldest evidence in the registry after round 8 closed the
     # --- r1/r2 debt) ---
     "q50", "q55", "q57", "q56", "q51", "q52", "u02", "u03", "q49",
-    "q47", "q54", "q48", "t22", "t24",
+    "q47", "q54", "q48", "t22",
     # --- 51+: the remaining r3-stale entries lead the round-10
     # --- queue; everything else follows in registry definition order ---
-    "t25", "d04", "u01", "g09", "g12", "g10",
+    "t24", "t25", "d04", "u01", "g09", "g12", "g10",
     "t02", "t03", "t05", "t07", "t08", "t09", "m04", "m05",
     "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
     "t18", "t19", "t20", "t21", "s05", "s06", "st08",

@@ -286,6 +286,7 @@ ST_QUERIES = [
     "st25_streaming_last_touch",
     "st26_streaming_clamped_balance",
     "st27_streaming_running_distinct",
+    "st28_streaming_time_decay",
 ]
 
 

@@ -1825,3 +1825,133 @@ def streaming_running_distinct(
             update, out_schema, state_schema, "append", "NoTimeout"
         )
     )
+
+
+def streaming_time_decay_attribution(
+    events: DataFrame,
+    *,
+    view_type: str = "view",
+    purchase_type: str = "purchase",
+    half_life_seconds: int = 86_400,
+    max_halflives: int = 50,
+    watermark: str = "365 days",
+) -> DataFrame:
+    """STREAMING time-decay multi-touch attribution — the stateful twin
+    of `operators/events.py:time_decay_attribution` (q96's scope: every
+    view belongs to the FIRST purchase at-or-after it): per-user state
+    is the PENDING VIEW list (epoch µs + id of views since the last
+    purchase — bounded by the user's views-between-purchases, the
+    natural cadence bound; a horizon-evicting variant would mirror
+    st21 if purchases can stop forever).  On each purchase the pending
+    views (carried + in-batch-before-it) are emitted with the same
+    dyadic-exact weights — ``2^(max_halflives − whole half-lives)``,
+    an exact integer normalizer, one IEEE division — and the pending
+    list resets.  Emissions are FINAL (append): a view preceding a
+    purchase can only be in the past.
+
+    Per batch the fold loops over PURCHASES, not events (numpy segment
+    slices between consecutive purchase positions); views after the
+    user's last purchase stay pending in state, honestly unattributed
+    so far — exactly the batch operator's drop semantics once the
+    stream ends.  Arrival-order contract (st19/st22/st25/st26's):
+    batches staged in event-time order."""
+    if not events.isStreaming:
+        raise ValueError(
+            "streaming_time_decay_attribution needs a streaming DataFrame; "
+            "use operators.events.time_decay_attribution for batch"
+        )
+    if not 0 <= max_halflives <= 62:
+        raise ValueError("max_halflives must be in [0, 62]")
+    if half_life_seconds < 1:
+        raise ValueError("half_life_seconds must be >= 1")
+    hl_us = half_life_seconds * 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("purchase_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("view_id", T.LongType(), False),
+            T.StructField("halflives", T.LongType(), False),
+            T.StructField("weight", T.LongType(), False),
+            T.StructField("credit", T.DoubleType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("v_us", T.ArrayType(T.LongType()), False),
+            T.StructField("v_id", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        p_us, p_id = state.get if state.exists else ([], [])
+        pend_us = np.array(p_us, dtype=np.int64)
+        pend_id = np.array(p_id, dtype=np.int64)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        us = rows["__us"].to_numpy().astype(np.int64)
+        ids = rows["event_id"].to_numpy().astype(np.int64)
+        et = rows["event_type"].to_numpy()
+        order = np.lexsort((ids, us))
+        us, ids, et = us[order], ids[order], et[order]
+        is_v = et == view_type
+        out = {k: [] for k in ("pid", "vid", "hl", "w", "c")}
+        prev = 0
+        for r in np.nonzero(et == purchase_type)[0]:
+            seg = slice(prev, r)
+            v_us = np.concatenate([pend_us, us[seg][is_v[seg]]])
+            v_id = np.concatenate([pend_id, ids[seg][is_v[seg]]])
+            pend_us = pend_us[:0]
+            pend_id = pend_id[:0]
+            prev = r  # views in [r, next) belong to the NEXT purchase
+            if not len(v_us):
+                continue
+            hl = np.minimum((int(us[r]) - v_us) // hl_us, max_halflives)
+            w = np.int64(1) << (max_halflives - hl)
+            # mirror the engines' op sequence exactly: exact-int sum,
+            # CAST both to double, ONE double division (python int/int
+            # true division is correctly rounded on the exact integers
+            # and can differ past 2^53 — don't use it)
+            ftot = float(int(w.sum()))
+            out["pid"] += [int(ids[r])] * len(v_us)
+            out["vid"] += [int(x) for x in v_id]
+            out["hl"] += [int(x) for x in hl]
+            out["w"] += [int(x) for x in w]
+            out["c"] += [float(int(x)) / ftot for x in w]
+        tail = slice(prev, len(us))
+        pend_us = np.concatenate([pend_us, us[tail][is_v[tail]]])
+        pend_id = np.concatenate([pend_id, ids[tail][is_v[tail]]])
+        state.update(([int(x) for x in pend_us], [int(x) for x in pend_id]))
+        yield pd.DataFrame(
+            {
+                "purchase_id": pd.array(out["pid"], dtype="Int64"),
+                "user_id": pd.array([int(key[0])] * len(out["pid"]), dtype="Int64"),
+                "view_id": pd.array(out["vid"], dtype="Int64"),
+                "halflives": pd.array(out["hl"], dtype="Int64"),
+                "weight": pd.array(out["w"], dtype="Int64"),
+                "credit": pd.array(out["c"], dtype="float64"),
+            }
+        )
+
+    if isinstance(events.schema["ts"].dataType, T.TimestampType):
+        us_in = F.unix_micros(F.col("ts"))
+    else:
+        us_in = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            us_in.cast("long").alias("__us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )

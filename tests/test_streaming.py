@@ -1143,3 +1143,78 @@ def test_streaming_running_distinct_rejects_batch_input(spark):
     )
     with _pt.raises(ValueError, match="streaming"):
         streaming_running_distinct(df)
+
+
+def test_streaming_time_decay_cross_batch_pending(spark, tmp_path):
+    """Carried pending views settle at a later batch's purchase with
+    the right half-life weights; views after the last purchase stay
+    unattributed; a second purchase only gets views since the first."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_time_decay_attribution,
+    )
+
+    base = dt.datetime(2024, 1, 10)
+    d = lambda days, m=0: base + dt.timedelta(days=days, minutes=m)  # noqa: E731
+    rows = [
+        # batch 0: two views, 3 days and 1 day before the purchase
+        (1, d(0), 1, "view", 0.0, ""),
+        (2, d(2), 1, "view", 0.0, ""),
+        # batch 1: the purchase at day 3, a later view, second purchase
+        (3, d(3), 1, "purchase", 0.0, ""),
+        (4, d(3, 30), 1, "view", 0.0, ""),
+        (5, d(4), 1, "purchase", 0.0, ""),
+        (6, d(4, 30), 1, "view", 0.0, ""),  # pending forever: no row
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 60
+    for i, cond in enumerate((F.col("ts") < d(3), F.col("ts") >= d(3))):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 10 * i, t0 + 10 * i))
+    stream = read_events_stream(spark, stage, max_files=1)
+    out = run_to_memory(
+        streaming_time_decay_attribution(stream), "td_test", mode="append"
+    )
+    got = {
+        (r.purchase_id, r.view_id): (r.halflives, r.weight, r.credit)
+        for r in out.collect()
+    }
+    w3, w1, w0 = 1 << 47, 1 << 49, 1 << 50
+    tot1 = w3 + w1
+    assert got == {
+        (3, 1): (3, w3, w3 / tot1),
+        (3, 2): (1, w1, w1 / tot1),
+        (5, 4): (0, w0, 1.0),
+    }
+
+
+def test_streaming_time_decay_guards(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.streaming.ops import (
+        streaming_time_decay_attribution,
+    )
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    with _pt.raises(ValueError, match="streaming"):
+        streaming_time_decay_attribution(df)
