@@ -11556,6 +11556,63 @@ def q90(spark, sf):
 
 
 @_q(
+    "q99_weighted_median",
+    # ORACLE: an INDEPENDENT construction — per-group cumulative weight
+    # over value order, pick the smallest value whose cumulative weight
+    # reaches floor((W−1)/2)+1 (the unweighted percentile_disc rank on
+    # the weight-expanded multiset, without expanding it).  Integer
+    # cents, integer quantity weights — exact everywhere.
+    """
+    WITH d AS (SELECT l_returnflag AS g,
+                      CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    a AS (SELECT g, v, CAST(SUM(w) AS BIGINT) AS sw FROM d GROUP BY 1, 2),
+    c AS (SELECT g, v, sw,
+                 CAST(SUM(sw) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum,
+                 CAST(SUM(sw) OVER (PARTITION BY g) AS BIGINT) AS tot
+          FROM a)
+    SELECT g AS l_returnflag,
+           CAST(MIN(CASE WHEN cum >= (tot - 1) // 2 + 1 THEN v END) AS BIGINT)
+               AS median_cents,
+           CAST(MIN((tot - 1) // 2 + 1) AS BIGINT) AS target_rank,
+           CAST(MIN(tot) AS BIGINT) AS n
+    FROM c GROUP BY 1
+    """,
+)
+def q99(spark, sf):
+    """WEIGHTED median per group — the value at weighted rank
+    floor((W−1)/2)+1, i.e. the exact median of the quantity-expanded
+    price multiset WITHOUT expanding it: `grouped_quantile_disc`'s
+    per-(group, value) aggregate sums integer weights instead of
+    counting rows, and the same two-phase bucketed rank scan picks the
+    target (weights type-checked integral at plan time, positivity
+    enforced in-plan by raise_error)
+    (`operators/quantiles.py:grouped_quantile_disc(weight_col=...)`)."""
+    from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
+
+    d = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+    )
+    return grouped_quantile_disc(
+        d, ["l_returnflag"], "v", 0.5, weight_col="w"
+    ).select(
+        "l_returnflag",
+        F.col("value").cast("long").alias("median_cents"),
+        "target_rank",
+        "n",
+    )
+
+
+@_q(
     "q98_mad_outliers",
     # ORACLE: an INDEPENDENT construction — per-group row_number rank
     # selection at floor((n−1)/2)+1 for both the median and the MAD
@@ -12877,15 +12934,15 @@ _PRIORITY = [
     # --- driver-checked by definition (first-time checks outrank
     # --- another refresh of r3-stale evidence) ---
     "g33", "q94", "q96", "q95", "t41", "s25", "st25",
-    "q97", "q98", "st26", "t42", "st27", "g34", "st28",
+    "q97", "q98", "st26", "t42", "st27", "g34", "st28", "q99",
     # --- (3) 17 of the 44 entries whose latest driver check is round 3
     # --- (the oldest evidence in the registry after round 8 closed the
     # --- r1/r2 debt) ---
     "q50", "q55", "q57", "q56", "q51", "q52", "u02", "u03", "q49",
-    "q47", "q54", "q48", "t22",
+    "q47", "q54", "q48",
     # --- 51+: the remaining r3-stale entries lead the round-10
     # --- queue; everything else follows in registry definition order ---
-    "t24", "t25", "d04", "u01", "g09", "g12", "g10",
+    "t22", "t24", "t25", "d04", "u01", "g09", "g12", "g10",
     "t02", "t03", "t05", "t07", "t08", "t09", "m04", "m05",
     "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
     "t18", "t19", "t20", "t21", "s05", "s06", "st08",

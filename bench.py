@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "q95_rfm_segmentation",
     "q97_clamped_balance",
     "q98_mad_outliers",
+    "q99_weighted_median",
     "t41_url_canonical_dedup",
     "s25_sq8_rerank_topk",
     "t42_greedy_pack_bins",

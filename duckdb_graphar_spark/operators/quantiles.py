@@ -254,12 +254,23 @@ def grouped_quantile_disc(
     prob: float,
     *,
     n_buckets: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PER-GROUP exact discrete quantile → one row per group:
     (*group_cols, value, target_rank, n) — :func:`exact_quantiles`
     generalized over a grouping key, with the same percentile_disc
     semantics (element at sorted 0-based index floor((n_g−1)·p) within
     each group).
+
+    ``weight_col`` selects the WEIGHTED quantile instead: each row
+    counts ``w`` times, i.e. the value at weighted rank
+    floor((W_g−1)·p)+1 where W_g is the group's total weight — exactly
+    the unweighted semantics on the expanded multiset, without
+    expanding it (the per-(group, value) aggregate sums weights
+    instead of counting rows; nothing else changes).  Weights must be
+    a POSITIVE integral column (exact rank arithmetic): the type is
+    checked at plan time, positivity in-plan via raise_error — no
+    extra validation job on the clean path.
 
     The naive plan is ``row_number() OVER (PARTITION BY group ORDER BY
     v)`` — one sorted buffer per group, i.e. a hot group's entire value
@@ -279,11 +290,47 @@ def grouped_quantile_disc(
         n_buckets = spark.sparkContext.defaultParallelism
     gcols = [F.col(c) for c in group_cols]
 
+    if weight_col is None:
+        w_expr = F.lit(1).cast("long")
+    else:
+        from pyspark.sql import types as T
+
+        wfield = {f.name: f.dataType for f in df.schema.fields}.get(weight_col)
+        if wfield is None:
+            raise ValueError(f"weight_col {weight_col!r} not in schema")
+        if not isinstance(
+            wfield, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"weight_col {weight_col!r} must be an integral type "
+                f"(quantize real weights upstream), got {wfield}"
+            )
+        w_expr = (
+            F.when(
+                F.col(weight_col) <= 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "grouped_quantile_disc: non-positive weight in "
+                            f"{weight_col!r}: "
+                        ),
+                        F.col(weight_col).cast("string"),
+                    )
+                ),
+            )
+            .otherwise(F.col(weight_col))
+            .cast("long")
+        )
+
     vc = (
-        df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
+        df.select(
+            *gcols,
+            F.col(value_col).cast("double").alias("__v"),
+            w_expr.alias("__w"),
+        )
         .filter(F.col("__v").isNotNull())
         .groupBy(*group_cols, "__v")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.sum("__w").alias("__c"))
         .localCheckpoint(eager=False)
     )
     bounds = {

@@ -367,3 +367,44 @@ def test_grouped_quantile_disc_other_probs(spark):
     for p, want in ((0.0, 1.0), (0.25, 3.0), (0.9, 9.0), (1.0, 10.0)):
         r = grouped_quantile_disc(df, ["g"], "v", p, n_buckets=4).collect()[0]
         assert r.value == want, (p, r.value)
+
+
+def test_grouped_quantile_weighted_matches_expansion(spark):
+    """Weighted quantile == unweighted quantile over the weight-expanded
+    multiset (the definition, checked by literally expanding)."""
+    from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
+
+    rows = [("g", 10.0, 3), ("g", 20.0, 1), ("g", 30.0, 2), ("h", 5.0, 1)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    expanded = spark.createDataFrame(
+        [(g, v) for g, v, w in rows for _ in range(w)], "g string, v double"
+    )
+    wq = {
+        r.g: (r.value, r.target_rank, r.n)
+        for r in grouped_quantile_disc(
+            df, ["g"], "v", 0.5, weight_col="w", n_buckets=2
+        ).collect()
+    }
+    uq = {
+        r.g: (r.value, r.target_rank, r.n)
+        for r in grouped_quantile_disc(expanded, ["g"], "v", 0.5, n_buckets=2).collect()
+    }
+    assert wq == uq
+    # W=6 for g -> rank floor(5*0.5)+1 = 3 -> third expanded element = 10.0
+    assert wq["g"] == (10.0, 3, 6)
+
+
+def test_grouped_quantile_weight_contract(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
+
+    fdf = spark.createDataFrame([("g", 1.0, 1.5)], "g string, v double, w double")
+    with _pt.raises(TypeError, match="integral"):
+        grouped_quantile_disc(fdf, ["g"], "v", 0.5, weight_col="w")
+    missing = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with _pt.raises(ValueError, match="not in schema"):
+        grouped_quantile_disc(missing, ["g"], "v", 0.5, weight_col="w")
+    bad = spark.createDataFrame([("g", 1.0, 0)], "g string, v double, w long")
+    with _pt.raises(Exception, match="non-positive weight"):
+        grouped_quantile_disc(bad, ["g"], "v", 0.5, weight_col="w").collect()
