@@ -5145,6 +5145,81 @@ def st28(spark, sf):
 
 
 @_q(
+    "st29_stream_scd2_enrich_left",
+    # ORACLE: st24's gaps-and-islands interval CTE over a RESTRICTED
+    # dimension source (user_id % 3 <> 0 AND event_id % 2 = 0), LEFT-
+    # joined back to ALL purchases on half-open containment — so both
+    # uncovered shapes exist in the fixture and must surface as NULL
+    # state rows: users with NO dimension intervals at all (user_id %
+    # 3 = 0), and purchases whose ts precedes their user's first even-
+    # event interval (the late-backfill shape the inner mode drops).
+    """
+    WITH src AS (
+      SELECT * FROM events WHERE user_id % 3 <> 0 AND event_id % 2 = 0
+    ),
+    o AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+          FROM o),
+    c AS (SELECT user_id, run, MIN(event_type) AS state, MIN(ts) AS valid_from
+          FROM r GROUP BY user_id, run),
+    iv AS (SELECT user_id, state, valid_from,
+                  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+           FROM c)
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value,
+           i.state AS state_asof,
+           CAST(i.valid_from AS TIMESTAMP) AS state_since
+    FROM events e LEFT JOIN iv i ON e.user_id = i.user_id
+     AND e.ts >= i.valid_from AND (i.valid_to IS NULL OR e.ts < i.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def st29(spark, sf):
+    """STREAM-STATIC SCD2 enrichment, LEFT mode — st24 with
+    ``how="left"`` (`streaming/ops.py:stream_scd2_enrich`): purchases
+    NOT covered by any dimension interval (no dim rows for the key, or
+    event time before the key's first valid_from — the late-backfill
+    shape) are KEPT with NULL state_asof/state_since instead of being
+    silently dropped.  The dimension is deliberately built from a
+    subset of events (every third user excluded entirely; only
+    even-numbered events feed intervals) so both uncovered shapes are
+    present and load-bearing.  Stream-static LEFT joins are equally
+    stateless — per-micro-batch broadcast hash join, stream side
+    preserved."""
+    from duckdb_graphar_spark.operators.events import scd2_intervals
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_scd2_enrich,
+    )
+
+    dim = scd2_intervals(
+        _t(spark, sf, "events").filter(
+            (F.col("user_id") % 3 != 0) & (F.col("event_id") % 2 == 0)
+        )
+    )
+    stream = read_events_stream(spark, f"{sf}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    sink = run_to_memory(
+        stream_scd2_enrich(stream, dim, how="left"), "st29_out", mode="append"
+    )
+    return sink.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+        "state_asof",
+        F.col("state_since").cast("timestamp_ntz").alias("state_since"),
+    )
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp
@@ -6675,7 +6750,7 @@ def t37(spark, sf):
                          regexp_replace(LOWER(url), '#.*$', '', 'g'),
                          '^https?://', '', 'g'),
                        '^www\\.', '', 'g'),
-                     'utm_[a-z]+=[^&]*&', '', 'g'),
+                     '([?&])(utm_[a-z]+=[^&]*&)+', '\\1', 'g'),
                    '[?&]utm_[a-z]+=[^&]*$', '', 'g'),
                  '\\?$', '', 'g'),
                '/$', '', 'g') AS canonical_url
@@ -12980,41 +13055,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order.
 _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
-    # --- window rotates.  Round-9 window = EXACTLY 50, in three tiers:
-    # --- (1) the 6 NEVER-driver-checked entries — st21 is NEW this
-    # --- round (horizon-bounded stream anti join); m30/m31/m32/m33/st20
-    # --- landed in round 8 after that window filled (all in-repo
-    # --- oracle-green and round-8 bare-session-sweep green);
-    "st21", "st22", "st23", "st24", "m30", "m31", "m32", "m33", "st20",
-    # --- (2) the 4 entries whose round-8 code changes carry only
-    # --- pre-change driver evidence (g27/g30/g31 the 12→20-digit
-    # --- tie-break pad, last checked r6/r7; q68 the DESC-frame
-    # --- rewrite, last checked r4) plus the 10 entries CHANGED this
-    # --- round: d07/d09/d10 (cluster_size groupBy+join instead of a
-    # --- count window), g32 (MSF weight validation), q93/st19 (epoch-
-    # --- micros DST-safe sessionization), q60/q92/q70 (lazy instead of
-    # --- eager quantile checkpoint), m10 (color-JPEG DRI restart
-    # --- support touches the shared decoder);
-    "g27", "g30", "g31", "q68",
-    "d07", "d09", "d10", "g32", "q93", "st19", "q60", "q92", "q70", "m10",
-    # --- (3) 30 of the 44 entries whose latest driver check is round 3
-    # --- (the oldest evidence in the registry after round 8 closed the
-    # --- (2b) the 7 entries NEW this round's build sessions — never
-    # --- driver-checked by definition (first-time checks outrank
-    # --- another refresh of r3-stale evidence) ---
-    "g33", "q94", "q96", "q95", "t41", "s25", "st25",
-    "q97", "q98", "st26", "t42", "st27", "g34", "st28", "q99", "q100",
-    # --- (3) 17 of the 44 entries whose latest driver check is round 3
-    # --- (the oldest evidence in the registry after round 8 closed the
-    # --- r1/r2 debt) ---
-    "q50", "q55", "q57", "q56", "q51", "q52", "u02", "u03", "q49",
-    "q47", "q54",
-    # --- 51+: the remaining r3-stale entries lead the round-10
-    # --- queue; everything else follows in registry definition order ---
+    # --- window rotates.  Round-10 window = EXACTLY 50, spent per the
+    # --- r9 verdict's top directive (≥40 slots on rotation debt, ≤10
+    # --- new), in three tiers:
+    # --- (1) the 1 NEVER-driver-checked entry — st29 is NEW this round
+    # --- (SCD2 LEFT enrichment, the advice-requested uncovered-event
+    # --- mode) — plus the 7 entries CHANGED this round by the advice
+    # --- fixes: st27 (NULL-safe factorize in the streaming distinct
+    # --- fold), q98/q99/q100 (grouped_quantile_disc stamp joins went
+    # --- eqNullSafe so the NULL-key group survives), g34 (katz decimal
+    # --- overflow guard), t41 (delimiter-anchored utm regex in BOTH
+    # --- engines), st24 (how= parameter threaded; default behavior
+    # --- unchanged);
+    "st29", "st27", "st24", "t41", "g34", "q98", "q99", "q100",
+    # --- (2) ALL 33 entries whose latest driver evidence is round 3 —
+    # --- the rotation debt the r9 verdict queued first; none changed
+    # --- since passing, all in-repo oracle-green ---
     "q48", "t22", "t24", "t25", "d04", "u01", "g09", "g12", "g10",
     "t02", "t03", "t05", "t07", "t08", "t09", "m04", "m05",
     "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
     "t18", "t19", "t20", "t21", "s05", "s06", "st08",
+    # --- (3) 9 of the 34 r4-stale entries (oldest remaining evidence),
+    # --- filling the window to exactly 50 ---
+    "d05", "d06", "g14", "g15", "g16", "m06", "m07", "q58", "t26",
+    # --- 51+: the remaining 25 r4-stale entries lead the round-11
+    # --- queue; everything else follows in registry definition order ---
+    "g18", "g19", "m08", "m09", "q59", "q61", "q62", "q63", "q64",
+    "q65", "q66", "q67", "s09", "s10", "s11", "s12", "s13", "st10",
+    "st11", "t28", "t29", "t30", "t31", "t32", "t33",
 ]
 
 

@@ -289,6 +289,7 @@ ST_QUERIES = [
     "st26_streaming_clamped_balance",
     "st27_streaming_running_distinct",
     "st28_streaming_time_decay",
+    "st29_stream_scd2_enrich_left",
 ]
 
 

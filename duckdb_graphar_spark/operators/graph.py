@@ -1151,7 +1151,14 @@ def katz_centrality(
     Zero-in-degree vertices re-attach via one left join at the end
     (their score is the closed-form base, 1 + α·0 = 1... after one
     round — kept in-loop here since Katz's +1 regrows every vertex
-    each round anyway)."""
+    each round anyway).
+
+    Overflow is GUARDED, not assumed away: per-vertex units grow like
+    2^n_iters·(deg/2+1)^k on hub-heavy graphs, so each iteration sums
+    in DECIMAL(38,0) (exact to 10^38) and raise_error()s in-plan if a
+    hub's Σu_k exceeds 2^62 — past that the +unit/DIV 2 arithmetic of
+    the NEXT round could wrap int64 silently under non-ANSI Spark.
+    The n_iters≤16 ceiling alone does not bound this."""
     if not 1 <= n_iters <= 16:
         raise ValueError("n_iters must be in [1, 16]")
     unit = 1 << n_iters
@@ -1169,7 +1176,27 @@ def katz_centrality(
         s = (
             e.join(x, e["__s"] == x["__v"])
             .groupBy("__d")
-            .agg(F.sum("__u").cast("long").alias("__sum"))
+            .agg(
+                F.sum(F.col("__u").cast("decimal(38,0)")).alias("__sumd")
+            )
+            .select(
+                "__d",
+                F.when(
+                    F.col("__sumd") > F.lit(1 << 62).cast("decimal(38,0)"),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "katz_centrality: score units overflow "
+                                "int64 headroom (sum > 2^62) at vertex "
+                            ),
+                            F.col("__d").cast("string"),
+                            F.lit("; lower n_iters for this graph"),
+                        ).cast("long")
+                    ),
+                )
+                .otherwise(F.col("__sumd").cast("long"))
+                .alias("__sum"),
+            )
         )
         x = verts.join(s, verts["__v"] == s["__d"], "left").select(
             "__v",

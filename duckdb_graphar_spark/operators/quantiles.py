@@ -283,7 +283,10 @@ def grouped_quantile_disc(
     cumsums, one filter per group at its exact decimal target rank.
 
     NULL values are excluded (SQL aggregate semantics); empty groups
-    do not appear."""
+    do not appear.  A NULL GROUP KEY is a real group (PARTITION BY
+    semantics, matching the oracle): all stamp joins below are
+    null-safe (``eqNullSafe``), so the NULL-key group survives to the
+    output instead of silently vanishing at the first equi-join."""
     _validated([prob])
     spark = df.sparkSession
     if n_buckets is None:
@@ -353,7 +356,20 @@ def grouped_quantile_disc(
             df.select(*gcols).schema.add("__lo", "double").add("__w", "double"),
         )
     )
-    b = vc.join(bdf, group_cols).withColumn(
+    def _ns_join(left: DataFrame, right: DataFrame, cols: list[str]) -> DataFrame:
+        # null-safe equi-join on `cols`, right-side duplicates dropped —
+        # a plain name-list join discards NULL keys, erasing the
+        # NULL-key group the groupBys above legitimately produced
+        cond = None
+        for c in cols:
+            t = left[c].eqNullSafe(right[c])
+            cond = t if cond is None else (cond & t)
+        out = left.join(right, cond)
+        for c in cols:
+            out = out.drop(right[c])
+        return out
+
+    b = _ns_join(vc, bdf, group_cols).withColumn(
         "__bucket",
         F.least(
             F.floor((F.col("__v") - F.col("__lo")) / F.col("__w")),
@@ -395,11 +411,11 @@ def grouped_quantile_disc(
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = b.join(prefix_df, [*group_cols, "__bucket"]).withColumn(
+    cum = _ns_join(b, prefix_df, [*group_cols, "__bucket"]).withColumn(
         "__cum", F.col("__pre") + F.sum("__c").over(w)
     )
     return (
-        cum.join(target_df, group_cols)
+        _ns_join(cum, target_df, group_cols)
         .filter(F.col("__cum") >= F.col("target_rank"))
         .groupBy(*group_cols)
         .agg(

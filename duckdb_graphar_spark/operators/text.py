@@ -1447,17 +1447,24 @@ def canonicalize_url(url: F.Column) -> F.Column:
     dangling ``?`` / trailing ``/`` the removals exposed.
 
     Pure JVM-side ``regexp_replace`` composition — no UDF — and every
-    pattern is RE2-compatible (no backrefs/lookaround), so the DuckDB
-    oracle applies the literally identical pipeline.  Two passes
-    remove utm parameters wherever they sit: ``utm_x=v&`` (followed by
-    another parameter — global replace eats consecutive runs) and
-    ``[?&]utm_x=v$`` (the trailing one, taking its delimiter).
+    PATTERN is RE2-compatible (capture groups are fine; no backrefs
+    IN the pattern, no lookaround), so the DuckDB oracle applies the
+    literally identical patterns (only the replacement backref is
+    spelled per-engine: ``$1`` in Spark, ``\\1`` in DuckDB).  Two
+    passes remove utm parameters wherever they sit:
+    ``([?&])(utm_x=v&)+`` — LEFT-ANCHORED on the delimiter so a
+    parameter whose name merely ends in a utm_ suffix (``?xutm_a=1``)
+    is untouched, with the ``+`` eating consecutive runs in one match
+    (the replace scan never rescans its own output, so an unanchored
+    single-param pattern would leave every second param of a run
+    behind) — and ``[?&]utm_x=v$`` (the trailing one, taking its
+    delimiter).
     """
     u = F.lower(url)
     u = F.regexp_replace(u, "#.*$", "")
     u = F.regexp_replace(u, "^https?://", "")
     u = F.regexp_replace(u, r"^www\.", "")
-    u = F.regexp_replace(u, "utm_[a-z]+=[^&]*&", "")
+    u = F.regexp_replace(u, "([?&])(utm_[a-z]+=[^&]*&)+", "$1")
     u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&]*$", "")
     u = F.regexp_replace(u, r"\?$", "")
     u = F.regexp_replace(u, "/$", "")

@@ -531,6 +531,7 @@ def stream_scd2_enrich(
     state_col: str = "state",
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    how: str = "inner",
 ) -> DataFrame:
     """POINT-IN-TIME SCD2 enrichment of a stream (§2.E): attach to each
     event the dimension row whose half-open validity interval
@@ -550,7 +551,18 @@ def stream_scd2_enrich(
     shuffles; a corpus-sized "dimension" belongs in a stream-stream
     interval join instead.  Intervals partition each entity's timeline,
     so every in-range event matches exactly one row (no fan-out).
+
+    Returns: the stream's columns plus (state_asof, state_since).
+    With the default ``how="inner"``, events NOT covered by any
+    interval — a timestamp before the entity's first ``valid_from``,
+    or a key with no dimension row at all (the late-backfill shape) —
+    are silently DROPPED from the output.  Pass ``how="left"`` to keep
+    them with NULL ``state_asof``/``state_since`` instead; stream-
+    static LEFT joins are equally stateless (per-micro-batch broadcast
+    hash join, stream side preserved), so the mode costs nothing.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     d = dim.select(
         F.col(key).alias("__dk"),
         F.col(state_col).alias("state_asof"),
@@ -562,7 +574,7 @@ def stream_scd2_enrich(
         & (stream[ts_col] >= F.col("state_since"))
         & (F.col("__vt").isNull() | (stream[ts_col] < F.col("__vt")))
     )
-    return stream.join(F.broadcast(d), cond, "inner").drop("__dk", "__vt")
+    return stream.join(F.broadcast(d), cond, how).drop("__dk", "__vt")
 
 
 def windowed_hll_distinct(
@@ -1750,6 +1762,14 @@ def streaming_running_distinct(
     batch the fold is vectorized: pandas ``factorize`` + first-
     occurrence masks against the carried set, no per-event loop.
 
+    NULL handling matches the batch twin (eqNullSafe semantics): a
+    NULL value is its OWN distinct value, counted once.  Internally
+    NULLs are folded onto the sentinel string ``"\\x00<null>"`` before
+    factorize — ``pd.factorize`` would otherwise code NaN as -1,
+    which silently indexes the LAST unique — so an actual value equal
+    to that sentinel (a NUL byte prefix, impossible in sane event
+    vocabularies) would be conflated with NULL.
+
     Arrival-order contract (st19/st22/st25/st26's): batches staged in
     event-time order."""
     if not events.isStreaming:
@@ -1778,9 +1798,16 @@ def streaming_running_distinct(
         rows = pd.concat(list(pdfs), ignore_index=True)
         us = rows["__us"].to_numpy().astype(np.int64)
         ids = rows["event_id"].to_numpy().astype(np.int64)
-        vals = rows["__v"].to_numpy()
+        vals = rows["__v"].to_numpy(dtype=object)
         order = np.lexsort((ids, us))
         ids, vals = ids[order], vals[order]
+        # NULL is a real category (batch-twin eqNullSafe parity):
+        # without this, factorize codes NaN/None as -1 and the
+        # seen_code/already lookups below index the LAST unique
+        null_mask = pd.isna(vals)
+        if null_mask.any():
+            vals = vals.copy()
+            vals[null_mask] = "\x00<null>"
         codes, uniques = pd.factorize(vals)
         # first in-batch occurrence of each code, in sorted order
         first_pos = np.zeros(len(codes), dtype=bool)

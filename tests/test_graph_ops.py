@@ -990,3 +990,23 @@ def test_katz_centrality_guards(spark):
         katz_centrality(edges, n_iters=0, src_col="src", dst_col="dst")
     with _pt.raises(ValueError, match="n_iters"):
         katz_centrality(edges, n_iters=17, src_col="src", dst_col="dst")
+
+
+def test_katz_centrality_overflow_guard_raises(spark):
+    """The decimal(38,0) iteration sum must raise_error in-plan — not
+    wrap int64 silently — when a hub's score units blow past 2^62.
+    A 300-in-degree hub whose sources all feed each other grows units
+    ~(151)^k per round; at n_iters=16 that crosses 2^62 mid-loop."""
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.graph import katz_centrality
+
+    n = 300
+    # complete-ish feeder: every i -> hub, and a ring i -> i+1 so the
+    # feeders themselves keep growing; hub deg alone is enough though
+    edges = spark.createDataFrame(
+        [(i, n) for i in range(n)] + [(n, i) for i in range(n)],
+        "src long, dst long",
+    )
+    with _pt.raises(Exception, match="overflow|headroom|USER_RAISED"):
+        katz_centrality(edges, n_iters=16, src_col="src", dst_col="dst").collect()

@@ -701,6 +701,37 @@ def test_stream_scd2_enrich_broadcasts_dim(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_stream_scd2_enrich_left_mode(spark):
+    """how='left' keeps uncovered events with NULL state (st29's
+    contract): a key with no dim row, and an event before its key's
+    first valid_from, both survive; how='inner' drops them; bad modes
+    raise at plan time.  The left plan stays a broadcast hash join."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from duckdb_graphar_spark.streaming.ops import stream_scd2_enrich
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, 1, t(5)), (2, 1, t(0)), (3, 2, t(5))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold", t(3), None)],
+        "user_id long, state string, valid_from timestamp_ntz, valid_to timestamp_ntz",
+    )
+    left = stream_scd2_enrich(ev, dim, how="left").collect()
+    got = {r.event_id: r.state_asof for r in left}
+    assert got == {1: "gold", 2: None, 3: None}
+    inner = stream_scd2_enrich(ev, dim).collect()
+    assert {r.event_id for r in inner} == {1}
+    with _pt.raises(ValueError, match="how"):
+        stream_scd2_enrich(ev, dim, how="full")
+    plan = _plan(stream_scd2_enrich(ev, dim, how="left"))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_global_ntile_never_single_task_sorts(spark, qs):
     """q95's quintiles must come from the two-phase rank: range
     exchanges (parallel, boundary-sampled) + a broadcast offsets join —

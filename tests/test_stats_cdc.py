@@ -358,6 +358,25 @@ def test_grouped_quantile_disc_matches_sorted_selection(spark):
     assert grouped_quantile_disc(empty, ["g"], "v", 0.5).count() == 0
 
 
+def test_grouped_quantile_disc_null_group_key_survives(spark):
+    """A NULL group key is a real group (PARTITION BY semantics): the
+    null-safe stamp joins must carry it to the output instead of
+    dropping it at the first equi-join."""
+    from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
+
+    rows = [
+        ("a", 1.0), ("a", 3.0), ("a", 5.0),
+        (None, 10.0), (None, 20.0), (None, 40.0), (None, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.g: (r.value, r.target_rank, r.n)
+        for r in grouped_quantile_disc(df, ["g"], "v", 0.5, n_buckets=3).collect()
+    }
+    # NULL group: sorted [10, 20, 40, 40], n=4, idx floor(1.5)=1 -> 20
+    assert got == {"a": (3.0, 2, 3), None: (20.0, 2, 4)}
+
+
 def test_grouped_quantile_disc_other_probs(spark):
     from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
 

@@ -1105,10 +1105,14 @@ def test_streaming_running_distinct_cross_batch_set(spark, tmp_path):
         (1, m(0), 1, "view", 0.0, ""),
         (2, m(1), 1, "click", 0.0, ""),
         (3, m(2), 1, "view", 0.0, ""),
+        (7, m(3), 1, None, 0.0, ""),         # NULL is its own value: 3
+        (8, m(4), 3, None, 0.0, ""),         # all-NULL user, batch 0: 1
         # batch 1
-        (4, m(40), 1, "view", 0.0, ""),      # repeat: stays 2
-        (5, m(41), 1, "purchase", 0.0, ""),  # new: 3
+        (4, m(40), 1, "view", 0.0, ""),      # repeat: stays 3
+        (5, m(41), 1, "purchase", 0.0, ""),  # new: 4
         (6, m(42), 2, "view", 0.0, ""),      # new user in batch 1: 1
+        (9, m(43), 1, None, 0.0, ""),        # NULL repeat across batch: 4
+        (10, m(44), 3, None, 0.0, ""),       # all-NULL user, batch 1: 1
     ]
     df = spark.createDataFrame(
         rows,
@@ -1130,7 +1134,10 @@ def test_streaming_running_distinct_cross_batch_set(spark, tmp_path):
         streaming_running_distinct(stream), "rd_test", mode="append"
     )
     got = {r.event_id: r.n_distinct for r in out.collect()}
-    assert got == {1: 1, 2: 2, 3: 2, 4: 2, 5: 3, 6: 1}
+    assert got == {
+        1: 1, 2: 2, 3: 2, 7: 3, 8: 1,
+        4: 3, 5: 4, 6: 1, 9: 4, 10: 1,
+    }
 
 
 def test_streaming_running_distinct_rejects_batch_input(spark):

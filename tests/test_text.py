@@ -559,6 +559,12 @@ def test_canonicalize_url_cases(spark):
         # www elsewhere in the host is preserved; only the leading label drops
         ("https://www.www2.example.com/", "www2.example.com"),
         ("https://example.com/?utm_x=", "example.com"),
+        # delimiter-anchored: a param NAME merely ending in utm_* must
+        # survive intact (the unanchored pattern corrupted it to ?xb=2)
+        ("https://example.com/a?xutm_source=1&b=2", "example.com/a?xutm_source=1&b=2"),
+        # consecutive run mid-string, one anchored match eats it all
+        ("https://example.com/a?utm_a=1&utm_b=2&id=3", "example.com/a?id=3"),
+        ("https://example.com/a?id=3&utm_a=1&utm_b=2&utm_c=4", "example.com/a?id=3"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
