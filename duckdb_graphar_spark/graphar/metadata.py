@@ -94,6 +94,27 @@ def spark_url(path: str) -> str:
         return "s3a://" + path[len("s3://"):]
     return path
 
+
+def stat_token(path: str) -> tuple | None:
+    """(mtime_ns, size) freshness token for metadata caches, or None when
+    the filesystem can't answer (then callers must not cache).  One stat
+    call replaces re-reading + re-parsing small metadata files on every
+    query — the dominant driver-side cost of a sub-100 ms point lookup
+    was re-planning its own metadata, not the Spark job."""
+    f, p = _fs_for(path)
+    try:
+        if f is None:
+            st = os.stat(p)
+            return (st.st_mtime_ns, st.st_size)
+        from pyarrow import fs as pafs
+
+        info = f.get_file_info(p)
+        if info.type == pafs.FileType.NotFound or info.mtime_ns is None:
+            return None
+        return (info.mtime_ns, info.size)
+    except OSError:
+        return None
+
 # GraphAr type -> Spark type (reference map: src/utils/func.cpp:18-40).
 GRAPHAR_TO_SPARK: dict[str, T.DataType] = {
     "bool": T.BooleanType(),
@@ -113,6 +134,10 @@ DEGREE_ID_COL = "grapharId"
 OFFSET_COL = "_graphArOffset"
 
 _CHUNK_RE = re.compile(r"chunk(\d+)$")
+
+# GraphInfo.load cache: abs path -> (stat token, parsed GraphInfo).
+# Bounded (32) FIFO; entries validated by stat on every hit.
+_GRAPHINFO_CACHE: dict[str, tuple[tuple, "GraphInfo"]] = {}
 
 
 def spark_type_for(graphar_type: str) -> T.DataType:
@@ -294,9 +319,30 @@ class GraphInfo:
         """Load a graph YAML (reference: graphar::GraphInfo::Load used at
         read_vertices.cpp:49-53, graphar_storage.cpp:23-27).  Accepts a
         local path or a URI (file://, s3://, …) — parity with the
-        reference's `FileSystemFromUriOrPath` (src/utils/func.cpp:124-148)."""
+        reference's `FileSystemFromUriOrPath` (src/utils/func.cpp:124-148).
+
+        CACHED per process, validated by the top-level YAML's
+        (mtime_ns, size) — the writer rewrites the graph YAML on every
+        (re)build, so an in-place rewrite invalidates the entry; when
+        the filesystem can't produce a freshness token the cache is
+        bypassed entirely.  A point lookup re-planned this YAML tree
+        (3 file reads + parses) on every call; now it's one stat."""
         if "://" not in path:
             path = os.path.abspath(path)
+        tok = stat_token(path)
+        if tok is not None:
+            hit = _GRAPHINFO_CACHE.get(path)
+            if hit is not None and hit[0] == tok:
+                return hit[1]
+        gi = cls._load_uncached(path)
+        if tok is not None:
+            if len(_GRAPHINFO_CACHE) >= 32:
+                _GRAPHINFO_CACHE.pop(next(iter(_GRAPHINFO_CACHE)))
+            _GRAPHINFO_CACHE[path] = (tok, gi)
+        return gi
+
+    @classmethod
+    def _load_uncached(cls, path: str) -> "GraphInfo":
         d = yaml.safe_load(_read_text(path))
         base = d.get("prefix") or os.path.dirname(path)
         if not base.endswith("/"):

@@ -119,7 +119,17 @@ def _chunked_df(
     if file_type == "parquet":
         from duckdb_graphar_spark.graphar.metadata import spark_url
 
-        df = _with_chunk_cols(spark.read.parquet(*[spark_url(f) for f in files]))
+        # schema comes from the GraphAr metadata, not footer inference:
+        # .schema(...) skips the planning-time footer read (~80 ms per
+        # reader on a point lookup — most of the old sub-100 ms-query
+        # floor); parquet columns resolve by name, and the hidden
+        # _metadata struct is still available under an explicit schema
+        sch = T.StructType(
+            [T.StructField(p.name, p.spark_type, True) for p in fields]
+        )
+        df = _with_chunk_cols(
+            spark.read.schema(sch).parquet(*[spark_url(f) for f in files])
+        )
         if with_part:
             df = df.withColumn(
                 "__part",
@@ -212,20 +222,40 @@ def read_vertices(
     return result.select(*order)
 
 
+# offset-chunk cache: path -> (stat token, numpy offsets array); the
+# array is one vertex-chunk of int64s (bounded), FIFO-capped at 16
+_OFFSET_CACHE: dict[str, tuple[tuple, "object"]] = {}
+
+
 def _offset_range(g: GraphInfo, ei: EdgeInfo, aligned_by: str, vid: int) -> tuple[int, int, int]:
     """Read one offset chunk (driver-side, tiny) → (part, lo, hi) row range
-    relative to the part start.  Mirrors `read_edges.cpp:121-151`."""
+    relative to the part start.  Mirrors `read_edges.cpp:121-151`.
+
+    The decoded offsets array is CACHED per chunk file (stat-validated,
+    like `GraphInfo.load`'s cache): repeated point lookups on the same
+    graph re-seek without re-reading the offset file."""
+    from duckdb_graphar_spark.graphar.metadata import stat_token
+
     chunk_size = ei.src_chunk_size if aligned_by == "src" else ei.dst_chunk_size
     part = vid // chunk_size
     pos = vid % chunk_size
     path = g.offset_chunk_path(ei, aligned_by, part)
-    ftype = ei.adj_list(aligned_by).file_type
-    if ftype == "parquet":
-        tbl = pq.read_table(path)
+    tok = stat_token(path)
+    hit = _OFFSET_CACHE.get(path) if tok is not None else None
+    if hit is not None and hit[0] == tok:
+        offs = hit[1]
     else:
-        tbl = _arrow_read_table(path, ftype, _OFFSET_FIELDS)
-    offs = tbl.column(OFFSET_COL).to_pylist()
-    return part, offs[pos], offs[pos + 1]
+        ftype = ei.adj_list(aligned_by).file_type
+        if ftype == "parquet":
+            tbl = pq.read_table(path)
+        else:
+            tbl = _arrow_read_table(path, ftype, _OFFSET_FIELDS)
+        offs = tbl.column(OFFSET_COL).to_numpy()
+        if tok is not None:
+            if len(_OFFSET_CACHE) >= 16:
+                _OFFSET_CACHE.pop(next(iter(_OFFSET_CACHE)))
+            _OFFSET_CACHE[path] = (tok, offs)
+    return part, int(offs[pos]), int(offs[pos + 1])
 
 
 def read_edges(
