@@ -1191,10 +1191,11 @@ def katz_centrality(
                             ),
                             F.col("__d").cast("string"),
                             F.lit("; lower n_iters for this graph"),
-                        ).cast("long")
+                        )
                     ),
                 )
                 .otherwise(F.col("__sumd").cast("long"))
+                .cast("long")
                 .alias("__sum"),
             )
         )

@@ -1008,5 +1008,5 @@ def test_katz_centrality_overflow_guard_raises(spark):
         [(i, n) for i in range(n)] + [(n, i) for i in range(n)],
         "src long, dst long",
     )
-    with _pt.raises(Exception, match="overflow|headroom|USER_RAISED"):
+    with _pt.raises(Exception, match="overflow int64 headroom"):
         katz_centrality(edges, n_iters=16, src_col="src", dst_col="dst").collect()
