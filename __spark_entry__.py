@@ -11660,9 +11660,10 @@ def q90(spark, sf):
 def q100(spark, sf):
     """Winsorization — per-group p05/p95 outlier clipping, the
     training-data preprocessing twin of q98's MAD fences: both fences
-    come from ONE `grouped_quantile_disc` machinery (two probs would be
-    two passes; here two calls share the plan shape), broadcast back,
-    and the clamp is pure integer LEAST/GREATEST — no per-group sorted
+    come from ONE `grouped_quantile_disc` machinery PASS (multi-prob —
+    one (group, value) count shuffle, one cumsum; only the broadcast
+    target-rank table fans out ×2), pivoted and broadcast back, and
+    the clamp is pure integer LEAST/GREATEST — no per-group sorted
     window anywhere
     (`operators/quantiles.py:grouped_quantile_disc`)."""
     from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
@@ -11676,15 +11677,18 @@ def q100(spark, sf):
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
-    lo = grouped_quantile_disc(d, ["event_type"], "cents", 0.05).select(
-        "event_type", F.col("value").cast("long").alias("p05_cents")
-    )
-    hi = grouped_quantile_disc(d, ["event_type"], "cents", 0.95).select(
-        "event_type", F.col("value").cast("long").alias("p95_cents")
+    fences = grouped_quantile_disc(
+        d, ["event_type"], "cents", [0.05, 0.95]
+    ).groupBy("event_type").agg(
+        F.max(F.when(F.col("prob") == 0.05, F.col("value")))
+        .cast("long")
+        .alias("p05_cents"),
+        F.max(F.when(F.col("prob") == 0.95, F.col("value")))
+        .cast("long")
+        .alias("p95_cents"),
     )
     return (
-        d.join(F.broadcast(lo), "event_type")
-        .join(F.broadcast(hi), "event_type")
+        d.join(F.broadcast(fences), "event_type")
         .select(
             "event_id",
             "event_type",

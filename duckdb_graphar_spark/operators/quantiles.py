@@ -251,7 +251,7 @@ def grouped_quantile_disc(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
-    prob: float,
+    prob: float | list[float],
     *,
     n_buckets: int | None = None,
     weight_col: str | None = None,
@@ -261,6 +261,15 @@ def grouped_quantile_disc(
     generalized over a grouping key, with the same percentile_disc
     semantics (element at sorted 0-based index floor((n_g−1)·p) within
     each group).
+
+    ``prob`` may be a LIST of probabilities: all of them share ONE
+    machinery pass — one (group, value) count shuffle, one bounds
+    collect, one bucket-sum collect, one cumsum — and only the
+    broadcast target-rank table fans out (|groups|·|probs| rows).  The
+    output then carries a ``prob`` column (one row per group × prob).
+    Callers needing several fences on the same data (winsorization's
+    p05/p95) should pass them together rather than calling per-prob:
+    at 100 TB the value-count shuffle is the cost and it's paid once.
 
     ``weight_col`` selects the WEIGHTED quantile instead: each row
     counts ``w`` times, i.e. the value at weighted rank
@@ -287,7 +296,13 @@ def grouped_quantile_disc(
     semantics, matching the oracle): all stamp joins below are
     null-safe (``eqNullSafe``), so the NULL-key group survives to the
     output instead of silently vanishing at the first equi-join."""
-    _validated([prob])
+    scalar = not isinstance(prob, (list, tuple))
+    probs = [prob] if scalar else list(prob)
+    if not probs:
+        raise ValueError("prob list must be non-empty")
+    if len(set(probs)) != len(probs):
+        raise ValueError("prob list must not contain duplicates")
+    _validated(probs)
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
@@ -343,9 +358,11 @@ def grouped_quantile_disc(
         .collect()
     }
     if not bounds:
+        empty_schema = df.select(*gcols).schema
+        if not scalar:
+            empty_schema = empty_schema.add("prob", "double")
         empty_schema = (
-            df.select(*gcols)
-            .schema.add("value", "double")
+            empty_schema.add("value", "double")
             .add("target_rank", "long")
             .add("n", "long")
         )
@@ -390,9 +407,10 @@ def grouped_quantile_disc(
             prefix_rows.append((*k, bk, acc))
             acc += per[bk]
         n_g = acc
-        target_rows.append(
-            (*k, int((n_g - 1) * Fraction(str(prob))) + 1, n_g)
-        )
+        for p in probs:
+            target_rows.append(
+                (*k, float(p), int((n_g - 1) * Fraction(str(p))) + 1, n_g)
+            )
     prefix_df = F.broadcast(
         spark.createDataFrame(
             prefix_rows,
@@ -402,7 +420,10 @@ def grouped_quantile_disc(
     target_df = F.broadcast(
         spark.createDataFrame(
             target_rows,
-            df.select(*gcols).schema.add("target_rank", "long").add("n", "long"),
+            df.select(*gcols)
+            .schema.add("prob", "double")
+            .add("target_rank", "long")
+            .add("n", "long"),
         )
     )
 
@@ -414,13 +435,16 @@ def grouped_quantile_disc(
     cum = _ns_join(b, prefix_df, [*group_cols, "__bucket"]).withColumn(
         "__cum", F.col("__pre") + F.sum("__c").over(w)
     )
-    return (
+    out = (
         _ns_join(cum, target_df, group_cols)
         .filter(F.col("__cum") >= F.col("target_rank"))
-        .groupBy(*group_cols)
+        .groupBy(*group_cols, "prob")
         .agg(
             F.min("__v").alias("value"),
             F.min("target_rank").alias("target_rank"),
             F.min("n").alias("n"),
         )
     )
+    if scalar:
+        return out.drop("prob")
+    return out.select(*group_cols, "prob", "value", "target_rank", "n")

@@ -377,6 +377,40 @@ def test_grouped_quantile_disc_null_group_key_survives(spark):
     assert got == {"a": (3.0, 2, 3), None: (20.0, 2, 4)}
 
 
+def test_grouped_quantile_disc_multi_prob_matches_per_prob(spark):
+    """A prob LIST shares one machinery pass and must return exactly the
+    per-prob calls' rows (plus the prob column); scalar callers see the
+    unchanged schema; duplicate/empty lists are rejected."""
+    import pytest as _pt
+
+    from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
+
+    rows = [
+        ("a", float(v)) for v in [5, 1, 9, 1, 7, 3, 3]
+    ] + [("b", 10.0), ("b", 20.0), (None, 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [0.05, 0.5, 0.95]
+    multi = {
+        (r.g, r.prob): (r.value, r.target_rank, r.n)
+        for r in grouped_quantile_disc(df, ["g"], "v", probs, n_buckets=3).collect()
+    }
+    for p in probs:
+        single = {
+            (r.g, p): (r.value, r.target_rank, r.n)
+            for r in grouped_quantile_disc(df, ["g"], "v", p, n_buckets=3).collect()
+        }
+        assert {k: v for k, v in multi.items() if k[1] == p} == single
+    assert "prob" not in grouped_quantile_disc(df, ["g"], "v", 0.5).columns
+    with _pt.raises(ValueError, match="non-empty"):
+        grouped_quantile_disc(df, ["g"], "v", [])
+    with _pt.raises(ValueError, match="duplicates"):
+        grouped_quantile_disc(df, ["g"], "v", [0.5, 0.5])
+    empty = spark.createDataFrame([], "g string, v double")
+    assert grouped_quantile_disc(empty, ["g"], "v", [0.1, 0.9]).columns == [
+        "g", "prob", "value", "target_rank", "n"
+    ]
+
+
 def test_grouped_quantile_disc_other_probs(spark):
     from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
 
