@@ -5220,6 +5220,87 @@ def st29(spark, sf):
 
 
 @_q(
+    "st30_streaming_twap",
+    # ORACLE: q85's fixed-point integral made RUNNING — every event
+    # after a user's first closes one interval, and the cumulative
+    # UNBOUNDED-PRECEDING frame over (ts, event_id) replays exactly the
+    # (n, Σδt, Σv·δt) triple the streaming fold carries across batches;
+    # the DECIMAL(38,0) window sum is the oracle's arbitrary-precision
+    # twin of the fold's Python-int numerator, and both engines divide
+    # the same two doubles and ROUND(…, 6) the same way.
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             LAG(epoch_us(ts)) OVER w AS pus,
+             LAG(CAST(ROUND(value * 10000) AS BIGINT)) OVER w AS pv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    d AS (SELECT user_id, ts, event_id,
+                 epoch_us(ts) - pus AS du, pv
+          FROM o WHERE pus IS NOT NULL)
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w2 AS BIGINT) AS n_intervals,
+           CAST(SUM(du) OVER w2 AS BIGINT) AS total_us,
+           ROUND(CAST(SUM(CAST(pv AS DECIMAL(38,0)) * du) OVER w2 AS DOUBLE)
+                 / 10000.0 / CAST(SUM(du) OVER w2 AS DOUBLE), 6) AS twap
+    FROM d
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def st30(spark, sf):
+    """STREAMING time-weighted average — q85's stateful twin and the
+    warehouse batch/streaming matrix's last cell
+    (`streaming/ops.py:streaming_twap`): each observation holds until
+    the user's next event, every event after the first emits the
+    running TWAP over all intervals closed so far, FINAL per event
+    (append).  Per-user state is five scalars (last µs, last
+    fixed-point value, n, Σδt, and the Σv·δt numerator carried as an
+    arbitrary-precision decimal string — the running product sum
+    outgrows int64 where q85's one-shot DECIMAL(38,0) aggregate
+    wouldn't).  Three time-split batches make the interval spanning
+    each batch boundary load-bearing."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_twap,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st30_stream_")
+    try:
+        ev = _t(spark, sf, "events")
+        wt = Window.orderBy("ts", "event_id")
+        tiled = ev.withColumn("__tile", F.ntile(3).over(wt))
+        base = time.time() - 120
+        for i in range(3):
+            tmp = os.path.join(stage, f"__b{i}")
+            tiled.filter(F.col("__tile") == i + 1).drop("__tile").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            npath = os.path.join(stage, f"events_{i:03d}.parquet")
+            os.replace(os.path.join(tmp, part), npath)
+            shutil.rmtree(tmp)
+            os.utime(npath, (base + 30 * i, base + 30 * i))
+        stream = read_events_stream(spark, stage, max_files=1)
+        sink = run_to_memory(streaming_twap(stream), "st30_out", mode="append")
+        return sink.select(
+            "event_id",
+            "user_id",
+            "n_intervals",
+            "total_us",
+            F.round(F.col("twap_raw"), 6).alias("twap"),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp
@@ -13071,7 +13152,7 @@ _PRIORITY = [
     # --- overflow guard), t41 (delimiter-anchored utm regex in BOTH
     # --- engines), st24 (how= parameter threaded; default behavior
     # --- unchanged);
-    "st29", "st27", "st24", "t41", "g34", "q98", "q99", "q100",
+    "st29", "st30", "st27", "st24", "t41", "g34", "q98", "q99", "q100",
     # --- (2) ALL 33 entries whose latest driver evidence is round 3 —
     # --- the rotation debt the r9 verdict queued first; none changed
     # --- since passing, all in-repo oracle-green ---

@@ -290,6 +290,7 @@ ST_QUERIES = [
     "st27_streaming_running_distinct",
     "st28_streaming_time_decay",
     "st29_stream_scd2_enrich_left",
+    "st30_streaming_twap",
 ]
 
 

@@ -1982,3 +1982,142 @@ def streaming_time_decay_attribution(
             update, out_schema, state_schema, "append", "NoTimeout"
         )
     )
+
+
+def streaming_twap(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """STREAMING time-weighted average — the stateful twin of the q85
+    batch TWAP (`__spark_entry__.py:q85`): each observation holds until
+    the user's NEXT event, so every event after the first CLOSES one
+    interval, and we emit the user's running TWAP as of that close →
+    (event_id, user_id, n_intervals, total_us, twap), one FINAL row per
+    closed interval (append — a closed interval is entirely in the
+    past).  Completes the warehouse batch/streaming matrix's last cell:
+    funnel q58/st22, SCD2 q59/st24, attribution q89/st25 q96/st28,
+    balance q97/st26, distinct q94/st27, OHLC st14 — and now TWAP
+    q85/st30.
+
+    Exactness discipline (q85's, carried across batches): values are
+    plan-side fixed-point ``ROUND(v·10⁴)`` longs; per-interval products
+    v·Δt_µs stay < 2⁶³ per row but their RUNNING SUM does not, so the
+    numerator accumulates as arbitrary-precision Python ints (an object
+    ndarray — np.cumsum over it is one vectorized call dispatching to
+    int.__add__, never a per-event Python loop body of our own) and is
+    carried in state as a decimal STRING.  The final division replays
+    the engines' CAST-then-divide exactly: float(num)/1e4/float(den)
+    (python int/int true division would diverge past 2^53 — the st28
+    lesson).  ROUND(…, 6) is applied by the CALLER plan-side (st30's
+    entry) so both engines round the same double the same way.
+
+    Per-user state: (last µs, last fixed-point value, n, Σδt, Σv·δt as
+    string) — five scalars, constant at any volume.
+
+    NULL observations are dropped plan-side (a NULL price neither holds
+    nor closes an interval); the events fixture has none, so the twin
+    oracle is unaffected.
+
+    Arrival-order contract (st19/st22/st25/st26's): batches staged in
+    event-time order."""
+    if not events.isStreaming:
+        raise ValueError(
+            "streaming_twap needs a streaming DataFrame; use the q85 "
+            "batch TWAP for batch input"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_intervals", T.LongType(), False),
+            T.StructField("total_us", T.LongType(), False),
+            T.StructField("twap_raw", T.DoubleType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType(), False),
+            T.StructField("last_v", T.LongType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("total_us", T.LongType(), False),
+            T.StructField("num", T.StringType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        us = rows["__us"].to_numpy().astype(np.int64)
+        ids = rows["event_id"].to_numpy().astype(np.int64)
+        vs = rows["__v"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, us))
+        us, ids, vs = us[order], ids[order], vs[order]
+        if state.exists:
+            last_us, last_v, n0, tot0, num_s = state.get
+            num0 = int(num_s)
+            has_prev = True
+        else:
+            n0, tot0, num0 = 0, 0, 0
+            has_prev = False
+        # previous observation per event: the carried state for the
+        # batch's first event, the in-batch predecessor after that
+        pus = np.empty(len(us), dtype=np.int64)
+        pv = np.empty(len(us), dtype=np.int64)
+        if has_prev:
+            pus[0], pv[0] = last_us, last_v
+        pus[1:], pv[1:] = us[:-1], vs[:-1]
+        start = 0 if has_prev else 1  # a user's first-ever event closes nothing
+        du = (us[start:] - pus[start:]).astype(object)
+        prod = du * pv[start:].astype(object)  # arbitrary-precision ints
+        if len(du):
+            ctot = np.cumsum(du) + tot0
+            cnum = np.cumsum(prod) + num0
+        else:
+            ctot = cnum = np.array([], dtype=object)
+        cn = n0 + np.arange(1, len(du) + 1)
+        twap = np.array(
+            [float(a) / 10000.0 / float(b) for a, b in zip(cnum, ctot)],
+            dtype=np.float64,
+        )
+        n_end = int(n0 + len(du))
+        tot_end = int(ctot[-1]) if len(du) else int(tot0)
+        num_end = int(cnum[-1]) if len(du) else int(num0)
+        state.update(
+            (int(us[-1]), int(vs[-1]), n_end, tot_end, str(num_end))
+        )
+        yield pd.DataFrame(
+            {
+                "event_id": ids[start:],
+                "user_id": np.full(len(du), int(key[0]), dtype=np.int64),
+                "n_intervals": cn.astype(np.int64),
+                "total_us": ctot.astype(np.int64),
+                "twap_raw": twap,
+            }
+        )
+
+    if isinstance(events.schema["ts"].dataType, T.TimestampType):
+        us_in = F.unix_micros(F.col("ts"))
+    else:
+        us_in = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            us_in.cast("long").alias("__us"),
+            F.round(F.col(value_col) * 10000).cast("long").alias("__v"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )

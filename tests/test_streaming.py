@@ -1140,6 +1140,74 @@ def test_streaming_running_distinct_cross_batch_set(spark, tmp_path):
     }
 
 
+def test_streaming_twap_cross_batch_interval(spark, tmp_path):
+    """The interval SPANNING the batch boundary is load-bearing: the
+    carried (last_us, last_v) must close it in the next batch, and the
+    running (n, total, numerator-string) must extend exactly."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_twap,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    rows = [
+        (1, m(0), 1, "view", 10.0, ""),
+        (2, m(1), 1, "view", 20.0, ""),   # closes (0->1min)@10: twap 10
+        # batch 1
+        (3, m(41), 1, "view", 40.0, ""),  # closes (1->41min)@20 across the
+                                          # boundary: twap (10*1+20*40)/41
+        (4, m(42), 2, "view", 5.0, ""),   # user 2's first event: no row
+        (5, m(43), 2, "view", 7.0, ""),   # closes (42->43)@5: twap 5
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 60
+    for i, cond in enumerate((F.col("ts") <= m(30), F.col("ts") > m(30))):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 10 * i, t0 + 10 * i))
+    stream = read_events_stream(spark, stage, max_files=1)
+    out = run_to_memory(streaming_twap(stream), "twap_test", mode="append")
+    got = {
+        r.event_id: (r.n_intervals, r.total_us, round(r.twap_raw, 6))
+        for r in out.collect()
+    }
+    assert got == {
+        2: (1, 60_000_000, 10.0),
+        3: (2, 2_460_000_000, round((10 * 1 + 20 * 40) / 41, 6)),
+        5: (1, 60_000_000, 5.0),
+    }
+
+
+def test_streaming_twap_rejects_batch_input(spark):
+    import pytest as _pt
+
+    from duckdb_graphar_spark.streaming.ops import streaming_twap
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    with _pt.raises(ValueError, match="streaming"):
+        streaming_twap(df)
+
+
 def test_streaming_running_distinct_rejects_batch_input(spark):
     import pytest as _pt
 
