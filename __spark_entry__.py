@@ -13143,15 +13143,17 @@ _PRIORITY = [
     # --- window rotates.  Round-10 window = EXACTLY 50, spent per the
     # --- r9 verdict's top directive (≥40 slots on rotation debt, ≤10
     # --- new), in three tiers:
-    # --- (1) the 1 NEVER-driver-checked entry — st29 is NEW this round
-    # --- (SCD2 LEFT enrichment, the advice-requested uncovered-event
-    # --- mode) — plus the 7 entries CHANGED this round by the advice
-    # --- fixes: st27 (NULL-safe factorize in the streaming distinct
-    # --- fold), q98/q99/q100 (grouped_quantile_disc stamp joins went
-    # --- eqNullSafe so the NULL-key group survives), g34 (katz decimal
-    # --- overflow guard), t41 (delimiter-anchored utm regex in BOTH
-    # --- engines), st24 (how= parameter threaded; default behavior
-    # --- unchanged);
+    # --- (1) the 2 NEVER-driver-checked entries — st29 (SCD2 LEFT
+    # --- enrichment, the advice-requested uncovered-event mode) and
+    # --- st30 (streaming TWAP, q85's stateful twin) are NEW this round
+    # --- — plus the 7 entries CHANGED this round by the advice fixes:
+    # --- st27 (NULL-safe factorize in the streaming distinct fold),
+    # --- q98/q99/q100 (grouped_quantile_disc stamp joins went
+    # --- eqNullSafe so the NULL-key group survives; q100 additionally
+    # --- moved to the multi-prob single-pass machinery), g34 (katz
+    # --- decimal overflow guard), t41 (delimiter-anchored utm regex in
+    # --- BOTH engines), st24 (how= parameter threaded; default
+    # --- behavior unchanged);
     "st29", "st30", "st27", "st24", "t41", "g34", "q98", "q99", "q100",
     # --- (2) ALL 33 entries whose latest driver evidence is round 3 —
     # --- the rotation debt the r9 verdict queued first; none changed
@@ -13160,14 +13162,15 @@ _PRIORITY = [
     "t02", "t03", "t05", "t07", "t08", "t09", "m04", "m05",
     "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
     "t18", "t19", "t20", "t21", "s05", "s06", "st08",
-    # --- (3) 9 of the 34 r4-stale entries (oldest remaining evidence),
-    # --- filling the window to exactly 50 ---
-    "d05", "d06", "g14", "g15", "g16", "m06", "m07", "q58", "t26",
-    # --- 51+: the remaining 25 r4-stale entries lead the round-11
-    # --- queue; everything else follows in registry definition order ---
-    "g18", "g19", "m08", "m09", "q59", "q61", "q62", "q63", "q64",
-    "q65", "q66", "q67", "s09", "s10", "s11", "s12", "s13", "st10",
-    "st11", "t28", "t29", "t30", "t31", "t32", "t33",
+    # --- (3) 8 of the 34 r4-stale entries (oldest remaining evidence),
+    # --- filling the window to EXACTLY 50 (9 + 33 + 8) ---
+    "d05", "d06", "g14", "g15", "g16", "m06", "m07", "q58",
+    # --- 51+: t26 + the remaining 25 r4-stale entries lead the
+    # --- round-11 queue; everything else follows in registry
+    # --- definition order ---
+    "t26", "g18", "g19", "m08", "m09", "q59", "q61", "q62", "q63",
+    "q64", "q65", "q66", "q67", "s09", "s10", "s11", "s12", "s13",
+    "st10", "st11", "t28", "t29", "t30", "t31", "t32", "t33",
 ]
 
 

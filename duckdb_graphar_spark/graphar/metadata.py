@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from dataclasses import dataclass, field
 
 import yaml
@@ -135,9 +136,14 @@ OFFSET_COL = "_graphArOffset"
 
 _CHUNK_RE = re.compile(r"chunk(\d+)$")
 
-# GraphInfo.load cache: abs path -> (stat token, parsed GraphInfo).
-# Bounded (32) FIFO; entries validated by stat on every hit.
-_GRAPHINFO_CACHE: dict[str, tuple[tuple, "GraphInfo"]] = {}
+# GraphInfo.load cache: abs path -> ([(yml path, stat token), ...],
+# parsed GraphInfo) — the token list covers the TOP yaml AND every
+# vertex/edge sub-yaml it pulled in, so an in-place edit of a sub-yaml
+# alone (a foreign writer, a manual tweak) still invalidates the entry.
+# Bounded (32) FIFO; every hit re-stats all files; mutations are
+# lock-guarded (Spark drivers legitimately run concurrent threads).
+_GRAPHINFO_CACHE: dict[str, tuple[list, "GraphInfo"]] = {}
+_METADATA_CACHE_LOCK = threading.Lock()
 
 
 def spark_type_for(graphar_type: str) -> T.DataType:
@@ -321,41 +327,56 @@ class GraphInfo:
         local path or a URI (file://, s3://, …) — parity with the
         reference's `FileSystemFromUriOrPath` (src/utils/func.cpp:124-148).
 
-        CACHED per process, validated by the top-level YAML's
-        (mtime_ns, size) — the writer rewrites the graph YAML on every
-        (re)build, so an in-place rewrite invalidates the entry; when
-        the filesystem can't produce a freshness token the cache is
-        bypassed entirely.  A point lookup re-planned this YAML tree
-        (3 file reads + parses) on every call; now it's one stat."""
+        CACHED per process, validated by the (mtime_ns, size) stat
+        token of EVERY yaml the parse pulled in — the top graph yaml
+        AND each vertex/edge sub-yaml — so both the writer's full
+        rewrite and an in-place edit of a single sub-yaml invalidate
+        the entry; when the filesystem can't produce a freshness token
+        for any of them the entry is not cached.  Residual staleness
+        window: a rewrite that preserves every file's (mtime_ns, size)
+        exactly — sub-ns timestamps make this a non-event on local
+        filesystems; object stores with coarse mtimes get correctness
+        from the writer's always-rewrite contract.  A point lookup
+        re-planned this yaml tree (3 file reads + parses) on every
+        call; now it's one stat per yaml."""
         if "://" not in path:
             path = os.path.abspath(path)
-        tok = stat_token(path)
-        if tok is not None:
+        with _METADATA_CACHE_LOCK:
             hit = _GRAPHINFO_CACHE.get(path)
-            if hit is not None and hit[0] == tok:
-                return hit[1]
-        gi = cls._load_uncached(path)
-        if tok is not None:
-            if len(_GRAPHINFO_CACHE) >= 32:
-                _GRAPHINFO_CACHE.pop(next(iter(_GRAPHINFO_CACHE)))
-            _GRAPHINFO_CACHE[path] = (tok, gi)
+        if hit is not None and all(
+            stat_token(p) == t for p, t in hit[0]
+        ):
+            return hit[1]
+        gi, sub_paths = cls._load_uncached(path)
+        tokens = [(p, stat_token(p)) for p in [path, *sub_paths]]
+        if all(t is not None for _, t in tokens):
+            with _METADATA_CACHE_LOCK:
+                if len(_GRAPHINFO_CACHE) >= 32:
+                    _GRAPHINFO_CACHE.pop(next(iter(_GRAPHINFO_CACHE)), None)
+                _GRAPHINFO_CACHE[path] = (tokens, gi)
         return gi
 
     @classmethod
-    def _load_uncached(cls, path: str) -> "GraphInfo":
+    def _load_uncached(cls, path: str) -> tuple["GraphInfo", list[str]]:
         d = yaml.safe_load(_read_text(path))
         base = d.get("prefix") or os.path.dirname(path)
         if not base.endswith("/"):
             base += "/"
+        sub_paths: list[str] = []
         vertices: dict[str, VertexInfo] = {}
         for vfile in d.get("vertices", []) or []:
-            vi = VertexInfo.load(os.path.join(os.path.dirname(path), vfile))
+            vpath = os.path.join(os.path.dirname(path), vfile)
+            sub_paths.append(vpath)
+            vi = VertexInfo.load(vpath)
             vertices[vi.type] = vi
         edges: dict[tuple[str, str, str], EdgeInfo] = {}
         for efile in d.get("edges", []) or []:
-            ei = EdgeInfo.load(os.path.join(os.path.dirname(path), efile))
+            epath = os.path.join(os.path.dirname(path), efile)
+            sub_paths.append(epath)
+            ei = EdgeInfo.load(epath)
             edges[(ei.src_type, ei.edge_type, ei.dst_type)] = ei
-        return cls(name=d.get("name", "graph"), prefix=base, vertices=vertices, edges=edges)
+        gi = cls(name=d.get("name", "graph"), prefix=base, vertices=vertices, edges=edges)
+        return gi, sub_paths
 
     # ---- path resolution -------------------------------------------------
 

@@ -223,8 +223,13 @@ def read_vertices(
 
 
 # offset-chunk cache: path -> (stat token, numpy offsets array); the
-# array is one vertex-chunk of int64s (bounded), FIFO-capped at 16
+# array is one vertex-chunk of int64s (bounded), FIFO-capped at 16;
+# mutations lock-guarded (concurrent driver threads both planning
+# point lookups must not race the eviction)
+import threading as _threading
+
 _OFFSET_CACHE: dict[str, tuple[tuple, "object"]] = {}
+_OFFSET_CACHE_LOCK = _threading.Lock()
 
 
 def _offset_range(g: GraphInfo, ei: EdgeInfo, aligned_by: str, vid: int) -> tuple[int, int, int]:
@@ -241,7 +246,11 @@ def _offset_range(g: GraphInfo, ei: EdgeInfo, aligned_by: str, vid: int) -> tupl
     pos = vid % chunk_size
     path = g.offset_chunk_path(ei, aligned_by, part)
     tok = stat_token(path)
-    hit = _OFFSET_CACHE.get(path) if tok is not None else None
+    if tok is not None:
+        with _OFFSET_CACHE_LOCK:
+            hit = _OFFSET_CACHE.get(path)
+    else:
+        hit = None
     if hit is not None and hit[0] == tok:
         offs = hit[1]
     else:
@@ -252,9 +261,10 @@ def _offset_range(g: GraphInfo, ei: EdgeInfo, aligned_by: str, vid: int) -> tupl
             tbl = _arrow_read_table(path, ftype, _OFFSET_FIELDS)
         offs = tbl.column(OFFSET_COL).to_numpy()
         if tok is not None:
-            if len(_OFFSET_CACHE) >= 16:
-                _OFFSET_CACHE.pop(next(iter(_OFFSET_CACHE)))
-            _OFFSET_CACHE[path] = (tok, offs)
+            with _OFFSET_CACHE_LOCK:
+                if len(_OFFSET_CACHE) >= 16:
+                    _OFFSET_CACHE.pop(next(iter(_OFFSET_CACHE)), None)
+                _OFFSET_CACHE[path] = (tok, offs)
     return part, int(offs[pos]), int(offs[pos + 1])
 
 

@@ -2034,7 +2034,11 @@ def streaming_twap(
             T.StructField("user_id", T.LongType(), False),
             T.StructField("n_intervals", T.LongType(), False),
             T.StructField("total_us", T.LongType(), False),
-            T.StructField("twap_raw", T.DoubleType(), False),
+            # nullable: a user whose LEADING intervals all have zero
+            # duration (first events share a timestamp) has Σδt = 0,
+            # and both engines yield NULL for the /0 division — the
+            # fold must emit a true null there, never crash or NaN
+            T.StructField("twap_raw", T.DoubleType(), True),
         ]
     )
     state_schema = T.StructType(
@@ -2080,9 +2084,15 @@ def streaming_twap(
         else:
             ctot = cnum = np.array([], dtype=object)
         cn = n0 + np.arange(1, len(du) + 1)
-        twap = np.array(
-            [float(a) / 10000.0 / float(b) for a, b in zip(cnum, ctot)],
-            dtype=np.float64,
+        # b == 0 (all closed intervals so far zero-length) → NULL, the
+        # engines' division-by-zero result — pd.NA survives to a real
+        # Spark null where np.nan would arrive as NaN
+        twap = pd.array(
+            [
+                None if b == 0 else float(a) / 10000.0 / float(b)
+                for a, b in zip(cnum, ctot)
+            ],
+            dtype="Float64",
         )
         n_end = int(n0 + len(du))
         tot_end = int(ctot[-1]) if len(du) else int(tot0)

@@ -351,3 +351,42 @@ def test_multi_edge_type_attach_and_explicit_selection(spark, tmp_path):
         bfs_length(f, 0, 3, src_col="_graphArSrcIndex", dst_col="_graphArDstIndex")
         == 1
     )
+
+
+def test_graphinfo_cache_hit_and_subyaml_invalidation(tmp_path):
+    """GraphInfo.load caches per process (same object on unchanged
+    files) and the freshness token covers the SUB-yamls too: an
+    in-place edit of a vertex yaml alone — no graph.yaml rewrite —
+    must invalidate the entry."""
+    import os
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+
+    from duckdb_graphar_spark.graphar.metadata import GraphInfo
+    from duckdb_graphar_spark.graphar.writer import EdgeSpec, VertexSpec, write_graph
+
+    y = write_graph(
+        str(tmp_path), "CG",
+        {"Person": VertexSpec(table=pa.table({"name": ["a", "b", "c"]}))},
+        {("Person", "knows", "Person"): EdgeSpec(
+            src=np.array([0, 1]), dst=np.array([1, 2]))},
+    )
+    g1 = GraphInfo.load(y)
+    assert GraphInfo.load(y) is g1  # unchanged files -> cache hit
+    # locate the vertex sub-yaml and touch ONLY it
+    sub = [
+        os.path.join(os.path.dirname(y), f)
+        for f in os.listdir(os.path.dirname(y))
+        if f.endswith((".yaml", ".yml")) and os.path.join(os.path.dirname(y), f) != y
+        and "vertex" in open(os.path.join(os.path.dirname(y), f)).read().lower()
+        or f.startswith("Person.")
+    ]
+    assert sub, "no vertex sub-yaml found"
+    with open(sub[0], "a") as fh:
+        fh.write("\n# touched\n")
+    time.sleep(0.01)
+    g2 = GraphInfo.load(y)
+    assert g2 is not g1  # sub-yaml edit invalidated the cached entry
+    assert g2.vertices.keys() == g1.vertices.keys()  # still parses

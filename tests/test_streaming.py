@@ -1167,6 +1167,12 @@ def test_streaming_twap_cross_batch_interval(spark, tmp_path):
                                           # boundary: twap (10*1+20*40)/41
         (4, m(42), 2, "view", 5.0, ""),   # user 2's first event: no row
         (5, m(43), 2, "view", 7.0, ""),   # closes (42->43)@5: twap 5
+    ] + [
+        # user 3: leading ZERO-duration interval (equal ts, id tiebreak)
+        # -> total 0, twap NULL (the engines' /0), never a crash
+        (6, m(0), 3, "view", 10.0, ""),
+        (7, m(0), 3, "view", 20.0, ""),   # closes (0->0)@10: twap NULL
+        (8, m(41), 3, "view", 30.0, ""),  # closes (0->41)@20: twap 20
     ]
     df = spark.createDataFrame(
         rows,
@@ -1186,13 +1192,19 @@ def test_streaming_twap_cross_batch_interval(spark, tmp_path):
     stream = read_events_stream(spark, stage, max_files=1)
     out = run_to_memory(streaming_twap(stream), "twap_test", mode="append")
     got = {
-        r.event_id: (r.n_intervals, r.total_us, round(r.twap_raw, 6))
+        r.event_id: (
+            r.n_intervals,
+            r.total_us,
+            None if r.twap_raw is None else round(r.twap_raw, 6),
+        )
         for r in out.collect()
     }
     assert got == {
         2: (1, 60_000_000, 10.0),
         3: (2, 2_460_000_000, round((10 * 1 + 20 * 40) / 41, 6)),
         5: (1, 60_000_000, 5.0),
+        7: (1, 0, None),
+        8: (2, 2_460_000_000, 20.0),
     }
 
 
