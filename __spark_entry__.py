@@ -13155,6 +13155,12 @@ _PRIORITY = [
     # --- BOTH engines), st24 (how= parameter threaded; default
     # --- behavior unchanged);
     "st29", "st30", "st27", "st24", "t41", "g34", "q98", "q99", "q100",
+    # --- (1b) ga03/ga04: the GraphAr read path changed this round
+    # --- (explicit scan schema + stat-validated GraphInfo/offset
+    # --- caches) — the r9 discipline says changed code gets
+    # --- same-round driver evidence, and these two exercise the CSR
+    # --- seek and the property-group zip through the new caches;
+    "ga03", "ga04",
     # --- (2) ALL 33 entries whose latest driver evidence is round 3 —
     # --- the rotation debt the r9 verdict queued first; none changed
     # --- since passing, all in-repo oracle-green ---
@@ -13162,15 +13168,16 @@ _PRIORITY = [
     "t02", "t03", "t05", "t07", "t08", "t09", "m04", "m05",
     "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
     "t18", "t19", "t20", "t21", "s05", "s06", "st08",
-    # --- (3) 8 of the 34 r4-stale entries (oldest remaining evidence),
-    # --- filling the window to EXACTLY 50 (9 + 33 + 8) ---
-    "d05", "d06", "g14", "g15", "g16", "m06", "m07", "q58",
-    # --- 51+: t26 + the remaining 25 r4-stale entries lead the
-    # --- round-11 queue; everything else follows in registry
+    # --- (3) 6 of the 34 r4-stale entries (oldest remaining evidence),
+    # --- filling the window to EXACTLY 50 (9 + 2 + 33 + 6) ---
+    "d05", "d06", "g14", "g15", "g16", "m06",
+    # --- 51+: m07/q58/t26 + the remaining 25 r4-stale entries lead
+    # --- the round-11 queue; everything else follows in registry
     # --- definition order ---
-    "t26", "g18", "g19", "m08", "m09", "q59", "q61", "q62", "q63",
-    "q64", "q65", "q66", "q67", "s09", "s10", "s11", "s12", "s13",
-    "st10", "st11", "t28", "t29", "t30", "t31", "t32", "t33",
+    "m07", "q58", "t26", "g18", "g19", "m08", "m09", "q59", "q61",
+    "q62", "q63", "q64", "q65", "q66", "q67", "s09", "s10", "s11",
+    "s12", "s13", "st10", "st11", "t28", "t29", "t30", "t31", "t32",
+    "t33",
 ]
 
 
