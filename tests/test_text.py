@@ -571,3 +571,39 @@ def test_canonicalize_url_cases(spark):
         r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_canonicalize_url_idempotent(spark):
+    """Canonicalization is a dedup KEY, so it must be a projection:
+    canon(canon(u)) == canon(u).  Checked over a combinatorial corpus
+    of scheme x www x case x path-slash x query/utm-position x fragment
+    variants (648 URLs) in one Spark job."""
+    from duckdb_graphar_spark.operators.text import canonicalize_url
+
+    schemes = ["https://", "http://", "HTTPS://", ""]
+    wwws = ["www.", ""]
+    hosts = ["Example.COM", "www2.site.org", "xutm.example.net"]
+    paths = ["/a/b", "/a/", ""]
+    queries = [
+        "", "?utm_source=x", "?utm_a=1&utm_b=2", "?id=3&utm_a=1&utm_b=2",
+        "?utm_a=1&id=3", "?xutm_source=1&b=2", "?utm_x=", "?a=1&b=2",
+        "?utm_a=1&id=3&utm_b=4",
+    ]
+    frags = ["", "#frag"]
+    urls = [
+        s + w + h + p + q + f
+        for s in schemes for w in wwws for h in hosts
+        for p in paths for q in queries for f in frags
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonicalize_url(F.col("url"))
+    bad = (
+        df.select(
+            "url",
+            once.alias("c1"),
+            canonicalize_url(once).alias("c2"),
+        )
+        .filter("c1 <> c2")
+        .collect()
+    )
+    assert not bad, bad[:5]
