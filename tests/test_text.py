@@ -577,7 +577,7 @@ def test_canonicalize_url_idempotent(spark):
     """Canonicalization is a dedup KEY, so it must be a projection:
     canon(canon(u)) == canon(u).  Checked over a combinatorial corpus
     of scheme x www x case x path-slash x query/utm-position x fragment
-    variants (648 URLs) in one Spark job."""
+    variants (4*2*3*3*9*2 = 1296 URLs) in one Spark job."""
     from duckdb_graphar_spark.operators.text import canonicalize_url
 
     schemes = ["https://", "http://", "HTTPS://", ""]
@@ -595,15 +595,18 @@ def test_canonicalize_url_idempotent(spark):
         for s in schemes for w in wwws for h in hosts
         for p in paths for q in queries for f in frags
     ]
+    assert len(urls) == 1296
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     once = canonicalize_url(F.col("url"))
+    # null-safe inequality: '<>' would silently drop a row where BOTH
+    # sides regressed to NULL (a nulled-out dedup key is the worst case)
     bad = (
         df.select(
             "url",
             once.alias("c1"),
             canonicalize_url(once).alias("c2"),
         )
-        .filter("c1 <> c2")
+        .filter("NOT (c1 <=> c2) OR c1 IS NULL")
         .collect()
     )
     assert not bad, bad[:5]
