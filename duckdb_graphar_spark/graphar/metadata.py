@@ -33,6 +33,16 @@ import yaml
 
 from pyspark.sql import types as T
 
+# pyarrow FileSystem.get_file_info raises ArrowException subclasses (not
+# OSError) on transient object-store/credential failures; import-guarded so
+# stat_token can degrade to "uncached" instead of crashing the query.
+try:
+    from pyarrow.lib import ArrowException as _ArrowException
+
+    _ARROW_STAT_ERRORS: tuple[type[Exception], ...] = (_ArrowException,)
+except ImportError:  # pragma: no cover - pyarrow is a hard dep in practice
+    _ARROW_STAT_ERRORS = ()
+
 # ---------------------------------------------------------------------------
 # filesystem abstraction (reference parity A5: paths resolved by
 # `FileSystemFromUriOrPath` incl. s3://, src/utils/func.cpp:124-148).
@@ -113,7 +123,10 @@ def stat_token(path: str) -> tuple | None:
         if info.type == pafs.FileType.NotFound or info.mtime_ns is None:
             return None
         return (info.mtime_ns, info.size)
-    except OSError:
+    except (OSError, *_ARROW_STAT_ERRORS):
+        # Transient object-store/credential failures surface as pyarrow
+        # ArrowException (not OSError); both degrade to "don't cache",
+        # never to a query error.
         return None
 
 # GraphAr type -> Spark type (reference map: src/utils/func.cpp:18-40).
@@ -338,7 +351,16 @@ class GraphInfo:
         filesystems; object stores with coarse mtimes get correctness
         from the writer's always-rewrite contract.  A point lookup
         re-planned this yaml tree (3 file reads + parses) on every
-        call; now it's one stat per yaml."""
+        call; now it's one stat per yaml.
+
+        Token capture ORDER matters: each yaml is stat'ed BEFORE it is
+        read (same discipline as reader._offset_range).  Stat-after-read
+        would let a rewrite land between the read and the stat, caching
+        the pre-rewrite parse under the post-rewrite token — every later
+        load would re-stat, match the fresh token, and serve the stale
+        GraphInfo forever.  With stat-before-read a concurrent rewrite
+        leaves a token that no longer matches on the next load, costing
+        one extra refresh instead of permanent staleness."""
         if "://" not in path:
             path = os.path.abspath(path)
         with _METADATA_CACHE_LOCK:
@@ -347,8 +369,7 @@ class GraphInfo:
             stat_token(p) == t for p, t in hit[0]
         ):
             return hit[1]
-        gi, sub_paths = cls._load_uncached(path)
-        tokens = [(p, stat_token(p)) for p in [path, *sub_paths]]
+        gi, tokens = cls._load_uncached(path)
         if all(t is not None for _, t in tokens):
             with _METADATA_CACHE_LOCK:
                 if len(_GRAPHINFO_CACHE) >= 32:
@@ -357,26 +378,31 @@ class GraphInfo:
         return gi
 
     @classmethod
-    def _load_uncached(cls, path: str) -> tuple["GraphInfo", list[str]]:
+    def _load_uncached(
+        cls, path: str
+    ) -> tuple["GraphInfo", list[tuple[str, tuple | None]]]:
+        """Parse the yaml tree, stat'ing each file BEFORE reading it and
+        returning the pre-read (path, token) list alongside the parse —
+        see GraphInfo.load for why the ordering is load-bearing."""
+        tokens: list[tuple[str, tuple | None]] = [(path, stat_token(path))]
         d = yaml.safe_load(_read_text(path))
         base = d.get("prefix") or os.path.dirname(path)
         if not base.endswith("/"):
             base += "/"
-        sub_paths: list[str] = []
         vertices: dict[str, VertexInfo] = {}
         for vfile in d.get("vertices", []) or []:
             vpath = os.path.join(os.path.dirname(path), vfile)
-            sub_paths.append(vpath)
+            tokens.append((vpath, stat_token(vpath)))
             vi = VertexInfo.load(vpath)
             vertices[vi.type] = vi
         edges: dict[tuple[str, str, str], EdgeInfo] = {}
         for efile in d.get("edges", []) or []:
             epath = os.path.join(os.path.dirname(path), efile)
-            sub_paths.append(epath)
+            tokens.append((epath, stat_token(epath)))
             ei = EdgeInfo.load(epath)
             edges[(ei.src_type, ei.edge_type, ei.dst_type)] = ei
         gi = cls(name=d.get("name", "graph"), prefix=base, vertices=vertices, edges=edges)
-        return gi, sub_paths
+        return gi, tokens
 
     # ---- path resolution -------------------------------------------------
 

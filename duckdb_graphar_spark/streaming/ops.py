@@ -1768,7 +1768,13 @@ def streaming_running_distinct(
     factorize — ``pd.factorize`` would otherwise code NaN as -1,
     which silently indexes the LAST unique — so an actual value equal
     to that sentinel (a NUL byte prefix, impossible in sane event
-    vocabularies) would be conflated with NULL.
+    vocabularies) would be conflated with NULL.  The NULL mask is
+    ``pd.isna``, which also matches float NaN: for a NUMERIC distinct
+    column a genuine NaN VALUE is conflated with SQL NULL.  This is
+    inherent to the Arrow→pandas bridge (Spark NULL in a float column
+    arrives as NaN, indistinguishable from a NaN value), not a choice
+    this fold could make differently; current callers pass strings,
+    where None is the only na.
 
     Arrival-order contract (st19/st22/st25/st26's): batches staged in
     event-time order."""

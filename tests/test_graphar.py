@@ -379,9 +379,12 @@ def test_graphinfo_cache_hit_and_subyaml_invalidation(tmp_path):
     sub = [
         os.path.join(os.path.dirname(y), f)
         for f in os.listdir(os.path.dirname(y))
-        if f.endswith((".yaml", ".yml")) and os.path.join(os.path.dirname(y), f) != y
-        and "vertex" in open(os.path.join(os.path.dirname(y), f)).read().lower()
-        or f.startswith("Person.")
+        if f.endswith((".yaml", ".yml"))
+        and os.path.join(os.path.dirname(y), f) != y
+        and (
+            "vertex" in open(os.path.join(os.path.dirname(y), f)).read().lower()
+            or f.startswith("Person.")
+        )
     ]
     assert sub, "no vertex sub-yaml found"
     with open(sub[0], "a") as fh:
@@ -390,3 +393,42 @@ def test_graphinfo_cache_hit_and_subyaml_invalidation(tmp_path):
     g2 = GraphInfo.load(y)
     assert g2 is not g1  # sub-yaml edit invalidated the cached entry
     assert g2.vertices.keys() == g1.vertices.keys()  # still parses
+
+
+def test_graphinfo_cache_stats_before_read(tmp_path, monkeypatch):
+    """A rewrite that lands BETWEEN GraphInfo.load's read and its token
+    capture must not be cached as fresh.  Tokens are captured pre-read
+    (metadata.GraphInfo._load_uncached), so the mid-load rewrite leaves a
+    stale token and the NEXT load re-parses; the old stat-after-read order
+    cached the pre-rewrite parse under the post-rewrite token — served
+    stale forever."""
+    import numpy as np
+    import pyarrow as pa
+
+    from duckdb_graphar_spark.graphar import metadata as md
+    from duckdb_graphar_spark.graphar.writer import EdgeSpec, VertexSpec, write_graph
+
+    y = write_graph(
+        str(tmp_path), "CG2",
+        {"Person": VertexSpec(table=pa.table({"name": ["a", "b"]}))},
+        {("Person", "knows", "Person"): EdgeSpec(
+            src=np.array([0]), dst=np.array([1]))},
+    )
+    real_read = md._read_text
+    fired = {"done": False}
+
+    def racing_read(path):
+        text = real_read(path)
+        if path == y and not fired["done"]:
+            fired["done"] = True
+            with open(y, "a") as fh:  # concurrent writer lands mid-load
+                fh.write("\n# rewritten-between-read-and-stat\n")
+        return text
+
+    monkeypatch.setattr(md, "_read_text", racing_read)
+    g1 = md.GraphInfo.load(y)  # parse predates the rewrite
+    monkeypatch.setattr(md, "_read_text", real_read)
+    g2 = md.GraphInfo.load(y)
+    assert g2 is not g1, (
+        "mid-load rewrite was cached as fresh - token captured after read"
+    )
