@@ -5301,6 +5301,104 @@ def st30(spark, sf):
 
 
 @_q(
+    "st31_streaming_kll_quantile",
+    # ORACLE: q102's batch-sketch oracle reduced to the sketch columns
+    # plus n_seen — legal as a FULL value replay because the sketch is
+    # a deterministic function of the row set (merge == direct with
+    # the carried threshold as floor), so the streaming state's final
+    # content is independent of batch boundaries; levels are the same
+    # md5 + bit_count integer arithmetic as q102.
+    """
+    WITH b AS (SELECT event_type AS g, CAST(event_id AS VARCHAR) AS tag,
+                      CAST(value AS DOUBLE) AS val
+               FROM events WHERE value IS NOT NULL),
+    h AS (SELECT g, tag, val,
+                 CAST(CAST(concat('0x', substr(md5('kll0' || chr(31) || tag), 1, 13))
+                      AS UBIGINT) AS BIGINT) + 1 AS hv
+          FROM b),
+    l AS (SELECT g, tag, val, bit_count((hv & -hv) - 1) AS lvl FROM h),
+    cnt AS (SELECT g, lvl, COUNT(*) AS c FROM l GROUP BY 1, 2),
+    cm AS (SELECT g, lvl, c,
+                  SUM(c) OVER (PARTITION BY g ORDER BY lvl DESC) AS cum
+           FROM cnt),
+    t AS (SELECT g,
+                 CAST(CASE WHEN SUM(c) <= 256 THEN 0
+                      ELSE 1 + MAX(CASE WHEN cum > 256 THEN lvl END)
+                      END AS INTEGER) AS t_level
+          FROM cm GROUP BY g),
+    kept AS (SELECT l.g, l.val, l.tag FROM l JOIN t ON l.g = t.g
+             WHERE l.lvl >= t.t_level),
+    m AS (SELECT g, COUNT(*) AS m_kept FROM kept GROUP BY 1),
+    rk AS (SELECT g, val,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY val, tag) AS rn
+           FROM kept),
+    q AS (SELECT rk.g,
+                 MAX(CASE WHEN rn = ((m_kept - 1) * 1) // 4 + 1 THEN val END) AS q25_est,
+                 MAX(CASE WHEN rn = ((m_kept - 1) * 1) // 2 + 1 THEN val END) AS q50_est,
+                 MAX(CASE WHEN rn = ((m_kept - 1) * 3) // 4 + 1 THEN val END) AS q75_est
+          FROM rk JOIN m ON rk.g = m.g GROUP BY rk.g),
+    nx AS (SELECT g, COUNT(*) AS n_seen FROM b GROUP BY g)
+    SELECT nx.g AS event_type,
+           CAST(nx.n_seen AS BIGINT) AS n_seen,
+           t.t_level AS t_level,
+           CAST(COALESCE(m.m_kept, 0) AS BIGINT) AS m_kept,
+           CAST(COALESCE(m.m_kept, 0) * (CAST(1 AS BIGINT) << t.t_level)
+                AS BIGINT) AS est_n,
+           q.q25_est, q.q50_est, q.q75_est
+    FROM nx JOIN t ON nx.g = t.g
+    LEFT JOIN m ON nx.g = m.g
+    LEFT JOIN q ON nx.g = q.g
+    """,
+)
+def st31(spark, sf):
+    """Streaming KLL-style quantile sketch (q102's stateful twin,
+    st16's quantile-axis sibling — the sketch family's batch/streaming
+    matrix closes with this cell): per-group ≤ 256 level-sampled
+    survivor rows + adaptive threshold maintained in O(k)
+    applyInPandasWithState state across THREE mtime-ordered
+    micro-batches — merge-order independence of the level sketch is
+    what licenses a full value oracle.  Level hashing runs JVM-side
+    before the stateful op; est_n arithmetic stays JVM-side after it
+    (`streaming/ops.py:streaming_kll_quantile`)."""
+    import shutil
+
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_kll_quantile,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st31_stream_")
+    try:
+        _stage_event_batches(spark, sf, stage)
+        stream = read_events_stream(spark, stage, max_files=1)
+        raw = run_to_memory(
+            streaming_kll_quantile(stream, k=256), "st31_out", mode="update"
+        )
+        w = Window.partitionBy("g").orderBy(F.desc("n_seen"))
+        final = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return final.select(
+            F.col("g").alias("event_type"),
+            F.col("n_seen").cast("long").alias("n_seen"),
+            F.col("t_lvl").alias("t_level"),
+            F.col("m_kept").cast("long").alias("m_kept"),
+            (
+                F.col("m_kept")
+                * F.expr("shiftleft(cast(1 as bigint), cast(t_lvl as int))")
+            ).cast("long").alias("est_n"),
+            "q25_est",
+            "q50_est",
+            "q75_est",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@_q(
     "st13_stream_outer_join",
     # ORACLE: the equivalent batch LEFT join over the ORIGINAL events
     # table (the far-future nudge rows exist only in the stream's temp
@@ -11785,6 +11883,91 @@ def q100(spark, sf):
 
 
 @_q(
+    "q102_kll_quantile_rollup",
+    # ORACLE: the DIRECT sketch (no per-day split) — legal as a FULL
+    # value replay because the sketch is a deterministic function of
+    # the row set and merge-of-partials == direct-by-construction
+    # (T* of a union ≥ every partial T, so survivor unions carry
+    # complete per-level counts at ℓ ≥ max T_p); the driver's hash
+    # compare against Spark's per-day ROLLUP is therefore the
+    # merge-invariance theorem itself, the q80 licence.  Levels are
+    # md5 integer arithmetic + bit_count (verified bit-identical
+    # cross-engine); ranks are integer div; the only doubles are the
+    # data values and the audited q50 CDF.
+    """
+    WITH b AS (SELECT event_type AS g, CAST(event_id AS VARCHAR) AS tag,
+                      CAST(value AS DOUBLE) AS val
+               FROM events WHERE value IS NOT NULL),
+    h AS (SELECT g, tag, val,
+                 CAST(CAST(concat('0x', substr(md5('kll0' || chr(31) || tag), 1, 13))
+                      AS UBIGINT) AS BIGINT) + 1 AS hv
+          FROM b),
+    l AS (SELECT g, tag, val, bit_count((hv & -hv) - 1) AS lvl FROM h),
+    cnt AS (SELECT g, lvl, COUNT(*) AS c FROM l GROUP BY 1, 2),
+    cm AS (SELECT g, lvl, c,
+                  SUM(c) OVER (PARTITION BY g ORDER BY lvl DESC) AS cum
+           FROM cnt),
+    t AS (SELECT g,
+                 CAST(CASE WHEN SUM(c) <= 256 THEN 0
+                      ELSE 1 + MAX(CASE WHEN cum > 256 THEN lvl END)
+                      END AS INTEGER) AS t_level
+          FROM cm GROUP BY g),
+    kept AS (SELECT l.g, l.val, l.tag FROM l JOIN t ON l.g = t.g
+             WHERE l.lvl >= t.t_level),
+    m AS (SELECT g, COUNT(*) AS m_kept FROM kept GROUP BY 1),
+    rk AS (SELECT g, val,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY val, tag) AS rn
+           FROM kept),
+    q AS (SELECT rk.g,
+                 MAX(CASE WHEN rn = ((m_kept - 1) * 1) // 4 + 1 THEN val END) AS q25_est,
+                 MAX(CASE WHEN rn = ((m_kept - 1) * 1) // 2 + 1 THEN val END) AS q50_est,
+                 MAX(CASE WHEN rn = ((m_kept - 1) * 3) // 4 + 1 THEN val END) AS q75_est
+          FROM rk JOIN m ON rk.g = m.g GROUP BY rk.g),
+    nx AS (SELECT g, COUNT(*) AS n_exact FROM b GROUP BY g),
+    r50 AS (SELECT b.g,
+                   SUM(CASE WHEN b.val <= q.q50_est THEN 1 ELSE 0 END)
+                   / COUNT(*) AS r50
+            FROM b JOIN q ON b.g = q.g GROUP BY b.g)
+    SELECT nx.g AS event_type,
+           CAST(nx.n_exact AS BIGINT) AS n_exact,
+           t.t_level AS t_level,
+           CAST(COALESCE(m.m_kept, 0) AS BIGINT) AS m_kept,
+           CAST(COALESCE(m.m_kept, 0) * (CAST(1 AS BIGINT) << t.t_level)
+                AS BIGINT) AS est_n,
+           q.q25_est, q.q50_est, q.q75_est,
+           CASE WHEN COALESCE(m.m_kept, 0) > 0 THEN ROUND(r50.r50, 6)
+                END AS q50_rank,
+           CASE WHEN COALESCE(m.m_kept, 0) > 0
+                THEN ABS(r50.r50 - 0.5)
+                     <= 1.5 / sqrt(CAST(m.m_kept AS DOUBLE))
+                END AS within_tol
+    FROM nx JOIN t ON nx.g = t.g
+    LEFT JOIN m ON nx.g = m.g
+    LEFT JOIN q ON nx.g = q.g
+    LEFT JOIN r50 ON nx.g = r50.g
+    """,
+)
+def q102(spark, sf):
+    """Mergeable KLL-style quantile sketch rollup — the missing member
+    of the sketch family (HLL q63 / KMV q80 / CMS q81 / Misra-Gries
+    t26): per-(event_type, day) level-sampled summaries merged to
+    per-type sketches WITHOUT re-scanning values, quantiles read from
+    ≤ 256 kept rows per group.  Levels are content-addressed md5 coin
+    flips (trailing-zero bits), so the sketch is a deterministic
+    function of the row set and the per-day rollup is bit-identical
+    to the direct sketch — which is what the oracle replays
+    (`operators/sketch.py:kll_quantile_rollup`)."""
+    from duckdb_graphar_spark.operators.sketch import kll_quantile_rollup
+
+    ev = _t(spark, sf, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    return kll_quantile_rollup(
+        ev, "event_type", "value", "event_id", partial_col="__day", k=256
+    )
+
+
+@_q(
     "q99_weighted_median",
     # ORACLE: an INDEPENDENT construction — per-group cumulative weight
     # over value order, pick the smallest value whose cumulative weight
@@ -13140,47 +13323,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order.
 _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
-    # --- window rotates.  Round-10 window = EXACTLY 50, spent per the
-    # --- r9 verdict's top directive (rotation debt first, ≤10 new — the
-    # --- final split is 39 rotation-debt slots + 11 slots of
-    # --- changed/new-code evidence, 2 genuinely new entries), in four
-    # --- tiers:
-    # --- (1) the 2 NEVER-driver-checked entries — st29 (SCD2 LEFT
-    # --- enrichment, the advice-requested uncovered-event mode) and
-    # --- st30 (streaming TWAP, q85's stateful twin) are NEW this round
-    # --- — plus the 7 entries CHANGED this round by the advice fixes:
-    # --- st27 (NULL-safe factorize in the streaming distinct fold),
-    # --- q98/q99/q100 (grouped_quantile_disc stamp joins went
-    # --- eqNullSafe so the NULL-key group survives; q100 additionally
-    # --- moved to the multi-prob single-pass machinery), g34 (katz
-    # --- decimal overflow guard), t41 (delimiter-anchored utm regex in
-    # --- BOTH engines), st24 (how= parameter threaded; default
-    # --- behavior unchanged);
-    "st29", "st30", "st27", "st24", "t41", "g34", "q98", "q99", "q100",
-    # --- (1b) ga03/ga04: the GraphAr read path changed this round
-    # --- (explicit scan schema + stat-validated GraphInfo/offset
-    # --- caches) — the r9 discipline says changed code gets
-    # --- same-round driver evidence, and these two exercise the CSR
-    # --- seek and the property-group zip through the new caches;
-    "ga03", "ga04",
-    # --- (2) ALL 33 entries whose latest driver evidence is round 3 —
-    # --- the rotation debt the r9 verdict queued first; none changed
-    # --- since passing, all in-repo oracle-green ---
-    "q48", "t22", "t24", "t25", "d04", "u01", "g09", "g12", "g10",
-    "t02", "t03", "t05", "t07", "t08", "t09", "m04", "m05",
-    "s03", "t13", "t14", "t15", "q53", "s04", "t16", "t17", "st07",
-    "t18", "t19", "t20", "t21", "s05", "s06", "st08",
-    # --- (3) 6 of the 34 r4-stale entries (oldest remaining evidence),
-    # --- filling the window to EXACTLY 50 (9 + 2 + 33 + 6) ---
-    "d05", "d06", "g14", "g15", "g16", "m06",
-    # --- 51+: m07/q58/t26 + the remaining 25 r4-stale entries lead
-    # --- the round-11 queue; everything else follows in registry
-    # --- definition order ---
+    # --- window rotates.  Round-11 window = EXACTLY 50, spent per the
+    # --- r10 verdict's top directive (clear the r4 evidence band
+    # --- completely + the oldest r5 entries; cap new at ~8 — the final
+    # --- split is 47 rotation-debt slots + 3 changed/new-code slots):
+    # --- (1) the 2 NEVER-driver-checked entries, new this round —
+    # --- q102 (mergeable KLL-style quantile sketch rollup, the missing
+    # --- sketch-family member) and st31 (its streaming twin) — plus
+    # --- ga06 (counts from metadata): GraphInfo.load/stat_token CHANGED
+    # --- this round (pre-read token capture + ArrowException fallback),
+    # --- and ga06 prices metadata counts straight through that path;
+    "q102", "st31", "ga06",
+    # --- (2) ALL 28 entries whose latest driver evidence is round 4 —
+    # --- the full rotation-debt band the r10 verdict queued first;
+    # --- none changed since passing, all in-repo oracle-green ---
     "m07", "q58", "t26", "g18", "g19", "m08", "m09", "q59", "q61",
     "q62", "q63", "q64", "q65", "q66", "q67", "s09", "s10", "s11",
     "s12", "s13", "st10", "st11", "t28", "t29", "t30", "t31", "t32",
     "t33",
+    # --- (3) 19 of the 47 r5-stale entries, filling the window to
+    # --- EXACTLY 50 (3 + 28 + 19).  The ga family leads — every ga
+    # --- entry re-plans metadata through the changed GraphInfo cache,
+    # --- so these double as changed-path evidence ---
+    "ga01", "ga14", "ga15", "ga16", "ga17", "ga18",
+    "g02", "g07", "g11", "g13", "g17", "q01", "q05", "q31",
+    "st09", "st13", "t23", "t34", "u04",
+    # --- 51+: the remaining 28 r5-stale entries lead the round-12
+    # --- queue; everything else follows in registry definition order ---
+    "g20", "g21", "g22", "g23", "m01", "m02", "m11", "m12", "m13",
+    "q71", "q72", "q73", "q74", "q75", "q76", "q77", "q78", "q79",
+    "s07", "s08", "s14", "s15", "st12", "st14", "t35", "t36", "u05",
+    "u06",
 ]
+
 
 
 def _ordered_names() -> list[str]:

@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "t41_url_canonical_dedup",
     "s25_sq8_rerank_topk",
     "t42_greedy_pack_bins",
+    "q102_kll_quantile_rollup",
 ]
 
 # Fixed CANARY lane (round 7): ~20 entries spanning every surface
@@ -291,7 +292,67 @@ ST_QUERIES = [
     "st28_streaming_time_decay",
     "st29_stream_scd2_enrich_left",
     "st30_streaming_twap",
+    "st31_streaming_kll_quantile",
 ]
+
+# Interleaved-control normalization (round 11): two consecutive rounds
+# (r9 ga02/ga20, r10 st07-st13 + canary) needed HAND-BUILT contention
+# adjudications because this box shows sustained external load that
+# inflates absolute timings 1.3-8x.  `--normalize` (or
+# SPARK_GRAFT_BENCH_NORMALIZE=1) makes that method a native mode: one
+# control entry (round-robin over the three below - scan+agg, graph
+# offsets, window, all plan-stable since round 1) runs immediately
+# before EVERY timed rep in every lane; each control's MINIMUM across
+# the whole run is its contention-free floor, the adjacent control's
+# inflation factor (ctrl/floor) deflates the rep it precedes, and the
+# reported *_norm value is the median of deflated reps.  Raw medians
+# stay untouched - normalization ADDS columns, never replaces them.
+CONTROL_QUERIES = [
+    "q01_pricing_summary",
+    "g02_degrees",
+    "q14_window_rownum",
+]
+
+
+class _ControlNormalizer:
+    """Round-robin control sampler + end-of-run deflation (see the
+    CONTROL_QUERIES comment).  Floors are only known once the whole run
+    finishes, so lanes store (rep_seconds, (control, control_seconds))
+    pairs and `normalize` post-processes them."""
+
+    def __init__(self, spark, qs, sf_dir: str) -> None:
+        self._spark, self._qs, self._sf = spark, qs, sf_dir
+        self._i = 0
+        self.obs: list[tuple[str, float]] = []
+        for c in CONTROL_QUERIES:  # one untimed warm rep each
+            qs[c](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    def sample(self) -> tuple[str, float]:
+        name = CONTROL_QUERIES[self._i % len(CONTROL_QUERIES)]
+        self._i += 1
+        t0 = time.time()
+        self._qs[name](self._spark, self._sf).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        dt = time.time() - t0
+        self.obs.append((name, dt))
+        return (name, dt)
+
+    def floors(self) -> dict[str, float]:
+        f: dict[str, float] = {}
+        for name, dt in self.obs:
+            f[name] = min(f.get(name, dt), dt)
+        return f
+
+    def normalize(
+        self, raw: dict[str, list[tuple[float, tuple[str, float]]]]
+    ) -> dict[str, float]:
+        fl = self.floors()
+        out: dict[str, float] = {}
+        for name, reps in raw.items():
+            vals = sorted(q * (fl[cn] / ct) for q, (cn, ct) in reps)
+            out[name] = round(vals[len(vals) // 2], 3)
+        return out
 
 
 def main() -> None:
@@ -310,6 +371,14 @@ def main() -> None:
     qs["q00_scan_region"](spark, sf_dir).count()
     # pre-build the GraphAr layout so ga* timings measure reads, not writes
     E._orders_graphar(spark, sf_dir)
+
+    normalize = ("--normalize" in sys.argv[1:]) or os.environ.get(
+        "SPARK_GRAFT_BENCH_NORMALIZE", "0"
+    ) not in ("0", "", "false")
+    norm = _ControlNormalizer(spark, qs, sf_dir) if normalize else None
+    canary_raw: dict[str, list] = {}
+    results_raw: dict[str, list] = {}
+    st_raw: dict[str, list] = {}
 
     # median-of-5: this box shows sporadic host-level CPU contention
     # (identical plans swing 3×) — a wider median absorbs a stalled rep.
@@ -333,9 +402,13 @@ def main() -> None:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         times = []
         for _ in range(canary_reps):
+            ctrl = norm.sample() if norm else None
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            times.append(time.time() - t0)
+            dt = time.time() - t0
+            times.append(dt)
+            if norm:
+                canary_raw.setdefault(name, []).append((dt, ctrl))
         times.sort()
         canary[name] = round(times[len(times) // 2], 3)
         canary_min[name] = round(times[0], 3)
@@ -347,10 +420,14 @@ def main() -> None:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         times = []
         for _ in range(reps):
+            ctrl = norm.sample() if norm else None
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            times.append(time.time() - t0)
+            dt = time.time() - t0
+            times.append(dt)
+            if norm:
+                results_raw.setdefault(name, []).append((dt, ctrl))
         times.sort()
         results[name] = round(times[len(times) // 2], 3)
         results_min[name] = round(times[0], 3)
@@ -366,15 +443,39 @@ def main() -> None:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         times = []
         for _ in range(st_reps):
+            ctrl = norm.sample() if norm else None
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            times.append(time.time() - t0)
+            dt = time.time() - t0
+            times.append(dt)
+            if norm:
+                st_raw.setdefault(name, []).append((dt, ctrl))
         times.sort()
         st_results[name] = round(times[len(times) // 2], 3)
         st_results_min[name] = round(times[0], 3)
 
     total = round(sum(results.values()), 3)
+    norm_cols: dict = {}
+    if norm:
+        queries_norm = norm.normalize(results_raw)
+        norm_cols = {
+            "normalized": True,
+            "queries_norm": queries_norm,
+            "canary_norm": norm.normalize(canary_raw),
+            "streaming_norm": norm.normalize(st_raw),
+            "control_floors": {
+                k: round(v, 3) for k, v in norm.floors().items()
+            },
+            "control_obs": len(norm.obs),
+            "contention_factor_median": round(
+                sorted(
+                    ct / norm.floors()[cn] for cn, ct in norm.obs
+                )[len(norm.obs) // 2],
+                3,
+            ),
+            "queries_norm_total": round(sum(queries_norm.values()), 3),
+        }
     print(
         json.dumps(
             {
@@ -390,6 +491,7 @@ def main() -> None:
                 "streaming_min": st_results_min,
                 "streaming_total": round(sum(st_results.values()), 3),
                 "sf": sf,
+                **norm_cols,
             }
         ),
         flush=True,
@@ -417,6 +519,17 @@ def main() -> None:
                 "n_canary": len(canary),
                 "streaming_total": round(sum(st_results.values()), 3),
                 "n_streaming": len(st_results),
+                **(
+                    {
+                        "normalized": True,
+                        "queries_norm_total": norm_cols["queries_norm_total"],
+                        "contention_factor_median": norm_cols[
+                            "contention_factor_median"
+                        ],
+                    }
+                    if norm
+                    else {}
+                ),
             }
         ),
         flush=True,

@@ -307,3 +307,218 @@ def cms_point_estimates(
             <= F.lit(3) * F.col("__n_tot")
         ).alias("within_eps"),
     )
+
+
+def kll_quantile_rollup(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tag_col: str,
+    *,
+    partial_col: str | None = None,
+    k: int = 256,
+    seed: str = "kll0",
+    probs: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4)),
+) -> DataFrame:
+    """Mergeable KLL-STYLE quantile sketch rollup → (group, n_exact,
+    t_level, m_kept, est_n, q*_est per prob, q50_rank, within_tol).
+
+    The missing member of the sketch family next to HLL (q63), KMV
+    (q80), CMS (q81) and Misra-Gries (t26): a bounded summary from
+    which any quantile can be read WITHOUT re-scanning the data, and
+    which MERGES across partitions/partials/days so a 100 TB percentile
+    rollup is one map-combinable pass.
+
+    It is the sampler layer of KLL (Karnin-Lang-Liberty, FOCS 2016)
+    derandomized: KLL assigns each item a geometric level by coin
+    flips and subsamples at rate 2^-T.  Here the coin flips are
+    CONTENT-ADDRESSED — level(row) = trailing zero bits of the md5
+    integer of the row's unique tag (the q80/t36 discipline), so
+    P(level ≥ ℓ) = 2^-ℓ exactly, and the sketch is a deterministic
+    function of the ROW SET:
+
+    - ``T`` = 0 if n ≤ k else 1 + max{ℓ : |{level ≥ ℓ}| > k}; the
+      sketch keeps the rows with level ≥ T (≤ k of them), each
+      standing for 2^T rows.
+    - **Merge = recompute over survivors**: for any split into
+      partials, T* of the union ≥ every partial T (counts only grow),
+      so every row with level ≥ T* survived its partial and the
+      per-level counts at ℓ ≥ max(T_p) are COMPLETE in the survivor
+      union — merging per-partial sketches yields the IDENTICAL row
+      set, T, and estimates as sketching the union directly, in any
+      merge order.  That theorem is what upgrades the oracle from a
+      tolerance band to a full value replay: Spark computes the
+      per-``partial_col`` rollup, the oracle sketches directly, and
+      the driver's hash compare IS the merge-invariance proof (same
+      licence as q80's bottom-k).
+    - KLL's compactor hierarchy buys ε ~ 1/k instead of sampling's
+      ε ~ 1/sqrt(k), but its compactions depend on buffer/merge order
+      — irreconcilable with a bit-exact cross-engine oracle.  This
+      sketch trades that constant for determinism and keeps the shape
+      (geometric levels, adaptive threshold, power-of-two weights).
+
+    Quantile at p = num/den: the r-th smallest kept value with
+    r = (m−1)·num div den + 1 (integer arithmetic; the q92
+    row_number-rank convention, deterministic in both engines).
+    Exact when T = 0 (n ≤ k) — the exact-fallback.  QA columns the
+    oracle audits (a 100 TB caller selects the sketch columns only):
+    ``n_exact``; ``q50_rank`` = CDF of the p=.5 estimate; ``within_tol``
+    = |q50_rank − .5| ≤ 1.5/sqrt(m) (DKW bound at confidence ~98%).
+    ``m_kept`` = 0 (all estimates NULL) is the measure-zero collapse
+    where the top level empties; deterministic on both engines.
+
+    Scale shape: the shuffle carries per-(group, level) COUNTS (≤ 53
+    longs per group) plus ≤ k survivor rows per partial — never the
+    value stream; level assignment is a row-local JVM expression
+    (md5 + bit_count), survivors prune at the scan side of the
+    shuffle.  State/output is O(k) per group regardless of n.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.lit(seed), F.col("tag"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            *([F.col(partial_col).alias("p")] if partial_col else []),
+            F.col(tag_col).cast("string").alias("tag"),
+            F.col(value_col).cast("double").alias("val"),
+        )
+    )
+    hashed = base.withColumn("h", h).withColumn(
+        "lvl", F.expr("bit_count((h & -h) - 1)")
+    )
+
+    def _ns_join(
+        left: DataFrame,
+        right: DataFrame,
+        cols: list[str],
+        how: str = "inner",
+        *,
+        bcast: bool = False,
+    ) -> DataFrame:
+        # null-safe equi-join: a plain name-list join silently drops a
+        # legitimate NULL group key (the q94/q98 gotcha).  Right-side
+        # keys are renamed first — every frame here derives from the
+        # same scan, so left[c]/right[c] resolve to the SAME attribute
+        # and the join condition would be trivially true.  bcast=True
+        # marks group-sized right sides (thresholds, summaries): the
+        # data stream must NEVER shuffle to meet an O(groups) table.
+        r = right
+        for c in cols:
+            r = r.withColumnRenamed(c, f"__r_{c}")
+        if bcast:
+            r = F.broadcast(r)
+        cond = None
+        for c in cols:
+            t = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+            cond = t if cond is None else (cond & t)
+        return left.join(r, cond, how).drop(*[f"__r_{c}" for c in cols])
+
+    def _threshold(rows: DataFrame, keys: list[str], floor_df: DataFrame | None) -> DataFrame:
+        # canonical T over `rows` grouped by `keys`: 0 (or the merge
+        # floor) when everything fits, else one past the deepest
+        # over-capacity level.  cum uses a DESC running frame (the
+        # unbounded-FOLLOWING ban).
+        cnts = rows.groupBy(*keys, "lvl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy(*keys).orderBy(F.desc("lvl"))
+        cum = cnts.withColumn("cum", F.sum("c").over(w))
+        t = cum.groupBy(*keys).agg(
+            F.sum("c").alias("n_rows"),
+            F.max(F.when(F.col("cum") > k, F.col("lvl"))).alias("__mb"),
+        )
+        if floor_df is not None:
+            t = _ns_join(t, floor_df, ["g"])
+            fl = F.col("floor_lvl")
+        else:
+            fl = F.lit(0)
+        return t.select(
+            *keys,
+            F.when(F.col("n_rows") <= k, fl)
+            .otherwise(F.col("__mb") + 1)
+            .cast("int")
+            .alias("t_lvl"),
+            "n_rows",
+        )
+
+    if partial_col:
+        tp = _threshold(hashed, ["g", "p"], None)
+        surv = _ns_join(
+            hashed, tp.drop("n_rows"), ["g", "p"], bcast=True
+        ).filter(F.col("lvl") >= F.col("t_lvl")).drop("t_lvl", "p")
+        floor_df = tp.groupBy("g").agg(F.max("t_lvl").alias("floor_lvl"))
+        surv = _ns_join(surv, floor_df, ["g"], bcast=True).filter(
+            F.col("lvl") >= F.col("floor_lvl")
+        ).drop("floor_lvl")
+        # n_exact rides the threshold pass's own per-partial counts —
+        # no extra full scan (at 100 TB every avoided pass matters)
+        nx = tp.groupBy("g").agg(F.sum("n_rows").alias("n_exact"))
+    else:
+        surv = hashed
+        floor_df = None
+    tg_full = _threshold(surv, ["g"], floor_df)
+    if not partial_col:
+        nx = tg_full.select("g", F.col("n_rows").alias("n_exact"))
+    tg = tg_full.drop("n_rows")
+    kept = _ns_join(surv, tg, ["g"], bcast=True).filter(F.col("lvl") >= F.col("t_lvl"))
+
+    mdf = kept.groupBy("g").agg(
+        F.count(F.lit(1)).alias("m_kept"), F.max("t_lvl").alias("t_lvl")
+    )
+    wq = Window.partitionBy("g").orderBy("val", "tag")
+    ranked = kept.select("g", "val", "tag").withColumn(
+        "rn", F.row_number().over(wq)
+    )
+    qcols = [
+        (f"q{100 * num // den}_est", num, den) for num, den in probs
+    ]
+    qsel = _ns_join(ranked, mdf.select("g", "m_kept"), ["g"]).groupBy("g").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"((m_kept - 1) * {num}) div {den}") + 1,
+                    F.col("val"),
+                )
+            ).alias(name)
+            for name, num, den in qcols
+        ]
+    )
+    # groups whose kept set is empty keep their tg row (t_lvl) with
+    # m_kept = 0 and NULL estimates
+    summ = _ns_join(
+        _ns_join(tg, mdf.drop("t_lvl"), ["g"], how="left"), qsel, ["g"], how="left"
+    ).withColumn("m_kept", F.coalesce(F.col("m_kept"), F.lit(0)))
+    summ = _ns_join(nx, summ, ["g"])
+    rank50 = _ns_join(base, summ.select("g", "q50_est"), ["g"], bcast=True).groupBy("g").agg(
+        (
+            F.sum(F.when(F.col("val") <= F.col("q50_est"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("__r50")
+    )
+    out = _ns_join(summ, rank50, ["g"])
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("t_lvl").alias("t_level"),
+        F.col("m_kept").cast("long").alias("m_kept"),
+        (
+            F.col("m_kept")
+            * F.expr("shiftleft(cast(1 as bigint), cast(t_lvl as int))")
+        ).cast("long").alias("est_n"),
+        *[F.col(name) for name, _, _ in qcols],
+        F.when(F.col("m_kept") > 0, F.round(F.col("__r50"), 6)).alias("q50_rank"),
+        F.when(F.col("m_kept") > 0,
+               F.abs(F.col("__r50") - F.lit(0.5))
+               <= F.lit(1.5) / F.sqrt(F.col("m_kept").cast("double"))
+        ).alias("within_tol"),
+    )

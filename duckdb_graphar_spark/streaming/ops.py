@@ -2137,3 +2137,153 @@ def streaming_twap(
             update, out_schema, state_schema, "append", "NoTimeout"
         )
     )
+
+
+def streaming_kll_quantile(
+    events: DataFrame,
+    *,
+    k: int = 256,
+    seed: str = "kll0",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    tag_col: str = "event_id",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Streaming KLL-STYLE quantile sketch — the stateful twin of the
+    batch `operators/sketch.py:kll_quantile_rollup` and the quantile
+    axis next to :func:`streaming_kmv_distinct` (distinct) and
+    :func:`streaming_cms` (frequency): per-group state is the ≤ k
+    survivor rows at content-addressed geometric levels plus the
+    adaptive threshold T, merged incrementally each micro-batch.
+    Because the sketch is a deterministic function of the ROW SET
+    (merge-of-partials == direct, the q102 theorem with the carried T
+    as the merge floor), the final state is INDEPENDENT of batch
+    boundaries and arrival order — so a FULL value oracle exists (the
+    batch sketch over the same rows), not a tolerance band.
+
+    Level assignment (md5 trailing-zero bits) runs JVM-SIDE before the
+    stateful operator; the Arrow-batched fold only appends rows at
+    level ≥ T, recounts ≤ 53 level buckets, prunes, and reads the
+    three rank statistics off the ≤ k sorted survivors.  Emits
+    (g, n_seen, t_lvl, m_kept, q25/q50/q75_est) per updated group per
+    batch — n_seen strictly increases, so the final sketch row per
+    group is the max-n_seen one.  State is O(k) doubles+strings per
+    group regardless of stream size; NULL values are excluded from the
+    sketch domain (the batch filter), NaN sorts after every value in
+    both engines and the fold's (isnan, val, tag) key mirrors that."""
+    if not events.isStreaming:
+        raise ValueError(
+            "streaming_kll_quantile needs a streaming DataFrame; use "
+            "operators.sketch.kll_quantile_rollup for batch"
+        )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", F.lit(seed), F.col(tag_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    hashed = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(tag_col).cast("string").alias("tag"),
+            F.col(value_col).cast("double").alias("val"),
+            h.alias("h"),
+            *(["ts"] if "ts" in events.columns else []),
+        )
+        .withColumn("lvl", F.expr("bit_count((h & -h) - 1)"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), False),
+            T.StructField("n_seen", T.LongType(), False),
+            T.StructField("t_lvl", T.IntegerType(), False),
+            T.StructField("m_kept", T.LongType(), False),
+            T.StructField("q25_est", T.DoubleType(), True),
+            T.StructField("q50_est", T.DoubleType(), True),
+            T.StructField("q75_est", T.DoubleType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("vals", T.ArrayType(T.DoubleType()), False),
+            T.StructField("tags", T.ArrayType(T.StringType()), False),
+            T.StructField("lvls", T.ArrayType(T.IntegerType()), False),
+            T.StructField("t", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        vals, tags, lvls, t, n = (
+            state.get if state.exists else ([], [], [], 0, 0)
+        )
+        rows = list(zip(vals, tags, lvls))
+        for pdf in pdfs:
+            n += len(pdf)
+            for v, tg, lv in zip(pdf["val"], pdf["tag"], pdf["lvl"]):
+                lv = int(lv)
+                if lv >= t:  # below the carried floor can never survive
+                    rows.append((float(v), tg, lv))
+        # recompute the canonical threshold over the survivor union
+        # (floor = carried t; identical to the batch merge stage)
+        if len(rows) > k:
+            cnt: dict[int, int] = {}
+            for _, _, lv in rows:
+                cnt[lv] = cnt.get(lv, 0) + 1
+            cum = 0
+            for lv in range(max(cnt), t - 1, -1):
+                cum += cnt.get(lv, 0)
+                if cum > k:  # first from the top = deepest over-capacity
+                    t = lv + 1
+                    break
+            rows = [r for r in rows if r[2] >= t]
+        state.update(
+            (
+                [v for v, _, _ in rows],
+                [tg for _, tg, _ in rows],
+                [lv for _, _, lv in rows],
+                t,
+                n,
+            )
+        )
+        m = len(rows)
+        srt = sorted(rows, key=lambda r: (math.isnan(r[0]), r[0], r[1]))
+        qs = [
+            srt[(m - 1) * num // den][0] if m else None
+            for num, den in ((1, 4), (1, 2), (3, 4))
+        ]
+        yield pd.DataFrame(
+            {
+                "g": [key[0]],
+                "n_seen": [n],
+                "t_lvl": [t],
+                "m_kept": [m],
+                "q25_est": [qs[0]],
+                "q50_est": [qs[1]],
+                "q75_est": [qs[2]],
+            }
+        )
+
+    return (
+        hashed.withWatermark("ts", watermark)
+        .groupBy("g")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )

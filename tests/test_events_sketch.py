@@ -748,3 +748,53 @@ def test_running_distinct_null_value_counts_as_distinct(spark):
         r.event_id: r.n_distinct for r in running_distinct(df).collect()
     }
     assert got == {1: 1, 2: 2, 3: 2, 4: 3}
+
+
+def test_kll_merge_invariance_exact_fallback_and_null_group(spark):
+    """(1) Per-partial level sketches merged == direct sketch — every
+    output value identical (the q102 theorem).  (2) A group with
+    n <= k keeps everything: t_level 0, m_kept == n, and each q*_est
+    is the EXACT percentile_disc value.  (3) A NULL group key is a
+    legitimate group (eqNullSafe stamp joins, the q94/q98 gotcha) and
+    NULL values are excluded from the sketch domain."""
+    from duckdb_graphar_spark.operators.sketch import kll_quantile_rollup
+
+    rows = (
+        [("big", i % 7, i, float((i * 37) % 1000)) for i in range(600)]
+        + [("small", i % 7, 1000 + i, float(i)) for i in range(20)]
+        + [(None, i % 7, 2000 + i, float(i)) for i in range(10)]
+        + [("small", 0, 3000, None)]  # NULL value: not in the domain
+    )
+    df = spark.createDataFrame(rows, "grp string, day int, tag long, v double")
+    direct = kll_quantile_rollup(df, "grp", "v", "tag", k=64)
+    merged = kll_quantile_rollup(df, "grp", "v", "tag", partial_col="day", k=64)
+    a = {r.grp: tuple(r)[1:] for r in direct.collect()}
+    b = {r.grp: tuple(r)[1:] for r in merged.collect()}
+    assert a == b and set(a) == {"big", "small", None}
+    # exact fallback: small group (20 non-null values 0..19)
+    n, t, m, est_n, q25, q50, q75, rank, tol = a["small"]
+    assert (n, t, m, est_n) == (20, 0, 20, 20)
+    sv = sorted(float(i) for i in range(20))
+    assert (q25, q50, q75) == (sv[19 * 1 // 4], sv[19 * 1 // 2], sv[19 * 3 // 4])
+    assert tol is True
+    # big group actually engaged the sampler
+    nb, tb, mb, est_nb = a["big"][:4]
+    assert nb == 600 and tb >= 1 and 0 < mb <= 64 and est_nb == mb * (1 << tb)
+    # NULL group intact with its 10 rows
+    assert a[None][0] == 10 and a[None][1] == 0 and a[None][2] == 10
+
+
+def test_kll_sketch_partition_invariance(spark):
+    """The sketch is a deterministic function of the ROW SET: an
+    adversarial repartition/shuffle of the input must not change one
+    output value (this is what licenses the cross-engine oracle)."""
+    from duckdb_graphar_spark.operators.sketch import kll_quantile_rollup
+
+    rows = [("g", i % 11, i, float((i * 13) % 500)) for i in range(700)]
+    df = spark.createDataFrame(rows, "grp string, day int, tag long, v double")
+    a = sorted(map(tuple, kll_quantile_rollup(df, "grp", "v", "tag", k=32).collect()))
+    shuffled = df.repartition(17, "v").sortWithinPartitions("day")
+    b = sorted(map(tuple, kll_quantile_rollup(shuffled, "grp", "v", "tag", k=32).collect()))
+    c = sorted(map(tuple, kll_quantile_rollup(
+        shuffled, "grp", "v", "tag", partial_col="day", k=32).collect()))
+    assert a == b == c

@@ -1305,3 +1305,76 @@ def test_streaming_time_decay_guards(spark):
     )
     with _pt.raises(ValueError, match="streaming"):
         streaming_time_decay_attribution(df)
+
+
+def test_streaming_kll_cross_batch_equals_batch_sketch(spark, tmp_path):
+    """The carried (survivors, threshold) state is load-bearing: the
+    final per-group emission across two micro-batches must equal the
+    BATCH sketch over the union of rows — merge-order independence is
+    what upgrades st31's oracle to a full value replay."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.operators.sketch import kll_quantile_rollup
+    from duckdb_graphar_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_kll_quantile,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=i),
+            i % 3,
+            "view" if i % 2 else "click",
+            float((i * 37) % 101),
+            "",
+        )
+        for i in range(400)
+    ] + [(9000, base, 1, "view", None, "")]  # NULL value: excluded
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    t0 = time.time() - 60
+    split = base + dt.timedelta(minutes=200)
+    for i, cond in enumerate((F.col("ts") <= split, F.col("ts") > split)):
+        tmp = os.path.join(stage, f"__b{i}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        npath = os.path.join(stage, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), npath)
+        shutil.rmtree(tmp)
+        os.utime(npath, (t0 + 10 * i, t0 + 10 * i))
+    stream = read_events_stream(spark, stage, max_files=1)
+    out = run_to_memory(
+        streaming_kll_quantile(stream, k=32), "kll_test", mode="update"
+    )
+    rows_out = out.collect()
+    got = {}
+    for r in rows_out:  # final emission per group = max n_seen
+        if r.g not in got or r.n_seen > got[r.g][0]:
+            got[r.g] = (r.n_seen, r.t_lvl, r.m_kept, r.q25_est, r.q50_est, r.q75_est)
+    want = {
+        r.event_type: (r.n_exact, r.t_level, r.m_kept, r.q25_est, r.q50_est, r.q75_est)
+        for r in kll_quantile_rollup(df, "event_type", "value", "event_id", k=32).collect()
+    }
+    assert got == want
+
+
+def test_streaming_kll_rejects_batch_input(spark):
+    import pytest as _pytest
+
+    from duckdb_graphar_spark.streaming.ops import streaming_kll_quantile
+
+    df = spark.createDataFrame([(1,)], "event_id long")
+    with _pytest.raises(ValueError, match="streaming"):
+        streaming_kll_quantile(df)
