@@ -798,3 +798,22 @@ def test_kll_sketch_partition_invariance(spark):
     c = sorted(map(tuple, kll_quantile_rollup(
         shuffled, "grp", "v", "tag", partial_col="day", k=32).collect()))
     assert a == b == c
+
+
+def test_kll_sketch_top_level_collapse_is_deterministic(spark):
+    """The measure-zero collapse: every row at level 0 with n > k forces
+    T = 1 and an EMPTY kept set — m_kept 0, est_n 0, all estimates and
+    q50_rank NULL, within_tol NULL.  Deterministic on both engines (the
+    oracle computes the same), so the output contract is pinned rather
+    than papered over.  Tags 0,1,3,4,6,8 hash to level 0 under seed
+    kll0 (md5 trailing-zero bits, precomputed)."""
+    from duckdb_graphar_spark.operators.sketch import kll_quantile_rollup
+
+    rows = [("g", t, float(t)) for t in (0, 1, 3, 4, 6, 8)]
+    df = spark.createDataFrame(rows, "grp string, tag long, v double")
+    out = kll_quantile_rollup(df, "grp", "v", "tag", k=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_exact, r.t_level, r.m_kept, r.est_n) == (6, 1, 0, 0)
+    assert r.q25_est is None and r.q50_est is None and r.q75_est is None
+    assert r.q50_rank is None and r.within_tol is None
