@@ -498,7 +498,24 @@ def kll_quantile_rollup(
     summ = _ns_join(
         _ns_join(tg, mdf.drop("t_lvl"), ["g"], how="left"), qsel, ["g"], how="left"
     ).withColumn("m_kept", F.coalesce(F.col("m_kept"), F.lit(0)))
-    summ = _ns_join(nx, summ, ["g"])
+    # LEFT join from nx: in the merged (partial_col) path a group can
+    # collapse entirely — every per-partial survivor sits below the
+    # merge floor, surv is empty for the group, and tg carries no row.
+    # An inner join here would DELETE the group while the direct sketch
+    # emits it (t_level = floor, m_kept = 0): the merge theorem gives
+    # T_union == floor exactly when the floor-filtered survivor set is
+    # empty (counts at ℓ ≥ floor are complete and total 0 ≤ k, so
+    # T_union ≤ floor; T_union ≥ every partial T always).  Probability
+    # ~2^-k per group — unreachable at k=256, but the merge==direct
+    # contract must hold for every k.
+    summ = _ns_join(nx, summ, ["g"], how="left")
+    if partial_col:
+        summ = (
+            _ns_join(summ, floor_df, ["g"], how="left", bcast=True)
+            .withColumn("t_lvl", F.coalesce(F.col("t_lvl"), F.col("floor_lvl")))
+            .drop("floor_lvl")
+        )
+    summ = summ.withColumn("m_kept", F.coalesce(F.col("m_kept"), F.lit(0)))
     rank50 = _ns_join(base, summ.select("g", "q50_est"), ["g"], bcast=True).groupBy("g").agg(
         (
             F.sum(F.when(F.col("val") <= F.col("q50_est"), 1).otherwise(0))

@@ -2263,7 +2263,18 @@ def streaming_kll_quantile(
             )
         )
         m = len(rows)
-        srt = sorted(rows, key=lambda r: (math.isnan(r[0]), r[0], r[1]))
+        # NaN must compare EQUAL among NaNs so the tag tiebreak applies
+        # (python tuple compare stops at nan!=nan and falls back to
+        # arrival order; Spark's ORDER BY val, tag groups NaNs and then
+        # orders by tag) — normalize NaN keys to a constant first.
+        srt = sorted(
+            rows,
+            key=lambda r: (
+                math.isnan(r[0]),
+                0.0 if math.isnan(r[0]) else r[0],
+                r[1],
+            ),
+        )
         qs = [
             srt[(m - 1) * num // den][0] if m else None
             for num, den in ((1, 4), (1, 2), (3, 4))

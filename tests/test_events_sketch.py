@@ -817,3 +817,34 @@ def test_kll_sketch_top_level_collapse_is_deterministic(spark):
     assert (r.n_exact, r.t_level, r.m_kept, r.est_n) == (6, 1, 0, 0)
     assert r.q25_est is None and r.q50_est is None and r.q75_est is None
     assert r.q50_rank is None and r.within_tol is None
+
+
+def test_kll_merged_path_keeps_collapsed_group(spark):
+    """The r11-advice defect: in the MERGED (partial_col) path a group
+    whose every per-partial survivor sits below the merge floor has an
+    empty surv set, so the group-level threshold pass emits no row —
+    an inner join from n_exact then DELETED the group, while the
+    direct sketch emits it as the collapse row (t_level = floor,
+    m_kept = 0, est_n = 0, NULL estimates; T_union == floor exactly
+    when the floor-filtered survivor union is empty).  Tags 0,1,3,4,
+    6,8 all hash to level 0 under seed kll0; the t%2 split gives day0
+    four rows (> k=2 → per-partial T=1, no survivors) and day1 two
+    rows (T=0, both survive at level 0) — the floor=1 filter then
+    empties the union.  A second healthy group pins that the left-join
+    repair doesn't disturb non-collapsed output."""
+    from duckdb_graphar_spark.operators.sketch import kll_quantile_rollup
+
+    rows = [("g", t % 2, t, float(t)) for t in (0, 1, 3, 4, 6, 8)] + [
+        ("h", i % 2, 100 + i, float(i)) for i in range(2)  # n <= k: exact
+    ]
+    df = spark.createDataFrame(rows, "grp string, day int, tag long, v double")
+    direct = {r.grp: tuple(r)[1:] for r in
+              kll_quantile_rollup(df, "grp", "v", "tag", k=2).collect()}
+    merged = {r.grp: tuple(r)[1:] for r in
+              kll_quantile_rollup(df, "grp", "v", "tag",
+                                  partial_col="day", k=2).collect()}
+    assert set(merged) == {"g", "h"}, "collapsed group must not vanish"
+    assert merged == direct
+    n, t, m, est_n = merged["g"][:4]
+    assert (n, t, m, est_n) == (6, 1, 0, 0)
+    assert all(v is None for v in merged["g"][4:])
