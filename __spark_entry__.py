@@ -13323,37 +13323,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # definition order.
 _PRIORITY = [
     # --- The driver checks the first 50 registry slots each round, so the
-    # --- window rotates.  Round-11 window = EXACTLY 50, spent per the
-    # --- r10 verdict's top directive (clear the r4 evidence band
-    # --- completely + the oldest r5 entries; cap new at ~8 — the final
-    # --- split is 47 rotation-debt slots + 3 changed/new-code slots):
-    # --- (1) the 2 NEVER-driver-checked entries, new this round —
-    # --- q102 (mergeable KLL-style quantile sketch rollup, the missing
-    # --- sketch-family member) and st31 (its streaming twin) — plus
-    # --- ga06 (counts from metadata): GraphInfo.load/stat_token CHANGED
-    # --- this round (pre-read token capture + ArrowException fallback),
-    # --- and ga06 prices metadata counts straight through that path;
-    "q102", "st31", "ga06",
-    # --- (2) ALL 28 entries whose latest driver evidence is round 4 —
-    # --- the full rotation-debt band the r10 verdict queued first;
-    # --- none changed since passing, all in-repo oracle-green ---
-    "m07", "q58", "t26", "g18", "g19", "m08", "m09", "q59", "q61",
-    "q62", "q63", "q64", "q65", "q66", "q67", "s09", "s10", "s11",
-    "s12", "s13", "st10", "st11", "t28", "t29", "t30", "t31", "t32",
-    "t33",
-    # --- (3) 19 of the 47 r5-stale entries, filling the window to
-    # --- EXACTLY 50 (3 + 28 + 19).  The ga family leads — every ga
-    # --- entry re-plans metadata through the changed GraphInfo cache,
-    # --- so these double as changed-path evidence ---
-    "ga01", "ga14", "ga15", "ga16", "ga17", "ga18",
-    "g02", "g07", "g11", "g13", "g17", "q01", "q05", "q31",
-    "st09", "st13", "t23", "t34", "u04",
-    # --- 51+: the remaining 28 r5-stale entries lead the round-12
-    # --- queue; everything else follows in registry definition order ---
+    # --- window rotates.  Round-12 window = EXACTLY 50, spent per the
+    # --- r11 verdict's top directive (clear the whole r5-stale band +
+    # --- the oldest r6 entries; s09/s10 appended for the probation
+    # --- re-check of the one surviving r11 perf drift; cap new at ~2 —
+    # --- this round adds ZERO new entries, only changed-code slots):
+    # --- (1) q102/st31 lead as CHANGED-code evidence: the r11-advice
+    # --- merged-path collapse fix touched kll_quantile_rollup's final
+    # --- joins (operators/sketch.py) and the streaming fold's NaN sort
+    # --- key (streaming/ops.py) this round;
+    "q102", "st31",
+    # --- (2) ALL 28 entries whose latest driver evidence is round 5 —
+    # --- clearing this band ends the r5 backlog entirely; none changed
+    # --- since passing, all in-repo oracle-green ---
     "g20", "g21", "g22", "g23", "m01", "m02", "m11", "m12", "m13",
     "q71", "q72", "q73", "q74", "q75", "q76", "q77", "q78", "q79",
     "s07", "s08", "s14", "s15", "st12", "st14", "t35", "t36", "u05",
     "u06",
+    # --- (3) 18 of the 47 r6-stale entries, filling the window to
+    # --- EXACTLY 50 (2 + 28 + 18 + 2 probation) ---
+    "d08", "g24", "g25", "g26", "g28", "g29", "ga19", "ga20",
+    "m14", "m15", "m16", "m17", "m18", "m19", "m20", "m21", "m22",
+    "m23",
+    # --- (4) s09/s10: r11's one surviving normalized perf drift
+    # --- (s10 1.53x, contention-suspected) — probation re-check ---
+    "s09", "s10",
+    # --- 51+: the remaining 29 r6-stale entries lead the round-13
+    # --- queue; everything else follows in registry definition order ---
+    "q00", "q04", "q06", "q07", "q08", "q09",
+    "q80", "q81", "q82", "q83", "q84", "q85", "q86", "q87", "q88",
+    "s16", "s17", "s18", "s19", "s20", "st15", "st16", "st17",
+    "t37", "t38", "t39", "t40", "u07", "u08",
 ]
 
 
