@@ -11962,8 +11962,12 @@ def q102(spark, sf):
     ev = _t(spark, sf, "events").withColumn(
         "__day", F.date_trunc("day", F.col("ts"))
     )
+    # audit=True: the oracle replays the q50-CDF QA columns too.  The
+    # production build is audit=False (2 corpus passes instead of 3);
+    # tests/test_plans.py pins that scan-count difference.
     return kll_quantile_rollup(
-        ev, "event_type", "value", "event_id", partial_col="__day", k=256
+        ev, "event_type", "value", "event_id", partial_col="__day", k=256,
+        audit=True,
     )
 
 

@@ -319,9 +319,11 @@ def kll_quantile_rollup(
     k: int = 256,
     seed: str = "kll0",
     probs: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4)),
+    audit: bool = False,
 ) -> DataFrame:
     """Mergeable KLL-STYLE quantile sketch rollup → (group, n_exact,
-    t_level, m_kept, est_n, q*_est per prob, q50_rank, within_tol).
+    t_level, m_kept, est_n, q*_est per prob[, q50_rank, within_tol
+    when ``audit=True``]).
 
     The missing member of the sketch family next to HLL (q63), KMV
     (q80), CMS (q81) and Misra-Gries (t26): a bounded summary from
@@ -360,18 +362,22 @@ def kll_quantile_rollup(
     Quantile at p = num/den: the r-th smallest kept value with
     r = (m−1)·num div den + 1 (integer arithmetic; the q92
     row_number-rank convention, deterministic in both engines).
-    Exact when T = 0 (n ≤ k) — the exact-fallback.  QA columns the
-    oracle audits (a 100 TB caller selects the sketch columns only):
-    ``n_exact``; ``q50_rank`` = CDF of the p=.5 estimate; ``within_tol``
-    = |q50_rank − .5| ≤ 1.5/sqrt(m) (DKW bound at confidence ~98%).
-    ``m_kept`` = 0 (all estimates NULL) is the measure-zero collapse
-    where the top level empties; deterministic on both engines.
+    Exact when T = 0 (n ≤ k) — the exact-fallback.  ``audit=True``
+    appends the QA columns the oracle replays — ``q50_rank`` = CDF of
+    the p=.5 estimate, ``within_tol`` = |q50_rank − .5| ≤ 1.5/sqrt(m)
+    (DKW bound at confidence ~98%) — at the cost of ONE EXTRA FULL
+    corpus pass (the CDF rank-back join); it defaults OFF because a
+    100 TB caller wants the two-pass sketch build and the sketch
+    columns only.  ``m_kept`` = 0 (all estimates NULL) is the
+    measure-zero collapse where the top level empties; deterministic
+    on both engines.
 
     Scale shape: the shuffle carries per-(group, level) COUNTS (≤ 53
     longs per group) plus ≤ k survivor rows per partial — never the
     value stream; level assignment is a row-local JVM expression
     (md5 + bit_count), survivors prune at the scan side of the
-    shuffle.  State/output is O(k) per group regardless of n.
+    shuffle.  State/output is O(k) per group regardless of n;
+    corpus passes: 2 (``audit=False``) or 3 (``audit=True``).
     """
     from pyspark.sql import Window
 
@@ -394,9 +400,16 @@ def kll_quantile_rollup(
             F.col(value_col).cast("double").alias("val"),
         )
     )
+    # lvl is non-null by construction (md5 of a non-null concat); the
+    # explicit filter is a semantic no-op that UNIFIES the inferred
+    # isnotnull(lvl) constraint across every consumer — without it,
+    # consumers that filter `lvl >= t` get the constraint pushed into
+    # their scan while plain count consumers don't, the subtrees stop
+    # being canonically equal, and exchange reuse (what holds the build
+    # at two corpus passes) silently breaks.
     hashed = base.withColumn("h", h).withColumn(
         "lvl", F.expr("bit_count((h & -h) - 1)")
-    )
+    ).filter(F.col("lvl").isNotNull())
 
     def _ns_join(
         left: DataFrame,
@@ -424,12 +437,14 @@ def kll_quantile_rollup(
             cond = t if cond is None else (cond & t)
         return left.join(r, cond, how).drop(*[f"__r_{c}" for c in cols])
 
-    def _threshold(rows: DataFrame, keys: list[str], floor_df: DataFrame | None) -> DataFrame:
-        # canonical T over `rows` grouped by `keys`: 0 (or the merge
-        # floor) when everything fits, else one past the deepest
-        # over-capacity level.  cum uses a DESC running frame (the
-        # unbounded-FOLLOWING ban).
-        cnts = rows.groupBy(*keys, "lvl").agg(F.count(F.lit(1)).alias("c"))
+    def _threshold(cnts: DataFrame, keys: list[str], floor_df: DataFrame | None) -> DataFrame:
+        # canonical T from a per-(keys, lvl) COUNTS table `cnts`
+        # (columns *keys, lvl, c): 0 (or the merge floor) when
+        # everything fits, else one past the deepest over-capacity
+        # level.  The threshold is a pure function of the counts —
+        # NEVER of the raw rows — which is what caps the whole sketch
+        # build at two corpus passes.  cum uses a DESC running frame
+        # (the unbounded-FOLLOWING ban).
         w = Window.partitionBy(*keys).orderBy(F.desc("lvl"))
         cum = cnts.withColumn("cum", F.sum("c").over(w))
         t = cum.groupBy(*keys).agg(
@@ -450,38 +465,70 @@ def kll_quantile_rollup(
             "n_rows",
         )
 
+    # CORPUS PASS 1: per-(group[, partial], level) counts.  Everything
+    # threshold-shaped (per-partial T, merge floor, group T, n_exact)
+    # derives from this one tiny table — ≤ 53 level rows per group —
+    # so no threshold computation ever touches the corpus again.
     if partial_col:
-        tp = _threshold(hashed, ["g", "p"], None)
-        surv = _ns_join(
-            hashed, tp.drop("n_rows"), ["g", "p"], bcast=True
-        ).filter(F.col("lvl") >= F.col("t_lvl")).drop("t_lvl", "p")
+        cnts = hashed.groupBy("g", "p", "lvl").agg(F.count(F.lit(1)).alias("c"))
+        tp = _threshold(cnts, ["g", "p"], None)
         floor_df = tp.groupBy("g").agg(F.max("t_lvl").alias("floor_lvl"))
-        surv = _ns_join(surv, floor_df, ["g"], bcast=True).filter(
+        nx = tp.groupBy("g").agg(F.sum("n_rows").alias("n_exact"))
+        # survivor level counts — filter the COUNTS table by the
+        # per-partial thresholds + merge floor, then re-aggregate to
+        # (g, lvl); the group threshold reads these, not the rows
+        scnt = (
+            _ns_join(cnts, tp.drop("n_rows"), ["g", "p"], bcast=True)
+            .filter(F.col("lvl") >= F.col("t_lvl"))
+            .drop("t_lvl")
+            )
+        scnt = (
+            _ns_join(scnt, floor_df, ["g"], bcast=True)
+            .filter(F.col("lvl") >= F.col("floor_lvl"))
+            .groupBy("g", "lvl")
+            .agg(F.sum("c").alias("c"))
+        )
+        tg_full = _threshold(scnt, ["g"], floor_df)
+        tg = tg_full.drop("n_rows")
+        # CORPUS PASS 2: survivor-row selection — every filter table
+        # broadcasts (group- or partial-sized), the value stream never
+        # shuffles to meet them
+        kept = (
+            _ns_join(hashed, tp.drop("n_rows"), ["g", "p"], bcast=True)
+            .filter(F.col("lvl") >= F.col("t_lvl"))
+            .drop("t_lvl", "p")
+        )
+        kept = _ns_join(kept, floor_df, ["g"], bcast=True).filter(
             F.col("lvl") >= F.col("floor_lvl")
         ).drop("floor_lvl")
-        # n_exact rides the threshold pass's own per-partial counts —
-        # no extra full scan (at 100 TB every avoided pass matters)
-        nx = tp.groupBy("g").agg(F.sum("n_rows").alias("n_exact"))
+        kept = _ns_join(kept, tg, ["g"], bcast=True).filter(
+            F.col("lvl") >= F.col("t_lvl")
+        )
     else:
-        surv = hashed
+        cnts = hashed.groupBy("g", "lvl").agg(F.count(F.lit(1)).alias("c"))
         floor_df = None
-    tg_full = _threshold(surv, ["g"], floor_df)
-    if not partial_col:
+        tg_full = _threshold(cnts, ["g"], None)
         nx = tg_full.select("g", F.col("n_rows").alias("n_exact"))
-    tg = tg_full.drop("n_rows")
-    kept = _ns_join(surv, tg, ["g"], bcast=True).filter(F.col("lvl") >= F.col("t_lvl"))
+        tg = tg_full.drop("n_rows")
+        # CORPUS PASS 2 (direct)
+        kept = _ns_join(hashed, tg, ["g"], bcast=True).filter(
+            F.col("lvl") >= F.col("t_lvl")
+        )
 
-    mdf = kept.groupBy("g").agg(
-        F.count(F.lit(1)).alias("m_kept"), F.max("t_lvl").alias("t_lvl")
-    )
+    # kept-set stats ride ONE window exchange (hash-partition by g over
+    # ≤ k rows/group): m_kept = max(rn) from the same ranking that
+    # selects the quantile rows, so both aggregates reuse the exchange
+    # instead of re-deriving kept from the scan (t_lvl comes from tg —
+    # no per-row carry needed)
     wq = Window.partitionBy("g").orderBy("val", "tag")
     ranked = kept.select("g", "val", "tag").withColumn(
         "rn", F.row_number().over(wq)
     )
+    mdf = ranked.groupBy("g").agg(F.max("rn").alias("m_kept"))
     qcols = [
         (f"q{100 * num // den}_est", num, den) for num, den in probs
     ]
-    qsel = _ns_join(ranked, mdf.select("g", "m_kept"), ["g"]).groupBy("g").agg(
+    qsel = _ns_join(ranked, mdf, ["g"], bcast=True).groupBy("g").agg(
         *[
             F.max(
                 F.when(
@@ -496,7 +543,7 @@ def kll_quantile_rollup(
     # groups whose kept set is empty keep their tg row (t_lvl) with
     # m_kept = 0 and NULL estimates
     summ = _ns_join(
-        _ns_join(tg, mdf.drop("t_lvl"), ["g"], how="left"), qsel, ["g"], how="left"
+        _ns_join(tg, mdf, ["g"], how="left"), qsel, ["g"], how="left"
     ).withColumn("m_kept", F.coalesce(F.col("m_kept"), F.lit(0)))
     # LEFT join from nx: in the merged (partial_col) path a group can
     # collapse entirely — every per-partial survivor sits below the
@@ -516,14 +563,7 @@ def kll_quantile_rollup(
             .drop("floor_lvl")
         )
     summ = summ.withColumn("m_kept", F.coalesce(F.col("m_kept"), F.lit(0)))
-    rank50 = _ns_join(base, summ.select("g", "q50_est"), ["g"], bcast=True).groupBy("g").agg(
-        (
-            F.sum(F.when(F.col("val") <= F.col("q50_est"), 1).otherwise(0))
-            / F.count(F.lit(1))
-        ).alias("__r50")
-    )
-    out = _ns_join(summ, rank50, ["g"])
-    return out.select(
+    sketch_cols = [
         F.col("g").alias(group_col),
         F.col("n_exact").cast("long").alias("n_exact"),
         F.col("t_lvl").alias("t_level"),
@@ -533,6 +573,30 @@ def kll_quantile_rollup(
             * F.expr("shiftleft(cast(1 as bigint), cast(t_lvl as int))")
         ).cast("long").alias("est_n"),
         *[F.col(name) for name, _, _ in qcols],
+    ]
+    if not audit:
+        # production path: the sketch is built in TWO corpus passes
+        # (per-partial threshold counts + survivor selection); the
+        # q50-CDF audit below is a THIRD full pass — at 100 TB that is
+        # the single largest avoidable cost, so it is opt-in.
+        return summ.select(*sketch_cols)
+    # the CDF reads q50_est from qsel, NOT from summ: pruning summ to
+    # (g, q50_est) degenerates the n_exact aggregate into DISTINCT(g)
+    # straight over the raw scan — an entire extra corpus pass that
+    # exchange reuse can't save (the collapsed aggregate no longer
+    # matches the counts subtree).  qsel shares the kept-window
+    # exchange with the main chain, so this branch costs only the
+    # unavoidable CDF scan of base.  LEFT join because collapsed
+    # groups have no qsel row (their q50_rank is NULL either way).
+    rank50 = _ns_join(base, qsel.select("g", "q50_est"), ["g"], bcast=True).groupBy("g").agg(
+        (
+            F.sum(F.when(F.col("val") <= F.col("q50_est"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("__r50")
+    )
+    out = _ns_join(summ, rank50, ["g"], how="left")
+    return out.select(
+        *sketch_cols,
         F.when(F.col("m_kept") > 0, F.round(F.col("__r50"), 6)).alias("q50_rank"),
         F.when(F.col("m_kept") > 0,
                F.abs(F.col("__r50") - F.lit(0.5))

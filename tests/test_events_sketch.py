@@ -766,8 +766,10 @@ def test_kll_merge_invariance_exact_fallback_and_null_group(spark):
         + [("small", 0, 3000, None)]  # NULL value: not in the domain
     )
     df = spark.createDataFrame(rows, "grp string, day int, tag long, v double")
-    direct = kll_quantile_rollup(df, "grp", "v", "tag", k=64)
-    merged = kll_quantile_rollup(df, "grp", "v", "tag", partial_col="day", k=64)
+    direct = kll_quantile_rollup(df, "grp", "v", "tag", k=64, audit=True)
+    merged = kll_quantile_rollup(
+        df, "grp", "v", "tag", partial_col="day", k=64, audit=True
+    )
     a = {r.grp: tuple(r)[1:] for r in direct.collect()}
     b = {r.grp: tuple(r)[1:] for r in merged.collect()}
     assert a == b and set(a) == {"big", "small", None}
@@ -811,7 +813,7 @@ def test_kll_sketch_top_level_collapse_is_deterministic(spark):
 
     rows = [("g", t, float(t)) for t in (0, 1, 3, 4, 6, 8)]
     df = spark.createDataFrame(rows, "grp string, tag long, v double")
-    out = kll_quantile_rollup(df, "grp", "v", "tag", k=2).collect()
+    out = kll_quantile_rollup(df, "grp", "v", "tag", k=2, audit=True).collect()
     assert len(out) == 1
     r = out[0]
     assert (r.n_exact, r.t_level, r.m_kept, r.est_n) == (6, 1, 0, 0)

@@ -780,3 +780,74 @@ def test_running_distinct_no_collect_set_window(spark, qs):
     # exactly the two segmented windows (in-segment running sum + the
     # per-user segment-prefix carry); the first-occurrence flag adds none
     assert plan.count("Window") == 2
+
+
+def _executed_scan_rows(df) -> int:
+    """Sum numOutputRows over every EXECUTED leaf file scan in the
+    final (post-AQE) physical plan — reused exchanges/stages are
+    deduped by node id, so the total is the number of rows actually
+    read off storage, i.e. (corpus passes) × (input rows)."""
+    total, seen = 0, set()
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        nid = node.id()
+        if nid in seen:
+            continue
+        seen.add(nid)
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name or "BatchScan" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total += kv._2().value()
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(node.executedPlan())
+        elif "QueryStageExec" in name:
+            stack.append(node.plan())
+        else:
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+    return total
+
+
+def test_kll_sketch_corpus_pass_count(spark):
+    """q102's 100 TB contract, MEASURED (not inferred from plan text,
+    which duplicates reused subtrees): the production sketch build
+    reads the corpus exactly TWICE — per-level counts, then survivor
+    selection; thresholds/floors/n_exact all derive from the counts
+    table and every filter table broadcasts.  ``audit=True`` adds
+    exactly ONE more pass (the q50-CDF rank-back), which is why it
+    defaults off.  This pins three load-bearing plan properties at
+    once: counts-based thresholds (no threshold recomputation from
+    rows), exchange reuse across the count/kept consumers (the
+    isnotnull(lvl) canonicalization guard in sketch.py), and the
+    qsel-fed CDF branch (a summ-fed CDF degenerates n_exact into a
+    DISTINCT over the raw scan — a whole extra pass)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_graphar_spark.operators.sketch import kll_quantile_rollup
+    from duckdb_graphar_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    n = ev.count()
+    for partial, audit, want in (
+        ("__day", False, 2),
+        ("__day", True, 3),
+        (None, False, 2),
+        (None, True, 3),
+    ):
+        d = kll_quantile_rollup(
+            ev, "event_type", "value", "event_id",
+            partial_col=partial, k=256, audit=audit,
+        )
+        d.collect()
+        got = _executed_scan_rows(d)
+        assert got == want * n, (
+            f"partial={partial} audit={audit}: read {got} rows "
+            f"({got / n:.2f} corpus passes), expected {want}"
+        )
