@@ -31,20 +31,33 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_ADJ_REPS", "5"))
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
     import __spark_entry__ as E
     from duckdb_graphar_spark.session import get_spark
 
     spark = get_spark("adjudicate")
     qs = E.queries()
     E._orders_graphar(spark, sf_dir)
-    names = CONTROLS + [s for s in suspects if s not in CONTROLS]
+    # the Python-worker control (r12): a fixed arrow-batched mapInPandas
+    # identity+sum, interleaved like the JVM controls so pandas-UDF /
+    # driver-python-heavy suspects get a like-for-like meter
+    py_df = bench._ControlNormalizer._build_py_control(spark)
+    controls = CONTROLS + [bench.PY_CONTROL]
+    names = controls + [s for s in suspects if s not in controls]
     times: dict[str, list[float]] = {n: [] for n in names}
+
+    def _run(n: str) -> None:
+        if n == bench.PY_CONTROL:
+            py_df.write.mode("overwrite").format("noop").save()
+        else:
+            qs[n](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
     for n in names:  # one untimed warm rep each
-        qs[n](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        _run(n)
     for _ in range(reps):  # interleave: every rep samples the same window
         for n in names:
             t0 = time.time()
-            qs[n](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            _run(n)
             times[n].append(time.time() - t0)
     out: dict[str, dict] = {}
     for n in names:
@@ -59,16 +72,31 @@ def main() -> None:
         out[c]["inflation_vs_ref"] for c in CONTROLS if "inflation_vs_ref" in out[c]
     )
     ambient = ctrl_inf[len(ctrl_inf) // 2] if ctrl_inf else None
+    # py-control ambient: med/floor within this run (no historical ref
+    # exists for it yet; its in-run scatter IS the python-lane meter),
+    # unless the ref file carries a py00 entry from a prior run
+    pyo = out[bench.PY_CONTROL]
+    py_ambient = (
+        pyo.get("inflation_vs_ref")
+        or round(pyo["median_sec"] / pyo["min_sec"], 2)
+    )
     result = {
         "sf_dir": sf_dir,
         "reps": reps,
         "controls": CONTROLS,
+        "py_control": bench.PY_CONTROL,
         "ambient_control_inflation_median": ambient,
+        "ambient_py_control_inflation": py_ambient,
         "interleaved": out,
         "discounted": {
             s: round(out[s]["inflation_vs_ref"] / ambient, 2)
             for s in suspects
             if "inflation_vs_ref" in out.get(s, {}) and ambient
+        },
+        "discounted_py": {
+            s: round(out[s]["inflation_vs_ref"] / py_ambient, 2)
+            for s in suspects
+            if "inflation_vs_ref" in out.get(s, {}) and py_ambient
         },
     }
     json.dump(result, open(out_path, "w"), indent=1)
