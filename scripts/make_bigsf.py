@@ -42,6 +42,13 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    # r11 verdict defect: the default writer block size (128 MB) put a
+    # whole 10M-row table into ONE row group — parquet splits on row
+    # groups, so every sf10 full scan ran as a single straggler task
+    # and scale probes measured a fixture floor, not the plan.  Small
+    # row groups keep the single-file layout (events streaming needs
+    # one file == one micro-batch) while restoring splittability.
+    ap.add_argument("--rowgroup-mb", type=int, default=8)
     args = ap.parse_args()
 
     import duckdb_graphar_spark as dgs
@@ -80,14 +87,23 @@ def main() -> None:
         out = f"{args.out}/{name}.parquet"
         df = t[name] if not shifts else _replicate(t[name], args.factor, shifts)
         # single file per table to mirror the source layout (events
-        # streaming relies on one-file == one micro-batch)
-        df.coalesce(1).write.mode("overwrite").parquet(out + ".dir")
+        # streaming relies on one-file == one micro-batch), but with
+        # --rowgroup-mb row groups so the scan stays splittable
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.block.size", args.rowgroup_mb * 1024 * 1024)
+            .parquet(out + ".dir")
+        )
         part = [f for f in os.listdir(out + ".dir") if f.endswith(".parquet")][0]
         os.replace(os.path.join(out + ".dir", part), out)
         import shutil
 
         shutil.rmtree(out + ".dir")
-        print(name, "rows:", spark.read.parquet(out).count())
+        import pyarrow.parquet as pq
+
+        rg = pq.ParquetFile(out).metadata.num_row_groups
+        print(name, "rows:", spark.read.parquet(out).count(), "row_groups:", rg)
 
 
 if __name__ == "__main__":
