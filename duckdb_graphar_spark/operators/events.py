@@ -346,15 +346,26 @@ def scd2_apply(
     shuffled by the windows); the windowed recompute runs over
     |changes| + |changed users| rows; untouched users' rows pass
     through an anti-join untouched."""
-    changed_users = changes.select(F.col(user_col)).distinct()
-    keep = dim.join(changed_users, user_col, "left_anti").unionByName(
+    # NULL-SAFE membership joins, for two reasons: (1) a NULL-user batch
+    # row must route that user's open row through the recompute exactly
+    # like the full rebuild does (plain equi-semi would leave the open
+    # row in `keep` AND recompute the batch rows — a duplicated user);
+    # (2) plain semi/anti joins make Catalyst infer isnotnull(user_id)
+    # on SOME branches and push it into the scan, splitting the shared
+    # dim subtree into canonically-different copies — each consumer
+    # then re-derives the whole scd2_intervals window chain from the
+    # RAW SCAN (the q102 exchange-reuse trap; scripts/
+    # audit_corpus_passes.py measured 2 dim passes where 1 suffices).
+    changed_users = changes.select(F.col(user_col).alias("__cu")).distinct()
+    _m = F.col(user_col).eqNullSafe(F.col("__cu"))
+    keep = dim.join(changed_users, _m, "left_anti").unionByName(
         dim.filter(F.col("valid_to").isNotNull()).join(
-            changed_users, user_col, "left_semi"
+            changed_users, _m, "left_semi"
         )
     )
     synth = (
         dim.filter(F.col("valid_to").isNull())
-        .join(changed_users, user_col, "left_semi")
+        .join(changed_users, _m, "left_semi")
         .select(
             F.col(user_col),
             F.col("valid_from").alias(ts_col),
@@ -576,16 +587,20 @@ def last_touch_attribution(
         ).withColumn("__avus_in", F.last(vus, ignorenulls=True).over(w_in))
         # one row per (user, segment): the segment's LAST view — a
         # map-combined struct MAX, so the hot user's 10^8 events become
-        # one partial per input partition, never a buffered window
-        segv = (
-            flat.filter(F.col("__et") == view_type)
-            .groupBy("__u", "__seg")
-            .agg(F.max(F.struct("__us", "__id")).alias("__lv"))
-        )
-        segs = (
-            flat.select("__u", "__seg")
-            .distinct()
-            .join(segv, ["__u", "__seg"], "left")
+        # one partial per input partition, never a buffered window.
+        # ONE unfiltered aggregate covers every (user, segment) AND the
+        # per-segment last view in the same pass: max() skips the NULLs
+        # the `when` leaves on non-view rows, so view-less segments
+        # surface with __lv NULL — the old two-consumer form (a
+        # view-filtered groupBy LEFT-joined onto a distinct segment
+        # list) cost a second corpus pass for the distinct, and the
+        # pushed event_type filter split the scan subtree besides
+        # (scripts/audit_corpus_passes.py measured 3 passes; this
+        # shape measures 2).
+        segs = flat.groupBy("__u", "__seg").agg(
+            F.max(
+                F.when(F.col("__et") == view_type, F.struct("__us", "__id"))
+            ).alias("__lv")
         )
         w_seg = (
             Window.partitionBy("__u")
@@ -683,15 +698,15 @@ def linear_attribution(
         within = flat.withColumn(
             "__pid_in", F.last(pid, ignorenulls=True).over(w_in)
         )
-        segp = (
-            flat.filter(F.col("__et") == purchase_type)
-            .groupBy("__u", "__seg")
-            .agg(F.min(F.struct("__us", "__id")).alias("__fp"))
-        )
-        segs = (
-            flat.select("__u", "__seg")
-            .distinct()
-            .join(segp, ["__u", "__seg"], "left")
+        # one unfiltered aggregate = segment list + per-segment first
+        # purchase in the SAME corpus pass (min() skips the when-NULLs
+        # on non-purchase rows; purchase-less segments keep __fp NULL)
+        # — the filtered-groupBy + distinct + left-join form cost an
+        # extra corpus pass and split the scan subtree (the q89 fix)
+        segs = flat.groupBy("__u", "__seg").agg(
+            F.min(
+                F.when(F.col("__et") == purchase_type, F.struct("__us", "__id"))
+            ).alias("__fp")
         )
         # DESC over segments: the frame [max-seg .. seg+1]'s LAST
         # non-null is the nearest LATER segment's first purchase
@@ -905,15 +920,15 @@ def time_decay_attribution(
         within = flat.withColumn(
             "__p_in", F.last(pstruct, ignorenulls=True).over(w_in)
         )
-        segp = (
-            flat.filter(F.col("__et") == purchase_type)
-            .groupBy("__u", "__seg")
-            .agg(F.min(F.struct("__us", "__id")).alias("__fp"))
-        )
-        segs = (
-            flat.select("__u", "__seg")
-            .distinct()
-            .join(segp, ["__u", "__seg"], "left")
+        # one unfiltered aggregate = segment list + per-segment first
+        # purchase in the SAME corpus pass (min() skips the when-NULLs
+        # on non-purchase rows; purchase-less segments keep __fp NULL)
+        # — the filtered-groupBy + distinct + left-join form cost an
+        # extra corpus pass and split the scan subtree (the q89 fix)
+        segs = flat.groupBy("__u", "__seg").agg(
+            F.min(
+                F.when(F.col("__et") == purchase_type, F.struct("__us", "__id"))
+            ).alias("__fp")
         )
         w_seg = (
             Window.partitionBy("__u")

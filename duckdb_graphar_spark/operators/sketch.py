@@ -295,7 +295,17 @@ def cms_point_estimates(
         .groupBy("g", "val", "n_exact")
         .agg(F.min("__c").alias("__est"))
     )
-    totals = base.groupBy("g").agg(F.count(F.lit(1)).alias("__n_tot"))
+    # N per group rides the COUNTER TABLE, not a third corpus pass:
+    # every base row increments exactly one bucket of hash row j=0, so
+    # the row-0 counters sum to the exact group total (integer-exact);
+    # this consumer shares the counters exchange with `est`
+    # (scripts/audit_corpus_passes.py measured the old base.groupBy
+    # total as a third full scan)
+    totals = (
+        counters.filter(F.col("__j") == 0)
+        .groupBy("g")
+        .agg(F.sum("__c").alias("__n_tot"))
+    )
     return est.join(totals, "g").select(
         F.col("g").alias(group_col),
         F.col("val").alias("key"),

@@ -176,9 +176,18 @@ def duplicate_ngram_coverage(
             (F.col("n_grams") - F.coalesce("__n_uniq", F.lit(0))).alias("n_dup_grams"),
         )
     )
+    # NULL-SAFE join-back: a NULL doc id is a legitimate group (the
+    # q94/q98 discipline) and gets its real counts; a plain name-list
+    # left join would also make Catalyst infer isnotnull(doc_id) and
+    # push it into ONE of the two gram-aggregate chains (totals — the
+    # filter rides its group key; uniq's key is max(id), unpushable),
+    # splitting the shared distinct-grams exchange into two full
+    # corpus passes (scripts/audit_corpus_passes.py).
+    pd_r = per_doc.withColumnRenamed("__id", "__r_id")
     return (
         df.select(F.col(id_col))
-        .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+        .join(pd_r, F.col(id_col).eqNullSafe(F.col("__r_id")), "left")
+        .drop("__r_id")
         .select(
             id_col,
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
@@ -369,7 +378,21 @@ def bigram_lm_score(
     bg = df.select(F.col(id_col).alias("__id"), _word_ngrams(toks, 2).alias("__gs")).select(
         "__id", F.explode("__gs").alias("__g")
     )
-    cbg = bg.groupBy("__g").agg(F.count(F.lit(1)).alias("__cg"))
+    # __g is non-null by construction (ngram concat of split tokens);
+    # the explicit filter is a semantic no-op that unifies the
+    # isnotnull(__g) constraint the probability join infers on ONE of
+    # bg's two consumers — without it the shared explode subtree splits
+    # and the corpus text is read twice (the q102 exchange-reuse trap).
+    bg = bg.filter(F.col("__g").isNotNull())
+    # per-(doc, gram) counts FIRST: corpus counts and the per-doc
+    # reduction both derive from this one aggregate, so its exchange is
+    # the single corpus-sized shuffle — aggregating straight to
+    # groupBy(__g) pruned doc_id out of that branch's scan and split
+    # the shared explode subtree into two full corpus reads
+    # (scripts/audit_corpus_passes.py: 3 passes before, 2 after); the
+    # (doc, gram) combine also shrinks the explode before the shuffle.
+    tf2 = bg.groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    cbg = tf2.groupBy("__g").agg(F.sum("__c").alias("__cg"))
     ctx = (
         cbg.withColumn("__w1", F.substring_index("__g", " ", 1))
         .groupBy("__w1")
@@ -379,14 +402,26 @@ def bigram_lm_score(
         "__g", (F.col("__cg").cast("double") / F.col("__cctx")).alias("__p")
     )
     per = (
-        bg.join(p, "__g")
+        tf2.join(p, "__g")
         .groupBy("__id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            # fixed-scale decimal sum → double → /n: order-independent
+            F.sum("__c").cast("long").alias("n_bigrams"),
+            # fixed-scale decimal sum → double → /n: order-independent.
+            # Operand types are PINNED so the product stays exact at
+            # scale 18: p ≤ 1 fits decimal(19,18), counts fit (10,0),
+            # product = (30,18) — a bare (38,18) × long multiply
+            # overflows precision 38 and Spark silently RESCALES to
+            # fewer fraction digits (the r12 t19 rework's first attempt
+            # hash-mismatched exactly there).  Summing p·c per distinct
+            # (doc, gram) equals the old per-occurrence decimal sum
+            # bit-for-bit.
             (
-                F.sum(F.col("__p").cast("decimal(38,18)")).cast("double")
-                / F.count(F.lit(1))
+                F.sum(
+                    F.col("__p").cast("decimal(19,18)")
+                    * F.col("__c").cast("decimal(10,0)")
+                )
+                .cast("double")
+                / F.sum("__c")
             ).alias("__mean"),
         )
     )
@@ -657,6 +692,17 @@ def tfidf_cosine_pairs(
     """
     if ngram < 1:
         raise ValueError("ngram must be >= 1")
+    # Source contract: cosine PAIRS are only defined between identified
+    # documents, so NULL doc ids leave the corpus HERE — explicitly.
+    # This is also load-bearing for the plan: downstream (id_a < id_b)
+    # and the norm joins infer isnotnull(doc_id) and push it into
+    # whichever tf-consumer branch can carry it (a group-key constraint
+    # crosses the aggregate; dfreq's max-key one can't), so without the
+    # source-level filter the shared explode+aggregate exchange splits
+    # into canonically-different copies and the corpus is read once PER
+    # BRANCH (scripts/audit_corpus_passes.py: 3 passes before, 2
+    # after — the q102 exchange-reuse discipline).
+    df = df.filter(F.col(id_col).isNotNull())
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     grams = toks if ngram == 1 else _word_ngrams(toks, ngram)
     t = df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__tok"))
@@ -730,48 +776,92 @@ def bm25_topk(
     DECIMAL(38,18) (order-independent), and ranking compares the
     ROUNDED score so near-ties can't flip between engines.
 
-    Scale shape: document length is a per-row projection (`size(split)`
-    — no shuffle, unlike a tf re-aggregation); the corpus explode is
-    FILTERED to the query terms before the (doc, term) groupBy, so the
-    only corpus-sized shuffle carries query-term postings (|q| terms ×
-    matching docs), not the whole vocabulary.  df(t) derives from that
-    same filtered postings table (df of a term only needs that term's
-    rows) and is broadcast back; the final top-k is
-    TakeOrderedAndProject, never a global sort.
+    Scale shape (r12 rework, ZERO corpus shuffles): the query terms are
+    LITERALS, so per-term tf is a row-local HOF (`size(filter(toks,
+    = t))`) — no explode, no (doc, term) groupBy.  Pass 1 is one tiny
+    global aggregate emitting N, Σdl AND every per-term document
+    frequency in a single row (map-combined; the shuffle carries one
+    partial row per task); pass 2 filters to matched docs and scores
+    them row-locally against the broadcast stats row, feeding
+    TakeOrderedAndProject — never a global sort.  The earlier
+    explode-and-join form measured FOUR corpus passes
+    (scripts/audit_corpus_passes.py: the tf/dl/stats consumers each
+    re-derived the scan); this shape measures two, and the only data
+    that ever moves is one stats row + k results.
     """
+    from functools import reduce
+
     from pyspark.sql import Window
 
-    terms = [str(t) for t in query_terms]
+    # dedup preserving order: the old (doc, term) groupBy collapsed
+    # repeated query terms; per-term columns must do the same
+    terms = list(dict.fromkeys(str(t) for t in query_terms))
     base = df.select(
         F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__toks")
     )
-    dl = base.select("__id", F.size("__toks").alias("__dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__tot")
+    def _tf(term: str) -> F.Column:
+        # one-arg lambda, term bound by closure: a two-arg lambda (the
+        # `t=t` default trick) is treated by F.filter as the
+        # (element, INDEX) signature and the term silently becomes the
+        # array index column
+        return F.size(F.filter("__toks", lambda x: x == F.lit(term)))
+
+    per_doc = base.select(
+        "__id",
+        F.size("__toks").alias("__dl"),
+        *[_tf(t).alias(f"__tf{i}") for i, t in enumerate(terms)],
     )
-    tf = (
-        base.select("__id", F.explode("__toks").alias("__tok"))
-        .filter(F.col("__tok").isin(terms))
-        .groupBy("__id", "__tok")
-        .agg(F.count(F.lit(1)).alias("__tf"))
+    # CORPUS PASS 1: corpus size, total length, and every df(t) in ONE
+    # single-row aggregate
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__tot"),
+        *[
+            F.sum(F.when(F.col(f"__tf{i}") > 0, 1).otherwise(0)).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
     )
-    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     avgdl = F.col("__tot").cast("double") / F.col("__n")
-    idf = (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
-    tf_part = (F.col("__tf") * F.lit(k1 + 1.0)) / (
-        F.col("__tf")
-        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / avgdl)
+
+    def _contrib(i: int) -> F.Column:
+        tf = F.col(f"__tf{i}")
+        dfq = F.col(f"__df{i}")
+        idf = (F.col("__n") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        tf_part = (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / avgdl)
+        )
+        # identical addend to the old SUM(decimal) aggregate: the IEEE
+        # product cast to decimal(38,18); decimal addition is exact and
+        # order-independent, so the total matches bit-for-bit
+        return F.when(
+            tf > 0, (idf * tf_part).cast("decimal(38,18)")
+        ).otherwise(F.lit(0).cast("decimal(38,18)"))
+
+    matched = reduce(
+        lambda a, b: a | b,
+        [F.col(f"__tf{i}") > 0 for i in range(len(terms))],
     )
+    # CORPUS PASS 2: row-local scoring of matched docs against the
+    # broadcast stats row
     scored = (
-        tf.join(dl, "__id")
-        .join(F.broadcast(dfreq), "__tok")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("__id")
-        .agg(
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(matched)
+        .select(
+            "__id",
             F.round(
-                F.sum((idf * tf_part).cast("decimal(38,18)")).cast("double"), 6
+                reduce(
+                    lambda a, b: a + b,
+                    [_contrib(i) for i in range(len(terms))],
+                ).cast("double"),
+                6,
             ).alias("bm25"),
-            F.count(F.lit(1)).alias("n_terms"),
+            reduce(
+                lambda a, b: a + b,
+                [
+                    F.when(F.col(f"__tf{i}") > 0, 1).otherwise(0)
+                    for i in range(len(terms))
+                ],
+            ).alias("n_terms"),
         )
     )
     top = scored.orderBy(F.col("bm25").desc(), F.col("__id").asc()).limit(k)
