@@ -13332,11 +13332,17 @@ _PRIORITY = [
     # --- the oldest r6 entries; s09/s10 appended for the probation
     # --- re-check of the one surviving r11 perf drift; cap new at ~2 —
     # --- this round adds ZERO new entries, only changed-code slots):
-    # --- (1) q102/st31 lead as CHANGED-code evidence: the r11-advice
-    # --- merged-path collapse fix touched kll_quantile_rollup's final
-    # --- joins (operators/sketch.py) and the streaming fold's NaN sort
-    # --- key (streaming/ops.py) this round;
+    # --- (1) CHANGED-code evidence first: q102/st31 (merged-path
+    # --- collapse fix + two-pass rework, operators/sketch.py +
+    # --- streaming/ops.py NaN sort key) and the ten entries the
+    # --- corpus-pass reduction touched this round (events.py
+    # --- attribution/scd2_apply, text.py bm25/tfidf-cosine/lm/ngram-
+    # --- coverage, sketch.py CMS totals, s11 inherits t28's leg) —
+    # --- all bare-session re-verified in-round, but the driver's
+    # --- value check is the gate that counts;
     "q102", "st31",
+    "q86", "t28", "q81", "q89", "q90", "q96", "t13", "t27", "t19",
+    "s11",
     # --- (2) ALL 28 entries whose latest driver evidence is round 5 —
     # --- clearing this band ends the r5 backlog entirely; none changed
     # --- since passing, all in-repo oracle-green ---
@@ -13344,18 +13350,18 @@ _PRIORITY = [
     "q71", "q72", "q73", "q74", "q75", "q76", "q77", "q78", "q79",
     "s07", "s08", "s14", "s15", "st12", "st14", "t35", "t36", "u05",
     "u06",
-    # --- (3) 18 of the 47 r6-stale entries, filling the window to
-    # --- EXACTLY 50 (2 + 28 + 18 + 2 probation) ---
+    # --- (3) 8 of the 47 r6-stale entries, filling the window to
+    # --- EXACTLY 50 (12 changed + 28 r5 + 8 r6 + 2 probation) ---
     "d08", "g24", "g25", "g26", "g28", "g29", "ga19", "ga20",
-    "m14", "m15", "m16", "m17", "m18", "m19", "m20", "m21", "m22",
-    "m23",
     # --- (4) s09/s10: r11's one surviving normalized perf drift
     # --- (s10 1.53x, contention-suspected) — probation re-check ---
     "s09", "s10",
-    # --- 51+: the remaining 29 r6-stale entries lead the round-13
+    # --- 51+: the remaining 39 r6-stale entries lead the round-13
     # --- queue; everything else follows in registry definition order ---
+    "m14", "m15", "m16", "m17", "m18", "m19", "m20", "m21", "m22",
+    "m23",
     "q00", "q04", "q06", "q07", "q08", "q09",
-    "q80", "q81", "q82", "q83", "q84", "q85", "q86", "q87", "q88",
+    "q80", "q82", "q83", "q84", "q85", "q87", "q88",
     "s16", "s17", "s18", "s19", "s20", "st15", "st16", "st17",
     "t37", "t38", "t39", "t40", "u07", "u08",
 ]
