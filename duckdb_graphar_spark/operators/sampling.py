@@ -101,6 +101,15 @@ def mixture_sample(
     if granularity not in _HEX_DIGITS:
         raise ValueError(f"granularity must be one of {sorted(_HEX_DIGITS)}")
     g, nd = granularity, _HEX_DIGITS[granularity]
+    # source contract: rows without a domain can't join a per-domain
+    # rate and were already dropped by the final equi-join — filtering
+    # HERE makes that explicit (the size budget is over identified
+    # domains) and unifies the isnotnull(domain) constraint across the
+    # domain-size aggregate's two consumers: the rates join pushes it
+    # into one copy of the aggregate subtree while the totals branch
+    # doesn't, splitting the shared exchange into two corpus reads
+    # (scripts/audit_corpus_passes.py: 3 passes before, 2 after).
+    df = df.filter(F.col(domain_col).isNotNull())
     dom = df.groupBy(domain_col).agg(F.sum(size_col).cast("long").alias("__dom_sz"))
     tot = dom.agg(
         F.sum("__dom_sz").cast("long").alias("__tot"),

@@ -460,10 +460,17 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
+    # source contract (the t27 recipe): TF-IDF terms are only defined
+    # for identified docs, and the explicit filters unify the
+    # isnotnull(__id)/isnotnull(__tok) constraints the dl/dfreq joins
+    # infer into only SOME branches of the shared explode+aggregate
+    # subtree — without them the corpus text is read once per branch
+    # (scripts/audit_corpus_passes.py measured 3 passes; this is 2).
+    df = df.filter(F.col(id_col).isNotNull())
     t = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
-    )
+    ).filter(F.col("__tok").isNotNull())
     tf = t.groupBy("__id", "__tok").agg(F.count(F.lit(1)).alias("__c"))
     dl = tf.groupBy("__id").agg(F.sum("__c").alias("__len"))
     dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
