@@ -444,6 +444,7 @@ class _ControlNormalizer:
         )
 
     def _run_control(self, name: str) -> tuple[str, float]:
+        self._spark.sparkContext.setJobDescription(f"control: {name}")
         t0 = time.time()
         if name == PY_CONTROL:
             self._py_df.write.mode("overwrite").format("noop").save()
@@ -546,12 +547,16 @@ def main() -> None:
     canary_min: dict[str, float] = {}
     for name in CANARY_QUERIES:
         print(f"[bench:canary] {name}", file=sys.stderr, flush=True)
+        # label jobs (guide §1.5) so event logs / status API attribute
+        # work per query even with the UI disabled
+        spark.sparkContext.setJobDescription(f"canary: {name}")
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         if norm:
             py_flags[name] = uses_python_workers(qs[name](spark, sf_dir))
         times = []
         for _ in range(canary_reps):
             ctrl = norm.sample() if norm else None
+            spark.sparkContext.setJobDescription(f"canary: {name}")
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = time.time() - t0
@@ -566,12 +571,14 @@ def main() -> None:
     results_min: dict[str, float] = {}
     for name in BENCH_QUERIES:
         print(f"[bench] {name}", file=sys.stderr, flush=True)
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         if norm and name not in py_flags:
             py_flags[name] = uses_python_workers(qs[name](spark, sf_dir))
         times = []
         for _ in range(reps):
             ctrl = norm.sample() if norm else None
+            spark.sparkContext.setJobDescription(f"bench: {name}")
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
@@ -591,6 +598,7 @@ def main() -> None:
     st_results_min: dict[str, float] = {}
     for name in ST_QUERIES:
         print(f"[bench:st] {name}", file=sys.stderr, flush=True)
+        spark.sparkContext.setJobDescription(f"bench:st {name}")
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         if norm and name not in py_flags:
             # a streaming entry RUNS inside the call and returns a
@@ -600,6 +608,7 @@ def main() -> None:
         times = []
         for _ in range(st_reps):
             ctrl = norm.sample() if norm else None
+            spark.sparkContext.setJobDescription(f"bench:st {name}")
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
