@@ -13340,9 +13340,14 @@ _PRIORITY = [
     # --- coverage, sketch.py CMS totals, s11 inherits t28's leg) —
     # --- all bare-session re-verified in-round, but the driver's
     # --- value check is the gate that counts;
+    # --- (resume session adds g18: clustering_coefficient now
+    # --- checkpoints canon + materializes oriented — one source read
+    # --- instead of four; g21 (bipartiteness, same rework: edge
+    # --- projection checkpointed, six reads -> one) is already in the
+    # --- r5 band below and doubles as changed-code evidence ---
     "q102", "st31",
     "q86", "t28", "q81", "q89", "q90", "q96", "t13", "t27", "t19",
-    "s11", "t20", "t15",
+    "s11", "t20", "t15", "g18",
     # --- (2) ALL 28 entries whose latest driver evidence is round 5 —
     # --- clearing this band ends the r5 backlog entirely; none changed
     # --- since passing, all in-repo oracle-green ---
@@ -13350,15 +13355,16 @@ _PRIORITY = [
     "q71", "q72", "q73", "q74", "q75", "q76", "q77", "q78", "q79",
     "s07", "s08", "s14", "s15", "st12", "st14", "t35", "t36", "u05",
     "u06",
-    # --- (3) 6 of the 47 r6-stale entries, filling the window to
-    # --- EXACTLY 50 (14 changed + 28 r5 + 6 r6 + 2 probation) ---
-    "d08", "g24", "g25", "g26", "g28", "g29",
+    # --- (3) 5 of the 47 r6-stale entries, filling the window to
+    # --- EXACTLY 50 (15 changed + 28 r5 + 5 r6 + 2 probation; g29
+    # --- deferred to round 13 when g18 joined the changed head) ---
+    "d08", "g24", "g25", "g26", "g28",
     # --- (4) s09/s10: r11's one surviving normalized perf drift
     # --- (s10 1.53x, contention-suspected) — probation re-check ---
     "s09", "s10",
-    # --- 51+: the remaining 41 r6-stale entries lead the round-13
+    # --- 51+: the remaining r6-stale entries lead the round-13
     # --- queue; everything else follows in registry definition order ---
-    "ga19", "ga20",
+    "g29", "ga19", "ga20",
     "m14", "m15", "m16", "m17", "m18", "m19", "m20", "m21", "m22",
     "m23",
     "q00", "q04", "q06", "q07", "q08", "q09",

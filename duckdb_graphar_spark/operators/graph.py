@@ -416,7 +416,7 @@ def pagerank(
     return ranks.select(F.col("__v").alias(id_col), F.col("__r").alias("pagerank"))
 
 
-def _oriented_triangles(e_df: DataFrame) -> DataFrame:
+def _oriented_triangles(e_df: DataFrame, *, materialize: bool = False) -> DataFrame:
     """Every triangle of the canonical (a < b, distinct, loop-free) edge
     set ``e_df`` EXACTLY ONCE as (u, y, z), via degree-ordered oriented
     enumeration (the compact-forward plan): orient each edge from its
@@ -446,6 +446,14 @@ def _oriented_triangles(e_df: DataFrame) -> DataFrame:
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("dv"),
     )
+    # oriented is consumed THREE times (both wedge legs + the closing
+    # edge set); without materialization each consumer re-runs the
+    # degree-stamp joins — and every source read above them.  One-shot
+    # callers (clustering coefficient, triangle count) opt in to an
+    # eager O(E) checkpoint; ktruss keeps the default: its loop already
+    # re-checkpoints the shrinking edge set every round.
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)
     o1 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     o2 = oriented.select(
         F.col("u").alias("u2"), F.col("v").alias("z"), F.col("dv").alias("dz")
@@ -872,10 +880,17 @@ def clustering_coefficient(
     vertex ids.
     """
     s, d = F.col(src_col), F.col(dst_col)
+    # canon feeds the degree aggregate (two union branches) AND the
+    # triangle enumeration's three internal consumers — five upstream
+    # re-reads of the source without materialization
+    # (scripts/audit_corpus_passes.py measured four full orders reads).
+    # One eager O(E) checkpoint of the canonical edge set collapses
+    # them to one source read.
     canon = (
         edges.filter(s != d)
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         canon.select(F.col("a").alias("v"))
@@ -884,7 +899,7 @@ def clustering_coefficient(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     tri_per_v = (
-        _oriented_triangles(canon)
+        _oriented_triangles(canon, materialize=True)
         .select(F.explode(F.array("u", "y", "z")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -1233,11 +1248,22 @@ def bipartiteness(
     from duckdb_graphar_spark.operators.dedup import connected_components
 
     s, d = F.col(src_col), F.col(dst_col)
-    e = edges.select(s.alias("u"), d.alias("w"))
+    # e feeds SIX consumers (verts×2, base CC edges, double-cover
+    # edges×2 — and verts itself is consumed twice more for dc_verts),
+    # so without materialization the upstream edge scan re-runs once
+    # per consumer: the final-plan audit measured SIX full source
+    # reads, and the cross-execution meter
+    # (scripts/measure_source_reads.py) EIGHT — the two CC calls'
+    # internal checkpoint builders re-scan the source too.  One eager
+    # localCheckpoint of the two-column edge projection (O(E), the same
+    # storage class as the CC operator's own internal sym checkpoint)
+    # collapses all of them to one.
+    e = edges.select(s.alias("u"), d.alias("w")).localCheckpoint(eager=True)
     verts = (
         e.select(F.col("u").alias("v"))
         .unionAll(e.select(F.col("w").alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     base = connected_components(
         e.select(F.col("u").alias("id_a"), F.col("w").alias("id_b")), verts

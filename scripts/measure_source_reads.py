@@ -2,29 +2,89 @@
 """Cross-execution source-read meter for entries whose builders
 materialize intermediates eagerly (localCheckpoint): the pass-audit
 walk of the FINAL frame's executed plan cannot see scans that ran
-inside the builder's own jobs, so this script meters HADOOP FILESYSTEM
-bytesRead (every parquet read goes through it; in local mode all tasks
-share the JVM so the counter is global), which checkpoint-block reads
-do NOT touch (block-manager storage bypasses the Hadoop FS layer).
+inside the builder's own jobs (they are separate SQL executions), so
+this script sums scan-leaf `number of output rows` over EVERY SQL
+execution the entry triggers, read from the session's
+SQLAppStatusStore — the same runtime counters the pass audit trusts,
+extended across executions.
 
-passes ≈ (bytesRead during run) / (on-disk size of the entry's input
-parquet) — exact enough at one-table entries to distinguish 1 pass
-from 4 or 6.
+A first version of this script metered Hadoop FileSystem bytesRead;
+that under-counts to ~0 on Spark 4 local paths (the parquet reader
+opens file:// inputs via NIO, bypassing Hadoop stream statistics), so
+it was replaced by the status-store method and validated against
+q01_pricing_summary (a known exactly-one-pass lineitem scan).
+
+passes = (scan rows attributed to table across all executions) /
+(table row count).  Checkpoint block reads never appear (they are not
+scan nodes), so the meter counts true source reads only.
 
 Usage: python scripts/measure_source_reads.py SF_DIR NAME [NAME...]
 Prints one JSON line per entry:
-  {"entry": ..., "fs_bytes_read": N, "passes_vs": {table: N.NN},
-   "wall_s": S}
+  {"entry": ..., "passes": {table: N.NN}, "worst": N.NN, "wall_s": S}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _scan_rows_all_executions(spark, after_id: int) -> dict[str, int]:
+    """Sum scan-node output rows per source table over every SQL
+    execution with id > after_id."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    out: dict[str, int] = {}
+    it = store.executionsList().iterator()
+    while it.hasNext():
+        ex = it.next()
+        eid = ex.executionId()
+        if eid <= after_id:
+            continue
+        metrics = store.executionMetrics(eid)  # Map[Long, String]
+        graph = store.planGraph(eid)
+        nodes = graph.allNodes().iterator()
+        while nodes.hasNext():
+            node = nodes.next()
+            name = node.name()
+            if not name.startswith("Scan"):
+                continue
+            desc = node.desc()
+            key = None
+            for t in TABLES:
+                if f"/{t}.parquet" in desc or f"/{t}/" in desc:
+                    key = t
+                    break
+            if key is None:
+                continue
+            mit = node.metrics().iterator()
+            while mit.hasNext():
+                m = mit.next()
+                if m.name() == "number of output rows":
+                    v = metrics.get(m.accumulatorId())
+                    if v.isDefined():
+                        digits = re.sub(r"[^0-9]", "", str(v.get()))
+                        if digits:
+                            out[key] = out.get(key, 0) + int(digits)
+    return out
+
+
+def _max_execution_id(spark) -> int:
+    store = spark._jsparkSession.sharedState().statusStore()
+    mx = -1
+    it = store.executionsList().iterator()
+    while it.hasNext():
+        mx = max(mx, it.next().executionId())
+    return mx
 
 
 def main() -> None:
@@ -39,44 +99,38 @@ def main() -> None:
     import __spark_entry__ as E
 
     qs = E.queries()
+    E._orders_graphar(spark, sf_dir)
 
-    jfs = spark._jvm.org.apache.hadoop.fs.FileSystem
-
-    def fs_bytes_read() -> int:
-        total = 0
-        it = jfs.getAllStatistics().iterator()
-        while it.hasNext():
-            s = it.next()
-            if s.getScheme() in ("file", "local"):
-                total += s.getBytesRead()
-        return total
-
-    sizes: dict[str, int] = {}
-    for t in ("orders", "lineitem", "events", "documents", "embeddings"):
+    counts: dict[str, int] = {}
+    for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            sizes[t] = os.path.getsize(p)
+            counts[t] = spark.read.parquet(p).count()
 
     for name in names:
         full = next((k for k in qs if k == name or k.startswith(name + "_")), None)
         if full is None:
             print(json.dumps({"entry": name, "error": "not in registry"}), flush=True)
             continue
-        # one untimed warm run (codegen + file cache), then the metered run
+        # one untimed warm run (codegen + memoized fixture constants),
+        # then the metered run
         qs[full](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        base = fs_bytes_read()
+        base = _max_execution_id(spark)
         t0 = time.time()
         qs[full](spark, sf_dir).write.mode("overwrite").format("noop").save()
         wall = time.time() - t0
-        read = fs_bytes_read() - base
+        per = _scan_rows_all_executions(spark, base)
+        passes = {
+            t: round(r / counts[t], 2)
+            for t, r in per.items()
+            if t in counts and counts[t] > 0
+        }
         print(
             json.dumps(
                 {
                     "entry": full,
-                    "fs_bytes_read": read,
-                    "passes_vs": {
-                        t: round(read / b, 2) for t, b in sizes.items() if b
-                    },
+                    "passes": passes,
+                    "worst": max(passes.values(), default=0.0),
                     "wall_s": round(wall, 3),
                 }
             ),

@@ -1010,3 +1010,69 @@ def test_katz_centrality_overflow_guard_raises(spark):
     )
     with _pt.raises(Exception, match="overflow int64 headroom"):
         katz_centrality(edges, n_iters=16, src_col="src", dst_col="dst").collect()
+
+
+def _final_plan_file_scans(df) -> int:
+    """Count FileSourceScan/BatchScan leaves in the final (post-AQE)
+    executed plan, deduped by node id."""
+    n, seen = 0, set()
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        nid = node.id()
+        if nid in seen:
+            continue
+        seen.add(nid)
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name or "BatchScan" in name:
+            n += 1
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(node.executedPlan())
+        elif "QueryStageExec" in name:
+            stack.append(node.plan())
+        else:
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+    return n
+
+
+def test_bipartiteness_reads_source_once(spark, tmp_path):
+    """The r12 materialization contract: bipartiteness's edge
+    projection is eagerly checkpointed, so the SIX downstream consumers
+    (verts x2, base CC, double-cover edges x2, dc_verts via verts) read
+    the checkpoint, not the source.  Pinned structurally: the final
+    executed plan contains ZERO file scans (every leaf is the
+    checkpointed RDD or a CC output) — before the change the source
+    parquet was re-scanned six times per run
+    (scripts/audit_corpus_passes.py, BENCH_r12_pass_audit.json)."""
+    from duckdb_graphar_spark.operators.graph import bipartiteness
+
+    p = str(tmp_path / "edges.parquet")
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (10, 11), (11, 12), (12, 10)]
+    spark.createDataFrame(pairs, "src long, dst long").write.parquet(p)
+    df = bipartiteness(spark.read.parquet(p), src_col="src", dst_col="dst")
+    got = {
+        r.component: (r.n_vertices, r.is_bipartite) for r in df.collect()
+    }
+    assert got == {0: (4, True), 10: (3, False)}
+    assert _final_plan_file_scans(df) == 0
+
+
+def test_clustering_coefficient_reads_source_once(spark, tmp_path):
+    """Same contract for the clustering coefficient: canon is
+    checkpointed (degree branches + triangle enumeration read it, not
+    the source) and _oriented_triangles materializes `oriented` for its
+    three consumers — the final plan holds zero file scans (was four
+    full source reads per run)."""
+    from duckdb_graphar_spark.operators.graph import clustering_coefficient
+
+    p = str(tmp_path / "edges2.parquet")
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    ).write.parquet(p)
+    df = clustering_coefficient(spark.read.parquet(p), src_col="src", dst_col="dst")
+    got = {r.id: (r.degree, r.n_triangles, r.coeff) for r in df.collect()}
+    assert got[0] == (2, 1, 1.0)
+    assert got[2] == (3, 1, round(2 / 6, 6))
+    assert _final_plan_file_scans(df) == 0
