@@ -3469,7 +3469,14 @@ def s15(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     nn = brute_force_topk(e, q, k=5)
-    ql = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+    # query ids are < 50 by construction, so push that predicate into
+    # the query-label scan — on any multi-row-group input it prunes to
+    # the probe rows instead of a full (vec_id,label) corpus pass
+    # (result unchanged: the inner join on query_id already restricts
+    # to the probe set)
+    ql = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+    )
     nl = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__nl"))
     return (
         nn.join(F.broadcast(ql), "query_id")
@@ -13340,30 +13347,33 @@ _PRIORITY = [
     # --- coverage, sketch.py CMS totals, s11 inherits t28's leg) —
     # --- all bare-session re-verified in-round, but the driver's
     # --- value check is the gate that counts;
-    # --- (resume session adds g18: clustering_coefficient now
-    # --- checkpoints canon + materializes oriented — one source read
-    # --- instead of four; g21 (bipartiteness, same rework: edge
-    # --- projection checkpointed, six reads -> one) is already in the
-    # --- r5 band below and doubles as changed-code evidence ---
+    # --- (resume sessions add the whole iterative-graph family rework:
+    # --- g18 (clustering_coefficient checkpoints canon + materializes
+    # --- oriented, 4 reads -> 1) and then g09/g10/g13/g14/g15/g16/g17/
+    # --- g19/g34 (same constant-relation checkpoint discipline, each
+    # --- 2-4 source reads -> 1; g13/g14 additionally cut lineage every
+    # --- round) plus s15 (query-label pushdown) and t19's third-pass
+    # --- exchange-reuse fix; g21 (bipartiteness, 6 reads -> 1) is in
+    # --- the r5 band below and doubles as changed-code evidence ---
     "q102", "st31",
     "q86", "t28", "q81", "q89", "q90", "q96", "t13", "t27", "t19",
     "s11", "t20", "t15", "g18",
-    # --- (2) ALL 28 entries whose latest driver evidence is round 5 —
-    # --- clearing this band ends the r5 backlog entirely; none changed
-    # --- since passing, all in-repo oracle-green ---
-    "g20", "g21", "g22", "g23", "m01", "m02", "m11", "m12", "m13",
+    "g09", "g10", "g13", "g14", "g15", "g16", "g17", "g19", "g34",
+    # --- (2) 24 of the 28 entries whose latest driver evidence is round
+    # --- 5 (the four moratorium-frozen codec entries m02/m11/m12/m13
+    # --- defer to lead round 13: zero churn risk, and the changed-code
+    # --- head grew by 9; s15 sits here AND carries changed code) ---
+    "g20", "g21", "g22", "g23", "m01",
     "q71", "q72", "q73", "q74", "q75", "q76", "q77", "q78", "q79",
     "s07", "s08", "s14", "s15", "st12", "st14", "t35", "t36", "u05",
     "u06",
-    # --- (3) 5 of the 47 r6-stale entries, filling the window to
-    # --- EXACTLY 50 (15 changed + 28 r5 + 5 r6 + 2 probation; g29
-    # --- deferred to round 13 when g18 joined the changed head) ---
-    "d08", "g24", "g25", "g26", "g28",
-    # --- (4) s09/s10: r11's one surviving normalized perf drift
-    # --- (s10 1.53x, contention-suspected) — probation re-check ---
+    # --- (3) s09/s10: r11's one surviving normalized perf drift
+    # --- (s10 1.53x, contention-suspected) — probation re-check;
+    # --- window = EXACTLY 50 (24 changed + 24 r5 + 2 probation) ---
     "s09", "s10",
-    # --- 51+: the remaining r6-stale entries lead the round-13
-    # --- queue; everything else follows in registry definition order ---
+    # --- 51+: m02/m11/m12/m13 + the remaining r6-stale entries lead the
+    # --- round-13 queue; everything else follows in definition order ---
+    "m02", "m11", "m12", "m13", "d08", "g24", "g25", "g26", "g28",
     "g29", "ga19", "ga20",
     "m14", "m15", "m16", "m17", "m18", "m19", "m20", "m21", "m22",
     "m23",

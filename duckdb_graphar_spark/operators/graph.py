@@ -380,12 +380,19 @@ def pagerank(
     one map-combinable groupBy(dst) carrying a single decimal per edge;
     ranks stay an n-row distributed table, never on the driver.
     """
-    n_b = vertices.count()
-    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    # e feeds the out-degree aggregate AND every iteration's contribution
+    # join; the vertex relation feeds the count job plus the rank rebuild
+    # (consumed twice per round).  One eager O(E)/O(V) checkpoint each
+    # collapses all downstream consumers onto the materialized relation —
+    # each source is read once (the cross-execution meter measured
+    # orders 2x / customer 3x before; same discipline as g18/g21).
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).localCheckpoint(eager=True)
+    v = vertices.select(F.col(id_col).alias("__v")).localCheckpoint(eager=True)
+    n_b = v.count()
     outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__od"))
-    ranks = vertices.select(
-        F.col(id_col).alias("__v"), (F.lit(1.0) / F.lit(n_b)).alias("__r")
-    )
+    ranks = v.select("__v", (F.lit(1.0) / F.lit(n_b)).alias("__r"))
     base = F.lit(0.15) / F.lit(n_b)
     for _ in range(n_iters):
         contrib = (
@@ -492,12 +499,19 @@ def triangle_count(
     broadcast a small canonical edge set on its own.
     """
     s, d = F.col(src_col), F.col(dst_col)
+    # same materialization contract as clustering_coefficient: canon
+    # feeds the triangle enumeration's degree aggregate and edge-stamp
+    # joins — an eager O(E) checkpoint (plus materializing `oriented`
+    # for its three consumers) keeps the source at one read (was 3x).
     canon = (
         edges.filter(s != d)
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    return _oriented_triangles(canon).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return _oriented_triangles(canon, materialize=True).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
 
 
 def bfs_levels(
@@ -576,11 +590,15 @@ def sssp(
     fixed horizon needs no convergence probe (and therefore no
     per-iteration driver round-trip at all until the final collect).
     """
+    # e is constant across all n_iters relaxation joins; one eager O(E)
+    # checkpoint means every round reads the materialized relation and
+    # the source parquet is scanned once (was once per round — the
+    # cross-execution meter measured 4x at the default horizon).
     e = edges.select(
         F.col(src_col).alias("__s"),
         F.col(dst_col).alias("__d"),
         F.col(weight_col).cast("long").alias("__w"),
-    )
+    ).localCheckpoint(eager=True)
     spark = edges.sparkSession
     dist = spark.range(1).select(
         F.lit(int(src_vid)).cast("long").alias("__v"),
@@ -596,9 +614,12 @@ def sssp(
             .groupBy("__v")
             .agg(F.min("__dist").alias("__dist"))
         )
-        # the lineage doubles per iteration (dist feeds both branches);
-        # truncate it on the same cadence the BFS loop uses
-        if (it + 1) % 4 == 0 and it + 1 < n_iters:
+        # the lineage DOUBLES per iteration (dist feeds both the union
+        # branch and the relax join), so cutting only every 4th round
+        # left up to 2^3 re-executions of early rounds inside the final
+        # action; cut every round instead — lazy, O(V) rows, no extra
+        # job (materializes inside the final action)
+        if it + 1 < n_iters:
             dist = dist.localCheckpoint(eager=False)
     return dist.select(F.col("__v").alias("id"), F.col("__dist").alias("dist"))
 
@@ -636,10 +657,15 @@ def kcore(
     (plus one edge-count long per round under ``until_stable``).
     """
     s, d = F.col(src_col), F.col(dst_col)
+    # the peel re-derives the shrinking edge set from this initial canon
+    # every round (degree aggregate + two semi-joins per round re-execute
+    # the lineage above them); one eager O(E) checkpoint pins the source
+    # at one read (was once per round, 3x at the default horizon).
     e = (
         edges.filter(s != d)
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def degs(edges_df: DataFrame) -> DataFrame:
@@ -654,7 +680,13 @@ def kcore(
         alive = degs(e).filter(F.col("degree") >= k).select("v")
         e = e.join(alive, e["a"] == alive["v"], "left_semi")
         e = e.join(alive, e["b"] == alive["v"], "left_semi")
-        if (it + 1) % 3 == 0 and it + 1 < n_iters:
+        if not until_stable:
+            # cut EVERY round, not every 3rd: the next round consumes e
+            # three times (both degs branches + the semi-join chain), so
+            # uncut lineage re-executes each round's aggregate and
+            # semi-joins ~3x per extra round.  Lazy: materializes inside
+            # the final action, no extra job (the until_stable branch
+            # below already checkpoints eagerly for its count probe).
             e = e.localCheckpoint(eager=False)
         if until_stable:
             # materialize once per round: the count IS the convergence
@@ -700,10 +732,14 @@ def label_propagation(
     distributed relation; lineage cut every 3rd round.
     """
     s, d = F.col(src_col), F.col(dst_col)
+    # canon feeds the neighbor relation (two union branches, consumed
+    # once per round) and the initial label set (two more); one eager
+    # O(E) checkpoint pins the source at one read (was 3x).
     canon = (
         edges.filter(s != d)
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nbr = canon.select(F.col("a").alias("__v"), F.col("b").alias("__u")).unionAll(
         canon.select(F.col("b").alias("__v"), F.col("a").alias("__u"))
@@ -750,11 +786,17 @@ def personalized_pagerank(
     Identical float discipline and per-iteration plan as `pagerank`:
     one ranks⋈edges shuffle join + one map-combinable DECIMAL(38,18)
     groupBy(dst) per round; ranks published at 12 decimals."""
-    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    # same materialization contract as pagerank: e and the vertex
+    # projection are constant across iterations — one eager checkpoint
+    # each keeps both sources at one read (was customer 3x / orders 2x).
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).localCheckpoint(eager=True)
+    v = vertices.select(F.col(id_col).alias("__v")).localCheckpoint(eager=True)
     outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__od"))
-    ranks = vertices.select(
-        F.col(id_col).alias("__v"),
-        F.when(F.col(id_col) == F.lit(source), F.lit(1.0))
+    ranks = v.select(
+        "__v",
+        F.when(F.col("__v") == F.lit(source), F.lit(1.0))
         .otherwise(F.lit(0.0))
         .alias("__r"),
     )
@@ -820,14 +862,20 @@ def hits(
     """
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
+    # e feeds both half-step joins every iteration and verts is consumed
+    # by the initial hubs plus the final re-attach joins; one eager
+    # checkpoint each pins the source at one read (was 4x at the
+    # default horizon per the cross-execution meter).
     e = (
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     verts = (
         e.select(F.col("__s").alias("__v"))
         .unionAll(e.select(F.col("__d").alias("__v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hubs = verts.select("__v", F.lit(1).cast("long").alias("__h"))
     auths = None
@@ -945,10 +993,14 @@ def degree_assortativity(
     from duckdb_graphar_spark.operators.stats import exact_corr
 
     s, d = F.col(src_col), F.col(dst_col)
+    # canon feeds the degree aggregate (two union branches) and the
+    # symmetrized pair relation (two more); one eager O(E) checkpoint
+    # pins the source at one read (was 3x).
     canon = (
         edges.filter(s != d)
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         canon.select(F.col("a").alias("v"))
@@ -1177,14 +1229,19 @@ def katz_centrality(
     if not 1 <= n_iters <= 16:
         raise ValueError("n_iters must be in [1, 16]")
     unit = 1 << n_iters
+    # e feeds one score join per iteration and verts rebuilds x every
+    # round (plus the init); one eager checkpoint each pins the source
+    # at one read (was 4x at the default horizon).
     e = (
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     verts = (
         e.select(F.col("__s").alias("__v"))
         .unionAll(e.select(F.col("__d").alias("__v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     x = verts.select("__v", F.lit(unit).cast("long").alias("__u"))
     for _ in range(n_iters):

@@ -375,15 +375,31 @@ def bigram_lm_score(
     driver state, nothing corpus-sized on one node.
     """
     toks = F.split(F.col(text_col), " ")
-    bg = df.select(F.col(id_col).alias("__id"), _word_ngrams(toks, 2).alias("__gs")).select(
-        "__id", F.explode("__gs").alias("__g")
+    # Source contract: the model trains on IDENTIFIED documents only
+    # (doc_id is the corpus primary key — same contract as tfidf_topk /
+    # the t15/t20/t27 reworks).  The explicit filter matters for plan
+    # reuse: the final left join-back infers isnotnull(doc_id) on the
+    # per-doc branch ONLY, which made that branch's explode subtree
+    # canonically unequal to the model branches' — a third full corpus
+    # read.  Null-id docs still appear in the OUTPUT (the join-back
+    # left side is the unfiltered df) with the same 0/0.0 they always
+    # got (a NULL key never equi-joins).
+    src = df.filter(F.col(id_col).isNotNull())
+    bg = src.select(
+        F.col(id_col).alias("__id"), _word_ngrams(toks, 2).alias("__gs")
+    ).select("__id", F.explode("__gs").alias("__g"))
+    # __g is non-null by construction (ngram concat of split tokens) and
+    # so is its substring_index w1 prefix; both explicit filters are
+    # semantic no-ops that unify the constraints DIFFERENT consumers
+    # infer (the probability join infers isnotnull(__g); the ctx join
+    # infers isnotnull(substring_index(__g,' ',1)) and pushes it into
+    # the model branches only) — without them the shared explode
+    # subtree splits and the corpus text is read twice (the q102
+    # exchange-reuse trap).
+    bg = bg.filter(
+        F.col("__g").isNotNull()
+        & F.substring_index(F.col("__g"), " ", 1).isNotNull()
     )
-    # __g is non-null by construction (ngram concat of split tokens);
-    # the explicit filter is a semantic no-op that unifies the
-    # isnotnull(__g) constraint the probability join infers on ONE of
-    # bg's two consumers — without it the shared explode subtree splits
-    # and the corpus text is read twice (the q102 exchange-reuse trap).
-    bg = bg.filter(F.col("__g").isNotNull())
     # per-(doc, gram) counts FIRST: corpus counts and the per-doc
     # reduction both derive from this one aggregate, so its exchange is
     # the single corpus-sized shuffle — aggregating straight to

@@ -1076,3 +1076,57 @@ def test_clustering_coefficient_reads_source_once(spark, tmp_path):
     assert got[0] == (2, 1, 1.0)
     assert got[2] == (3, 1, round(2 / 6, 6))
     assert _final_plan_file_scans(df) == 0
+
+
+def test_iterative_family_reads_source_once(spark, tmp_path):
+    """The r12 materialization contract extended to the whole
+    fixed-iteration family: each operator eagerly checkpoints its
+    constant edge (and where applicable vertex) relation, so every
+    iteration consumes the materialized relation and the final executed
+    plan contains ZERO file scans — before the change the source
+    parquet was re-scanned 2-4x per run (cross-execution meter,
+    scripts/measure_source_reads.py)."""
+    from duckdb_graphar_spark.operators.graph import (
+        degree_assortativity,
+        hits,
+        katz_centrality,
+        kcore,
+        label_propagation,
+        pagerank,
+        personalized_pagerank,
+        sssp,
+        triangle_count,
+    )
+
+    ep = str(tmp_path / "edges_fam.parquet")
+    vp = str(tmp_path / "verts_fam.parquet")
+    spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 2), (2, 0, 1), (2, 3, 5), (3, 0, 1)],
+        "src long, dst long, w long",
+    ).write.parquet(ep)
+    spark.createDataFrame([(i,) for i in range(4)], "id long").write.parquet(vp)
+    e = spark.read.parquet(ep)
+    v = spark.read.parquet(vp)
+
+    frames = {
+        "pagerank": pagerank(e, v, src_col="src", dst_col="dst"),
+        "personalized_pagerank": personalized_pagerank(
+            e, v, 0, src_col="src", dst_col="dst"
+        ),
+        "hits": hits(e, src_col="src", dst_col="dst"),
+        "katz": katz_centrality(e, src_col="src", dst_col="dst"),
+        "sssp": sssp(e, 0, src_col="src", dst_col="dst", weight_col="w"),
+        "kcore": kcore(e, 2, src_col="src", dst_col="dst"),
+        "label_propagation": label_propagation(e, src_col="src", dst_col="dst"),
+        "triangle_count": triangle_count(e, src_col="src", dst_col="dst"),
+        "assortativity": degree_assortativity(e, src_col="src", dst_col="dst"),
+    }
+    # sanity: values stay correct on the toy graph
+    assert frames["triangle_count"].collect()[0].n_triangles == 2
+    assert {r.id: r.dist for r in frames["sssp"].collect()} == {
+        0: 0, 1: 1, 2: 3, 3: 8
+    }
+    assert {r.id for r in frames["kcore"].collect()} == {0, 1, 2, 3}
+    for name, df in frames.items():
+        df.collect()
+        assert _final_plan_file_scans(df) == 0, name
