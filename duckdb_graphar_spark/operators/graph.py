@@ -1444,40 +1444,92 @@ def _min_label_fixpoint(
     labels: DataFrame,
     *,
     max_iters: int,
+    tag_col: str | None = None,
 ) -> DataFrame:
     """Directed min-label propagation to FIXPOINT: lab(v) ← min(lab(v),
     min lab(w) over edges v→w), iterated until a full pass changes no
     label — so lab(v) converges to min(id(u) : u reachable FROM v,
     including v).  ``edges`` is (u, w); ``labels`` is (v, lab) seeding
-    lab(v)=v.  One join + one groupBy per round, lineage cut by
-    localCheckpoint; convergence detected by a per-round changed-count
-    aggregate (O(1) driver state).  Raises RuntimeError if ``max_iters``
-    passes don't converge — the caller gets exact results or an error,
-    never a silently-partial closure (the kcore(until_stable)
-    discipline)."""
+    lab(v)=v.  Raises RuntimeError if ``max_iters`` passes don't
+    converge — the caller gets exact results or an error, never a
+    silently-partial closure (the kcore(until_stable) discipline).
+
+    Each pass combines the one-hop neighbor-min with the POINTER-
+    DOUBLING shortcut lab(v) ← min(lab(v), lab(lab(v))) — valid for
+    reachability min-labels because lab(v) is (inductively) a vertex
+    reachable from v, so everything reachable from lab(v) is reachable
+    from v; the fixpoint is the same unique min-reachable-id labeling,
+    reached in O(log diameter) passes instead of O(diameter) (the
+    connected_components discipline applied to the directed case).
+    One Spark JOB per pass: the per-pass frame is lazily checkpointed
+    and materialized by the convergence-count action itself; the label
+    projection over the checkpointed frame is free lineage.
+
+    ``tag_col``: optional extra key column present on BOTH ``edges``
+    and ``labels`` — propagation runs independently within each tag
+    value (joins and aggregates are keyed (vertex, tag)).  This lets
+    one loop drive several independent propagations (scc runs its
+    forward and backward sweeps as two tags of one fixpoint, so the
+    pass count per peel round is max(fw, bw) instead of fw + bw)."""
+    tags = [] if tag_col is None else [tag_col]
     lab = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
+        nbr = lab.select(
+            F.col("v").alias("__w"),
+            *[F.col(t).alias(f"__wt_{t}") for t in tags],
+            F.col("lab").alias("__wl"),
+        )
         succ = edges.join(
-            lab.select(F.col("v").alias("__w"), F.col("lab").alias("__wl")),
-            edges["w"] == F.col("__w"),
-        ).select(F.col("u").alias("v"), F.col("__wl").alias("__cand"))
-        pulled = (
-            lab.join(succ.groupBy("v").agg(F.min("__cand").alias("__m")), "v", "left")
+            nbr,
+            on=[edges["w"] == nbr["__w"]]
+            + [edges[t] == nbr[f"__wt_{t}"] for t in tags],
+        ).select(
+            edges["u"].alias("v"),
+            *[edges[t] for t in tags],
+            F.col("__wl").alias("__cand"),
+        )
+        # lab values are vertex ids of this same table (seeded lab=v,
+        # propagated as mins of existing labels), so the shortcut join
+        # always finds its key; LEFT + coalesce keeps it total anyway
+        shortcut = lab.select(
+            F.col("v").alias("__lv"),
+            *[F.col(t).alias(f"__t_{t}") for t in tags],
+            F.col("lab").alias("__ll"),
+        )
+        stepped = (
+            lab.join(
+                succ.groupBy("v", *tags).agg(F.min("__cand").alias("__m")),
+                ["v", *tags],
+                "left",
+            )
             .select(
                 "v",
-                F.least(F.col("lab"), F.coalesce("__m", F.col("lab"))).alias("__new"),
+                *tags,
+                F.least(F.col("lab"), F.coalesce("__m", F.col("lab"))).alias("__mid"),
                 F.col("lab"),
             )
-        ).localCheckpoint(eager=True)
-        changed = pulled.filter(F.col("__new") < F.col("lab")).count()
-        lab = pulled.select("v", F.col("__new").alias("lab")).localCheckpoint(
-            eager=True
-        )
+            .join(
+                shortcut,
+                on=[F.col("__mid") == F.col("__lv")]
+                + [F.col(t) == F.col(f"__t_{t}") for t in tags],
+                how="left",
+            )
+            .select(
+                "v",
+                *tags,
+                F.least(
+                    F.col("__mid"), F.coalesce(F.col("__ll"), F.col("__mid"))
+                ).alias("__new"),
+                F.col("lab"),
+            )
+        ).localCheckpoint(eager=False)
+        changed = stepped.filter(F.col("__new") < F.col("lab")).count()
+        lab = stepped.select("v", *tags, F.col("__new").alias("lab"))
         if changed == 0:
             return lab
     raise RuntimeError(
         f"_min_label_fixpoint: no fixpoint within {max_iters} rounds "
-        "(raise max_iters; propagation needs O(longest shortest path) passes)"
+        "(raise max_iters; propagation needs O(log(longest shortest path)) passes)"
     )
 
 
@@ -1535,43 +1587,71 @@ def scc(
             has_out = e.select(F.col("u").alias("v")).distinct()
             has_in = e.select(F.col("w").alias("v")).distinct()
             on_cycle_candidates = has_out.join(has_in, "v", "inner")
+            # lazy checkpoint: the convergence count below doubles as
+            # its one materialization job (and that job also
+            # materializes the previous pass's lazily-checkpointed
+            # verts/e updates) — 1 job per trim pass instead of 5
             trimmed = verts.join(
                 on_cycle_candidates, "v", "left_anti"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             n_trim = trimmed.count()
             if n_trim == 0:
                 break
+            # plain union of checkpointed frames — trivial lineage, no
+            # materialization job of its own
             assigned = assigned.unionAll(
                 trimmed.select("v", F.col("v").cast("long").alias("label"))
-            ).localCheckpoint(eager=True)
+            )
             verts = verts.join(trimmed, "v", "left_anti").localCheckpoint(
-                eager=True
+                eager=False
             )
             e = (
                 e.join(trimmed.select(F.col("v").alias("u")), "u", "left_anti")
                 .join(trimmed.select(F.col("v").alias("w")), "w", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         if verts.limit(1).count() == 0:
             return assigned
+        # one fused fixpoint drives BOTH sweeps: forward edges tagged 0,
+        # reversed edges tagged 1, labels keyed (v, dir) — the pass
+        # count per peel round is max(fw, bw) instead of fw + bw, and
+        # each pass is one job over double-height (still tiny) frames
         seed = verts.select("v", F.col("v").alias("lab"))
-        fwd = _min_label_fixpoint(e, seed, max_iters=max_iters)
-        rev = e.select(F.col("w").alias("u"), F.col("u").alias("w"))
-        bwd = _min_label_fixpoint(rev, seed, max_iters=max_iters)
+        # NOTE: checkpointed frames come back in PHYSICAL attribute
+        # order (a post-join LogicalRDD can report [w, u]) — use
+        # explicit selects + unionByName, never positional unionAll,
+        # when a checkpoint output feeds a union
+        both_e = (
+            e.select("u", "w")
+            .withColumn("__dir", F.lit(0))
+            .unionByName(
+                e.select(
+                    F.col("w").alias("u"), F.col("u").alias("w")
+                ).withColumn("__dir", F.lit(1))
+            )
+        )
+        both_seed = seed.withColumn("__dir", F.lit(0)).unionByName(
+            seed.withColumn("__dir", F.lit(1))
+        )
+        fb = _min_label_fixpoint(
+            both_e, both_seed, max_iters=max_iters, tag_col="__dir"
+        )
+        fwd = fb.filter(F.col("__dir") == 0).select("v", "lab")
+        bwd = fb.filter(F.col("__dir") == 1).select("v", "lab")
         done = (
             fwd.join(bwd.select(F.col("v").alias("__v"), F.col("lab").alias("__b")),
                      fwd["v"] == F.col("__v"))
             .filter(F.col("lab") == F.col("__b"))
             .select("v", F.col("lab").cast("long").alias("label"))
-        ).localCheckpoint(eager=True)
-        assigned = assigned.unionAll(done).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        assigned = assigned.unionAll(done)
         verts = verts.join(done.select("v"), "v", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
         e = (
             e.join(done.select(F.col("v").alias("u")), "u", "left_anti")
             .join(done.select(F.col("v").alias("w")), "w", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     if verts.limit(1).count() == 0:
         return assigned
@@ -1642,12 +1722,13 @@ def condensation_levels(
                 ),
                 "lev",
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint, materialized by the changed-count action:
+            # 1 job per relaxation pass instead of 3 (the lev projection
+            # over the checkpointed frame is free lineage)
+            .localCheckpoint(eager=False)
         )
         changed = relaxed.filter(F.col("__new") > F.col("lev")).count()
-        lev = relaxed.select("c", F.col("__new").alias("lev")).localCheckpoint(
-            eager=True
-        )
+        lev = relaxed.select("c", F.col("__new").alias("lev"))
         if changed == 0:
             sizes = labels.groupBy(F.col("label").alias("c")).agg(
                 F.count(F.lit(1)).alias("n_vertices")
@@ -1862,6 +1943,7 @@ def luby_mis(
     seed: str = "mis0",
     src_col: str = SRC_INDEX_COL,
     dst_col: str = DST_INDEX_COL,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """Luby's MAXIMAL INDEPENDENT SET, fixed-round, with
     CONTENT-ADDRESSED priorities → (v, status ∈ {'in','out',
@@ -1892,28 +1974,40 @@ def luby_mis(
     Vertex universe: edge-INCIDENT vertices by default (the edge list
     is the only input).  Pass ``vertices`` (column ``vertex_col``) to
     also emit ISOLATED vertices — they have no neighbors, so they
-    trivially belong to every MIS and are reported 'in'."""
+    trivially belong to every MIS and are reported 'in'.
+
+    ``adjacency``: optional pre-built adjacency — must be SYMMETRIC,
+    self-loop-free, deduplicated, columns (a, b).  When given,
+    ``edges`` is ignored and the union+distinct symmetrization is
+    skipped entirely (greedy_coloring builds the closure once and
+    restricts it per color with two semi-joins, instead of paying a
+    fresh 2|E| distinct shuffle per color class)."""
     prio = F.concat(
         F.md5(F.concat_ws("\x1f", F.lit(seed), F.col("v").cast("string"))),
         F.lpad(F.col("v").cast("string"), 20, "0"),
     )
-    e = edges.filter(F.col(src_col) != F.col(dst_col)).select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    )
-    adj = (
-        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .persist()
-    )
-    pinned: list[DataFrame] = [adj]
+    if adjacency is not None:
+        # caller-owned: do NOT persist/unpersist here — unpersisting a
+        # plan-identical frame would evict the caller's own cache entry
+        adj = adjacency.select("a", "b")
+        pinned: list[DataFrame] = []
+    else:
+        e = edges.filter(F.col(src_col) != F.col(dst_col)).select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        )
+        adj = (
+            e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .persist()
+        )
+        pinned = [adj]
     try:
         und = (
             adj.select(F.col("a").alias("v"))
             .distinct()
             .withColumn("p", prio)
-            .persist()
+            .localCheckpoint(eager=False)
         )
-        pinned.append(und)
         statuses: list[DataFrame] = []
         for _ in range(rounds):
             nb_min = (
@@ -1925,28 +2019,34 @@ def luby_mis(
                 .groupBy(F.col("a").alias("v"))
                 .agg(F.min("__pb").alias("__mn"))
             )
+            # lazy checkpoints throughout the round: the isEmpty probe
+            # (and ultimately the caller's action) materializes them;
+            # checkpoint storage outlives the finally-unpersist, so no
+            # final copy of the result union is needed
             new_m = (
                 und.join(nb_min, "v", "left")
                 .filter(F.col("__mn").isNull() | (F.col("p") < F.col("__mn")))
                 .select("v")
-                .persist()
+                .localCheckpoint(eager=False)
             )
-            pinned.append(new_m)
+            # neighbors of the joiners (possibly with duplicates — the
+            # semi-join against the unique `und` re-establishes
+            # uniqueness for free, so no distinct shuffle is needed)
+            nbr = adj.join(new_m.select(F.col("v").alias("a")), "a").select(
+                F.col("b").alias("v")
+            )
             removed = (
-                adj.join(new_m.select(F.col("v").alias("a")), "a")
-                .select(F.col("b").alias("v"))
-                .distinct()
+                und.select("v")
+                .join(nbr, "v", "left_semi")
                 .join(new_m, "v", "left_anti")
-                .join(und.select("v"), "v", "left_semi")
-                .persist()
+                .localCheckpoint(eager=False)
             )
-            pinned.append(removed)
             statuses.append(new_m.withColumn("status", F.lit("in")))
             statuses.append(removed.withColumn("status", F.lit("out")))
             und = (
                 und.join(new_m, "v", "left_anti")
                 .join(removed, "v", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             if und.isEmpty():
                 break
@@ -1959,11 +2059,15 @@ def luby_mis(
                 vertices.select(F.col(vertex_col).alias("v"))
                 .distinct()
                 .join(adj.select(F.col("a").alias("v")), "v", "left_anti")
+                .localCheckpoint(eager=False)
             )
             statuses.append(iso.withColumn("status", F.lit("in")))
         result = statuses[0]
         for s in statuses[1:]:
             result = result.unionByName(s)
+        # every union leg is checkpoint-backed, so one eager job here
+        # both materializes the result and detaches it from `adj`
+        # before the finally-unpersist
         return result.localCheckpoint(eager=True)
     finally:
         for df in pinned:
@@ -2000,32 +2104,50 @@ def greedy_coloring(
     beyond the loop counters."""
     if colors < 1:
         raise ValueError("colors must be >= 1")
-    e = edges.filter(F.col(src_col) != F.col(dst_col)).select(
+    # build the SYMMETRIC self-loop-free adjacency once — every color
+    # class restricts it with two semi-joins (symmetry is preserved by
+    # restricting both endpoints to the same vertex set), instead of
+    # paying a fresh union+distinct symmetrization per class
+    base = edges.filter(F.col(src_col) != F.col(dst_col)).select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).distinct().persist()
-    pinned = [e]
+    )
+    adj = (
+        base.unionAll(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    pinned = [adj]
     try:
         remaining = (
-            e.select(F.col("a").alias("v"))
-            .unionAll(e.select(F.col("b").alias("v")))
+            adj.select(F.col("a").alias("v"))
             .distinct()
             .persist()
         )
         pinned.append(remaining)
         out: DataFrame | None = None
         for c in range(colors):
-            redges = (
-                e.join(remaining.select(F.col("v").alias("a")), "a", "left_semi")
+            radj = (
+                adj
+                if c == 0
+                # color 0's residual is the whole graph — the
+                # restriction would be a no-op, skip its two joins
+                # lazy checkpoint: luby consumes the residual adjacency
+                # 2×rounds times — cut it once instead of re-running
+                # the semi-joins per round
+                else adj.join(
+                    remaining.select(F.col("v").alias("a")), "a", "left_semi"
+                )
                 .join(remaining.select(F.col("v").alias("b")), "b", "left_semi")
-                .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                .localCheckpoint(eager=False)
             )
             mis = luby_mis(
-                redges,
+                adj,  # ignored when adjacency= is given
                 vertices=remaining,
                 rounds=rounds,
                 seed=f"{seed}{c}",
                 src_col="src",
                 dst_col="dst",
+                adjacency=radj,
             )
             # luby_mis returns an eagerly-checkpointed frame, so the
             # filter below is cheap lineage — no extra checkpoint job
@@ -2374,7 +2496,9 @@ def minimum_spanning_forest(
                 )
                 .distinct()
                 .withColumn("round_added", F.lit(r))
-                .localCheckpoint(eager=True)
+                # lazy: the isEmpty probe just below doubles as the
+                # materialization job
+                .localCheckpoint(eager=False)
             )
             if picked.isEmpty():
                 break
@@ -2408,7 +2532,9 @@ def minimum_spanning_forest(
             lbl = (
                 lbl.join(ccc, "label")
                 .select("v", F.col("__nl").alias("label"))
-                .localCheckpoint(eager=True)
+                # lazy: materialized by the next round's isEmpty probe
+                # (or the final forest checkpoint on the last round)
+                .localCheckpoint(eager=False)
             )
         if forest is None:
             # Empty forest: derive a/b types from the canonicalized
