@@ -113,27 +113,29 @@ def kmeans_assign(
     mean over this output.
     """
     dim = _check_centroid_dims(centroids)
+    # one parsed SQL expression instead of nested Column objects: the
+    # Column form cost ~35 driver-side (py4j) calls per centroid —
+    # a per-build constant that dominates at bench cadence (k-means
+    # re-enters here every iteration) — for an identical tree (same
+    # decimal-cast sequence; decimal Add grows precision by 1, so the
+    # merge result is cast back to the accumulator type)
     cands = []
     for idx, cvec in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        diff2 = F.zip_with(
-            F.col(vec_col),
-            carr,
-            lambda x, y: (
-                (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double"))
-            ).cast("decimal(38,18)"),
+        carr = "array(" + ", ".join(repr(float(x)) + "D" for x in cvec) + ")"
+        cands.append(
+            "named_struct('d', "
+            f"aggregate(zip_with(`{vec_col}`, {carr}, "
+            "(x, y) -> CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+            "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(38,18))), "
+            "CAST(0 AS DECIMAL(38,18)), "
+            "(a, x) -> CAST(a + x AS DECIMAL(38,18))), "
+            f"'i', {int(idx)})"
         )
-        # decimal Add grows precision by 1, so cast the merge result back
-        # to the accumulator type (aggregate requires them equal); values
-        # are bounded by dim·absmax² ≪ the 20 integer digits available
-        d2 = F.aggregate(
-            diff2,
-            F.lit(0).cast("decimal(38,18)"),
-            lambda a, x: (a + x).cast("decimal(38,18)"),
-        )
-        cands.append(F.struct(d2.alias("d"), F.lit(int(idx)).alias("i")))
-    best = _dim_guarded(F.array_min(F.array(*cands)), F.col(vec_col), dim)
+    best = _dim_guarded(
+        F.expr("array_min(array(" + ", ".join(cands) + "))"),
+        F.col(vec_col),
+        dim,
+    )
     return df.select(
         F.col(id_col),
         best["i"].alias("cluster"),
@@ -537,26 +539,28 @@ def pq_encode(
     for j, d_sub in enumerate(dims):
         s = s.withColumn(f"__sl{j}", F.slice(F.col("__vec"), start, d_sub))
         start += d_sub
+    # one parsed SQL expression per subspace instead of nested Column
+    # objects: the Column form cost ~35 driver-side (py4j) calls per
+    # codebook entry — the dominant per-build constant — for an
+    # identical expression tree (same decimal-cast op sequence, same
+    # (distance, index) struct tie-break)
     bests = []
     for j, cb in enumerate(codebooks):
         cands = []
         for idx, cvec in cb:
-            carr = F.array(*[F.lit(float(x)) for x in cvec])
-            diff2 = F.zip_with(
-                F.col(f"__sl{j}"),
-                carr,
-                lambda x, y: (
-                    (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double"))
-                ).cast("decimal(38,18)"),
+            carr = (
+                "array(" + ", ".join(repr(float(x)) + "D" for x in cvec) + ")"
             )
-            d2 = F.aggregate(
-                diff2,
-                F.lit(0).cast("decimal(38,18)"),
-                lambda a, x: (a + x).cast("decimal(38,18)"),
+            cands.append(
+                "named_struct('d', "
+                f"aggregate(zip_with(`__sl{j}`, {carr}, "
+                "(x, y) -> CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+                "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(38,18))), "
+                "CAST(0 AS DECIMAL(38,18)), "
+                "(a, x) -> CAST(a + x AS DECIMAL(38,18))), "
+                f"'i', {int(idx)})"
             )
-            cands.append(F.struct(d2.alias("d"), F.lit(int(idx)).alias("i")))
-        bests.append(F.array_min(F.array(*cands)))
+        bests.append(F.expr("array_min(array(" + ", ".join(cands) + "))"))
     recon = bests[0]["d"]
     for b in bests[1:]:
         recon = (recon + b["d"]).cast("decimal(38,18)")
@@ -625,32 +629,32 @@ def _adc_table_exprs(
 ) -> list[Column]:
     """The m query-to-codebook distance-table CONSTANT expressions —
     per subspace an array of k decimal scalars built with the exact
-    decimal-cast op sequence the encode uses.  Both ADC modes derive
-    their numbers from these same expressions (Catalyst constant-folds
-    them with engine cast semantics), which is what keeps the two modes
-    bit-identical and SQL-oracle-replayable."""
+    decimal-cast op sequence the encode uses (engine-evaluated, so the
+    numbers are the engine's, never Python floats), which is what keeps
+    the ADC modes bit-identical and SQL-oracle-replayable.
+
+    Built as ONE parsed SQL expression per subspace rather than nested
+    Column objects: the Column form cost ~40 driver-side (py4j) calls
+    per table entry — the dominant per-build constant — for an
+    identical expression tree."""
     tables = []
     start = 0
     for j, cb in enumerate(codebooks):
         qj = [float(x) for x in query[start : start + dims[j]]]
         start += dims[j]
-        qarr = F.array(*[F.lit(x) for x in qj])
+        qarr = "array(" + ", ".join(repr(x) + "D" for x in qj) + ")"
         ents = []
         for idx, cvec in sorted(cb):
-            carr = F.array(*[F.lit(float(x)) for x in cvec])
-            diff2 = F.zip_with(
-                qarr,
-                carr,
-                lambda x, y: ((x - y) * (x - y)).cast("decimal(38,18)"),
+            carr = (
+                "array(" + ", ".join(repr(float(x)) + "D" for x in cvec) + ")"
             )
             ents.append(
-                F.aggregate(
-                    diff2,
-                    F.lit(0).cast("decimal(38,18)"),
-                    lambda a, x: (a + x).cast("decimal(38,18)"),
-                )
+                f"aggregate(zip_with({qarr}, {carr}, "
+                "(x, y) -> CAST((x - y) * (x - y) AS DECIMAL(38,18))), "
+                "CAST(0 AS DECIMAL(38,18)), "
+                "(a, x) -> CAST(a + x AS DECIMAL(38,18)))"
             )
-        tables.append(F.array(*ents))
+        tables.append(F.expr("array(" + ", ".join(ents) + ")"))
     return tables
 
 
@@ -718,20 +722,32 @@ def pq_adc_topk(
         table_mode = "literal" if n_entries <= _ADC_LITERAL_BUDGET else "broadcast"
     enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
     table_exprs = _adc_table_exprs(codebooks, query, dims)
+    # evaluate the constant table expressions ENGINE-side exactly once
+    # on a 1-row job (so the numbers are the engine's decimal-cast
+    # sequence, never Python floats) — BOTH modes then attach the
+    # resulting m·k exact decimals.  Embedding the unfolded aggregate
+    # expressions per mode was a double cost: ~1.3k driver-side column
+    # constructions per build (the dominant per-rep constant at bench
+    # scale) and a per-row re-evaluation hazard, for identical values.
+    spark = df.sparkSession
+    row = spark.range(1).select(
+        *[table_exprs[j].alias(f"__t{j}") for j in range(len(table_exprs))]
+    ).first()
+    tabs = [[d for d in row[f"__t{j}"]] for j in range(len(table_exprs))]
     if table_mode == "literal":
-        approx = F.element_at(table_exprs[0], F.col("codes")[0] + 1)
-        for j in range(1, len(table_exprs)):
+        # inlined constant arrays of PLAIN decimal literals — the
+        # lookup values are bit-identical to broadcast mode because
+        # both come from the same 1-row evaluation above
+        table_lits = [
+            F.array(*[F.lit(x).cast("decimal(38,18)") for x in tab])
+            for tab in tabs
+        ]
+        approx = F.element_at(table_lits[0], F.col("codes")[0] + 1)
+        for j in range(1, len(table_lits)):
             approx = (
-                approx + F.element_at(table_exprs[j], F.col("codes")[j] + 1)
+                approx + F.element_at(table_lits[j], F.col("codes")[j] + 1)
             ).cast("decimal(38,18)")
     else:
-        # evaluate the SAME constant expressions engine-side once;
-        # collect exact decimals and ship them back as one broadcast row
-        spark = df.sparkSession
-        row = spark.range(1).select(
-            *[table_exprs[j].alias(f"__t{j}") for j in range(len(table_exprs))]
-        ).first()
-        tabs = [[d for d in row[f"__t{j}"]] for j in range(len(table_exprs))]
         tabs_df = spark.createDataFrame(
             [(tabs,)], "__tabs: array<array<decimal(38,18)>>"
         )
