@@ -1399,9 +1399,12 @@ def ktruss(
 
     def support(e_df: DataFrame) -> DataFrame:
         # each triangle (degree-ordered enumeration, exactly once)
-        # supports all 3 of its (canonical a<b) edges
+        # supports all 3 of its (canonical a<b) edges; materialize the
+        # oriented edge set — it feeds both wedge legs AND the closing
+        # join, and without the cut each consumer re-runs the
+        # degree-stamp joins over the whole upstream peel chain
         return (
-            _oriented_triangles(e_df)
+            _oriented_triangles(e_df, materialize=True)
             .select(
                 F.explode(
                     F.array(
@@ -1425,13 +1428,18 @@ def ktruss(
     for it in range(n_iters):
         sup = support(e)
         # edges closing zero triangles are absent from `sup`: the inner
-        # join drops them, which is exactly support < k-2 for k >= 3
-        e = sup.filter(F.col("support") >= k - 2).select("a", "b")
-        if (it + 1) % 3 == 0 and it + 1 < n_iters:
-            e = e.localCheckpoint(eager=False)
-    # the final pass re-reads `e` twice (left side + support's input);
-    # bound the peel-chain re-execution before fanning out
-    e = e.localCheckpoint(eager=False)
+        # join drops them, which is exactly support < k-2 for k >= 3.
+        # Cut every round: the next round's support consumes this edge
+        # set several times (degree stamp + orientation + closing), so
+        # an uncut chain re-executes the whole previous peel per use
+        e = (
+            sup.filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            # eager: the next support pass consumes this edge set from
+            # several subtrees (degree stamp both legs + orientation)
+            .localCheckpoint(eager=True)
+        )
+    # the final pass re-reads `e` twice (left side + support's input)
     return e.join(support(e), ["a", "b"], "left").select(
         "a",
         "b",
@@ -1553,12 +1561,19 @@ def scc(
     the Slota-style step that keeps the expensive fixpoints for actual
     cycles.  Then compute F(v) = min id reachable FROM v (forward
     min-label fixpoint) and B(v) = min id that REACHES v (the same
-    fixpoint on reversed edges).  F(v)=B(v)=r means v→r and r→v, so
-    all such v are mutually reachable THROUGH r — exactly SCC(r).
-    Assign them, peel them out, repeat on the remainder (whose F/B
-    minima were polluted by the peeled vertices).  Random/fixture
-    graphs peel in 1–2 rounds (one giant SCC + a trimmed periphery);
-    ``max_rounds`` bounds adversarial SCC-chain graphs.
+    fixpoint on reversed edges, both run as ONE fused tagged
+    fixpoint).  F(v)=B(v)=r means v→r and r→v, so all such v are
+    mutually reachable THROUGH r — exactly SCC(r).  Assign them, and
+    REFINE the remainder by (F, B) pair: two vertices of one SCC have
+    identical reach sets both ways, hence identical pairs, so every
+    cross-pair edge is droppable (the FW-BW coloring refinement) — an
+    id-ascending SCC chain splits into independent per-band classes in
+    one round instead of peeling one level per round.  Repeat on the
+    remainder.  Progress is guaranteed (the remainder's global-min SCC
+    always satisfies F=B); ``max_rounds`` bounds adversarial chains
+    whose unassigned bands keep sharing pairs (next global min two
+    bands downstream).  Random/fixture graphs peel in 1–2 rounds (one
+    giant SCC + a trimmed periphery).
 
     Scale shape: every step is joins + min-aggregates over (v, lab)
     pairs — no closure materialization, no driver state beyond loop
@@ -1588,9 +1603,9 @@ def scc(
             has_in = e.select(F.col("w").alias("v")).distinct()
             on_cycle_candidates = has_out.join(has_in, "v", "inner")
             # lazy checkpoint: the convergence count below doubles as
-            # its one materialization job (and that job also
-            # materializes the previous pass's lazily-checkpointed
-            # verts/e updates) — 1 job per trim pass instead of 5
+            # its one (full) materialization job — 1 job per trim pass
+            # instead of 2; safe because every checkpoint-marked
+            # ancestor (verts, e) is already materialized
             trimmed = verts.join(
                 on_cycle_candidates, "v", "left_anti"
             ).localCheckpoint(eager=False)
@@ -1602,13 +1617,19 @@ def scc(
             assigned = assigned.unionAll(
                 trimmed.select("v", F.col("v").cast("long").alias("label"))
             )
+            # EAGER updates: a frame left lazily checkpoint-marked and
+            # then consumed from several subtrees of one AQE query can
+            # deadlock at low core counts (concurrent stage jobs race
+            # to materialize the same marked blocks) — only frames
+            # fully materialized by their OWN immediate action (the
+            # trimmed/stepped/relaxed count pattern) may stay lazy
             verts = verts.join(trimmed, "v", "left_anti").localCheckpoint(
-                eager=False
+                eager=True
             )
             e = (
                 e.join(trimmed.select(F.col("v").alias("u")), "u", "left_anti")
                 .join(trimmed.select(F.col("v").alias("w")), "w", "left_anti")
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
         if verts.limit(1).count() == 0:
             return assigned
@@ -1638,21 +1659,57 @@ def scc(
         )
         fwd = fb.filter(F.col("__dir") == 0).select("v", "lab")
         bwd = fb.filter(F.col("__dir") == 1).select("v", "lab")
-        done = (
-            fwd.join(bwd.select(F.col("v").alias("__v"), F.col("lab").alias("__b")),
-                     fwd["v"] == F.col("__v"))
-            .filter(F.col("lab") == F.col("__b"))
-            .select("v", F.col("lab").cast("long").alias("label"))
-        ).localCheckpoint(eager=False)
+        # per-vertex (F, B) pair: F(v)=B(v)=r ⟺ v ↔ r (assign SCC(r));
+        # beyond that, two vertices with DIFFERENT pairs can never share
+        # an SCC (u↔v forces equal reach sets both ways, hence equal
+        # min-labels), so every cross-pair edge is droppable — the
+        # FW-BW refinement that splits a k-deep SCC chain into
+        # independent classes instead of peeling one level per round
+        # one EAGER cut of the pair table (parents are the fixpoint's
+        # already-materialized checkpoints); done/cu/cw are then free
+        # projections over it — no further marks in this round's jobs
+        pr = (
+            fwd.join(
+                bwd.select(F.col("v").alias("__v"), F.col("lab").alias("__b")),
+                fwd["v"] == F.col("__v"),
+            )
+            .select("v", F.col("lab").alias("__f"), F.col("__b"))
+            .localCheckpoint(eager=True)
+        )
+        done = pr.filter(F.col("__f") == F.col("__b")).select(
+            "v", F.col("__f").cast("long").alias("label")
+        )
         assigned = assigned.unionAll(done)
         verts = verts.join(done.select("v"), "v", "left_anti").localCheckpoint(
-            eager=False
+            eager=True
         )
-        e = (
-            e.join(done.select(F.col("v").alias("u")), "u", "left_anti")
-            .join(done.select(F.col("v").alias("w")), "w", "left_anti")
-            .localCheckpoint(eager=False)
+        cu = pr.select(
+            F.col("v").alias("u"), F.col("__f").alias("__fu"), F.col("__b").alias("__bu")
         )
+        cw = pr.select(
+            F.col("v").alias("w"), F.col("__f").alias("__fw"), F.col("__b").alias("__bw")
+        )
+        # keep only same-pair edges among NOT-yet-assigned classes (a
+        # done vertex's pair has __f == __b, so its class's edges drop
+        # too).  Spelled as an ANTI join against the bad-edge set, not
+        # an inner-join filter: Catalyst's size estimate for a LEFT
+        # ANTI join is the left side alone, while the inner form's
+        # size product would be recorded on this checkpoint and then
+        # COMPOUND through every later round's checkpoints (each
+        # Dataset.checkpoint copies its origin plan's stats into the
+        # LogicalRDD) until sizeInBytes becomes a BigInt with millions
+        # of digits and stats estimation itself dominates planning.
+        bad = (
+            e.join(cu, "u")
+            .join(cw, "w")
+            .filter(
+                (F.col("__fu") != F.col("__fw"))
+                | (F.col("__bu") != F.col("__bw"))
+                | (F.col("__fu") == F.col("__bu"))
+            )
+            .select("u", "w")
+        )
+        e = e.join(bad, ["u", "w"], "left_anti").localCheckpoint(eager=True)
     if verts.limit(1).count() == 0:
         return assigned
     raise RuntimeError(
@@ -2006,8 +2063,9 @@ def luby_mis(
             adj.select(F.col("a").alias("v"))
             .distinct()
             .withColumn("p", prio)
-            .localCheckpoint(eager=False)
+            .persist()
         )
+        pinned.append(und)
         statuses: list[DataFrame] = []
         for _ in range(rounds):
             nb_min = (
@@ -2019,16 +2077,13 @@ def luby_mis(
                 .groupBy(F.col("a").alias("v"))
                 .agg(F.min("__pb").alias("__mn"))
             )
-            # lazy checkpoints throughout the round: the isEmpty probe
-            # (and ultimately the caller's action) materializes them;
-            # checkpoint storage outlives the finally-unpersist, so no
-            # final copy of the result union is needed
             new_m = (
                 und.join(nb_min, "v", "left")
                 .filter(F.col("__mn").isNull() | (F.col("p") < F.col("__mn")))
                 .select("v")
-                .localCheckpoint(eager=False)
+                .persist()
             )
+            pinned.append(new_m)
             # neighbors of the joiners (possibly with duplicates — the
             # semi-join against the unique `und` re-establishes
             # uniqueness for free, so no distinct shuffle is needed)
@@ -2039,14 +2094,15 @@ def luby_mis(
                 und.select("v")
                 .join(nbr, "v", "left_semi")
                 .join(new_m, "v", "left_anti")
-                .localCheckpoint(eager=False)
+                .persist()
             )
+            pinned.append(removed)
             statuses.append(new_m.withColumn("status", F.lit("in")))
             statuses.append(removed.withColumn("status", F.lit("out")))
             und = (
                 und.join(new_m, "v", "left_anti")
                 .join(removed, "v", "left_anti")
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
             if und.isEmpty():
                 break
@@ -2059,15 +2115,13 @@ def luby_mis(
                 vertices.select(F.col(vertex_col).alias("v"))
                 .distinct()
                 .join(adj.select(F.col("a").alias("v")), "v", "left_anti")
-                .localCheckpoint(eager=False)
             )
             statuses.append(iso.withColumn("status", F.lit("in")))
         result = statuses[0]
         for s in statuses[1:]:
             result = result.unionByName(s)
-        # every union leg is checkpoint-backed, so one eager job here
-        # both materializes the result and detaches it from `adj`
-        # before the finally-unpersist
+        # one eager job materializes the result and detaches it from
+        # the pinned caches before the finally-unpersist
         return result.localCheckpoint(eager=True)
     finally:
         for df in pinned:
@@ -2130,15 +2184,17 @@ def greedy_coloring(
                 adj
                 if c == 0
                 # color 0's residual is the whole graph — the
-                # restriction would be a no-op, skip its two joins
-                # lazy checkpoint: luby consumes the residual adjacency
-                # 2×rounds times — cut it once instead of re-running
-                # the semi-joins per round
+                # restriction would be a no-op, skip its two joins.
+                # Eager checkpoint: luby consumes the residual
+                # adjacency 2×rounds times — cut it once instead of
+                # re-running the semi-joins per round (eager, so no
+                # unmaterialized mark is left for luby's jobs to race
+                # on at low core counts)
                 else adj.join(
                     remaining.select(F.col("v").alias("a")), "a", "left_semi"
                 )
                 .join(remaining.select(F.col("v").alias("b")), "b", "left_semi")
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
             mis = luby_mis(
                 adj,  # ignored when adjacency= is given
@@ -2496,9 +2552,11 @@ def minimum_spanning_forest(
                 )
                 .distinct()
                 .withColumn("round_added", F.lit(r))
-                # lazy: the isEmpty probe just below doubles as the
-                # materialization job
-                .localCheckpoint(eager=False)
+                # eager: `picked` feeds three consumers (forest output,
+                # the CC pick graph, the probe); a lazily-marked frame
+                # consumed from several subtrees can deadlock under
+                # concurrent AQE stage jobs at low core counts
+                .localCheckpoint(eager=True)
             )
             if picked.isEmpty():
                 break
@@ -2532,9 +2590,9 @@ def minimum_spanning_forest(
             lbl = (
                 lbl.join(ccc, "label")
                 .select("v", F.col("__nl").alias("label"))
-                # lazy: materialized by the next round's isEmpty probe
-                # (or the final forest checkpoint on the last round)
-                .localCheckpoint(eager=False)
+                # eager: the next round's candidate join consumes lbl
+                # from two subtrees (same hazard as `picked` above)
+                .localCheckpoint(eager=True)
             )
         if forest is None:
             # Empty forest: derive a/b types from the canonicalized

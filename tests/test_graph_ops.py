@@ -489,20 +489,41 @@ def test_scc_textbook_shapes(spark):
 
 
 def test_scc_peel_rounds_exhausted_raises(spark):
-    """An SCC-chain (2-cycles bridged forward, ids increasing) longer
-    than max_rounds must raise, never return a partial partition.  A
-    plain DAG chain no longer exercises this: TRIM assigns the whole
-    acyclic periphery in round one (pinned by the passing textbook
-    test), so only real cycle chains consume peel rounds."""
+    """An SCC chain that outlasts max_rounds must raise, never return a
+    partial partition.  A plain DAG chain no longer exercises this:
+    TRIM assigns the whole acyclic periphery in round one.  Neither
+    does an id-ascending 2-cycle chain anymore: the FW-BW pair
+    refinement drops cross-(F,B)-class edges each round, so every band
+    of an ascending chain gets a distinct pair in round one and the
+    whole chain resolves in two rounds (pinned below).  The adversarial
+    shape that still consumes a round per level places the next global
+    min TWO bands downstream — consecutive unassigned bands then share
+    their (F, B) pair, so no cross edge drops and only the one
+    min-containing SCC peels per round."""
     import pytest as _pt
 
     from duckdb_graphar_spark.operators.graph import scc
 
+    # ascending chain {0,1} -> {2,3} -> {4,5} -> {6,7}: every band gets
+    # a distinct (F, B) pair in round one -> resolves within 2 rounds
     pairs = []
-    for i in range(4):  # 4 two-cycles: {0,1} -> {2,3} -> {4,5} -> {6,7}
+    for i in range(4):
         pairs += [(2 * i, 2 * i + 1), (2 * i + 1, 2 * i)]
         if i:
             pairs.append((2 * i - 1, 2 * i))
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.v: r.label for r in scc(df, max_rounds=2, src_col="src", dst_col="dst").collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4, 6: 6, 7: 6}
+
+    # adversarial interleaving {0,1} -> {4,5} -> {6,7} -> {2,3}: after
+    # round one ({0,1} assigned), {4,5} and {6,7} share pair (F=2, B=4)
+    # while {2,3} peels, so the chain costs a round per level again
+    bands = [(0, 1), (4, 5), (6, 7), (2, 3)]
+    pairs = []
+    for a, b in bands:
+        pairs += [(a, b), (b, a)]
+    for i in range(3):
+        pairs.append((bands[i][1], bands[i + 1][0]))
     df = spark.createDataFrame(pairs, "src long, dst long")
     with _pt.raises(RuntimeError, match="unassigned"):
         scc(df, max_rounds=2, src_col="src", dst_col="dst")
