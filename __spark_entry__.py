@@ -13354,26 +13354,40 @@ _PRIORITY = [
     # --- 2-4 source reads -> 1; g13/g14 additionally cut lineage every
     # --- round) plus s15 (query-label pushdown) and t19's third-pass
     # --- exchange-reuse fix; g21 (bipartiteness, 6 reads -> 1) is in
-    # --- the r5 band below and doubles as changed-code evidence ---
+    # --- the r5 band below and doubles as changed-code evidence.
+    # --- The LAST resume session reworked twelve more entries —
+    # --- scc/condensation (pointer-doubled fused FW-BW fixpoint +
+    # --- pair refinement: g24/g25), luby/coloring (hoisted adjacency:
+    # --- g27/g30), Boruvka (g31/g32), ktruss per-round cut (g22,
+    # --- already in the r5 band), and the kmeans/PQ expression-
+    # --- construction rework (s05/s06/s12/s21/d09/d10; s08/s09/s10
+    # --- already below) — those twelve displace twelve UNCHANGED
+    # --- r5-band entries (m01, q71–q79, t35/t36) to lead round 13:
+    # --- changed-code value evidence outranks stale-band rotation ---
     "q102", "st31",
     "q86", "t28", "q81", "q89", "q90", "q96", "t13", "t27", "t19",
     "s11", "t20", "t15", "g18",
     "g09", "g10", "g13", "g14", "g15", "g16", "g17", "g19", "g34",
-    # --- (2) 24 of the 28 entries whose latest driver evidence is round
-    # --- 5 (the four moratorium-frozen codec entries m02/m11/m12/m13
-    # --- defer to lead round 13: zero churn risk, and the changed-code
-    # --- head grew by 9; s15 sits here AND carries changed code) ---
-    "g20", "g21", "g22", "g23", "m01",
-    "q71", "q72", "q73", "q74", "q75", "q76", "q77", "q78", "q79",
-    "s07", "s08", "s14", "s15", "st12", "st14", "t35", "t36", "u05",
+    "g24", "g25", "g27", "g30", "g31", "g32",
+    "s05", "s06", "s12", "s21", "d09", "d10",
+    # --- (2) the r5-stale band minus the twelve deferrals above (the
+    # --- four moratorium-frozen codec entries m02/m11/m12/m13 were
+    # --- already deferred to round 13: zero churn risk; s15 sits here
+    # --- AND carries changed code) ---
+    "g20", "g21", "g22", "g23",
+    "s07", "s08", "s14", "s15", "st12", "st14", "u05",
     "u06",
     # --- (3) s09/s10: r11's one surviving normalized perf drift
-    # --- (s10 1.53x, contention-suspected) — probation re-check;
-    # --- window = EXACTLY 50 (24 changed + 24 r5 + 2 probation) ---
+    # --- (s10 1.53x, contention-suspected) — probation re-check, and
+    # --- both also carry this round's PQ rework;
+    # --- window = EXACTLY 50 (36 changed + 12 r5 + 2 probation) ---
     "s09", "s10",
-    # --- 51+: m02/m11/m12/m13 + the remaining r6-stale entries lead the
-    # --- round-13 queue; everything else follows in definition order ---
-    "m02", "m11", "m12", "m13", "d08", "g24", "g25", "g26", "g28",
+    # --- 51+: the twelve deferred r5 entries + m02/m11/m12/m13 + the
+    # --- remaining r6-stale entries lead the round-13 queue;
+    # --- everything else follows in definition order ---
+    "m01", "q71", "q72", "q73", "q74", "q75", "q76", "q77", "q78",
+    "q79", "t35", "t36",
+    "m02", "m11", "m12", "m13", "d08", "g26", "g28",
     "g29", "ga19", "ga20",
     "m14", "m15", "m16", "m17", "m18", "m19", "m20", "m21", "m22",
     "m23",
