@@ -3465,22 +3465,30 @@ def s15(spark, sf):
     from duckdb_graphar_spark.operators.similarity import brute_force_topk
 
     e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    # TWO corpus passes total (r12's shape paid four): (1) ONE filtered
+    # probe scan — vec_id < 50 pushed to the parquet scan — feeds both
+    # the query vectors and the query labels (eager checkpoint of the
+    # 50-row result so the two consumers share that single scan);
+    # (2) ONE full scoring scan that CARRIES each neighbor's label
+    # through the top-k instead of re-joining the corpus on neighbor_id
+    # afterwards (the post-hoc join was a full (vec_id,label) re-scan).
+    probe = (
+        e.filter(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("__ql"),
+        )
+        .localCheckpoint(eager=True)
     )
-    nn = brute_force_topk(e, q, k=5)
-    # query ids are < 50 by construction, so push that predicate into
-    # the query-label scan — on any multi-row-group input it prunes to
-    # the probe rows instead of a full (vec_id,label) corpus pass
-    # (result unchanged: the inner join on query_id already restricts
-    # to the probe set)
-    ql = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+    nn = brute_force_topk(
+        e.select("vec_id", "embedding", F.col("label").alias("__nl")),
+        probe.select("query_id", "query_vec"),
+        k=5,
+        carry_cols=["__nl"],
     )
-    nl = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__nl"))
     return (
-        nn.join(F.broadcast(ql), "query_id")
-        .join(F.broadcast(nl), "neighbor_id")
+        nn.join(F.broadcast(probe.select("query_id", "__ql")), "query_id")
         .groupBy(F.col("__ql").cast("long").alias("label"))
         .agg(
             F.count_distinct("query_id").cast("long").alias("n_probes"),
@@ -11854,6 +11862,9 @@ def q100(spark, sf):
     (`operators/quantiles.py:grouped_quantile_disc`)."""
     from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
 
+    # LAZY checkpoint: d feeds the fence computation AND the final clamp
+    # join — r12 paid a second full events scan for the latter.  The
+    # fence call's bounds collect is d's own full materialization.
     d = (
         _t(spark, sf, "events")
         .filter(F.col("value").isNotNull())
@@ -11862,6 +11873,7 @@ def q100(spark, sf):
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
+        .localCheckpoint(eager=False)
     )
     fences = grouped_quantile_disc(
         d, ["event_type"], "cents", [0.05, 0.95]
@@ -12080,18 +12092,28 @@ def q98(spark, sf):
     Exact end-to-end: cents in, data elements out."""
     from duckdb_graphar_spark.operators.quantiles import grouped_quantile_disc
 
+    # LAZY checkpoints on d and dev: the entry's actions ran THREE full
+    # events scans in r12 (the median call's bounds collect re-derived
+    # d, the MAD call's re-derived dev→d, and the final fence join
+    # re-derived dev again).  Each frame is fully materialized by the
+    # first grouped_quantile_disc bounds collect that consumes it (its
+    # own aggregate action — the scc trim-loop lazy rule), so the
+    # source is read ONCE per run.
     d = (
         _t(spark, sf, "events")
         .filter(F.col("value").isNotNull())
         .select(
             "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
         )
+        .localCheckpoint(eager=False)
     )
     med = grouped_quantile_disc(d, ["event_type"], "c", 0.5).select(
         "event_type", F.col("value").cast("long").alias("mc")
     )
-    dev = d.join(F.broadcast(med), "event_type").withColumn(
-        "dv", F.abs(F.col("c") - F.col("mc"))
+    dev = (
+        d.join(F.broadcast(med), "event_type")
+        .withColumn("dv", F.abs(F.col("c") - F.col("mc")))
+        .localCheckpoint(eager=False)
     )
     mad = grouped_quantile_disc(dev, ["event_type"], "dv", 0.5).select(
         "event_type", F.col("value").cast("long").alias("madc")

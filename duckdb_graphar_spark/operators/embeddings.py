@@ -13,7 +13,29 @@ DuckDB oracle (both round() halves away from zero).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _sql_double(x: float) -> str:
+    """A DOUBLE literal for parsed-SQL interpolation.  repr(float)+'D'
+    produces 'infD'/'nanD' for non-finite values, which fail to parse
+    (the pre-r12 F.lit form accepted them); emit the explicit CAST
+    spelling instead so non-finite centroid/query components keep
+    working."""
+    v = float(x)
+    if math.isfinite(v):
+        return repr(v) + "D"
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'' if v > 0 else '-'}Infinity' AS DOUBLE)"
+
+
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a column name for parsed-SQL interpolation,
+    doubling embedded backticks (the escaping F.col performs)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _as_double(vec: Column) -> Column:
@@ -121,10 +143,10 @@ def kmeans_assign(
     # merge result is cast back to the accumulator type)
     cands = []
     for idx, cvec in centroids:
-        carr = "array(" + ", ".join(repr(float(x)) + "D" for x in cvec) + ")"
+        carr = "array(" + ", ".join(_sql_double(x) for x in cvec) + ")"
         cands.append(
             "named_struct('d', "
-            f"aggregate(zip_with(`{vec_col}`, {carr}, "
+            f"aggregate(zip_with({_quote_ident(vec_col)}, {carr}, "
             "(x, y) -> CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
             "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(38,18))), "
             "CAST(0 AS DECIMAL(38,18)), "
@@ -549,7 +571,7 @@ def pq_encode(
         cands = []
         for idx, cvec in cb:
             carr = (
-                "array(" + ", ".join(repr(float(x)) + "D" for x in cvec) + ")"
+                "array(" + ", ".join(_sql_double(x) for x in cvec) + ")"
             )
             cands.append(
                 "named_struct('d', "
@@ -642,11 +664,11 @@ def _adc_table_exprs(
     for j, cb in enumerate(codebooks):
         qj = [float(x) for x in query[start : start + dims[j]]]
         start += dims[j]
-        qarr = "array(" + ", ".join(repr(x) + "D" for x in qj) + ")"
+        qarr = "array(" + ", ".join(_sql_double(x) for x in qj) + ")"
         ents = []
         for idx, cvec in sorted(cb):
             carr = (
-                "array(" + ", ".join(repr(float(x)) + "D" for x in cvec) + ")"
+                "array(" + ", ".join(_sql_double(x) for x in cvec) + ")"
             )
             ents.append(
                 f"aggregate(zip_with({qarr}, {carr}, "

@@ -268,13 +268,23 @@ def _expand_frontier(
 ) -> DataFrame:
     """One BFS level: distinct unvisited successors of the frontier.
     ``broadcast=False`` drops the hint so the frontier join shuffles
-    instead of failing on an over-limit broadcast."""
+    instead of failing on an over-limit broadcast.
+
+    The distinct + visited anti-join are fused into ONE aggregate (tag
+    expansion rows 0, visited rows 1, keep never-seen groups): one
+    exchange per level instead of a distinct shuffle followed by an
+    anti-join, and no broadcast build of the visited set — which grows
+    toward |V| and is exactly the relation the guide says not to
+    broadcast at scale."""
     fr = F.broadcast(frontier) if broadcast else frontier
     return (
         e.join(fr, e["__s"] == F.col("__v"))
-        .select(F.col("__d").alias("__v"))
-        .distinct()
-        .join(visited, "__v", "left_anti")
+        .select(F.col("__d").alias("__v"), F.lit(0).alias("__t"))
+        .unionByName(visited.select("__v", F.lit(1).alias("__t")))
+        .groupBy("__v")
+        .agg(F.max("__t").alias("__mt"))
+        .filter(F.col("__mt") == 0)
+        .select("__v")
     )
 
 
@@ -382,15 +392,28 @@ def pagerank(
     """
     # e feeds the out-degree aggregate AND every iteration's contribution
     # join; the vertex relation feeds the count job plus the rank rebuild
-    # (consumed twice per round).  One eager O(E)/O(V) checkpoint each
-    # collapses all downstream consumers onto the materialized relation —
-    # each source is read once (the cross-execution meter measured
-    # orders 2x / customer 3x before; same discipline as g18/g21).
-    e = edges.select(
-        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    ).localCheckpoint(eager=True)
-    v = vertices.select(F.col(id_col).alias("__v")).localCheckpoint(eager=True)
-    n_b = v.count()
+    # (consumed twice per round).  ONE union-tagged checkpoint (edges
+    # tagged 0, vertices tagged 1) collapses all downstream consumers
+    # onto a single materialized relation — each source is still read
+    # once (the cross-execution meter measured orders 2x / customer 3x
+    # before the r12 checkpoints; same discipline as g18/g21), and the
+    # r12 pair of eager checkpoint jobs + the vertex count job fuse
+    # into ONE materialization job (the vertex-side count is the
+    # checkpoint's own action, so the lazy mark is safe — the scc
+    # trim-loop rule).
+    both = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .withColumn("__t", F.lit(0))
+        .unionByName(
+            vertices.select(F.col(id_col).alias("__s"))
+            .withColumn("__d", F.lit(None).cast(edges.schema[dst_col].dataType))
+            .withColumn("__t", F.lit(1))
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_b = both.filter(F.col("__t") == 1).count()
+    e = both.filter(F.col("__t") == 0).select("__s", "__d")
+    v = both.filter(F.col("__t") == 1).select(F.col("__s").alias("__v"))
     outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__od"))
     ranks = v.select("__v", (F.lit(1.0) / F.lit(n_b)).alias("__r"))
     base = F.lit(0.15) / F.lit(n_b)
@@ -787,12 +810,23 @@ def personalized_pagerank(
     one ranks⋈edges shuffle join + one map-combinable DECIMAL(38,18)
     groupBy(dst) per round; ranks published at 12 decimals."""
     # same materialization contract as pagerank: e and the vertex
-    # projection are constant across iterations — one eager checkpoint
-    # each keeps both sources at one read (was customer 3x / orders 2x).
-    e = edges.select(
-        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    ).localCheckpoint(eager=True)
-    v = vertices.select(F.col(id_col).alias("__v")).localCheckpoint(eager=True)
+    # projection are constant across iterations and fuse into ONE
+    # union-tagged checkpoint job (was two eager checkpoints; each
+    # source still read once — was customer 3x / orders 2x pre-r12).
+    both = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .withColumn("__t", F.lit(0))
+        .unionByName(
+            vertices.select(F.col(id_col).alias("__s"))
+            .withColumn("__d", F.lit(None).cast(edges.schema[dst_col].dataType))
+            .withColumn("__t", F.lit(1))
+        )
+        .localCheckpoint(eager=False)
+    )
+    # the count is the checkpoint's own (full) materialization job
+    both.count()
+    e = both.filter(F.col("__t") == 0).select("__s", "__d")
+    v = both.filter(F.col("__t") == 1).select(F.col("__s").alias("__v"))
     outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__od"))
     ranks = v.select(
         "__v",
@@ -1591,47 +1625,90 @@ def scc(
     loops = (
         edges.filter(s == d).select(s.alias("v")).distinct()
     )
-    verts = verts.unionAll(loops).distinct().localCheckpoint(eager=True)
-    e = e.localCheckpoint(eager=True)
+    # ONE union-tagged materialization for the edge AND vertex base
+    # relations (r12 ran two eager checkpoint jobs, each re-scanning
+    # the source): within the single fused query the canonical edge
+    # distinct is one reused exchange, so the source is read once
+    dst_type = edges.schema[dst_col].dataType
+    base = (
+        e.select("u", "w", F.lit(0).alias("__t"))
+        .unionByName(
+            verts.unionAll(loops)
+            .distinct()
+            .select(
+                F.col("v").alias("u"),
+                F.lit(None).cast(dst_type).alias("w"),
+                F.lit(1).alias("__t"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    base.count()  # the checkpoint's own full materialization job
+    e = base.filter(F.col("__t") == 0).select("u", "w")
+    verts = base.filter(F.col("__t") == 1).select(F.col("u").alias("v"))
     spark = edges.sparkSession
     assigned = spark.createDataFrame([], "v long, label long")
     for _ in range(max_rounds):
         # --- trim to stability: no-in or no-out vertices are singleton
-        # SCCs (nothing with a cycle through it can lack either side)
+        # SCCs (nothing with a cycle through it can lack either side).
+        # ONE union-tagged frame carries the trimmed set (__t=2), the
+        # surviving vertices (__t=1) and the surviving edges (__t=0),
+        # so a single aggregate action per pass materializes all three
+        # updates AND reads out both convergence counts — r12 paid
+        # three jobs per pass (trimmed count + eager verts checkpoint
+        # + eager e checkpoint) plus a limit(1) emptiness probe after
+        # the loop.  The lazy mark is safe because the aggregate is
+        # the frame's OWN immediate full materialization (the
+        # trimmed/stepped/relaxed count rule); later consumers only
+        # see already-persisted blocks.
+        w_type = e.schema["w"].dataType
+        n_verts = None
         for _t in range(max_iters):
             has_out = e.select(F.col("u").alias("v")).distinct()
             has_in = e.select(F.col("w").alias("v")).distinct()
             on_cycle_candidates = has_out.join(has_in, "v", "inner")
-            # lazy checkpoint: the convergence count below doubles as
-            # its one (full) materialization job — 1 job per trim pass
-            # instead of 2; safe because every checkpoint-marked
-            # ancestor (verts, e) is already materialized
-            trimmed = verts.join(
-                on_cycle_candidates, "v", "left_anti"
-            ).localCheckpoint(eager=False)
-            n_trim = trimmed.count()
+            trimmed = verts.join(on_cycle_candidates, "v", "left_anti")
+            new_verts = verts.join(trimmed, "v", "left_anti")
+            new_e = (
+                e.join(trimmed.select(F.col("v").alias("u")), "u", "left_anti")
+                .join(trimmed.select(F.col("v").alias("w")), "w", "left_anti")
+            )
+            ve = (
+                new_e.select("u", "w", F.lit(0).alias("__t"))
+                .unionByName(
+                    new_verts.select(
+                        F.col("v").alias("u"),
+                        F.lit(None).cast(w_type).alias("w"),
+                        F.lit(1).alias("__t"),
+                    )
+                )
+                .unionByName(
+                    trimmed.select(
+                        F.col("v").alias("u"),
+                        F.lit(None).cast(w_type).alias("w"),
+                        F.lit(2).alias("__t"),
+                    )
+                )
+                .localCheckpoint(eager=False)
+            )
+            counts = ve.select(
+                F.sum((F.col("__t") == 2).cast("long")).alias("nt"),
+                F.sum((F.col("__t") == 1).cast("long")).alias("nv"),
+            ).first()
+            n_trim = counts["nt"] or 0
+            n_verts = counts["nv"] or 0
+            verts = ve.filter(F.col("__t") == 1).select(F.col("u").alias("v"))
+            e = ve.filter(F.col("__t") == 0).select("u", "w")
             if n_trim == 0:
                 break
             # plain union of checkpointed frames — trivial lineage, no
             # materialization job of its own
             assigned = assigned.unionAll(
-                trimmed.select("v", F.col("v").cast("long").alias("label"))
+                ve.filter(F.col("__t") == 2).select(
+                    F.col("u").alias("v"), F.col("u").cast("long").alias("label")
+                )
             )
-            # EAGER updates: a frame left lazily checkpoint-marked and
-            # then consumed from several subtrees of one AQE query can
-            # deadlock at low core counts (concurrent stage jobs race
-            # to materialize the same marked blocks) — only frames
-            # fully materialized by their OWN immediate action (the
-            # trimmed/stepped/relaxed count pattern) may stay lazy
-            verts = verts.join(trimmed, "v", "left_anti").localCheckpoint(
-                eager=True
-            )
-            e = (
-                e.join(trimmed.select(F.col("v").alias("u")), "u", "left_anti")
-                .join(trimmed.select(F.col("v").alias("w")), "w", "left_anti")
-                .localCheckpoint(eager=True)
-            )
-        if verts.limit(1).count() == 0:
+        if n_verts == 0:
             return assigned
         # one fused fixpoint drives BOTH sweeps: forward edges tagged 0,
         # reversed edges tagged 1, labels keyed (v, dir) — the pass
@@ -1680,9 +1757,20 @@ def scc(
             "v", F.col("__f").cast("long").alias("label")
         )
         assigned = assigned.unionAll(done)
+        # lazy checkpoint + count: one job updates the vertex set AND
+        # gates the pair refinement below — on graphs that resolve in
+        # this round (fixture-typical: one giant SCC + trimmed
+        # periphery) the refinement's bad-edge anti-join and the eager
+        # e rewrite are pure cost (the r12 driver measured g24 0.82×),
+        # so skip them, and the next round's trim pass + emptiness
+        # probe, entirely.  Multi-round graphs (deep SCC chains, g25's
+        # band fixture) still get the refinement, which is what splits
+        # an id-ascending chain into per-band classes in one round.
         verts = verts.join(done.select("v"), "v", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
+        if verts.count() == 0:
+            return assigned
         cu = pr.select(
             F.col("v").alias("u"), F.col("__f").alias("__fu"), F.col("__b").alias("__bu")
         )
@@ -1726,6 +1814,7 @@ def condensation_levels(
     max_iters: int = 30,
     src_col: str = SRC_INDEX_COL,
     dst_col: str = DST_INDEX_COL,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Topological LAYERING of the SCC condensation → (component,
     level, n_vertices): contract every strongly connected component
@@ -1742,7 +1831,19 @@ def condensation_levels(
 
     Scale shape: scc's peeling + one distinct (label, label) projection
     for the condensation + depth-bounded relaxation passes over
-    (component, level) pairs; O(1) driver state throughout."""
+    (component, level) pairs; O(1) driver state throughout.
+
+    Adaptive fast path (the dedup connected_components discipline): the
+    condensation is the CONTRACTED graph — orders of magnitude smaller
+    than the input whenever components are non-trivial — so when its
+    edge count is ≤ ``driver_threshold``, one bounded collect + a
+    driver-side topological DP replaces O(depth) distributed relaxation
+    passes (a depth-D condensation costs D+1 join/aggregate rounds
+    distributed, each a scheduler-floor job at fixture scale and a full
+    barrier at cluster scale).  The probe is limit(threshold+1) — when
+    the limit isn't hit the probe result IS the edge list, so the fast
+    path costs one job; larger condensations take the distributed loop
+    unchanged (set ``driver_threshold=0`` to force it)."""
     labels = scc(
         edges,
         max_rounds=max_rounds,
@@ -1762,6 +1863,55 @@ def condensation_levels(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_threshold > 0:
+        probe = cond.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            spark = edges.sparkSession
+            # Kahn topological DP: level(c) = longest source→c path.
+            # Raises on a cycle like the distributed loop would fail to
+            # converge — scc contracted all cycles, so leftovers mean a
+            # broken labeling, never silent partial levels.
+            indeg: dict = {}
+            succs: dict = {}
+            for cs, cd in probe:
+                succs.setdefault(cs, []).append(cd)
+                indeg[cd] = indeg.get(cd, 0) + 1
+                indeg.setdefault(cs, 0)
+            from collections import deque
+
+            ready = deque(c for c, d in indeg.items() if d == 0)
+            levmap = {c: 0 for c in ready}
+            seen = 0
+            while ready:
+                c = ready.popleft()
+                seen += 1
+                for nxt in succs.get(c, ()):
+                    levmap[nxt] = max(levmap.get(nxt, 0), levmap[c] + 1)
+                    indeg[nxt] -= 1
+                    if indeg[nxt] == 0:
+                        ready.append(nxt)
+            if seen != len(indeg):
+                raise RuntimeError(
+                    "condensation_levels: cycle in the condensation "
+                    "(scc labeling is broken)"
+                )
+            sizes = labels.groupBy(F.col("label").alias("c")).agg(
+                F.count(F.lit(1)).alias("n_vertices")
+            )
+            pos_rows = [(int(c), int(l)) for c, l in levmap.items() if l > 0]
+            comps = labels.select(F.col("label").alias("c")).distinct()
+            if pos_rows:
+                levdf = spark.createDataFrame(pos_rows, "c long, lev long")
+                lev = comps.join(F.broadcast(levdf), "c", "left").select(
+                    "c", F.coalesce(F.col("lev"), F.lit(0)).cast("long").alias("lev")
+                )
+            else:
+                lev = comps.select("c", F.lit(0).cast("long").alias("lev"))
+            return lev.join(sizes, "c").select(
+                F.col("c").alias("component"),
+                F.col("lev").cast("long").alias("level"),
+                F.col("n_vertices").cast("long").alias("n_vertices"),
+            )
     lev = labels.select(F.col("label").alias("c")).distinct().select(
         "c", F.lit(0).cast("long").alias("lev")
     ).localCheckpoint(eager=True)
@@ -1934,11 +2084,21 @@ def multi_source_bfs(
                 if frontier_n <= broadcast_threshold
                 else frontier
             )
+            # distinct + anti-join fused into ONE aggregate (the scc
+            # union-tag trick): tag expansion rows 0 and visited rows 1,
+            # group by (source, vertex), keep groups never seen — one
+            # exchange per level instead of the r12 distinct shuffle
+            # FOLLOWED BY an anti-join of both sides
             nxt = (
                 e.join(fr, e["__s"] == F.col("__v"))
-                .select("__src", F.col("__d").alias("__v"))
-                .distinct()
-                .join(visited, ["__src", "__v"], "left_anti")
+                .select("__src", F.col("__d").alias("__v"), F.lit(0).alias("__t"))
+                .unionByName(
+                    visited.select("__src", "__v", F.lit(1).alias("__t"))
+                )
+                .groupBy("__src", "__v")
+                .agg(F.max("__t").alias("__mt"))
+                .filter(F.col("__mt") == 0)
+                .select("__src", "__v")
                 .persist()
             )
             pinned.append(nxt)
@@ -2099,12 +2259,22 @@ def luby_mis(
             pinned.append(removed)
             statuses.append(new_m.withColumn("status", F.lit("in")))
             statuses.append(removed.withColumn("status", F.lit("out")))
+            # lazy checkpoint + count: ONE job materializes the round's
+            # update (new_m/removed caches fill as its ancestors) AND
+            # answers the emptiness probe — r12 paid an eager und
+            # checkpoint job plus a separate isEmpty job per round.
+            # Safe lazily because the count is the frame's own full
+            # materialization (the scc trim-loop rule); a WIDER fusion
+            # (tagged union of removed+next-und) was tried and measured
+            # 2.2× SLOWER — the broadcast-join subtrees offer no
+            # exchange for AQE to reuse, so each branch re-ran the
+            # heavy adj⋈und⋈und join before the caches filled.
             und = (
                 und.join(new_m, "v", "left_anti")
                 .join(removed, "v", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if und.isEmpty():
+            if und.count() == 0:
                 break
         statuses.append(und.select("v").withColumn("status", F.lit("undecided")))
         if vertices is not None:
@@ -2210,12 +2380,14 @@ def greedy_coloring(
             colored = mis.filter(F.col("status") == "in").select("v")
             frame = colored.withColumn("color", F.lit(c))
             out = frame if out is None else out.unionByName(frame)
-            # lazy checkpoint: the isEmpty probe doubles as its one
-            # materialization, and later references reuse it
+            # lazy checkpoint: the count is its one FULL materialization
+            # (isEmpty's take(1) computed a partition subset and paid a
+            # second checkpoint-completion job), and later references
+            # reuse the persisted blocks
             remaining = remaining.join(colored, "v", "left_anti").localCheckpoint(
                 eager=False
             )
-            if remaining.isEmpty():
+            if remaining.count() == 0:
                 break
         out = (
             out.unionByName(remaining.withColumn("color", F.lit(-1)))
@@ -2552,13 +2724,15 @@ def minimum_spanning_forest(
                 )
                 .distinct()
                 .withColumn("round_added", F.lit(r))
-                # eager: `picked` feeds three consumers (forest output,
-                # the CC pick graph, the probe); a lazily-marked frame
-                # consumed from several subtrees can deadlock under
-                # concurrent AQE stage jobs at low core counts
-                .localCheckpoint(eager=True)
+                # `picked` feeds three consumers (forest output, the CC
+                # pick graph, the probe); the count below is its own
+                # FULL materialization (so the lazy mark is safe under
+                # concurrent AQE stage jobs — the scc trim-loop rule)
+                # and doubles as the emptiness probe, fusing r12's
+                # eager-checkpoint job + isEmpty job into one
+                .localCheckpoint(eager=False)
             )
-            if picked.isEmpty():
+            if picked.count() == 0:
                 break
             out_cols = (
                 ["a", "b", "round_added"]

@@ -48,16 +48,23 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query →
-    (query_id, neighbor_id, cosine_sim, rank).
+    (query_id, neighbor_id, cosine_sim, rank[, *carry_cols]).
 
     Queries are broadcast (they're the small side); scoring is a
     shuffle-free map over corpus partitions; only the per-query top-k
     shuffles (TakeOrderedAndProject-style via window + filter).
     Excludes the query row itself when ids collide.
     Ties broken by neighbor id for determinism.
+
+    ``carry_cols``: extra CORPUS columns to carry through scoring and
+    the top-k onto each surviving neighbor row — the attach-attributes
+    case (s15's neighbor labels) costs zero extra corpus passes this
+    way, where a post-hoc join back to the corpus pays a full re-scan.
     """
+    carry = list(carry_cols or [])
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
     ).withColumn("__qn", norm(F.col("__qv")))
@@ -72,6 +79,7 @@ def brute_force_topk(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(sim, 6).alias("cosine_sim"),
+            *carry,
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -80,7 +88,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .select("query_id", "neighbor_id", "cosine_sim", "rank", *carry)
     )
 
 

@@ -44,7 +44,10 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         sec = time.time() - t0
-        sc.setJobGroup(None, None)
+        # PySpark's SparkContext has no clearJobGroup wrapper (the typed
+        # JVM API does) — clear via the JVM context rather than passing
+        # Nones to setJobGroup, which expects strings
+        sc._jsc.clearJobGroup()
         jobs = sc.statusTracker().getJobIdsForGroup(group)
         out[name] = {"jobs": len(jobs), "sec": round(sec, 3)}
         print(f"[probe] {name}: jobs={len(jobs)} sec={sec:.2f}", file=sys.stderr, flush=True)
