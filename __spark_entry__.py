@@ -3999,12 +3999,12 @@ def st02(spark, sf):
         "value",
         "props",
     )
-    q = dd.writeStream.outputMode("append").format("memory").queryName("st02_out").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table("st02_out")
+    # drive via run_to_memory (same append-mode memory sink as the
+    # inline writeStream it replaces) so the dedup's state store gets
+    # the harness's size-adaptive shuffle-partition scoping
+    from duckdb_graphar_spark.streaming.ops import run_to_memory
+
+    return run_to_memory(dd, "st02_out", mode="append")
 
 
 @_q(

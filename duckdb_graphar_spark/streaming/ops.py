@@ -28,16 +28,46 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+# Source bytes staged by read_events_stream since the last run_to_memory
+# drain — the size signal the harness uses to pick a SCALE-ADAPTIVE
+# shuffle-partition count for the stream it is about to drive (guide
+# §2.2: size partitions by data volume, not by a constant tuned for
+# either local mode or the cluster).  Entries build their stream(s) and
+# immediately drive them, so the accumulate-then-drain protocol is
+# single-threaded per entry call.
+_STAGED_SOURCE_BYTES: list[int] = []
+
+
+def _path_bytes(path: str, glob_base: str | None) -> int:
+    import os
+
+    try:
+        if glob_base is not None:
+            return os.path.getsize(os.path.join(path, glob_base))
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def read_events_stream(spark: SparkSession, path: str, *, max_files: int = 4) -> DataFrame:
     """File-based streaming source over the events parquet (one file =
     one micro-batch slice; real deployments swap in kafka)."""
     import os
 
     reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", max_files)
+    glob_base = None
     if path.endswith(".parquet") and os.path.isfile(path):
         # streaming file sources require a directory; narrow with a glob
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        glob_base = os.path.basename(path)
+        reader = reader.option("pathGlobFilter", glob_base)
         path = os.path.dirname(path)
+    _STAGED_SOURCE_BYTES.append(_path_bytes(path, glob_base))
     raw = reader.parquet(path)
     # Watermarks demand TIMESTAMP (LTZ), so convert the naive-UTC wall
     # clock to the matching instant via epoch-µs arithmetic — both steps
@@ -325,19 +355,73 @@ def run_to_memory(stream_df: DataFrame, name: str, *, mode: str | None = None) -
     — never mutated for the caller's other work (the round-1 lesson on
     session-conf hygiene)."""
     spark = stream_df.sparkSession
+    src_bytes = sum(_STAGED_SOURCE_BYTES) if _STAGED_SOURCE_BYTES else None
+    _STAGED_SOURCE_BYTES.clear()
+    # Python-stateful pipelines (applyInPandasWithState and friends) do
+    # their per-key work in Python workers whose parallelism IS the
+    # shuffle-partition count — sizing those by source bytes serialized
+    # the compute onto 2 workers (r13 audit: st19 11.7→17.7 s).  They
+    # keep the cores-sized behavior; only JVM lanes, where the state-
+    # store commit floor dominates, get the size-derived count.
+    if src_bytes is not None and _crosses_into_python(stream_df):
+        src_bytes = None
     return _with_harness_shuffle_parts(
         spark,
         lambda: _run_memory_query(stream_df, name, mode),
+        src_bytes=src_bytes,
     )
 
 
-def _with_harness_shuffle_parts(spark: SparkSession, fn):
+def _crosses_into_python(df: DataFrame) -> bool:
+    try:
+        txt = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+    return any(
+        m in txt
+        for m in (
+            "FlatMapGroupsInPandasWithState",
+            "TransformWithStateInPandas",
+            "FlatMapGroupsInPandas",
+            "MapInPandas",
+            "MapInArrow",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+        )
+    )
+
+
+def _with_harness_shuffle_parts(spark: SparkSession, fn, *, src_bytes: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` for the duration of one
+    finite stream drive, restored in the finally.
+
+    The partition count is SCALE-ADAPTIVE (guide §2.2): every stateful
+    operator creates one state-store instance per shuffle partition per
+    micro-batch, and the r13 streaming audit measured the lane commit-
+    bound — st13 summed 712 s of state-store commitTimeMs across 32
+    partitions x 4 batches of a 2 MB source (8.0 s wall at 4 partitions
+    vs 34.0 s at 32).  So when the staged source size is known, target
+    ~64 MB of source per partition, clamped to [2, defaultParallelism]:
+    a fixture-sized replay gets a handful of stores, a 100 TB stream
+    still saturates the cluster (the clamp ceiling).  Unknown sizes
+    (rate sources, foreign streams) keep the previous cores-sized
+    behavior.  ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` overrides the
+    derivation for cluster tuning."""
+    import os
+
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key, None)
     cores = spark.sparkContext.defaultParallelism
-    scoped = prev is None or int(prev) > cores
+    override = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if override:
+        target = max(1, int(override))
+    elif src_bytes is not None and src_bytes > 0:
+        target = max(2, min(cores, -(-src_bytes // (64 << 20))))
+    else:
+        target = cores
+    scoped = prev is None or int(prev) > target
     if scoped:
-        spark.conf.set(key, str(cores))
+        spark.conf.set(key, str(target))
     try:
         return fn()
     finally:
