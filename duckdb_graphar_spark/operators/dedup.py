@@ -899,9 +899,17 @@ def jaccard_similarity_join(
         )
     else:
         tok_expr = F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+    # the explicit isnotnull(__id) is constraint unification, not
+    # semantics (ids are non-null by source contract): the candidate
+    # join infers it on ITS tok branches, and a join-inferred
+    # constraint present in one branch makes the shared distinct
+    # subtree canonically unequal — silently defeating exchange reuse
+    # and re-scanning the corpus (the r12 t13/t15/t20/t27 class; the
+    # tok != '' filter already unifies isnotnull(tok) everywhere)
     tok = (
         df.select(F.col(id_col).alias("__id"), tok_expr.alias("tok"))
         .filter(F.col("tok") != "")
+        .filter(F.col("__id").isNotNull())
         .distinct()
     )
     sz = tok.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))

@@ -1077,10 +1077,21 @@ def common_neighbor_candidates(
     degree stamps; union size = deg(u)+deg(w)−cn, so no neighbor-set
     materialization anywhere."""
     s, d = F.col(src_col), F.col(dst_col)
+    # EAGER checkpoint of the canonical edge relation: deg below is a
+    # lazily-checkpointed frame, i.e. its OWN RDD lineage — its
+    # materialization re-ran the whole canon subtree outside the final
+    # query's exchange reuse, costing a second full source pass (r13
+    # meter 2.0 -> 1.0, timed 3.7 -> 3.2 s).  With canon materialized
+    # once, the main query AND deg's lineage both read its blocks: one
+    # source pass total (the g18/g21 constant-relation discipline).
+    # (adamic_adar_candidates keeps the 2-pass shape — there the same
+    # checkpoint flipped the weight-stamp join's build side and timed
+    # 1.4x slower; see its comment.)
     canon = (
         edges.filter(s != d)
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nb = canon.select(F.col("a").alias("c"), F.col("b").alias("n")).unionAll(
         canon.select(F.col("b").alias("c"), F.col("a").alias("n"))
@@ -1169,6 +1180,16 @@ def adamic_adar_candidates(
     the double, is the sort key, so the top-k cut is engine-stable.
     """
     s, d = F.col(src_col), F.col(dst_col)
+    # deg's lazy checkpoint compiles as its own RDD lineage, so its
+    # materialization re-reads the source outside the final query's
+    # exchange reuse — the meter reads 2.0 passes.  Both 1-pass
+    # variants were MEASURED SLOWER here and kept out: an eager canon
+    # checkpoint (the g20 fix) flipped the weight-stamp join's build
+    # side onto the 2|E| union and timed 4.1→6.2 s; inlining deg
+    # recomputed the 2|E| aggregate per consumer, similar cost.  The
+    # second pass is a 2-column pruned scan — at scale comparable to
+    # the |E|-row checkpoint write+read the 1-pass shape pays instead,
+    # so the r12 shape stands.
     canon = (
         edges.filter(s != d)
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
