@@ -638,11 +638,15 @@ def sssp(
             .agg(F.min("__dist").alias("__dist"))
         )
         # the lineage DOUBLES per iteration (dist feeds both the union
-        # branch and the relax join), so cutting only every 4th round
+        # branch and the relax join): every-4th-round cuts (pre-r12)
         # left up to 2^3 re-executions of early rounds inside the final
-        # action; cut every round instead — lazy, O(V) rows, no extra
-        # job (materializes inside the final action)
-        if it + 1 < n_iters:
+        # action, while the r12 every-round cut persisted the O(V)
+        # distance table once per iteration and measured ~1.45x slower
+        # at sf1 AND sf10 (BENCH_r13_sf_probe.json).  Cut every 2nd
+        # round: re-execution is bounded at 2x of ONE round whose
+        # inputs are all checkpointed (never a source re-scan — e is
+        # materialized above), at half the persist traffic.
+        if it + 1 < n_iters and it % 2 == 1:
             dist = dist.localCheckpoint(eager=False)
     return dist.select(F.col("__v").alias("id"), F.col("__dist").alias("dist"))
 
