@@ -11761,7 +11761,10 @@ def q93(spark, sf):
     is SEQUENTIAL per user (each break depends on the session start
     the previous breaks chose), which the st03/q26 gaps-and-islands
     window trick cannot express — so it runs as one user shuffle into
-    an Arrow-batched applyInPandas whose per-user scan is vectorized
+    an Arrow-batched mapInPandas over the window-sorted partitions
+    (r13: one Python invocation per Arrow batch instead of one per
+    user — 1500 tiny groups cost ~5 s of pure per-group machinery)
+    whose per-user scan is vectorized
     (gap breaks from one numpy diff, duration breaks by searchsorted
     jumps — O(events + sessions·log events), one output row per
     SESSION; the r8 rewrite of an O(events²) array-append fold the

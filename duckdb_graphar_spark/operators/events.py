@@ -411,8 +411,10 @@ def sessionize_capped(
     The duration rule makes this SEQUENTIAL per user (each break
     depends on the session start chosen by previous breaks — the
     gaps-and-islands window trick CANNOT express it).  It runs as one
-    groupBy(user) shuffle into an Arrow-batched ``applyInPandas``
-    whose per-user scan is VECTORIZED: gap breaks come from one numpy
+    user shuffle into an Arrow-batched ``mapInPandas`` over the
+    window-sorted partitions (users contiguous, last user of each
+    batch carried forward) whose per-user scan is VECTORIZED: gap
+    breaks come from one numpy
     diff, and within each gap-free run the duration breaks are found
     by ``searchsorted`` jumps — cost O(events + sessions·log events)
     per user, emitting one row per SESSION directly (no per-event
@@ -470,7 +472,7 @@ def sessionize_capped(
         ]
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__us", "eid"], kind="mergesort")
         us = pdf["__us"].to_numpy().astype(np.int64)
         n = len(us)
@@ -508,7 +510,53 @@ def sessionize_capped(
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(fold, out_schema)
+    # ONE mapInPandas over the window's already-(user, ts, id)-sorted,
+    # user-hash-partitioned output instead of groupBy().applyInPandas:
+    # the per-GROUP pandas machinery (one Arrow batch + DataFrame
+    # construction + schema conversion per user) dominated the entry —
+    # 1500 fixture users cost ~5 s of pure invocation overhead against
+    # 0.55 s for the whole JVM prefix (guide §4.2: hand WHOLE batches
+    # to vectorized code).  Same stage as the window (no new exchange),
+    # so each partition arrives sorted with users contiguous; the last
+    # user of every batch is carried into the next batch so a user
+    # split across Arrow batches folds exactly once.
+    def fold_partition(batches):
+        def emit(pdf: pd.DataFrame):
+            uids = pdf["user_id"].to_numpy()
+            bounds = np.flatnonzero(
+                np.r_[True, uids[1:] != uids[:-1]]
+            )
+            bounds = np.append(bounds, len(uids))
+            out = [
+                fold_one(pdf.iloc[int(bounds[i]) : int(bounds[i + 1])])
+                for i in range(len(bounds) - 1)
+            ]
+            return pd.concat(out, ignore_index=True) if out else None
+
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last_uid = pdf["user_id"].iloc[-1]
+            mask = (pdf["user_id"] == last_uid).to_numpy()
+            carry = pdf[mask]
+            head = pdf[~mask]
+            if len(head):
+                r = emit(head)
+                if r is not None and len(r):
+                    yield r
+        if carry is not None and len(carry):
+            r = emit(carry)
+            if r is not None and len(r):
+                yield r
+
+    # the explicit repartition+sort is NOT needed: Exchange(user) →
+    # Sort(user, __us, eid) → Window → Filter → Project → MapInPandas
+    # is one stage, and narrow operators preserve intra-partition order
+    return ev.mapInPandas(fold_partition, out_schema)
 
 
 def last_touch_attribution(
